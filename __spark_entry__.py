@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin views over ``fraud_detection_etl_project_spark.plans.REGISTRY`` — every
+operator from SURVEY.md §2 is registered there as a (spark_fn, oracle_sql)
+pair; see plans/relational_queries.py and plans/llm_queries.py.
 """
 
 from __future__ import annotations
@@ -13,26 +11,28 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from fraud_detection_etl_project_spark.plans import REGISTRY
+
+SF_SMALL = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Orders whose lineitem-derived total disagrees with the order header —
+    the reference's balance-consistency filter idea
+    (/root/reference/Lambda Function/lambda_function_aws.py:43-46) lifted
+    to the fixture star schema (scan -> join -> agg -> filter).
+    """
+    return REGISTRY["flagship_inconsistent_orders"].fn(spark, SF_SMALL)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: spec.fn for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalents (omitted for approximate /
+    non-SQL-expressible operators -> driver records rows-only checks)."""
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}

@@ -1,0 +1,177 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+LLM-data-pipeline primitives (north star, BASELINE.json). Design notes:
+
+- **Exact dedup** groups by a content fingerprint (md5 of normalized text,
+  functions/text.py) — never by the raw text column, so the shuffle moves
+  16-byte keys instead of documents. At 100 TB this is the difference
+  between shuffling hashes and shuffling the corpus.
+- **MinHash** signatures are computed *per row* with higher-order array
+  functions (shingle -> k seeded hashes -> array_min) — zero shuffles, zero
+  UDFs; the only shuffle in near-dup detection is the LSH band-bucket
+  self-join, which touches candidate pairs only (never the O(n²) cross
+  join). Hashes are md5-based and therefore engine-portable: the DuckDB
+  oracles in plans/queries.py reproduce signatures bit-for-bit.
+- **SimHash** uses the same portable md5 bit extraction; one explode +
+  grouped conditional sums (a single shuffle on doc_id).
+- **n-gram Jaccard** verifies candidate pairs exactly; it is meant to run
+  *after* LSH banding has cut the pair space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fraud_detection_etl_project_spark.functions.text import fingerprint, normalized
+
+# Shared MinHash configuration — plans/queries.py derives the DuckDB oracle
+# from these same constants, so Spark and oracle stay in lock-step.
+MINHASH_SEEDS = [f"s{i}|" for i in range(8)]
+BANDS = 4  # 8 hashes -> 4 bands of 2 rows each
+SHINGLE = 3
+HEX = "0123456789abcdef"
+
+
+def exact_dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per distinct normalized content.
+
+    Deterministic representative selection (min id), unlike
+    ``dropDuplicates`` which keeps an arbitrary row.
+    """
+    w = Window.partitionBy("fp").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def shingle_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = SHINGLE) -> DataFrame:
+    """(id, shingle) rows: word n-gram shingles of normalized text.
+
+    Staged as tokenize-project -> shingle-build -> explode. The separate
+    projection matters: building shingles *inside* a higher-order lambda
+    over an inlined ``split(regexp_replace(...))`` re-parses the document
+    per array element — O(tokens²) regexp work (measured 82 s vs ~2 s on
+    50k shingles). Materializing ``toks`` first keeps it linear.
+    """
+    toks_df = df.select(F.col(id_col), F.split(normalized(F.col(text_col)), " ").alias("toks"))
+    parts = ", ".join(f"toks[i+{j}-1]" for j in range(n))  # Spark [] is 0-based
+    grams = F.expr(
+        f"transform(sequence(1, size(toks) - {n - 1}), i -> concat_ws(' ', {parts}))"
+    )
+    # docs shorter than n words: the whole doc is the single shingle
+    sh = F.when(F.size("toks") >= n, grams).otherwise(F.array(F.concat_ws(" ", F.col("toks"))))
+    return toks_df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, mh0..mhk) signatures; mh_i = min over shingles of
+    md5(seed_i || shingle).
+
+    Lexicographic min over hex digests == numeric min over the 128-bit
+    hashes, and md5 is bit-identical across engines (oracle-checkable).
+    Plan: narrow shingle explode, k hashes per row, then a grouped min —
+    map-side partial aggregation collapses each doc to one row per
+    partition before the (id_col) shuffle.
+    """
+    rows = shingle_rows(df, text_col, id_col)
+    hashed = rows.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(seed), F.col("shingle")).cast("binary")).alias(f"h{i}")
+            for i, seed in enumerate(MINHASH_SEEDS)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(len(MINHASH_SEEDS))]
+    )
+
+
+def band_keys(n_hashes: int = len(MINHASH_SEEDS), bands: int = BANDS):
+    """Band columns: concat of rows-per-band signature slices."""
+    rows = n_hashes // bands
+    return [
+        F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+
+
+def neardup_pairs_minhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-duplicate pairs: docs agreeing on >=1 LSH band.
+
+    Plan shape: per-row signatures (narrow) -> explode to (band_idx, key)
+    -> self-join on the band key -> distinct pairs. The self-join shuffles
+    only (band_key, id) tuples. Hot buckets (e.g. boilerplate docs) can go
+    quadratic — cap bucket size upstream or salt if a corpus has them.
+    """
+    sig = minhash_signatures(df, text_col, id_col).select(F.col(id_col), *band_keys())
+    exploded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("key")) for b in range(BANDS)])
+        ).alias("bk"),
+    ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _hex_bit(h, p: int, k: int):
+    """Bit k (0..3, LSB-first) of hex digit p (0-based) of hex string col."""
+    hv = F.instr(F.lit(HEX), F.substring(h, p + 1, 1)) - 1
+    return F.floor(hv / (2 ** k)) % 2
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over word tokens, emitted as a 64-char bitstring.
+
+    Per-token md5 supplies 64 portable bits (16 hex digits × 4); per
+    document each bit position accumulates +1/-1 and the sign forms the
+    signature. One explode + one grouped aggregation (single shuffle on
+    doc_id). Near-dup = small Hamming distance between bitstrings.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalized(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok").cast("binary")))
+    sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(_hex_bit(F.col("h"), b // 4, b % 4) == 1, 1).otherwise(-1)).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    bits = F.concat(*[F.when(F.col(f"b{b}") > 0, F.lit("1")).otherwise(F.lit("0")) for b in range(64)])
+    return sums.select(F.col(id_col), bits.alias("simhash"))
+
+
+def jaccard_token_similarity(df: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact distinct-token Jaccard for candidate pairs (verification stage
+    after LSH banding). Joins the token sets only for candidate ids."""
+    tok = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(F.split(normalized(F.col(text_col)), " "))).alias("tok"))
+    )
+    ta = tok.withColumnRenamed(id_col, "doc_a").alias("ta")
+    tb = tok.withColumnRenamed(id_col, "doc_b").alias("tb")
+    inter = (
+        pairs.join(ta, "doc_a").join(tb, (F.col("tb.doc_b") == pairs["doc_b"]) & (F.col("ta.tok") == F.col("tb.tok")))
+        .groupBy("doc_a", pairs["doc_b"].alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4).alias("jaccard"),
+        )
+    )

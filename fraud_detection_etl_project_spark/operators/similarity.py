@@ -1,0 +1,113 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k — a single narrow scan computing the
+score JVM-side (functions/vectors.py), then ``TakeOrderedAndProject``; no
+shuffle of the vectors themselves. This is the correct plan up to surprising
+scale: scoring is O(n·d) with no data movement beyond the k winners per
+partition.
+
+Scale path: random-hyperplane LSH (sign buckets). Hyperplanes are generated
+from a fixed seed and embedded as plan literals, so bucketing is
+deterministic and reproducible across engines — the DuckDB oracle uses the
+same literal planes. Searching touches only the query's bucket: at 1000
+executors the bucketed layout turns top-k into a partition-pruned scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fraud_detection_etl_project_spark.functions.vectors import cosine, dot
+
+LSH_SEED = 42
+LSH_PLANES = 8
+LSH_DIM = 64
+
+
+def hyperplanes(n_planes: int = LSH_PLANES, dim: int = LSH_DIM, seed: int = LSH_SEED) -> list[list[float]]:
+    """Deterministic random hyperplanes (rounded so literal SQL embeddings
+    of the same numbers are exact in both engines)."""
+    rng = np.random.default_rng(seed)
+    return [[round(float(x), 6) for x in rng.standard_normal(dim)] for _ in range(n_planes)]
+
+
+def _plane_lit(plane: list[float]) -> Column:
+    return F.array(*[F.lit(x).cast("double") for x in plane])
+
+
+def lsh_bucket(vec_col, planes: list[list[float]] | None = None) -> Column:
+    """Sign-bit bucket id, e.g. '10110010', from dot products with planes."""
+    planes = planes or hyperplanes()
+    bits = [
+        F.when(dot(vec_col, _plane_lit(p)) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def knn_brute(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector.
+
+    The score is rounded to 4 places *before* ordering and the id breaks
+    ties, so the k-selection is deterministic and ULP-stable.
+    """
+    q = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k: brute-force search restricted to the query's LSH
+    bucket. The bucket predicate is a literal comparison, so with a
+    bucket-partitioned layout it becomes partition pruning at scale."""
+    planes = planes or hyperplanes()
+    qbits = "".join(
+        "1" if sum(a * b for a, b in zip(query_vec, p)) >= 0 else "0" for p in planes
+    )
+    bucketed = embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+    return knn_brute(bucketed.filter(F.col("bucket") == qbits), query_vec, k, id_col, vec_col)
+
+
+def cosine_pairs_blocked(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: LSH-bucket self-join + exact cosine
+    verify. Only same-bucket pairs are scored — the LSH block replaces the
+    O(n²) cross join with per-bucket quadratic work."""
+    planes = planes or hyperplanes()
+    b = embeddings.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket")
+    )
+    a_side, b_side = b.alias("a"), b.alias("b")
+    return (
+        a_side.join(b_side, "bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

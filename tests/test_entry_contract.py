@@ -1,0 +1,44 @@
+"""Driver-contract smoke tests: entry(), queries(), oracle_sql() shape."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from fraud_detection_etl_project_spark.schemas import FIXTURE_TABLES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_entry_returns_rows(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert "o_orderkey" in df.columns
+
+
+def test_queries_oracle_keys_align():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert len(qs) >= 40
+    assert set(oracles) <= set(qs)
+    # the vast majority must be oracle-checked, not rows-only
+    assert len(oracles) >= len(qs) - 5
+
+
+def test_all_oracles_parse_in_duckdb():
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    for name, sql in entry_mod.oracle_sql().items():
+        con.execute(f"SELECT * FROM ({sql}) LIMIT 1")
+
+
+@pytest.mark.parametrize("name", ["pricing_summary", "region_customer_rollup", "doc_stats"])
+def test_sample_queries_run(spark, name):
+    df = entry_mod.queries()[name](spark, SF)
+    assert df.count() > 0

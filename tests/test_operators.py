@@ -1,0 +1,127 @@
+"""Unit tests for composite operators (relational, dedup, similarity)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from fraud_detection_etl_project_spark.operators.dedup import (
+    exact_dedup_keep_first,
+    jaccard_token_similarity,
+    minhash_signatures,
+    simhash64,
+)
+from fraud_detection_etl_project_spark.operators.relational import (
+    asof_join,
+    salted_join,
+    topk_per_group,
+)
+from fraud_detection_etl_project_spark.operators.similarity import knn_brute, lsh_bucket
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_basic(spark):
+    trades = spark.createDataFrame(
+        [(1, "A", _ts("2024-01-01T10:00:30")), (2, "A", _ts("2024-01-01T10:02:00")),
+         (3, "B", _ts("2024-01-01T10:00:00"))],
+        "trade_id long, sym string, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [("A", _ts("2024-01-01T10:00:00"), 10.0), ("A", _ts("2024-01-01T10:01:00"), 11.0),
+         ("B", _ts("2024-01-01T10:01:00"), 5.0)],
+        "sym string, ts timestamp, px double",
+    )
+    out = asof_join(trades, quotes, on="sym", left_ts="ts", right_ts="ts", payload=["px"])
+    got = {r["trade_id"]: r["asof_px"] for r in out.collect()}
+    # trade1: last quote <= 10:00:30 is 10.0; trade2: 11.0; trade3: no prior quote
+    assert got == {1: 10.0, 2: 11.0, 3: None}
+
+
+def test_asof_join_equal_ts_matches(spark):
+    left = spark.createDataFrame([(1, "A", _ts("2024-01-01T10:00:00"))], "id long, k string, ts timestamp")
+    right = spark.createDataFrame([("A", _ts("2024-01-01T10:00:00"), 7.0)], "k string, ts timestamp, v double")
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts", payload=["v"])
+    assert out.collect()[0]["asof_v"] == 7.0  # <= semantics, not <
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [("g1", 1, 10.0), ("g1", 2, 30.0), ("g1", 3, 20.0), ("g2", 4, 5.0)],
+        "g string, id int, v double",
+    )
+    out = topk_per_group(df, ["g"], [F.col("v").desc(), F.col("id")], 2)
+    got = sorted((r["g"], r["id"]) for r in out.collect())
+    assert got == [("g1", 2), ("g1", 3), ("g2", 4)]
+
+
+def test_exact_dedup_keep_first(spark):
+    df = spark.createDataFrame(
+        [(3, "hello  world"), (1, "Hello world"), (2, "other doc")],
+        "doc_id long, text string",
+    )
+    # normalization makes rows 1 and 3 identical; min id (1) is kept
+    out = exact_dedup_keep_first(df)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "x y z w v u t s")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(8)) for r in minhash_signatures(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_simhash_similar_docs_close(spark):
+    base = " ".join(f"tok{i}" for i in range(50))
+    similar = " ".join(f"tok{i}" for i in range(49)) + " other"
+    different = " ".join(f"zzz{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, base), (2, similar), (3, different)], "doc_id long, text string"
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(df).collect()}
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))  # noqa: E731
+    assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])
+
+
+def test_jaccard_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "doc_a long, doc_b long")
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in jaccard_token_similarity(df, pairs).collect()}
+    assert out[(1, 2)] == 0.6  # |{a,b,c}| / |{a,b,c,d,e}|
+    assert (1, 3) not in out  # empty intersection drops out of the inner join
+
+
+def test_knn_brute_self_is_top(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = knn_brute(df, [1.0, 0.0], k=2)
+    rows = out.collect()
+    assert rows[0]["vec_id"] == 0 and rows[0]["cos_sim"] == 1.0
+    assert rows[1]["vec_id"] == 1
+
+
+def test_lsh_bucket_deterministic(spark):
+    df = spark.createDataFrame([(0, [0.5] * 64)], "vec_id long, embedding array<float>")
+    b1 = df.select(lsh_bucket(F.col("embedding")).alias("b")).collect()[0]["b"]
+    b2 = df.select(lsh_bucket(F.col("embedding")).alias("b")).collect()[0]["b"]
+    assert b1 == b2 and len(b1) == 8 and set(b1) <= {"0", "1"}
+
+
+def test_salted_join_matches_plain_join(spark):
+    large = spark.createDataFrame([(i % 3, i) for i in range(100)], "k int, v int")
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k int, tag string")
+    salted = salted_join(large, small, "k", salt_buckets=4)
+    plain = large.join(small, "k")
+    assert salted.count() == plain.count() == 100
+    assert sorted(r["tag"] for r in salted.select("tag").distinct().collect()) == ["a", "b", "c"]

@@ -1,0 +1,89 @@
+"""Streaming pipeline tests: landing-dir micro-batches, replay idempotency,
+windowed rollup equivalence (SURVEY.md §2.9 / §5.2-4)."""
+
+from __future__ import annotations
+
+import shutil
+
+from fraud_detection_etl_project_spark.sources.parquet import load_table
+from fraud_detection_etl_project_spark.streaming.file_pipeline import run_fraud_stream
+from fraud_detection_etl_project_spark.streaming.windows import hourly_event_rollup
+from pyspark.sql import functions as F
+
+SAMPLE = "/root/reference/Sample File/test_aws.csv"
+SF = "/root/testdata/sf0.001"
+
+HEADER = (
+    "step,type,amount,nameOrig,oldbalanceOrg,newbalanceOrig,nameDest,"
+    "oldbalanceDest,newbalanceDest,isFraud,isFlaggedFraud"
+)
+
+
+def _write_landing(tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    shutil.copy(SAMPLE, landing / "file1.csv")
+    # second file: one clean fraud TRANSFER row
+    (landing / "file2.csv").write_text(
+        HEADER + "\n9,TRANSFER,500.0,C9,500.0,0.0,C10,0.0,0.0,1,0\n"
+    )
+    return landing
+
+
+def test_fraud_stream_two_files(spark, tmp_path):
+    landing = _write_landing(tmp_path)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    run_fraud_stream(spark, str(landing), ckpt, sink)
+    out = spark.read.parquet(out_dir)
+    # sample contributes 2 fraud rows, file2 contributes 1
+    assert out.count() == 3
+    assert out.filter(F.col("amount") == 500.0).count() == 1
+
+
+def test_fraud_stream_replay_is_idempotent(spark, tmp_path):
+    """Re-running the drained stream with the same checkpoint must not
+    re-process files — closes the reference's duplicate-S3-event gap
+    (lambda_function_aws.py:72,90-97 appends blindly)."""
+    landing = _write_landing(tmp_path)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    run_fraud_stream(spark, str(landing), ckpt, sink)
+    run_fraud_stream(spark, str(landing), ckpt, sink)  # replay, same checkpoint
+    assert spark.read.parquet(out_dir).count() == 3
+
+
+def test_fraud_stream_picks_up_new_file(spark, tmp_path):
+    landing = _write_landing(tmp_path)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    run_fraud_stream(spark, str(landing), ckpt, sink)
+    (landing / "file3.csv").write_text(
+        HEADER + "\n10,CASH_OUT,60.0,C11,60.0,0.0,C12,0.0,0.0,0,1\n"
+    )
+    run_fraud_stream(spark, str(landing), ckpt, sink)
+    assert spark.read.parquet(out_dir).count() == 4
+
+
+def test_hourly_rollup_matches_batch(spark):
+    stream_out = hourly_event_rollup(spark, SF)
+    ev = load_table(spark, SF, "events")
+    batch = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    s = {(r["window_start"], r["event_type"]): r["n_events"] for r in stream_out.collect()}
+    b = {(r["window_start"], r["event_type"]): r["n_events"] for r in batch.collect()}
+    assert s == b

@@ -1,0 +1,109 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
+(fixture parquet registered as views), compares row count, column names, and
+values (sorted columns, sorted rows; floats must match to 1e-9 after the
+queries' own rounding). Exit code 1 on any mismatch.
+
+Usage: python tools/check_queries.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import pandas as pd
+
+import __spark_entry__ as entry_mod
+from fraud_detection_etl_project_spark.schemas import FIXTURE_TABLES
+from fraud_detection_etl_project_spark.session import get_spark
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("float64")  # unify int widths & NaN-ability
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def frames_match(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
+    if sorted(a.columns) != sorted(b.columns):
+        return f"columns differ: spark={sorted(a.columns)} oracle={sorted(b.columns)}"
+    if len(a) != len(b):
+        return f"row count differs: spark={len(a)} oracle={len(b)}"
+    a, b = normalize(a), normalize(b)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av):
+            bad = ~(
+                (av.isna() & bv.isna())
+                | (av - bv).abs().le(1e-9)
+                | (av == bv)
+            )
+        else:
+            bad = ~((av.isna() & bv.isna()) | (av.astype(str) == bv.astype(str)))
+        if bad.any():
+            i = bad.idxmax()
+            return f"value mismatch in '{c}' at sorted-row {i}: spark={av[i]!r} oracle={bv[i]!r} ({int(bad.sum())} rows differ)"
+    return None
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="check-queries")
+    con = duck_con(sf_dir)
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+
+    failures, passed, rows_only = [], 0, 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append((name, f"spark error: {e}"))
+            print(f"FAIL {name}: spark error: {str(e)[:300]}")
+            continue
+        if name not in oracles:
+            ok = len(sdf) >= 0
+            rows_only += 1
+            print(f"ok   {name} (rows-only: {len(sdf)} rows)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            failures.append((name, f"oracle error: {e}"))
+            print(f"FAIL {name}: oracle error: {str(e)[:300]}")
+            continue
+        err = frames_match(sdf, odf)
+        if err:
+            failures.append((name, err))
+            print(f"FAIL {name}: {err}")
+        else:
+            passed += 1
+            print(f"ok   {name} ({len(sdf)} rows)")
+
+    print(f"\n{passed} oracle-matched, {rows_only} rows-only, {len(failures)} failed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
