@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from fraud_detection_etl_project_spark.functions.rounding import fxr
 from fraud_detection_etl_project_spark.functions.text import fingerprint, normalized
 
 # Shared MinHash configuration — plans/queries.py derives the DuckDB oracle
@@ -172,6 +173,6 @@ def jaccard_token_similarity(df: DataFrame, pairs: DataFrame, text_col: str = "t
         .select(
             "doc_a",
             "doc_b",
-            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4).alias("jaccard"),
+            fxr(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4).alias("jaccard"),
         )
     )

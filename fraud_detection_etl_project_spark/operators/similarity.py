@@ -19,6 +19,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from fraud_detection_etl_project_spark.functions.rounding import fxr
 from fraud_detection_etl_project_spark.functions.vectors import cosine, dot
 
 LSH_SEED = 42
@@ -62,7 +63,7 @@ def knn_brute(
     q = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
     scored = embeddings.select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"),
+        fxr(cosine(F.col(vec_col), q), 4).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
@@ -107,7 +108,7 @@ def cosine_pairs_blocked(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4).alias("cos_sim"),
+            fxr(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -10,5 +10,6 @@ from fraud_detection_etl_project_spark.plans.registry import BENCH_QUERIES, REGI
 # importing the modules populates REGISTRY
 from fraud_detection_etl_project_spark.plans import relational_queries  # noqa: F401,E402
 from fraud_detection_etl_project_spark.plans import llm_queries  # noqa: F401,E402
+from fraud_detection_etl_project_spark.plans import extended_queries  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "BENCH_QUERIES", "QuerySpec"]

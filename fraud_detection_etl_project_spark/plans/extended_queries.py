@@ -1,0 +1,363 @@
+"""Extended operator inventory: grouping sets, advanced windows, pivot,
+multiset set-ops, typed JSON, Levenshtein, token histograms, verified
+near-dups, sliding/dedup streaming (SURVEY.md §2.4-§2.9 deep coverage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fraud_detection_etl_project_spark.functions.rounding import fxr
+from fraud_detection_etl_project_spark.functions.text import normalized
+from fraud_detection_etl_project_spark.operators import dedup as D
+from fraud_detection_etl_project_spark.plans.llm_queries import _NEARDUP_ORACLE, TOKS_SQL
+from fraud_detection_etl_project_spark.plans.registry import query
+from fraud_detection_etl_project_spark.plans.relational_queries import REFERENCE_SAMPLE_CSV
+from fraud_detection_etl_project_spark.sources.csv import read_transactions
+from fraud_detection_etl_project_spark.sources.parquet import load_table
+from fraud_detection_etl_project_spark.streaming.windows import (
+    sliding_event_rollup,
+    streamed_distinct_events,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / pivot
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "grouping_sets_sales",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS + grouping_id (§2.4) — via the SQL surface
+    (the DataFrame API exposes only cube/rollup)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "pivot_status_counts",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_filled,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_pending
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (wide conditional aggregation). The explicit value list keeps
+    the plan single-pass (no extra distinct-values job at scale)."""
+    o = _t(spark, sf_dir, "orders")
+    p = o.groupBy("o_orderpriority").pivot("o_orderstatus", ["O", "F", "P"]).agg(
+        F.count(F.lit(1))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("n_filled"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("n_pending"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Advanced windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customer_quartiles",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       CAST(dense_rank() OVER w AS INT) AS drank,
+       floor((percent_rank() OVER w) * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+       floor((cume_dist() OVER w) * 1000000.0 + 0.5) / 1000000.0 AS cdist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+""",
+)
+def customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window family (§2.5): ntile / dense_rank / percent_rank /
+    cume_dist over a total order (unique tiebreaker => deterministic)."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.dense_rank().over(w).cast("int").alias("drank"),
+        fxr(F.percent_rank().over(w), 6).alias("pct_rank"),
+        fxr(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@query(
+    "event_trailing_features",
+    oracle="""
+SELECT event_id, user_id,
+       floor((avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 1000000.0 + 0.5) / 1000000.0 AS avg_last3,
+       floor((sum(value) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)) * 100.0 + 0.5) / 100.0 AS hour_total
+FROM events
+""",
+)
+def event_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded window frames (§2.5): trailing 3-row moving average + a
+    time-based RANGE frame (value total in the trailing hour) — the
+    velocity-feature shape of fraud detection, per account. One shuffle on
+    user_id serves both frames."""
+    e = _t(spark, sf_dir, "events").withColumn("sec", F.unix_timestamp("ts"))
+    w_rows = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, Window.currentRow)
+    )
+    w_range = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-3600, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        fxr(F.avg("value").over(w_rows), 6).alias("avg_last3"),
+        fxr(F.sum("value").over(w_range), 2).alias("hour_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multiset set-ops / grouped collections
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "suppkeys_in_both_flags",
+    oracle="""
+SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+INTERSECT ALL
+SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+""",
+)
+def suppkeys_in_both_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset semantics, §2.7)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_suppkey")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    return a.intersectAll(r)
+
+
+@query(
+    "suppkeys_surplus_in_a",
+    oracle="""
+SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+EXCEPT ALL
+SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+""",
+)
+def suppkeys_surplus_in_a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset semantics, §2.7)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_suppkey")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    return a.exceptAll(r)
+
+
+@query(
+    "nation_segment_sets",
+    oracle="""
+SELECT c_nationkey,
+       array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',') AS segments,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM customer GROUP BY c_nationkey
+""",
+)
+def nation_segment_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set + array_sort (§2.4 grouped collections), emitted as a
+    joined string (deterministic, engine-portable representation)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("c_mktsegment"))).alias("segments"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# String distance / typed JSON / time mapping
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "name_edit_distances",
+    oracle="""
+SELECT c.c_custkey, s.s_suppkey,
+       CAST(levenshtein(c.c_name, s.s_name) AS INT) AS edit_dist
+FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+WHERE c.c_custkey <= 50
+""",
+)
+def name_edit_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein distance (§2.8 string family) over a co-nation join —
+    the fuzzy-account-matching shape of fraud entity resolution."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 50)
+    s = _t(spark, sf_dir, "supplier")
+    return c.join(s, c.c_nationkey == s.s_nationkey).select(
+        "c_custkey",
+        "s_suppkey",
+        F.levenshtein("c_name", "s_name").cast("int").alias("edit_dist"),
+    )
+
+
+@query(
+    "events_typed_json",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       to_json(struct_pack(et := event_type, k := CAST(json_extract_string(props, '$.k') AS INT))) AS js
+FROM events
+""",
+)
+def events_typed_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON both ways (§2.8): from_json with an explicit schema and
+    to_json re-serialization — schema-on-read for semi-structured props."""
+    e = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return e.select(
+        "event_id",
+        k.alias("k"),
+        F.to_json(F.struct(F.col("event_type").alias("et"), k.alias("k"))).alias("js"),
+    )
+
+
+@query(
+    "fraud_step_timestamps",
+    oracle=f"""
+SELECT CAST(step AS INT) AS step, nameOrig,
+       CAST(to_timestamp(CAST(step AS INT) * 3600) AS TIMESTAMP) AS event_ts
+FROM read_csv('{REFERENCE_SAMPLE_CSV}', header=true)
+""",
+)
+def fraud_step_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PaySim ``step`` (hour index, the reference's only clock —
+    ``lambda_function_aws.py:73``) mapped to real event-time, unlocking
+    every §2.8 date/time operator for transaction streams."""
+    txns = read_transactions(spark, REFERENCE_SAMPLE_CSV)
+    return txns.select(
+        "step",
+        "nameOrig",
+        F.timestamp_seconds(F.col("step").cast("long") * 3600).alias("event_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text: histograms + verified near-dups
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "token_histogram",
+    oracle=f"""
+SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT UNNEST({TOKS_SQL}) AS tok FROM documents)
+GROUP BY tok ORDER BY n DESC, token ASC LIMIT 20
+""",
+)
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency top-20 (explode -> count -> top-k). Partial
+    aggregation collapses the exploded stream before the shuffle; the
+    token tiebreaker makes the cutoff deterministic."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(normalized(F.col("text")), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+_JACCARD_VERIFY_ORACLE = (
+    _NEARDUP_ORACLE.rstrip()
+    .replace(
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b",
+        ",\ncand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b",
+    )
+    .replace(
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id",
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),\n"
+        f"tok AS (SELECT doc_id, list_distinct({TOKS_SQL}) AS toks FROM documents),\n"
+        "inter AS (SELECT c.doc_a, c.doc_b,\n"
+        "                 len(list_filter(ta.toks, t -> list_contains(tb.toks, t))) AS n_inter,\n"
+        "                 len(ta.toks) AS na, len(tb.toks) AS nb\n"
+        "          FROM cand c JOIN tok ta ON ta.doc_id = c.doc_a JOIN tok tb ON tb.doc_id = c.doc_b)\n"
+        "SELECT doc_a, doc_b,\n"
+        "       floor((CAST(n_inter AS DOUBLE) / (na + nb - n_inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard\n"
+        "FROM inter WHERE n_inter > 0",
+    )
+)
+
+
+@query("neardup_jaccard_verified", oracle=_JACCARD_VERIFY_ORACLE)
+def neardup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup pipeline: MinHash banding proposes candidate
+    pairs, exact distinct-token Jaccard verifies them — the two-stage
+    shape that scales (banding cuts the pair space; exact verification
+    touches only candidates)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.neardup_pairs_minhash(d)
+    return D.jaccard_token_similarity(d, pairs)
+
+
+# ---------------------------------------------------------------------------
+# Streaming: sliding windows + stream dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_sliding_event_counts",
+    oracle="""
+SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events, UNNEST([0, 1]) AS t(k)
+GROUP BY 1, 2
+""",
+)
+def stream_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (2h size / 1h slide) on the stream; each
+    event lands in two windows. The batch oracle materializes the same
+    assignment with an explicit unnested offset."""
+    return sliding_event_rollup(spark, sf_dir)
+
+
+@query(
+    "stream_dedup_event_counts",
+    oracle="""
+SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique
+FROM events GROUP BY event_type
+""",
+)
+def stream_dedup_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on the natural key, then a batch rollup of
+    the deduplicated sink — the idempotent-ingest pattern that closes the
+    reference's duplicate-delivery gap (§2.9)."""
+    deduped = streamed_distinct_events(spark, sf_dir)
+    return deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))

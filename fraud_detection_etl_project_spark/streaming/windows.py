@@ -77,6 +77,49 @@ def hourly_event_rollup(
     return spark.table(name)
 
 
+def sliding_event_rollup(
+    spark: SparkSession, sf_dir: str, size: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    """Sliding event-time windows × event_type counts (each event belongs
+    to size/slide windows). Complete-mode availableNow drain."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", size, slide).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    name = f"sliding_rollup_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def streamed_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-side exact dedup on the natural key (event_id): stateful
+    ``dropDuplicates`` writing an append-mode memory sink; returns the
+    deduplicated rows as a batch frame. On an unbounded source use
+    ``dropDuplicatesWithinWatermark`` so dedup state is GC'd with the
+    watermark instead of growing forever."""
+    dedup = events_stream(spark, sf_dir).dropDuplicates(["event_id"])
+    name = f"dedup_events_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def sessionized_user_activity(
     spark: SparkSession, sf_dir: str, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:
