@@ -11,12 +11,15 @@ from pyspark.sql import functions as F
 from fraud_detection_etl_project_spark.functions.rounding import fxr
 from fraud_detection_etl_project_spark.functions.text import normalized
 from fraud_detection_etl_project_spark.operators import dedup as D
+from fraud_detection_etl_project_spark.operators import multimodal as M
+from fraud_detection_etl_project_spark.operators import similarity as S
 from fraud_detection_etl_project_spark.plans.llm_queries import _NEARDUP_ORACLE, TOKS_SQL
 from fraud_detection_etl_project_spark.plans.registry import query
 from fraud_detection_etl_project_spark.plans.relational_queries import REFERENCE_SAMPLE_CSV
 from fraud_detection_etl_project_spark.sources.csv import read_transactions
 from fraud_detection_etl_project_spark.sources.parquet import load_table
 from fraud_detection_etl_project_spark.streaming.windows import (
+    sessionized_user_activity,
     sliding_event_rollup,
     streamed_distinct_events,
 )
@@ -346,6 +349,92 @@ def stream_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     event lands in two windows. The batch oracle materializes the same
     assignment with an explicit unnested offset."""
     return sliding_event_rollup(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup / multimodal features / session windows
+# ---------------------------------------------------------------------------
+
+
+def _bucket_sql(alias: str) -> str:
+    return "concat(" + ", ".join(
+        f"CASE WHEN list_sum(list_transform(range(1, len({alias}.embedding) + 1), "
+        f"i -> CAST({alias}.embedding[i] AS DOUBLE) * p.p{i}[i])) >= 0 THEN '1' ELSE '0' END"
+        for i in range(S.LSH_PLANES)
+    ) + ")"
+
+
+def _planes_sql() -> str:
+    cols = []
+    for i, p in enumerate(S.hyperplanes()):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        cols.append(f"CAST({lit} AS DOUBLE[]) AS p{i}")
+    return ", ".join(cols)
+
+
+_SQ = lambda t: f"list_sum(list_transform({t}.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"  # noqa: E731
+_DOT_AB = (
+    "list_sum(list_transform(range(1, len(a.embedding) + 1), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b2.embedding[i] AS DOUBLE)))"
+)
+
+_EMB_NEARDUP_ORACLE = f"""
+WITH p AS (SELECT {_planes_sql()}),
+b AS (SELECT e.vec_id, e.embedding, {_bucket_sql('e')} AS bucket FROM embeddings e, p),
+pr AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+              floor(({_DOT_AB} / (sqrt({_SQ('a')}) * sqrt({_SQ('b2')}))) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+       FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+SELECT id_a, id_b, cos_sim FROM pr WHERE cos_sim >= 0.35
+"""
+
+
+@query("neardup_embedding_cosine", oracle=_EMB_NEARDUP_ORACLE)
+def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket blocking
+    (same-bucket self-join) + exact cosine verification at >= 0.35 — the
+    O(n²) cross join never materializes; per-bucket work is quadratic only
+    in bucket size (north-star dedup family)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return S.cosine_pairs_blocked(e.select("vec_id", "embedding"), threshold=0.35)
+
+
+@query("multimodal_features", oracle=None)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched media feature extraction via mapInPandas over an
+    opaque-binary media table (decode stubbed — deterministic byte-stats
+    features; operators/multimodal.py documents the real-codec contract).
+    Python-side decode => rows-only driver check."""
+    d = _t(spark, sf_dir, "documents")
+    media = M.to_media_table(d.withColumn("payload", F.col("text").cast("binary")),
+                             "doc_id", "payload", "image")
+    return M.extract_features(media)
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+WITH o AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS session_value
+FROM s GROUP BY user_id, sid
+""",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30 min) per user on the event stream —
+    Spark's ``session_window`` stateful operator; the batch oracle
+    re-derives identical sessions via lag + cumulative-sum sessionization
+    (a session extends while the next event starts < gap after the last)."""
+    return sessionized_user_activity(spark, sf_dir)
 
 
 @query(

@@ -1,0 +1,116 @@
+"""Sinks: partitioned file writers + JDBC append with reference semantics.
+
+The reference's only sink is a fixed-DDL Postgres table fed by one
+``executemany`` batch in one transaction per file
+(``/root/reference/Lambda Function/lambda_function_aws.py:70-99``). Spark's
+JDBC writer is per-partition (one connection + transaction per task), so
+"one transaction per file" is not the default — ``jdbc_append`` documents
+the deviation and ``jdbc_atomic_append`` restores file-level atomicity with
+the staging-table + swap pattern (SURVEY.md §3.4).
+
+File sinks are the scale path: partitioned parquet is the engine's native
+output format at 100 TB (predicate-pushdown-able, splittable, zstd), CSV is
+the reference-parity interchange format.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame
+
+# Reference sink DDL column widths, lambda_function_aws.py:70-85.
+TXN_COLUMN_TYPES = (
+    "step INT, type VARCHAR(20), amount DOUBLE PRECISION, nameOrig VARCHAR(50), "
+    "oldbalanceOrg DOUBLE PRECISION, newbalanceOrig DOUBLE PRECISION, "
+    "nameDest VARCHAR(50), oldbalanceDest DOUBLE PRECISION, "
+    "newbalanceDest DOUBLE PRECISION, isFraud INT, isFlaggedFraud INT"
+)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Partitioned parquet sink.
+
+    ``partition_by`` becomes the directory layout — downstream scans with a
+    predicate on those columns read only matching directories (partition
+    pruning). ``maxRecordsPerFile`` caps file size so a skewed partition
+    can't produce one unsplittable multi-GB file.
+    """
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    """CSV sink (reference interchange format; header on, UTF-8)."""
+    df.write.mode(mode).option("header", header).csv(path)
+
+
+def jdbc_append(
+    df: DataFrame,
+    url: str,
+    table: str,
+    properties: dict[str, str],
+    batchsize: int = 1000,
+    num_partitions: int | None = None,
+    create_table_column_types: str | None = TXN_COLUMN_TYPES,
+) -> None:
+    """JDBC append mirroring the reference sink (S5+S6, SURVEY.md §2.1).
+
+    - ``create_table_column_types`` pins VARCHAR widths as the reference DDL
+      does (``lambda_function_aws.py:70-85``); Spark issues the
+      CREATE TABLE IF NOT EXISTS equivalent on first append.
+    - ``batchsize`` batches INSERTs as ``executemany`` did
+      (``lambda_function_aws.py:97``).
+    - ``num_partitions`` caps connection fan-out: at 1000 executors an
+      uncapped append opens 1000 connections; cap to what the database pool
+      tolerates (each partition commits independently — the per-partition
+      transaction deviation documented in SURVEY.md §3.4).
+    """
+    w = df
+    if num_partitions is not None:
+        w = df.coalesce(num_partitions)
+    writer = w.write.mode("append").option("batchsize", batchsize)
+    if create_table_column_types:
+        writer = writer.option("createTableColumnTypes", create_table_column_types)
+    writer.jdbc(url, table, properties=properties)
+
+
+def jdbc_atomic_append(
+    df: DataFrame,
+    url: str,
+    table: str,
+    properties: dict[str, str],
+    run_ddl=None,
+    batchsize: int = 1000,
+) -> str:
+    """File-level atomic append: write to a staging table, then one
+    transactional ``INSERT INTO target SELECT * FROM staging; DROP``.
+
+    Restores the reference's one-transaction-per-file semantics
+    (``lambda_function_aws.py:99``) on top of Spark's per-partition writes:
+    a failed job leaves only an orphan staging table, never a partial
+    target. ``run_ddl(sql: str)`` executes the swap server-side (callers
+    supply it via their JDBC/DBAPI driver; kept injectable because this
+    container has no database). Returns the staging table name.
+    """
+    staging = f"{table}_stage_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").option("batchsize", batchsize).jdbc(
+        url, staging, properties=properties
+    )
+    swap = (
+        f"BEGIN; INSERT INTO {table} SELECT * FROM {staging}; "
+        f"DROP TABLE {staging}; COMMIT;"
+    )
+    if run_ddl is not None:
+        run_ddl(swap)
+    return staging

@@ -15,6 +15,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fraud_detection_etl_project_spark.functions.rounding import fxr
 from fraud_detection_etl_project_spark.schemas import EVENTS_SCHEMA
 
 
@@ -129,7 +130,7 @@ def sessionized_user_activity(
         events_stream(spark, sf_dir)
         .withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), fxr(F.sum("value"), 2).alias("session_value"))
         .select(
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
