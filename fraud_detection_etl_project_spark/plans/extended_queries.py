@@ -13,7 +13,8 @@ from fraud_detection_etl_project_spark.functions.text import normalized
 from fraud_detection_etl_project_spark.operators import dedup as D
 from fraud_detection_etl_project_spark.operators import multimodal as M
 from fraud_detection_etl_project_spark.operators import similarity as S
-from fraud_detection_etl_project_spark.plans.llm_queries import _NEARDUP_ORACLE, TOKS_SQL
+from fraud_detection_etl_project_spark.operators import skew as K
+from fraud_detection_etl_project_spark.plans.llm_queries import _NEARDUP_ORACLE, NORM_SQL, TOKS_SQL
 from fraud_detection_etl_project_spark.plans.registry import query
 from fraud_detection_etl_project_spark.plans.relational_queries import REFERENCE_SAMPLE_CSV
 from fraud_detection_etl_project_spark.sources.csv import read_transactions
@@ -349,6 +350,92 @@ def stream_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     event lands in two windows. The batch oracle materializes the same
     assignment with an explicit unnested offset."""
     return sliding_event_rollup(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Skew mitigation (hot-key salting) — results must equal the unsalted plan
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "salted_hot_key_agg",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total,
+       floor((sum(value) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS mean
+FROM events GROUP BY event_type
+""",
+)
+def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation (operators/skew.py): group by
+    (event_type, salt16) then by event_type — a hot event_type's rows
+    spread over 16 reducers in stage 1; stage 2 shuffles only 16 partial
+    rows per key. The oracle is the plain one-stage GROUP BY: salting must
+    not change results."""
+    e = _t(spark, sf_dir, "events")
+    out = K.salted_sum_count(e, ["event_type"], "value", salt_on="event_id")
+    return out.select(
+        "event_type",
+        "n_rows",
+        fxr("total", 2).alias("total"),
+        fxr("mean", 6).alias("mean"),
+    )
+
+
+@query(
+    "salted_user_event_join",
+    oracle="""
+SELECT e.event_id, e.user_id, c.c_mktsegment,
+       floor((e.value) * 100.0 + 0.5) / 100.0 AS value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+""",
+)
+def salted_user_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (operators/skew.py): customer replicated 16×, the
+    event side salted deterministically on event_id; joining on
+    (user_id, salt) splits any hot user across 16 tasks. Must equal the
+    plain join — the oracle is the unsalted SQL."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    joined = K.salted_join(e, c, key="user_id", salt_on="event_id")
+    return joined.select(
+        "event_id", "user_id", "c_mktsegment", fxr("value", 2).alias("value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish subword token counting
+# ---------------------------------------------------------------------------
+
+
+_BPE_PAT = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@query(
+    "token_counts_bpe",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({TOKS_SQL}) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all({NORM_SQL}, '{_BPE_PAT}')) AS INT) AS n_re_tokens
+FROM documents
+""",
+)
+def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (north-star text analysis): whitespace
+    tokens vs a BPE-ish lexer regex (letter runs / digit runs / single
+    punctuation) — the cheap pre-tokenization cost model for LLM data
+    curation. Both are single-pass JVM-side regex work, no UDFs."""
+    d = _t(spark, sf_dir, "documents")
+    nt = normalized(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(F.split(nt, " ")).cast("int").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(nt, F.lit(_BPE_PAT), 0)).cast("int").alias("n_re_tokens"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,76 @@
+"""Property-based differential test: Spark filter semantics vs a pure-Python
+oracle of the reference's two predicates (SURVEY.md §5.2 point 3).
+
+The reference ships the same query on two engines (pandas masks at
+``lambda_function_aws.py:43-52``, list comprehensions at
+``zip!lambda_function_aws.py:56-68``); this third implementation must agree
+on randomized PaySim-shaped rows, including the hard cases: half-even
+rounding boundaries (x.xx5 deltas), negative balances, huge magnitudes.
+
+The Python oracle uses ``round(x, 2)`` — CPython's round-half-even on
+doubles, the same semantics as pandas ``.round(2)`` and Spark ``bround``.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from fraud_detection_etl_project_spark.pipeline import fraud_pipeline
+from fraud_detection_etl_project_spark.schemas import TXN_SCHEMA
+
+# Magnitudes spanning cents to PaySim-max (~9.2e7) plus exact half-cent
+# boundaries where HALF_UP and HALF_EVEN disagree.
+_money = st.one_of(
+    st.floats(min_value=-1e8, max_value=1e8, allow_nan=False, width=64),
+    st.integers(min_value=-10_000, max_value=10_000).map(lambda c: c / 100 + 0.005),
+)
+
+
+_rows = st.lists(
+    st.tuples(
+        st.integers(1, 744),  # step
+        st.sampled_from(["PAYMENT", "TRANSFER", "CASH_OUT", "DEBIT", "CASH_IN"]),
+        _money.map(abs),  # amount
+        st.integers(0, 99).map(lambda i: f"C{i}"),  # nameOrig
+        _money,  # oldbalanceOrg
+        _money,  # newbalanceOrig
+        st.integers(0, 99).map(lambda i: ("M" if i % 3 else "C") + str(i)),
+        _money,  # oldbalanceDest
+        _money,  # newbalanceDest
+        st.integers(0, 1),  # isFraud
+        st.integers(0, 1),  # isFlaggedFraud
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _oracle(rows):
+    """The reference's filters, row-at-a-time (zip!lambda_function_aws.py:56-68)."""
+    out = []
+    for r in rows:
+        (_, _, amount, _, old_org, new_org, _, old_dest, new_dest, is_fraud, is_flagged) = r
+        valid = round(old_org - new_org, 2) >= amount or round(old_dest + amount, 2) >= new_dest
+        if valid and (is_fraud == 1 or is_flagged == 1):
+            out.append(r)
+    return out
+
+
+@given(_rows)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_spark_matches_python_oracle(spark_session, rows):
+    df = spark_session.createDataFrame(rows, schema=TXN_SCHEMA)
+    got = sorted(tuple(r) for r in fraud_pipeline(df).collect())
+    want = sorted(_oracle(rows))
+    assert got == want
+
+
+# hypothesis + pytest fixtures: wrap the session-scoped fixture so @given
+# can reuse it across examples.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark_session(spark):
+    return spark
