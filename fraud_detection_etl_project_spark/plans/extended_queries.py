@@ -19,6 +19,7 @@ from fraud_detection_etl_project_spark.plans.registry import query
 from fraud_detection_etl_project_spark.plans.relational_queries import REFERENCE_SAMPLE_CSV
 from fraud_detection_etl_project_spark.sources.csv import read_transactions
 from fraud_detection_etl_project_spark.sources.parquet import load_table
+from fraud_detection_etl_project_spark.streaming.stateful import user_running_profile
 from fraud_detection_etl_project_spark.streaming.windows import (
     sessionized_user_activity,
     sliding_event_rollup,
@@ -350,6 +351,59 @@ def stream_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     event lands in two windows. The batch oracle materializes the same
     assignment with an explicit unnested offset."""
     return sliding_event_rollup(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Map-typed columns / custom stateful streaming
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "props_map_entries",
+    oracle="""
+SELECT event_id,
+       array_to_string(list_sort(json_keys(props)), ',') AS keys,
+       CAST(len(json_keys(props)) AS INT) AS n_keys,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+FROM events
+""",
+)
+def props_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (§2.8 array/map family): ``from_json`` to
+    map<string,int>, then map_keys / size / element_at — schema-flexible
+    semi-structured access when the key set isn't fixed at read time."""
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys"),
+        F.size(F.map_keys(m)).cast("int").alias("n_keys"),
+        F.element_at(m, "k").cast("int").alias("k_val"),
+    )
+
+
+@query(
+    "stream_user_running_profile",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       floor((max(value)) * 100.0 + 0.5) / 100.0 AS max_value,
+       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value
+FROM events GROUP BY user_id
+""",
+)
+def stream_user_running_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState,
+    streaming/stateful.py): per-user running count/max/total evolved
+    across micro-batches in Arrow-batched pandas. The drained final state
+    must equal the batch GROUP BY — the oracle."""
+    prof = user_running_profile(spark, sf_dir)
+    return prof.select(
+        "user_id",
+        "n_events",
+        fxr("max_value", 2).alias("max_value"),
+        fxr("total_value", 2).alias("total_value"),
+    )
 
 
 # ---------------------------------------------------------------------------

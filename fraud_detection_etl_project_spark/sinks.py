@@ -55,6 +55,29 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
     df.write.mode(mode).option("header", header).csv(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + sorted catalog table: the co-located-join layout.
+
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT a shuffle (and without even a sort when ``sort_cols`` match the
+    join key) — the standing fix for the repeated big-big join at 100 TB:
+    pay one shuffle at write time, amortize it over every subsequent join
+    and aggregation on that key. Requires ``saveAsTable`` (bucket metadata
+    lives in the catalog, not the files).
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def jdbc_append(
     df: DataFrame,
     url: str,
