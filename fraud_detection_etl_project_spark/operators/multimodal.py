@@ -92,6 +92,89 @@ def decode_stub(payload: bytes, dim: int = 8) -> list[float]:
     ][:dim]
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+        StructField("target_h", LongType()),
+        StructField("target_w", LongType()),
+    ]
+)
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def resize_stub(payload: bytes, h: int, w: int) -> bytes:
+    """Deterministic fake resize: h*w bytes sampled evenly from the
+    payload (stands in for decode -> interpolate -> re-encode; a real
+    build swaps in PIL/libvips here — the batch plumbing is identical)."""
+    if not payload:
+        return b""
+    n, out = len(payload), h * w
+    return bytes(payload[(i * n) // out] for i in range(out))
+
+
+def resize_media(media: DataFrame, h: int = 8, w: int = 8) -> DataFrame:
+    """Arrow-batched resize over a media table (mapInPandas). Output stays
+    an opaque binary column + typed metadata, so resized media flows
+    through the same downstream operators."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [resize_stub(bytes(p), h, w) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": resized,
+                    "n_bytes": [len(r) for r in resized],
+                    "target_h": h,
+                    "target_w": w,
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 16) -> DataFrame:
+    """Frame sampling for video-shaped payloads: emit up to ``n_frames``
+    evenly-spaced byte windows per media row (1:N row fan-out inside
+    mapInPandas — the output batch is the exploded frame table). A real
+    build replaces the byte-window slicing with ffmpeg keyframe extraction;
+    partitioning, schema, and fan-out shape are unchanged."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p)
+                k = min(n_frames, max(len(b) // frame_bytes, 1)) if b else 0
+                for j in range(k):
+                    start = (j * max(len(b) - frame_bytes, 0)) // max(k - 1, 1) if k > 1 else 0
+                    ids.append(mid)
+                    idxs.append(j)
+                    payloads.append(b[start : start + frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "frame_payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return media.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
 def extract_features(media: DataFrame, batch_decoder=decode_stub) -> DataFrame:
     """Arrow-batched feature extraction over a media table via mapInPandas.
 

@@ -112,3 +112,70 @@ def cosine_pairs_blocked(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer + probed-cell search
+# ---------------------------------------------------------------------------
+
+IVF_CELLS = 16
+IVF_NPROBE = 2
+
+
+def ivf_centroids(embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+                  k: int = IVF_CELLS) -> list[tuple[int, list[float]]]:
+    """Coarse codebook: the k lowest-id vectors, collected driver-side
+    (k·d floats — parameters, not data). A production build would run a
+    few k-means rounds over a sample; the assignment/probe machinery below
+    is identical either way, and a fixed deterministic codebook keeps the
+    operator oracle-checkable."""
+    rows = embeddings.filter(F.col(id_col) < k).select(id_col, vec_col).orderBy(id_col).collect()
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (ties -> lowest cell
+    id). The argmax runs JVM-side over an array of (sim, -cid) structs —
+    struct ordering makes array_max pick highest sim then lowest cid. At
+    scale the cell id is the partition/bucket key for the vector layout."""
+    cells = F.array(*[
+        F.struct(
+            cosine(F.col(vec_col), F.array(*[F.lit(x).cast("double") for x in c])).alias("sim"),
+            F.lit(-cid).alias("negcid"),
+        )
+        for cid, c in centroids
+    ])
+    best = F.array_max(cells)
+    return embeddings.withColumn("cell", (-best.getField("negcid")).cast("int"))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int = IVF_NPROBE,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: probe the nprobe centroid cells nearest the query,
+    brute-force cosine only inside them. Probe selection is a driver-side
+    computation over k centroids (parameters); the scan prunes to the
+    probed cells — at 1000 executors, cell-partitioned layout makes this a
+    partition-pruned read of nprobe/IVF_CELLS of the data."""
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    probes = [cid for cid, _ in sorted(centroids, key=lambda c: (-cos(c[1], query_vec), c[0]))[:nprobe]]
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    return knn_brute(assigned.filter(F.col("cell").isin(probes)), query_vec, k, id_col, vec_col)

@@ -539,6 +539,76 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_pairs_blocked(e.select("vec_id", "embedding"), threshold=0.35)
 
 
+def _cos_sql(a_vec: str, b_vec: str) -> str:
+    dot = (
+        f"list_sum(list_transform(range(1, len({a_vec}) + 1), "
+        f"i -> CAST({a_vec}[i] AS DOUBLE) * CAST({b_vec}[i] AS DOUBLE)))"
+    )
+    sq = "list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    return f"({dot} / (sqrt({sq.format(v=a_vec)}) * sqrt({sq.format(v=b_vec)})))"
+
+
+_IVF_ASG_CTE = f"""
+cent AS (SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < {S.IVF_CELLS}),
+vc AS (SELECT e.vec_id, e.embedding, c.cid, {_cos_sql('e.embedding', 'c.c')} AS sim
+       FROM embeddings e CROSS JOIN cent c),
+asg AS (SELECT vec_id, embedding, cid FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+           FROM vc)
+        WHERE rn = 1)
+"""
+
+
+@query(
+    "ivf_cell_histogram",
+    oracle=f"""
+WITH {_IVF_ASG_CTE}
+SELECT CAST(cid AS INT) AS cell, CAST(count(*) AS BIGINT) AS n_vectors
+FROM asg GROUP BY cid
+""",
+)
+def ivf_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer (operators/similarity.py): every vector
+    assigned to its max-cosine centroid JVM-side; the histogram verifies
+    the assignment exactly. At scale the cell id is the partition key of
+    the vector layout."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = S.ivf_centroids(e)
+    return (
+        S.ivf_assign(e.select("vec_id", "embedding"), cents)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+@query(
+    "ivf_ann_top10",
+    oracle=f"""
+WITH {_IVF_ASG_CTE},
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qp AS (SELECT cid FROM
+         (SELECT c.cid, {_cos_sql('c.c', 'q.qv')} AS sim,
+                 row_number() OVER (ORDER BY sim DESC, cid ASC) AS rn
+          FROM cent c CROSS JOIN q)
+       WHERE rn <= {S.IVF_NPROBE})
+SELECT a.vec_id,
+       floor(({_cos_sql('a.embedding', 'q.qv')}) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+FROM asg a JOIN qp USING (cid) CROSS JOIN q
+ORDER BY cos_sim DESC, a.vec_id ASC
+LIMIT 10
+""",
+)
+def ivf_ann_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: probe the 2 nearest centroid cells, brute-force
+    cosine only inside them (~nprobe/k of the data scanned). Deterministic
+    codebook + deterministic probes => the full approximate result is
+    oracle-checked, not just row counts."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = S.ivf_centroids(e)
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return S.ivf_topk(e.select("vec_id", "embedding"), qvec, cents)
+
+
 @query("multimodal_features", oracle=None)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched media feature extraction via mapInPandas over an
@@ -549,6 +619,31 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.to_media_table(d.withColumn("payload", F.col("text").cast("binary")),
                              "doc_id", "payload", "image")
     return M.extract_features(media)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+k AS (SELECT doc_id, n, least(4, greatest(n // 16, 1)) AS kf FROM m WHERE n > 0)
+SELECT doc_id AS media_id,
+       CAST(j AS BIGINT) AS frame_idx,
+       CAST(least(16, n - (CASE WHEN kf > 1 THEN (j * greatest(n - 16, 0)) // (kf - 1) ELSE 0 END)) AS BIGINT) AS n_bytes
+FROM k, UNNEST(range(kf)) AS t(j)
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling (mapInPandas 1:N fan-out,
+    operators/multimodal.py): up to 4 evenly-spaced 16-byte windows per
+    payload. The oracle re-derives the deterministic fan-out metadata
+    (frame count + per-frame byte length) in SQL; the payload bytes are
+    Python-side and covered by tests/test_multimodal.py."""
+    d = _t(spark, sf_dir, "documents")
+    media = M.to_media_table(d.withColumn("payload", F.col("text").cast("binary")),
+                             "doc_id", "payload", "video")
+    return M.sample_frames(media, n_frames=4, frame_bytes=16).select(
+        "media_id", "frame_idx", "n_bytes"
+    )
 
 
 @query(

@@ -53,3 +53,29 @@ def test_decode_real_is_explicit_stub():
 def test_stub_locality():
     assert decode_stub(b"abc")[0] == 3.0
     assert decode_stub(b"") == [0.0] * 8
+
+
+def test_resize_media_shapes(media):
+    from fraud_detection_etl_project_spark.operators.multimodal import resize_media
+
+    out = {r["media_id"]: r for r in resize_media(media, h=4, w=4).collect()}
+    assert out[1]["n_bytes"] == 16 and len(out[1]["payload"]) == 16
+    assert out[1]["target_h"] == 4 and out[1]["target_w"] == 4
+    assert out[3]["n_bytes"] == 0  # empty payload stays empty
+    # deterministic: same input -> same resized bytes
+    again = {r["media_id"]: r for r in resize_media(media, h=4, w=4).collect()}
+    assert bytes(out[1]["payload"]) == bytes(again[1]["payload"])
+
+
+def test_sample_frames_fanout(media):
+    from fraud_detection_etl_project_spark.operators.multimodal import sample_frames
+
+    frames = sample_frames(media, n_frames=3, frame_bytes=4).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    # 19-byte payload -> 3 frames; 13-byte -> 3; empty -> none
+    assert len(by_media[1]) == 3
+    assert sorted(r["frame_idx"] for r in by_media[1]) == [0, 1, 2]
+    assert all(r["n_bytes"] <= 4 for r in frames)
+    assert 3 not in by_media
