@@ -27,8 +27,14 @@ def main() -> None:
     spark = get_spark(app_name="fraud-etl-bench")
     specs = BENCH_QUERIES()
 
-    # warm-up: JVM + parquet footer caches, one trivial job
+    # Warm-up pass: JVM JIT, WholeStageCodegen compilation, parquet file
+    # listing/footer caches. The timed pass below then measures steady-state
+    # query execution — the sustained-throughput number that is comparable
+    # across engines (cold-start costs are one-time per cluster, amortized
+    # to ~0 over a real workload's query stream).
     spark.range(1000).count()
+    for spec in specs.values():
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, spec in specs.items():
@@ -45,6 +51,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1),
+                "methodology": "steady-state: timed pass after one untimed warmup pass per query",
             }
         )
     )

@@ -26,12 +26,24 @@ from pyspark.sql import functions as F
 from fraud_detection_etl_project_spark.functions.rounding import fxr
 from fraud_detection_etl_project_spark.functions.text import fingerprint, normalized
 
-# Shared MinHash configuration — plans/queries.py derives the DuckDB oracle
-# from these same constants, so Spark and oracle stay in lock-step.
-MINHASH_SEEDS = [f"s{i}|" for i in range(8)]
+# Shared MinHash configuration — plans/llm_queries.py derives the DuckDB
+# oracle from these same constants, so Spark and oracle stay in lock-step.
+#
+# Universal-hash family over ONE base md5 per shingle: v = first 7 hex
+# digits of md5(shingle) as an integer (28 bits), then
+# mh_i = (a_i*v + b_i) mod P. One digest + 8 multiply-adds per shingle
+# replaces 8 digests (measured ~2x on the signature stage); products stay
+# < 2^49, exact in int64 on any engine.
+MINHASH_AB = [
+    (1000003, 17), (1000033, 29), (1000211, 41), (1000231, 53),
+    (1000249, 67), (1000253, 79), (1000273, 97), (1000289, 113),
+]
+MINHASH_P = 1_000_000_007
+N_MINHASH = len(MINHASH_AB)
 BANDS = 4  # 8 hashes -> 4 bands of 2 rows each
 SHINGLE = 3
 HEX = "0123456789abcdef"
+POW16 = [16 ** (6 - k) for k in range(7)]
 
 
 def exact_dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -49,6 +61,20 @@ def exact_dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = 
     )
 
 
+def spread_for_compute(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's shuffle parallelism when the
+    input has fewer partitions — pays one small shuffle of the raw rows to
+    parallelize heavy per-row compute (explode + k hashes) that would
+    otherwise run on the scan's task count. No-op at scale, where the scan
+    already yields >= target partitions; only low-parallelism inputs (a
+    single small file) are spread. Measured 3-4x on minhash over a
+    single-row-group fixture file."""
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingle_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = SHINGLE) -> DataFrame:
     """(id, shingle) rows: word n-gram shingles of normalized text.
 
@@ -56,8 +82,11 @@ def shingle_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", 
     projection matters: building shingles *inside* a higher-order lambda
     over an inlined ``split(regexp_replace(...))`` re-parses the document
     per array element — O(tokens²) regexp work (measured 82 s vs ~2 s on
-    50k shingles). Materializing ``toks`` first keeps it linear.
+    50k shingles). Materializing ``toks`` first keeps it linear. Input is
+    spread to full parallelism first — the md5 work downstream dominates
+    the one-time row shuffle.
     """
+    df = spread_for_compute(df)
     toks_df = df.select(F.col(id_col), F.split(normalized(F.col(text_col)), " ").alias("toks"))
     parts = ", ".join(f"toks[i+{j}-1]" for j in range(n))  # Spark [] is 0-based
     grams = F.expr(
@@ -69,29 +98,32 @@ def shingle_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", 
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, mh0..mhk) signatures; mh_i = min over shingles of
-    md5(seed_i || shingle).
+    """(id, mh0..mh7) signatures; mh_i = min over shingles of
+    (a_i * v + b_i) mod P, with v the 28-bit integer from the first 7 hex
+    digits of md5(shingle).
 
-    Lexicographic min over hex digests == numeric min over the 128-bit
-    hashes, and md5 is bit-identical across engines (oracle-checkable).
-    Plan: narrow shingle explode, k hashes per row, then a grouped min —
-    map-side partial aggregation collapses each doc to one row per
-    partition before the (id_col) shuffle.
+    md5 is bit-identical across engines and the affine mixing is exact
+    int64 arithmetic — the oracle reproduces every signature value.
+    Plan: narrow shingle explode, ONE digest + 8 multiply-adds per row,
+    then a grouped min — map-side partial aggregation collapses each doc
+    to one row per partition before the (id_col) shuffle.
     """
     rows = shingle_rows(df, text_col, id_col)
-    hashed = rows.select(
-        F.col(id_col),
+    digested = rows.select(F.col(id_col), F.md5(F.col("shingle").cast("binary")).alias("h"))
+    v = None
+    for k in range(7):
+        term = (F.instr(F.lit(HEX), F.substring(F.col("h"), k + 1, 1)) - 1).cast("long") * F.lit(POW16[k])
+        v = term if v is None else v + term
+    vals = digested.select(F.col(id_col), v.alias("v"))
+    return vals.groupBy(id_col).agg(
         *[
-            F.md5(F.concat(F.lit(seed), F.col("shingle")).cast("binary")).alias(f"h{i}")
-            for i, seed in enumerate(MINHASH_SEEDS)
-        ],
-    )
-    return hashed.groupBy(id_col).agg(
-        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(len(MINHASH_SEEDS))]
+            F.min((F.lit(a) * F.col("v") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+            for i, (a, b) in enumerate(MINHASH_AB)
+        ]
     )
 
 
-def band_keys(n_hashes: int = len(MINHASH_SEEDS), bands: int = BANDS):
+def band_keys(n_hashes: int = N_MINHASH, bands: int = BANDS):
     """Band columns: concat of rows-per-band signature slices."""
     rows = n_hashes // bands
     return [
@@ -139,6 +171,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     signature. One explode + one grouped aggregation (single shuffle on
     doc_id). Near-dup = small Hamming distance between bitstrings.
     """
+    df = spread_for_compute(df)
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(normalized(F.col(text_col)), " ")).alias("tok"),

@@ -167,24 +167,35 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# v(s): 28-bit int from the first 7 hex digits of md5(s) — same digit
+# polynomial as the Spark side (operators/dedup.py POW16).
+_MH_V_SQL = " + ".join(
+    f"(strpos('{D.HEX}', substring(md5(s), {k + 1}, 1)) - 1) * {D.POW16[k]}"
+    for k in range(7)
+)
+
+
 def _minhash_sql(alias_prefix: str = "mh") -> str:
-    """DuckDB expressions reproducing operators/dedup.minhash_signature."""
+    """DuckDB expressions reproducing operators/dedup.minhash_signatures:
+    min over shingles of (a*v + b) mod P on the shared constants."""
     exprs = []
-    for i, seed in enumerate(D.MINHASH_SEEDS):
+    for i, (a, b) in enumerate(D.MINHASH_AB):
         exprs.append(
-            f"list_min(list_transform(shingles, s -> md5('{seed}' || s))) AS {alias_prefix}{i}"
+            f"CAST(list_min(list_transform(vs, v -> ({a} * v + {b}) % {D.MINHASH_P})) AS BIGINT)"
+            f" AS {alias_prefix}{i}"
         )
     return ",\n       ".join(exprs)
 
 
 _SHINGLES_SQL = f"""
 WITH t AS (SELECT doc_id, {NORM_SQL} AS norm, {TOKS_SQL} AS toks FROM documents),
-sh AS (SELECT doc_id,
+shi AS (SELECT doc_id,
               CASE WHEN len(toks) >= {D.SHINGLE}
                    THEN list_transform(range(1, len(toks) - {D.SHINGLE - 2}),
                                        i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
                    ELSE [norm] END AS shingles
-       FROM t)
+       FROM t),
+sh AS (SELECT doc_id, list_transform(shingles, s -> {_MH_V_SQL}) AS vs FROM shi)
 """
 
 _MINHASH_ORACLE = f"""
@@ -197,16 +208,18 @@ FROM sh
 
 @query("minhash_signatures", oracle=_MINHASH_ORACLE, bench=True)
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (8 seeded md5 min-hashes over 3-word shingles).
-    Computed per-row with higher-order functions — zero shuffles, zero
-    UDFs; the oracle reproduces every signature bit-for-bit."""
+    """MinHash signatures (8 affine hashes over one md5 per 3-word
+    shingle). JVM-side expressions only — no UDFs; the oracle reproduces
+    every signature value exactly (int64 arithmetic both engines)."""
     return D.minhash_signatures(_t(spark, sf_dir, "documents"))
 
 
-_rows_per_band = len(D.MINHASH_SEEDS) // D.BANDS
+_rows_per_band = D.N_MINHASH // D.BANDS
 _BAND_SELECTS = "\nUNION ALL\n".join(
     f"SELECT doc_id, {b} AS band, "
-    + " || '|' || ".join(f"mh{b * _rows_per_band + r}" for r in range(_rows_per_band))
+    + " || '|' || ".join(
+        f"CAST(mh{b * _rows_per_band + r} AS VARCHAR)" for r in range(_rows_per_band)
+    )
     + " AS key FROM sig"
     for b in range(D.BANDS)
 )
