@@ -354,6 +354,98 @@ def stream_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# unionByName / correlated subqueries / first-last analytics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "parties_union_by_name",
+    oracle="""
+SELECT * FROM (
+  SELECT c_name AS name, c_acctbal AS acctbal, c_mktsegment AS segment, 'customer' AS kind
+  FROM customer
+  UNION ALL BY NAME
+  SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS kind, NULL AS segment
+  FROM supplier
+)
+""",
+)
+def parties_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True) (§2.7): schema-aligned union
+    where one side lacks a column (suppliers have no market segment) —
+    name-based resolution, missing columns null-filled."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("customer").alias("kind"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("kind"),
+    )
+    return c.unionByName(s, allowMissingColumns=True)
+
+
+@query(
+    "customers_with_urgent_orders",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+""",
+)
+def customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + scalar subquery via the SQL surface — Catalyst
+    decorrelates the EXISTS into a left-semi join and evaluates the scalar
+    aggregate once as a broadcast value (§4.1 'subquery decorrelation')."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+          AND c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        """
+    )
+
+
+@query(
+    "user_first_last_events",
+    oracle="""
+SELECT DISTINCT user_id,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type)  OVER w AS last_type,
+       CAST(count(*) OVER w AS BIGINT) AS n_events
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def user_first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value over a whole-partition frame (§2.5
+    analytic family) — each account's entry and latest behavior in one
+    window pass (unique (ts, event_id) tiebreak => deterministic)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.count(F.lit(1)).over(w).alias("n_events"),
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
 # TPC-H-style multi-join analytics (Q3/Q14 shapes; exercises `part`)
 # ---------------------------------------------------------------------------
 
