@@ -1,0 +1,59 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+SCALE.md claims, asserted against the actual executed plans so a
+refactor can't silently regress them."""
+
+from __future__ import annotations
+
+import pytest
+
+from fraud_detection_etl_project_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    return REGISTRY[name].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dim_join_broadcasts(spark):
+    plan = plan_of(spark, "region_customer_rollup")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must never sort-merge
+
+
+def test_topk_avoids_total_sort(spark):
+    plan = plan_of(spark, "top10_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_aggregation_is_partial_then_final(spark):
+    plan = plan_of(spark, "pricing_summary")
+    assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    plan = plan_of(spark, "q3_urgent_revenue")
+    assert "PushedFilters: [IsNotNull" in plan or "PushedFilters: [" in plan
+    # the date filters appear as data filters on the scans, not post-join
+    assert plan.count("FileScan parquet") >= 3
+
+
+def test_column_pruning(spark):
+    plan = plan_of(spark, "flagship_inconsistent_orders")
+    # lineitem scan must read only the 3 needed columns of 11
+    scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l and "l_orderkey" in l]
+    assert scan_lines, "lineitem scan missing"
+    assert "l_shipdate" not in scan_lines[0] and "l_returnflag" not in scan_lines[0]
+
+
+def test_fraud_filters_fuse_into_one_stage(spark):
+    plan = plan_of(spark, "fraud_flagged_txns")
+    # cascaded valid->fraud filters combine: a single Filter operator
+    assert plan.count("+- Filter") + plan.count("Filter (") <= 2
+    assert "Exchange" not in plan  # narrow pipeline, shuffle-free
+
+
+@pytest.mark.parametrize("name", ["knn_cosine_top10", "doc_stats"])
+def test_no_python_udfs_on_relational_paths(spark, name):
+    plan = plan_of(spark, name)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
