@@ -186,6 +186,49 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return sums.select(F.col(id_col), bits.alias("simhash"))
 
 
+def char_ngrams(materialized_col, n: int = 3):
+    """Distinct character n-grams of an ALREADY-MATERIALIZED plain column
+    (pass a column reference, not an expression — an inlined expression
+    would be recomputed per gram inside the lambda, the same O(n²) trap
+    shingle_rows documents). Docs shorter than n chars contribute the
+    whole text as one gram."""
+    t = materialized_col
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(t) - (n - 1)),
+        lambda i: t.substr(i, F.lit(n)),
+    )
+    return F.array_distinct(F.when(F.length(t) >= n, grams).otherwise(F.array(t)))
+
+
+def char_ngram_jaccard(
+    df: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Exact character-n-gram Jaccard for candidate pairs — the
+    finer-grained verifier (robust to word-boundary edits) after LSH
+    banding proposes candidates. Same two-stage scale shape as the token
+    verifier: only candidate ids join their gram sets."""
+    normd = df.select(F.col(id_col), normalized(F.col(text_col)).alias("_norm"))
+    gs = normd.select(F.col(id_col), F.explode(char_ngrams(F.col("_norm"), n)).alias("g"))
+    ga = gs.withColumnRenamed(id_col, "doc_a").alias("ga")
+    gb = gs.withColumnRenamed(id_col, "doc_b").alias("gb")
+    inter = (
+        pairs.join(ga, "doc_a")
+        .join(gb, (F.col("gb.doc_b") == pairs["doc_b"]) & (F.col("ga.g") == F.col("gb.g")))
+        .groupBy("doc_a", pairs["doc_b"].alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = gs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_g"))
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_g", "na"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_g", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            fxr(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4).alias("jaccard3"),
+        )
+    )
+
+
 def jaccard_token_similarity(df: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact distinct-token Jaccard for candidate pairs (verification stage
     after LSH banding). Joins the token sets only for candidate ids."""

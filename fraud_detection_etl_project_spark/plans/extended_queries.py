@@ -320,6 +320,42 @@ _JACCARD_VERIFY_ORACLE = (
 )
 
 
+_CHAR_JACCARD_ORACLE = (
+    _NEARDUP_ORACLE.rstrip()
+    .replace(
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b",
+        ",\ncand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b",
+    )
+    .replace(
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id",
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),\n"
+        f"nrm AS (SELECT doc_id, {NORM_SQL} AS nt FROM documents),\n"
+        "cg AS (SELECT doc_id,\n"
+        "              list_distinct(CASE WHEN length(nt) >= 3\n"
+        "                   THEN list_transform(range(1, length(nt) - 1), i -> substring(nt, i, 3))\n"
+        "                   ELSE [nt] END) AS gs\n"
+        "       FROM nrm),\n"
+        "inter AS (SELECT c.doc_a, c.doc_b,\n"
+        "                 len(list_filter(ga.gs, g -> list_contains(gb.gs, g))) AS n_inter,\n"
+        "                 len(ga.gs) AS na, len(gb.gs) AS nb\n"
+        "          FROM cand c JOIN cg ga ON ga.doc_id = c.doc_a JOIN cg gb ON gb.doc_id = c.doc_b)\n"
+        "SELECT doc_a, doc_b,\n"
+        "       floor((CAST(n_inter AS DOUBLE) / (na + nb - n_inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard3\n"
+        "FROM inter WHERE n_inter > 0",
+    )
+)
+
+
+@query("neardup_char_ngram_jaccard", oracle=_CHAR_JACCARD_ORACLE)
+def neardup_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-3-gram Jaccard verification of MinHash-banded candidate
+    pairs — the word-boundary-robust verifier variant (north-star n-gram
+    Jaccard dedup)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.neardup_pairs_minhash(d)
+    return D.char_ngram_jaccard(d, pairs)
+
+
 @query("neardup_jaccard_verified", oracle=_JACCARD_VERIFY_ORACLE)
 def neardup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full near-dup pipeline: MinHash banding proposes candidate
