@@ -117,19 +117,12 @@ def salted_join(
     key: str,
     salt_buckets: int = 16,
 ) -> DataFrame:
-    """Skew-resistant equi-join: salt the large side's hot keys.
+    """Skew-resistant equi-join — compatibility alias for
+    ``operators.skew.salted_join`` (the canonical implementation; this
+    signature salts the large side with a seeded ``rand``). AQE's
+    skew-join handles moderate skew automatically; salting is for
+    pathological hot keys (e.g. one merchant receiving 1% of all 100 TB
+    of transactions)."""
+    from fraud_detection_etl_project_spark.operators.skew import salted_join as _salted
 
-    Replicates the small side ``salt_buckets``× with an explicit salt column
-    and adds a random salt to the large side, so one hot key spreads over
-    ``salt_buckets`` reducers. AQE's skew-join handles moderate skew
-    automatically; this helper is for pathological hot keys (e.g. one
-    merchant receiving 1% of all 100 TB of transactions).
-    """
-    salted_l = large.withColumn("__salt", (F.rand(seed=7) * salt_buckets).cast("int"))
-    salted_s = skewed_small.crossJoin(
-        F.broadcast(
-            large.sparkSession.range(salt_buckets).select(F.col("id").cast("int").alias("__salt"))
-        )
-    )
-    out = salted_l.join(salted_s, [key, "__salt"])
-    return out.drop("__salt")
+    return _salted(large, skewed_small, key=key, salt_on=None, n=salt_buckets)

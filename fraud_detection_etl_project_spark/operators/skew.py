@@ -27,9 +27,14 @@ from pyspark.sql import functions as F
 DEFAULT_SALT_BUCKETS = 16
 
 
-def salt_col(on: Column | str, n: int = DEFAULT_SALT_BUCKETS) -> Column:
-    """Deterministic salt in [0, n) from any column (use a high-cardinality
-    row attribute, e.g. the row's natural id — NOT the hot key itself)."""
+def salt_col(on: Column | str | None, n: int = DEFAULT_SALT_BUCKETS) -> Column:
+    """Salt in [0, n). With ``on``, deterministic from that column (use a
+    high-cardinality row attribute, e.g. the row's natural id — NOT the hot
+    key itself): reproducible, oracle-checkable. With ``on=None``, a seeded
+    ``rand`` — for rows with no natural salt column (join results are
+    identical either way; only the shuffle distribution differs)."""
+    if on is None:
+        return (F.rand(seed=7) * n).cast("int")
     c = F.col(on) if isinstance(on, str) else on
     return F.pmod(F.xxhash64(c), F.lit(n)).cast("int")
 
@@ -66,7 +71,7 @@ def salted_join(
     big: DataFrame,
     small: DataFrame,
     key: str,
-    salt_on: str,
+    salt_on: str | None = None,
     n: int = DEFAULT_SALT_BUCKETS,
     how: str = "inner",
 ) -> DataFrame:
