@@ -38,6 +38,30 @@ def fxr(col: Column | str, places: int = 2) -> Column:
     return F.floor(c * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
 
 
+def cents_sum(col: Column | str, places: int = 2) -> Column:
+    """Order-insensitive money SUM: quantize each addend to integer cents
+    (identical bits per row in any engine), sum exactly in int64, divide
+    once. Floating-point sums of unquantized money differ across
+    summation orders by up to ~n·eps·Σ|x| — at sf0.1 that is ~1e-4, and
+    with true sums uniform mod 0.01 roughly 2% of groups land within noise
+    of a half-cent boundary, flipping the last rounded digit between
+    engines (observed: 110 of 21k groups on the flagship query before this
+    fix). Integer-cent sums are exact and order-free; the oracle mirrors
+    with ``sum(CAST(floor(x*100+0.5) AS BIGINT))/100.0`` (see CENTS_SUM_SQL).
+    Overflow headroom: int64 caps at ~9.2e16 cents = $92 trillion.
+    ``places`` generalizes the quantum (2 = cents for money, 6 =
+    micro-units for small ratios like discounts)."""
+    c = F.col(col) if isinstance(col, str) else col
+    scale = float(10**places)
+    return F.sum(F.floor(c * F.lit(scale) + F.lit(0.5)).cast("long")) / F.lit(scale)
+
+
+def cents_sum_sql(expr: str, places: int = 2) -> str:
+    """DuckDB mirror of :func:`cents_sum`."""
+    scale = float(10**places)
+    return f"sum(CAST(floor(({expr}) * {scale} + 0.5) AS BIGINT)) / {scale}"
+
+
 def fxr_sql(expr: str, places: int = 2) -> str:
     """The same formula as SQL text (for DuckDB oracles)."""
     scale = f"{10**places}.0"

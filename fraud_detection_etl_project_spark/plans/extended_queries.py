@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from fraud_detection_etl_project_spark.functions.rounding import fxr
+from fraud_detection_etl_project_spark.functions.rounding import cents_sum, cents_sum_sql, fxr
 from fraud_detection_etl_project_spark.functions.text import normalized
 from fraud_detection_etl_project_spark.operators import dedup as D
 from fraud_detection_etl_project_spark.operators import multimodal as M
@@ -488,9 +488,9 @@ def user_first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q3_urgent_revenue",
-    oracle="""
+    oracle=f"""
 SELECT o.o_orderkey,
-       floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
+       {cents_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
        CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -525,7 +525,7 @@ def q3_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(fxr(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("o_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
@@ -534,10 +534,10 @@ def q3_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "promo_revenue_by_brand",
-    oracle="""
+    oracle=f"""
 SELECT p.p_brand,
-       floor((sum(CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)) * 100.0 + 0.5) / 100.0 AS promo_revenue,
-       floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0 AS total_revenue,
+       {cents_sum_sql("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")} AS promo_revenue,
+       {cents_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS total_revenue,
        CAST(count(*) AS BIGINT) AS n_lines
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY p.p_brand
@@ -553,8 +553,8 @@ def promo_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
-            fxr(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))), 2).alias("promo_revenue"),
-            fxr(F.sum(rev), 2).alias("total_revenue"),
+            cents_sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))).alias("promo_revenue"),
+            cents_sum(rev).alias("total_revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )

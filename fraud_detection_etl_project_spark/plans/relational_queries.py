@@ -23,7 +23,7 @@ from fraud_detection_etl_project_spark.operators.relational import (
     topk_per_group,
 )
 from fraud_detection_etl_project_spark.pipeline import fraud_predicate, valid_predicate
-from fraud_detection_etl_project_spark.functions.rounding import fxr
+from fraud_detection_etl_project_spark.functions.rounding import cents_sum, cents_sum_sql, fxr
 from fraud_detection_etl_project_spark.plans.registry import query
 from fraud_detection_etl_project_spark.sources.csv import read_transactions
 from fraud_detection_etl_project_spark.sources.parquet import load_table
@@ -39,15 +39,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Flagship + fraud parity
 # ---------------------------------------------------------------------------
 
-FLAGSHIP_ORACLE = """
+# Money sums run in exact integer cents (functions/rounding.cents_sum):
+# order-insensitive, so Spark's partial-agg order and DuckDB's agree on
+# every group — fp sums flipped the last cent on ~0.5% of groups at sf0.1.
+_L_REV_CENTS = "sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 100.0 + 0.5) AS BIGINT)) / 100.0"
+
+FLAGSHIP_ORACLE = f"""
 SELECT o.o_orderkey,
-       floor((o.o_totalprice) * 100.0 + 0.5) / 100.0                                        AS o_totalprice,
-       floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0           AS computed_price,
-       floor((abs(o.o_totalprice - sum(l.l_extendedprice * (1 - l.l_discount)))) * 100.0 + 0.5) / 100.0 AS price_gap
+       floor((o.o_totalprice) * 100.0 + 0.5) / 100.0 AS o_totalprice,
+       {_L_REV_CENTS} AS computed_price,
+       floor((abs(o.o_totalprice - {_L_REV_CENTS})) * 100.0 + 0.5) / 100.0 AS price_gap
 FROM orders o
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderkey, o.o_totalprice
-HAVING floor((abs(o.o_totalprice - sum(l.l_extendedprice * (1 - l.l_discount)))) * 100.0 + 0.5) / 100.0 > 1.0
+HAVING floor((abs(o.o_totalprice - {_L_REV_CENTS})) * 100.0 + 0.5) / 100.0 > 1.0
 """
 
 
@@ -66,7 +71,7 @@ def flagship_inconsistent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     agg = li.groupBy("l_orderkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_sum")
+        cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_sum")
     )
     return (
         o.join(agg, o.o_orderkey == agg.l_orderkey)
@@ -75,7 +80,7 @@ def flagship_inconsistent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             fxr("o_totalprice", 2).alias("o_totalprice"),
-            fxr("_sum", 2).alias("computed_price"),
+            F.col("_sum").alias("computed_price"),
             "price_gap",
         )
     )
@@ -237,7 +242,7 @@ def lineitem_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT date_trunc('month', o_orderdate) AS order_month,
        CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
        CAST(count(*) AS BIGINT) AS n_orders,
-       floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS monthly_total
+       sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0 AS monthly_total
 FROM orders GROUP BY 1, 2
 """,
 )
@@ -249,7 +254,7 @@ def monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").cast("int").alias("order_year"),
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        fxr(F.sum("o_totalprice"), 2).alias("monthly_total"),
+        cents_sum("o_totalprice").alias("monthly_total"),
     )
 
 
@@ -285,15 +290,15 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pricing_summary",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag, l_linestatus,
        floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
-       floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
-       floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
-       floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.5) / 100.0 AS sum_charge,
+       {cents_sum_sql('l_extendedprice')} AS sum_base_price,
+       {cents_sum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {cents_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
        floor((avg(l_quantity)) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty,
-       floor((avg(l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0 AS avg_price,
-       floor((avg(l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
+       floor((({cents_sum_sql('l_extendedprice')}) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_price,
+       floor((({cents_sum_sql('l_discount', 6)}) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -310,14 +315,18 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    n = F.count(F.lit(1))
+    # money sums in exact integer cents (order-insensitive; see
+    # functions/rounding.cents_sum) — fp sums flip the last cent on a few
+    # per mille of groups once group sizes reach sf0.1 scale
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         fxr(F.sum("l_quantity"), 2).alias("sum_qty"),
-        fxr(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        fxr(F.sum(disc), 2).alias("sum_disc_price"),
-        fxr(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        cents_sum("l_extendedprice").alias("sum_base_price"),
+        cents_sum(disc).alias("sum_disc_price"),
+        cents_sum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
         fxr(F.avg("l_quantity"), 6).alias("avg_qty"),
-        fxr(F.avg("l_extendedprice"), 6).alias("avg_price"),
-        fxr(F.avg("l_discount"), 6).alias("avg_disc"),
+        fxr(cents_sum("l_extendedprice") / n, 6).alias("avg_price"),
+        fxr(cents_sum("l_discount", 6) / n, 6).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
