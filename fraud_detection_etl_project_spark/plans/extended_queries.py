@@ -389,6 +389,34 @@ def stream_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_event_rollup(spark, sf_dir)
 
 
+@query(
+    "orders_merge_upsert",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+       floor((CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.1 ELSE o_totalprice END) * 100.0 + 0.5) / 100.0 AS o_totalprice
+FROM orders
+""",
+)
+def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert (sinks.merge_upsert): a CDC-style update set (every
+    10th order re-priced, status 'X') replaces matching keys, others pass
+    through — anti-join + unionByName, one key shuffle. The oracle states
+    the post-merge table directly."""
+    from fraud_detection_etl_project_spark.sinks import merge_upsert
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    updates = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+    )
+    merged = merge_upsert(o, updates, ["o_orderkey"])
+    return merged.select(
+        "o_orderkey", "o_orderstatus", fxr("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
 # ---------------------------------------------------------------------------
 # unionByName / correlated subqueries / first-last analytics
 # ---------------------------------------------------------------------------

@@ -108,6 +108,34 @@ def jdbc_append(
     writer.jdbc(url, table, properties=properties)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink (Spark-native columnar alternative to parquet; same
+    partition-pruning and predicate-pushdown behavior — useful when the
+    downstream stack is Hive/ORC-based)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame, key_cols: list[str]) -> DataFrame:
+    """MERGE/upsert semantics on plain DataFrames: rows from ``updates``
+    replace same-key rows in ``target``; unmatched target rows pass
+    through. The composition is one left-anti join + union — at scale both
+    sides shuffle once on the key (or the updates side broadcasts when
+    small, the common CDC case). Write the result with
+    ``write_parquet(..., mode="overwrite")`` for an idempotent batch merge;
+    table formats with transactional MERGE (Delta/Iceberg) slot in here
+    unchanged when available."""
+    untouched = target.join(updates.select(*key_cols), on=key_cols, how="left_anti")
+    return untouched.unionByName(updates)
+
+
 def jdbc_stream_sink(
     url: str,
     table: str,

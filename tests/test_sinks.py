@@ -93,3 +93,25 @@ def test_jdbc_atomic_append_swap_contract(spark):
     assert swap.startswith("BEGIN;") and swap.endswith("COMMIT;")
     assert f"INSERT INTO target SELECT * FROM {staging}" in swap
     assert f"DROP TABLE {staging}" in swap
+
+
+def test_write_orc_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "nation_orc")
+    nation = load_table(spark, SF, "nation")
+    sinks.write_orc(nation, out, partition_by=["n_regionkey"])
+    back = spark.read.orc(out)
+    assert back.count() == nation.count()
+    assert sorted(r.n_name for r in back.collect()) == sorted(
+        r.n_name for r in nation.collect()
+    )
+
+
+def test_merge_upsert_semantics(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, v string, x double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k long, v string, x double"
+    )
+    merged = {r.k: (r.v, r.x) for r in sinks.merge_upsert(target, updates, ["k"]).collect()}
+    assert merged == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
