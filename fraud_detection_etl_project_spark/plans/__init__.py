@@ -11,5 +11,6 @@ from fraud_detection_etl_project_spark.plans.registry import BENCH_QUERIES, REGI
 from fraud_detection_etl_project_spark.plans import relational_queries  # noqa: F401,E402
 from fraud_detection_etl_project_spark.plans import llm_queries  # noqa: F401,E402
 from fraud_detection_etl_project_spark.plans import extended_queries  # noqa: F401,E402
+from fraud_detection_etl_project_spark.plans import curation_queries  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "BENCH_QUERIES", "QuerySpec"]

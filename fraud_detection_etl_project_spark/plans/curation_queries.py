@@ -1,0 +1,183 @@
+"""Training-data curation operators (north star): winnowing rolling-hash
+fingerprints, deterministic train/test splits, embedding quantization, and
+the composed curation filter. All JVM-side array/hash expressions — no
+UDFs — with DuckDB oracles built from the same constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fraud_detection_etl_project_spark.functions import text as T
+from fraud_detection_etl_project_spark.functions.rounding import fxr
+from fraud_detection_etl_project_spark.plans.llm_queries import NORM_SQL, TOKS_SQL
+from fraud_detection_etl_project_spark.plans.registry import query
+from fraud_detection_etl_project_spark.sources.parquet import load_table
+
+WINNOW_W = 4  # window size over the k-gram hash sequence
+SPLIT_TRAIN_PCT = 80
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash document fingerprinting)
+# ---------------------------------------------------------------------------
+
+_WINNOW_ORACLE = f"""
+WITH t AS (SELECT doc_id, {NORM_SQL} AS norm, {TOKS_SQL} AS toks FROM documents),
+b AS (SELECT doc_id, norm,
+             list_transform(range(1, len(toks)), i -> md5(toks[i] || ' ' || toks[i+1])) AS bi
+      FROM t),
+w AS (SELECT doc_id,
+             CASE
+               WHEN len(bi) = 0 THEN [md5(norm)]
+               WHEN len(bi) < {WINNOW_W} THEN [list_min(bi)]
+               ELSE list_distinct(list_transform(range(1, len(bi) - {WINNOW_W - 2}),
+                                                 j -> list_min(bi[j:j+{WINNOW_W - 1}])))
+             END AS fps
+      FROM b)
+SELECT doc_id, UNNEST(fps) AS fp FROM w
+"""
+
+
+@query("doc_winnow_fingerprints", oracle=_WINNOW_ORACLE)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints: hash every token bigram,
+    slide a window of {w} hashes, keep each window's minimum, dedupe —
+    the plagiarism-detection fingerprint set whose overlap localizes
+    *partial* duplication (MinHash only scores whole-document similarity).
+    Narrow per-row array work + one explode; the (fp) column becomes the
+    shuffle key for cross-corpus overlap joins at scale."""
+    d = _t(spark, sf_dir, "documents")
+    normd = d.select("doc_id", T.normalized(F.col("text")).alias("norm"))
+    tokd = normd.withColumn("toks", F.split(F.col("norm"), " "))
+    bi = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.md5(
+            F.concat(F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)).cast("binary")
+        ),
+    )
+    bid = tokd.withColumn("bi", bi)
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size("bi") - (WINNOW_W - 1)),
+        lambda j: F.array_min(F.slice("bi", j, WINNOW_W)),
+    )
+    fps = (
+        F.when(F.size("bi") == 0, F.array(F.md5(F.col("norm").cast("binary"))))
+        .when(F.size("bi") < WINNOW_W, F.array(F.array_min("bi")))
+        .otherwise(F.array_distinct(wins))
+    )
+    return bid.select("doc_id", F.explode(fps).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/test split
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_train_test_split",
+    oracle=f"""
+WITH h AS (SELECT doc_id, lang,
+                  CAST(('0x' || substring(md5('split1|' || CAST(doc_id AS VARCHAR)), 1, 6)) AS INT) % 100 AS bucket
+           FROM documents)
+SELECT lang,
+       CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM h GROUP BY 1, 2
+""",
+)
+def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/20 train/test assignment: bucket = first 24 bits
+    of md5(salt || id) mod 100 — reproducible across engines, runs, and
+    cluster sizes (unlike ``randomSplit``), stable under data growth (a
+    document's split never changes when others are added). Emitted as the
+    per-language split histogram so the driver hash-checks the exact
+    assignment counts."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("split1|"), F.col("doc_id").cast("string")).cast("binary")), 1, 6), 16, 10)
+        .cast("long") % 100
+    )
+    return (
+        d.select("lang", F.when(bucket < SPLIT_TRAIN_PCT, "train").otherwise("test").alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding quantization (int8 scalar quantization)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_int8_quantized",
+    oracle="""
+WITH s AS (SELECT vec_id, embedding,
+                  greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS scale
+           FROM embeddings)
+SELECT vec_id,
+       floor(scale * 1000000.0 + 0.5) / 1000000.0 AS scale,
+       CAST(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) AS BIGINT)) AS BIGINT[]) AS q
+FROM s
+""",
+)
+def embedding_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization per vector (max-abs scaling): 4× smaller
+    vectors for ANN candidate generation, exact re-scoring on the float
+    column only for finalists. Quantized values are exact integers —
+    oracle-checked bit-for-bit; only the scale is rounded for display."""
+    e = _t(spark, sf_dir, "embeddings")
+    absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    s = e.select("vec_id", "embedding", F.greatest(absmax, F.lit(1e-12)).alias("scale"))
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") / F.col("scale") * F.lit(127.0) + F.lit(0.5)).cast("long"),
+    )
+    return s.select("vec_id", fxr("scale", 6).alias("scale"), q.alias("q"))
+
+
+# ---------------------------------------------------------------------------
+# Composed curation filter
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "curated_documents",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, {TOKS_SQL} AS toks FROM documents),
+q AS (SELECT doc_id, lang,
+             len(toks) AS n_toks,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq
+      FROM t)
+SELECT doc_id, lang,
+       CAST(n_toks AS INT) AS n_tokens,
+       floor(uniq * 10000.0 + 0.5) / 10000.0 AS uniq_ratio
+FROM q
+WHERE n_toks BETWEEN 20 AND 10000 AND uniq >= 0.3
+""",
+)
+def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation gate a pretraining pipeline runs first:
+    length band + vocabulary-diversity floor (dedup/toxicity/lang gates
+    chain after it on the same narrow scan). Pure row-local filters —
+    shuffle-free, trivially parallel at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(T.normalized(F.col("text")), " ")
+    q = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_toks"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("uniq"),
+    )
+    return q.filter((F.col("n_toks").between(20, 10000)) & (F.col("uniq") >= 0.3)).select(
+        "doc_id",
+        "lang",
+        F.col("n_toks").cast("int").alias("n_tokens"),
+        fxr("uniq", 4).alias("uniq_ratio"),
+    )
