@@ -333,10 +333,32 @@ def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_lsh_top10", oracle=None)
+_ANN_LSH_ORACLE = f"""
+WITH p AS (SELECT {{planes}}),
+b AS (SELECT e.vec_id, e.embedding, {{bucket}} AS bucket FROM embeddings e, p),
+q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+SELECT b.vec_id,
+       floor((
+         list_sum(list_transform(range(1, len(b.embedding) + 1),
+                                 i -> CAST(b.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+       ) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+FROM b, q WHERE b.bucket = q.qb
+ORDER BY cos_sim DESC, b.vec_id ASC
+LIMIT 10
+"""
+
+
+@query(
+    "ann_lsh_top10",
+    oracle=_ANN_LSH_ORACLE.format(planes=_planes_sql(), bucket=_BUCKET_SQL),
+)
 def ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k: exact search restricted to the query's LSH bucket.
-    Approximate by design (bucket recall < 1) => rows-only driver check."""
+    Approximate w.r.t. global top-k (bucket recall < 1) but fully
+    deterministic given the seeded planes — the oracle reproduces the
+    bucket restriction and the exact in-bucket ranking."""
     e = _t(spark, sf_dir, "embeddings")
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return S.ann_lsh_topk(e.select("vec_id", "embedding"), list(qvec), k=10)
@@ -366,18 +388,44 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "label_centroid_similarity",
-    oracle=None,
+    oracle="""
+WITH pos AS (SELECT vec_id, label,
+                    UNNEST(range(1, len(embedding) + 1)) AS pos,
+                    UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val
+             FROM embeddings),
+cent AS (SELECT label, pos,
+                sum(CAST(floor(val * 100000000.0 + 0.5) AS BIGINT)) / 100000000.0 / count(*) AS cval
+         FROM pos GROUP BY 1, 2),
+cvec AS (SELECT label, list(cval ORDER BY pos) AS centroid FROM cent GROUP BY label)
+SELECT e.vec_id, e.label,
+       floor((
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                                 i -> CAST(e.embedding[i] AS DOUBLE) * c.centroid[i]))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(c.centroid, x -> x * x))))
+       ) * 10000.0 + 0.5) / 10000.0 AS centroid_cos
+FROM embeddings e JOIN cvec c ON e.label = c.label
+""",
 )
 def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped vector aggregation: per-label centroid (elementwise mean via
     posexplode + regroup), then each vector's cosine to its label centroid.
     The explode shuffles (id, pos, val) triples — scale-safe for fixed dim.
-    Summation order over groups is nondeterministic => rows-only check."""
+    Centroid sums run over 1e-8-quantized values in exact int64, so the
+    mean is summation-order-free and the whole result is oracle-checked
+    (the quantization error, <1e-8 per element, is far below the 4-place
+    output rounding)."""
     e = _t(spark, sf_dir, "embeddings")
     pos = e.select("vec_id", "label", F.posexplode("embedding").alias("pos", "val"))
     centroid = (
         pos.groupBy("label", "pos")
-        .agg(F.avg("val").alias("cval"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("val").cast("double") * F.lit(1e8) + F.lit(0.5)).cast("long"))
+                / F.lit(1e8)
+                / F.count(F.lit(1))
+            ).alias("cval")
+        )
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pairs"))
         .select("label", F.transform("pairs", lambda p: p["cval"]).alias("centroid"))
