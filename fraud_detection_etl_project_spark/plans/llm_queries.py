@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from fraud_detection_etl_project_spark.functions import text as T
 from fraud_detection_etl_project_spark.functions.vectors import cosine, norm
 from fraud_detection_etl_project_spark.operators import dedup as D
+from fraud_detection_etl_project_spark.operators import graph as G
 from fraud_detection_etl_project_spark.operators import similarity as S
 from fraud_detection_etl_project_spark.functions.rounding import fxr
 from fraud_detection_etl_project_spark.plans.registry import query
@@ -239,6 +240,82 @@ def neardup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is the band-bucket self-join over (band, key, id) tuples — the
     O(n²) cross join never materializes."""
     return D.neardup_pairs_minhash(_t(spark, sf_dir, "documents"))
+
+
+# Connected components over the LSH candidate pairs — duplicate *clusters*,
+# not just pairs. The DuckDB oracle walks the same edge set with a recursive
+# CTE (min reachable id == component), so the full assignment is value-checked.
+_CC_BASE_SQL = f"""
+{_SHINGLES_SQL.replace("WITH t AS", "WITH RECURSIVE t AS", 1)},
+sig AS (SELECT doc_id, {_minhash_sql()} FROM sh),
+bands AS ({_BAND_SELECTS}),
+pairs AS (SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+cedges AS (SELECT pa AS ea, pb AS eb FROM pairs
+           UNION SELECT pb AS ea, pa AS eb FROM pairs),
+reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM documents
+  UNION
+  SELECT e.ea AS node, reach.r AS r FROM cedges e JOIN reach ON reach.node = e.eb
+)
+"""
+
+_CC_ORACLE = (
+    _CC_BASE_SQL
+    + """
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY node
+"""
+)
+
+
+@query("neardup_components", oracle=_CC_ORACLE)
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components (min-label propagation with
+    pointer jumping, operators/graph.py) over the LSH candidate pairs.
+    Every shuffle moves (id, id) pairs only; convergence is O(log diameter)
+    iterations. Singleton docs keep their own id as component."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.neardup_pairs_minhash(d)
+    cc = G.connected_components(
+        d.select("doc_id"), pairs, node_col="doc_id", src="doc_a", dst="doc_b"
+    )
+    return cc.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("comp").cast("bigint").alias("component"),
+    )
+
+
+_CC_KEPT_ORACLE = (
+    _CC_BASE_SQL
+    + """
+, comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+cl AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+SELECT CAST(cl.component AS BIGINT) AS doc_id,
+       CAST(cl.cluster_size AS BIGINT) AS cluster_size,
+       CAST(d.n_chars AS BIGINT) AS n_chars
+FROM cl JOIN documents d ON d.doc_id = cl.component
+"""
+)
+
+
+@query("neardup_dedup_kept", oracle=_CC_KEPT_ORACLE)
+def neardup_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus: one canonical doc per duplicate cluster
+    (the min-id member — which IS the component id under min-label
+    propagation), annotated with its cluster size."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.neardup_pairs_minhash(d)
+    cc = G.connected_components(
+        d.select("doc_id"), pairs, node_col="doc_id", src="doc_a", dst="doc_b"
+    )
+    kept = G.canonical_per_component(cc)
+    return kept.join(d, kept["node"] == d["doc_id"]).select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
 
 
 def _simhash_oracle() -> str:

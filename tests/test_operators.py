@@ -125,3 +125,22 @@ def test_salted_join_matches_plain_join(spark):
     plain = large.join(small, "k")
     assert salted.count() == plain.count() == 100
     assert sorted(r["tag"] for r in salted.select("tag").distinct().collect()) == ["a", "b", "c"]
+
+
+def test_connected_components_chain_and_singleton(spark):
+    from fraud_detection_etl_project_spark.operators.graph import (
+        canonical_per_component,
+        connected_components,
+    )
+
+    # chain 1-2-3-4-5 (diameter 4, forces multi-hop convergence),
+    # pair 10-11, singleton 20
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 20]], "node long")
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (5, 4), (10, 11)], "src long, dst long"
+    )
+    cc = {r["node"]: r["comp"] for r in connected_components(nodes, edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20}
+    kept = {r["node"]: r["cluster_size"] for r in canonical_per_component(
+        connected_components(nodes, edges)).collect()}
+    assert kept == {1: 5, 10: 2, 20: 1}
