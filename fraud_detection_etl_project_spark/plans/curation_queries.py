@@ -181,3 +181,57 @@ def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_toks").cast("int").alias("n_tokens"),
         fxr("uniq", 4).alias("uniq_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash-stratified sampling (sampleBy semantics, reproducible)
+# ---------------------------------------------------------------------------
+
+# per-stratum keep rates in basis points (of 10000)
+SAMPLE_RATES_BP = {"view": 200, "click": 1000, "error": 500, "signup": 5000, "purchase": 10000}
+_RATE_CASE_SQL = (
+    "CASE event_type "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_RATES_BP.items())
+    + " ELSE 0 END"
+)
+
+
+@query(
+    "stratified_event_sample",
+    oracle=f"""
+WITH h AS (SELECT event_id, event_type, value,
+                  CAST(('0x' || substring(md5('strat1|' || CAST(event_id AS VARCHAR)), 1, 6)) AS INT) % 10000 AS bucket
+           FROM events)
+SELECT event_id, event_type, value
+FROM h WHERE bucket < {_RATE_CASE_SQL}
+""",
+)
+def stratified_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum downsampling with *deterministic* membership:
+    keep iff (first 24 bits of md5(salt|id)) mod 10000 < stratum rate.
+
+    Unlike ``df.sampleBy`` (seeded Bernoulli over partition iteration
+    order — resample on repartition), the hash gate is a pure row-local
+    predicate: reproducible across engines/runs/cluster sizes, stable
+    under data growth, and it stays a narrow map-only plan that fuses
+    into the scan (no shuffle, no RNG state). The oracle checks exact
+    sample membership, not just counts. Rates: SAMPLE_RATES_BP — the
+    rebalancing shape (downsample dominant classes, keep rare ones) a
+    training-data pipeline uses."""
+    e = _t(spark, sf_dir, "events")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("strat1|"), F.col("event_id").cast("string")).cast("binary")),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    rate = F.lit(0)
+    for k, v in SAMPLE_RATES_BP.items():
+        rate = F.when(F.col("event_type") == k, F.lit(v)).otherwise(rate)
+    return e.filter(bucket < rate).select("event_id", "event_type", "value")

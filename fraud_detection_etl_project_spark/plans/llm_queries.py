@@ -139,6 +139,60 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
 
 
+_TFIDF_ORACLE = f"""
+WITH t AS (SELECT doc_id, UNNEST({TOKS_SQL}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
+dfq AS (SELECT tok, count(DISTINCT doc_id) AS dfc FROM t GROUP BY 1),
+nn AS (SELECT count(*) AS nd FROM documents),
+s AS (SELECT tf.doc_id, tf.tok,
+             floor(((CAST(tf.c AS DOUBLE) / dl.n)
+                    * (floor(ln((nd + 1.0) / (dfc + 1.0)) * 1000000.0 + 0.5) / 1000000.0))
+                   * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+      FROM tf JOIN dl USING (doc_id) JOIN dfq USING (tok) CROSS JOIN nn),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rn
+      FROM s)
+SELECT doc_id, tok, tfidf, CAST(rn AS INT) AS rn FROM r WHERE rn <= 5
+"""
+
+
+@query("tfidf_top_terms", oracle=_TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document. tf = term count / doc length;
+    idf = ln((N+1)/(df+1)), smoothed.
+
+    Scale shape: two hash aggregations — (doc_id, tok) term counts and
+    (tok) document frequencies — both with map-side partial aggregation,
+    then joins back on those same keys (tok-keyed df table is tiny relative
+    to the corpus; Catalyst broadcasts it under AQE). The corpus size N
+    rides in as a broadcast 1-row cross join — no driver-side collect in
+    the plan. The idf is quantized (1e-6) *before* the multiply so the
+    transcendental ln never decides a rounding boundary across engines;
+    final ranking orders by the quantized score with the term as a
+    deterministic tiebreak."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(T.normalized(F.col("text")), " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("dfc"))
+    nn = d.agg(F.count(F.lit(1)).alias("nd"))
+    idf = fxr(F.log((F.col("nd") + F.lit(1.0)) / (F.col("dfc") + F.lit(1.0))), 6)
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfq), "tok")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "tok",
+            fxr((F.col("c").cast("double") / F.col("n")) * idf, 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
+    return scored.withColumn("rn", F.row_number().over(w).cast("int")).filter(F.col("rn") <= 5)
+
+
 # ---------------------------------------------------------------------------
 # Dedup
 # ---------------------------------------------------------------------------

@@ -808,3 +808,113 @@ def sql_top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY revenue DESC, c_custkey ASC LIMIT 20
         """
     )
+
+
+@query(
+    "q5_local_supplier_revenue",
+    oracle=f"""
+SELECT n.n_name,
+       {cents_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""",
+    bench=True,
+)
+def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join (customer-orders-lineitem-supplier-
+    nation-region) with the local-supplier condition
+    ``c_nationkey = s_nationkey`` and a region + date selection.
+
+    Scale plan: region/nation/supplier are broadcast dims (the region
+    filter prunes nation BEFORE it reaches the fact joins, so the
+    broadcast side is already restricted); the only shuffles are the two
+    fact-fact joins (orders⋈customer on custkey, lineitem⋈orders on
+    orderkey), both on their natural keys. The date filter sits directly
+    on the orders scan — parquet row-group pruning applies. Revenue is
+    an exact integer-cent sum (summation-order-free)."""
+    n_r = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n_r), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(n_r.select("n_nationkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_nationkey")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+@query(
+    "q18_large_volume_orders",
+    oracle="""
+SELECT c.c_name, o.o_orderkey, o.o_totalprice,
+       floor(sum(l.l_quantity) * 100.0 + 0.5) / 100.0 AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                       GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT 100
+""",
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders via an IN-subquery over a
+    grouped HAVING, then customer join and global top-100.
+
+    Scale plan: the HAVING aggregate reduces lineitem to qualifying
+    orderkeys FIRST (semi-join pre-filter) so the 3-way join only sees
+    qualifying orders; the final top-100 is a TakeOrderedAndProject
+    (per-partition heap + single merge on the driver — never a full
+    sort). l_quantity values are integral doubles, so the sum is exact
+    and the 2-place quantization is parity-safe; ties on o_totalprice
+    break on o_orderkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("_tq")).filter(F.col("_tq") > 150)
+    o = _t(spark, sf_dir, "orders").join(
+        big.select("l_orderkey"), F.col("o_orderkey") == big["l_orderkey"], "left_semi"
+    )
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(fxr(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
