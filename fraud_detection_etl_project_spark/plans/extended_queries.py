@@ -921,3 +921,27 @@ def stream_dedup_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's duplicate-delivery gap (§2.9)."""
     deduped = streamed_distinct_events(spark, sf_dir)
     return deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
+
+
+@query(
+    "stream_click_attribution",
+    oracle="""
+WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id AS user_id,
+       p.value AS purchase_value
+FROM e c JOIN e p ON c.user_id = p.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+""",
+)
+def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join (§2.9 gap): purchases attributed to same-user
+    clicks within the preceding hour. Watermarks on both sides + the
+    event-time range condition bound the join state (streaming/windows.py
+    clicks_purchase_attribution); the batch oracle is the equivalent
+    self-join at microsecond timestamp precision."""
+    from fraud_detection_etl_project_spark.streaming.windows import clicks_purchase_attribution
+
+    return clicks_purchase_attribution(spark, sf_dir)

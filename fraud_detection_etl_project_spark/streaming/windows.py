@@ -121,6 +121,64 @@ def streamed_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def clicks_purchase_attribution(
+    spark: SparkSession, sf_dir: str, horizon: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join with event-time range condition: attribute
+    each purchase to every click by the same user in the preceding hour.
+
+    Both sides carry watermarks and the join condition bounds the
+    event-time skew (`purchase_ts` within [click_ts, click_ts + horizon]),
+    which is what lets Spark GC join state: a buffered click can be
+    dropped once the purchase-side watermark passes click_ts + horizon.
+    An unbounded (condition-free) stream-stream join would accumulate
+    state forever — the range condition IS the scale design. Drained with
+    ``availableNow`` into an append memory sink for determinism.
+    """
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("click_id"),
+        F.col("purchase_id"),
+        F.col("c_user").alias("user_id"),
+        F.col("purchase_value"),
+    )
+    name = f"attribution_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def sessionized_user_activity(
     spark: SparkSession, sf_dir: str, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:
