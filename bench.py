@@ -42,6 +42,32 @@ def main() -> None:
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # PaySim-scale fraud-ETL throughput: the reference's own query at the
+    # reference's implied production scale (6.36M rows / ~490 MB CSV —
+    # BASELINE.md). Generator is cached in /tmp; generation is untimed.
+    if os.environ.get("SPARK_GRAFT_PAYSIM", "1") != "0":
+        from tools.gen_paysim import generate
+
+        from fraud_detection_etl_project_spark.pipeline import fraud_predicate, valid_predicate
+        from fraud_detection_etl_project_spark.sources.csv import read_transactions
+
+        paysim = generate()
+
+        def _etl():
+            (
+                read_transactions(spark, paysim)
+                .filter(valid_predicate())
+                .filter(fraud_predicate())
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+
+        _etl()  # warmup
+        t0 = time.perf_counter()
+        _etl()
+        timings["fraud_etl_paysim_6.36M_rows"] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
