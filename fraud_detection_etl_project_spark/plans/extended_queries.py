@@ -945,3 +945,42 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fraud_detection_etl_project_spark.streaming.windows import clicks_purchase_attribution
 
     return clicks_purchase_attribution(spark, sf_dir)
+
+
+@query(
+    "stream_static_weighted_rollup",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       floor((sum(value * CASE event_type WHEN 'view' THEN 1.0 WHEN 'click' THEN 2.0
+                                          WHEN 'signup' THEN 5.0 WHEN 'purchase' THEN 10.0
+                                          WHEN 'error' THEN 0.0 END)) * 100.0 + 0.5) / 100.0 AS weighted_value
+FROM events GROUP BY event_type
+""",
+)
+def stream_static_weighted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (§2.9): the event stream broadcast-joined to a
+    static event-type weight dimension, then rolled up — zero added
+    shuffle on the stream side (streaming/windows.py
+    stream_static_enriched_rollup)."""
+    from fraud_detection_etl_project_spark.streaming.windows import stream_static_enriched_rollup
+
+    return stream_static_enriched_rollup(spark, sf_dir)
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle="""
+SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique
+FROM events GROUP BY event_type
+""",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark dedup (bounded state, unlike plain
+    streaming dropDuplicates) rolled up by type — the unbounded-source-safe
+    version of the idempotent-ingest pattern (streaming/windows.py
+    deduped_within_watermark)."""
+    from fraud_detection_etl_project_spark.streaming.windows import deduped_within_watermark
+
+    deduped = deduped_within_watermark(spark, sf_dir)
+    return deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))

@@ -179,6 +179,65 @@ def clicks_purchase_attribution(
     return spark.table(name)
 
 
+def stream_static_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    in-memory dimension (event-type weights), then rolled up.
+
+    The static side needs no watermark and is re-read per micro-batch;
+    Catalyst broadcasts it (dims stay small by definition), so the join
+    adds zero shuffle to the stream — the standard way to attach
+    reference data to a 100 TB/day stream. Complete-mode drain.
+    """
+    weights = spark.createDataFrame(
+        [("view", 1.0), ("click", 2.0), ("signup", 5.0), ("purchase", 10.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    agg = (
+        events_stream(spark, sf_dir)
+        .join(F.broadcast(weights), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            fxr(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted_value"),
+        )
+    )
+    name = f"enriched_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def deduped_within_watermark(spark: SparkSession, sf_dir: str, watermark: str = "2 hours") -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` on the natural key: unlike plain
+    streaming ``dropDuplicates`` (whose key-set state grows forever on an
+    unbounded source), dedup state here is GC'd once the watermark passes
+    a key's last-seen event time — bounded state at any stream length, at
+    the cost of only deduplicating re-deliveries that arrive within the
+    watermark horizon (exactly the S3 duplicate-event profile). Append
+    drain."""
+    dedup = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = f"dedup_wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def sessionized_user_activity(
     spark: SparkSession, sf_dir: str, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:
