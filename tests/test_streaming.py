@@ -87,3 +87,43 @@ def test_hourly_rollup_matches_batch(spark):
     s = {(r["window_start"], r["event_type"]): r["n_events"] for r in stream_out.collect()}
     b = {(r["window_start"], r["event_type"]): r["n_events"] for r in batch.collect()}
     assert s == b
+
+
+def test_dedup_within_watermark_drops_redelivered_events(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate event_ids arriving within
+    the watermark horizon collapse to one row (the fixture has no dups, so
+    the dedup path needs synthetic re-delivery)."""
+    import uuid
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    d = tmp_path / "events_landing"
+    d.mkdir()
+    rows = [
+        (1, 1_000_000_000_000, 7, "click", 1.0, "{}"),
+        (1, 1_000_000_000_000, 7, "click", 1.0, "{}"),  # exact re-delivery
+        (2, 1_000_500_000_000, 7, "view", 2.0, "{}"),
+        (2, 1_000_500_000_123, 7, "view", 2.0, "{}"),  # re-delivery, jittered ts
+        (3, 2_000_000_000_000, 8, "purchase", 3.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(str(d))
+
+    from fraud_detection_etl_project_spark.schemas import EVENTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(str(d))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = stream.writeStream.format("memory").queryName(name).outputMode("append").trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination()
+    got = sorted(r["event_id"] for r in spark.table(name).collect())
+    assert got == [1, 2, 3]
