@@ -57,3 +57,26 @@ def test_fraud_filters_fuse_into_one_stage(spark):
 def test_no_python_udfs_on_relational_paths(spark, name):
     plan = plan_of(spark, name)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q5_dims_broadcast_and_dates_push_down(spark):
+    plan = plan_of(spark, "q5_local_supplier_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # date filter at the scan
+
+
+def test_q18_topk_avoids_total_sort(spark):
+    plan = plan_of(spark, "q18_large_volume_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tfidf_stays_jvm_side(spark):
+    plan = plan_of(spark, "tfidf_top_terms")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan  # map-side combine on the token counts
+
+
+def test_stratified_sample_is_narrow(spark):
+    plan = plan_of(spark, "stratified_event_sample")
+    assert "Exchange" not in plan  # pure row-local predicate, no shuffle
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
