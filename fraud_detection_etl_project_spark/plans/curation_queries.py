@@ -235,3 +235,55 @@ def stratified_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k, v in SAMPLE_RATES_BP.items():
         rate = F.when(F.col("event_type") == k, F.lit(v)).otherwise(rate)
     return e.filter(bucket < rate).select("event_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (context-window splitting with stride overlap)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@query(
+    "doc_chunks",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+s AS (SELECT doc_id, toks, len(toks) AS n, UNNEST(range(1, len(toks) + 1, {CHUNK_STRIDE})) AS st
+      FROM t)
+SELECT doc_id,
+       CAST((st - 1) / {CHUNK_STRIDE} AS INT) AS chunk_idx,
+       CAST(st AS INT) AS start_tok,
+       CAST(len(list_slice(toks, st, least(st + {CHUNK_TOKENS - 1}, n))) AS INT) AS n_chunk_tokens,
+       md5(array_to_string(list_slice(toks, st, least(st + {CHUNK_TOKENS - 1}, n)), ' ')) AS chunk_fp
+FROM s
+""",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into {CHUNK_TOKENS}-token
+    chunks every {CHUNK_STRIDE} tokens (16-token overlap) — the standard
+    pretraining-prep fan-out. Pure array higher-order functions on a narrow
+    scan: materialize the token array once, generate chunk starts with
+    ``sequence``, explode, slice. No shuffle at all — the fan-out is
+    row-local, so it parallelizes embarrassingly at 100 TB. Chunk content
+    parity is proved by md5 fingerprints of each chunk (engine-portable)
+    without shipping chunk text through the comparator; chunk_idx derives
+    arithmetically from the start offset (identical both engines)."""
+    d = _t(spark, sf_dir, "documents")
+    tokd = d.select("doc_id", F.split(T.normalized(F.col("text")), " ").alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    exploded = tokd.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(F.sequence(F.lit(1), F.col("n"), F.lit(CHUNK_STRIDE))).alias("st"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("st"), CHUNK_TOKENS)
+    return exploded.select(
+        "doc_id",
+        ((F.col("st") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.col("st").cast("int").alias("start_tok"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_fp"),
+    )

@@ -984,3 +984,25 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 
     deduped = deduped_within_watermark(spark, sf_dir)
     return deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
+
+
+_MELT_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_MELT_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS measure, CAST(count(*) AS BIGINT) AS n, "
+    f"{cents_sum_sql(c, 6)} AS total FROM lineitem"
+    for c in _MELT_COLS
+)
+
+
+@query("lineitem_unpivot_stats", oracle=_MELT_ORACLE)
+def lineitem_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide->long reshaping, the inverse of `pivot_status_counts`):
+    four lineitem measures melted to (measure, val) rows, then aggregated.
+    Spark's `unpivot` is a zero-shuffle row-local fan-out; the only shuffle
+    is the 4-group aggregation, with map-side partials. Sums run in exact
+    integer micro-units (order-free int64)."""
+    li = _t(spark, sf_dir, "lineitem")
+    melted = li.unpivot([], _MELT_COLS, "measure", "val")
+    return melted.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"), cents_sum("val", 6).alias("total")
+    )
