@@ -36,11 +36,21 @@ def main() -> None:
     for spec in specs.values():
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    def timed(fn) -> float:
+        """Median of 3 passes — JIT compilation of a hot loop can land
+        mid-first-pass, and one outlier pass otherwise moves the headline."""
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+        return round(sorted(samples)[1], 3)
+
     timings: dict[str, float] = {}
     for name, spec in specs.items():
-        t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = timed(
+            lambda: spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        )
 
     # PaySim-scale fraud-ETL throughput: the reference's own query at the
     # reference's implied production scale (6.36M rows / ~490 MB CSV —
@@ -64,9 +74,7 @@ def main() -> None:
             )
 
         _etl()  # warmup
-        t0 = time.perf_counter()
-        _etl()
-        timings["fraud_etl_paysim_6.36M_rows"] = round(time.perf_counter() - t0, 3)
+        timings["fraud_etl_paysim_6.36M_rows"] = timed(_etl)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -77,7 +85,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1),
-                "methodology": "steady-state: timed pass after one untimed warmup pass per query",
+                "methodology": "steady-state: median of 3 timed passes after one untimed warmup pass per query",
             }
         )
     )

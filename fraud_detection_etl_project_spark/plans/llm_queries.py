@@ -354,7 +354,7 @@ FROM cl JOIN documents d ON d.doc_id = cl.component
 )
 
 
-@query("neardup_dedup_kept", oracle=_CC_KEPT_ORACLE)
+@query("neardup_dedup_kept", oracle=_CC_KEPT_ORACLE, bench=True)
 def neardup_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deduplicated corpus: one canonical doc per duplicate cluster
     (the min-id member — which IS the component id under min-label
