@@ -5,6 +5,8 @@ near-dups, sliding/dedup streaming (SURVEY.md §2.4-§2.9 deep coverage).
 
 from __future__ import annotations
 
+import pandas
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1005,4 +1007,83 @@ def lineitem_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     melted = li.unpivot([], _MELT_COLS, "measure", "val")
     return melted.groupBy("measure").agg(
         F.count(F.lit(1)).alias("n"), cents_sum("val", 6).alias("total")
+    )
+
+
+@query(
+    "udtf_sentence_split",
+    oracle=f"""
+WITH s AS (SELECT doc_id,
+                  list_filter(list_transform(string_split_regex({NORM_SQL}, '[.!?] *'),
+                                             x -> trim(x)),
+                              x -> len(x) > 0) AS sents
+           FROM documents),
+u AS (SELECT doc_id, UNNEST(range(1, len(sents) + 1)) AS i, sents FROM s)
+SELECT doc_id, CAST(i - 1 AS INT) AS sent_idx, CAST(len(sents[i]) AS INT) AS n_chars
+FROM u
+""",
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (§2.10 surface completeness): one input row -> N output
+    rows, splitting normalized text into sentences. UDTFs are the
+    table-function escape hatch for fan-outs whose logic genuinely needs
+    Python; THIS particular split is expressible with JVM-side
+    split+posexplode (and that is what a hot path should use — see
+    doc_chunks) — the query exists to exercise the UDTF registration/
+    invocation surface with an oracle-checked result. Emits (sent_idx,
+    n_chars) not sentence text, keeping the comparator payload small."""
+    import re
+
+    from pyspark.sql.functions import udtf as _udtf
+
+    @_udtf(returnType="doc_id bigint, sent_idx int, n_chars int")
+    class SentenceSplit:
+        def eval(self, doc_id: int, text: str):
+            sents = [s.strip() for s in re.split(r"[.!?] *", text)]
+            for i, s in enumerate(x for x in sents if x):
+                yield doc_id, i, len(s)
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    d = _t(spark, sf_dir, "documents")
+    normed = d.select("doc_id", normalized(F.col("text")).alias("norm"))
+    normed.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT s.doc_id, s.sent_idx, s.n_chars "
+        "FROM _udtf_docs d, LATERAL sentence_split(d.doc_id, d.norm) s"
+    )
+
+
+@query(
+    "registered_udf_value_scores",
+    oracle="""
+SELECT event_id,
+       floor(ln(1.0 + value) * 10000.0 + 0.5) / 10000.0 AS log_score
+FROM events WHERE value > 0
+""",
+)
+def registered_udf_value_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-registered Arrow pandas UDF (§2.10): vectorized log1p scoring
+    callable from SQL text. Policy note: log1p exists as a JVM built-in
+    (F.log1p) and hot paths must use it; this query exercises the
+    spark.udf.register surface — the escape hatch contract for NumPy-only
+    logic — with batch-size-independent (per-row, order-free) semantics
+    so the oracle still value-matches."""
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: `from __future__ import annotations` stringifies hints and
+    # pandas_udf resolves them via module globals — hence `pandas.Series`.
+    @pandas_udf("double")
+    def np_log1p(v: pandas.Series) -> pandas.Series:
+        import numpy as np
+
+        return pandas.Series(np.log1p(v.to_numpy()))
+
+    spark.udf.register("np_log1p", np_log1p)
+    e = _t(spark, sf_dir, "events")
+    e.createOrReplaceTempView("_udf_events")
+    # NB: bare `10000.0` is a DECIMAL literal in Spark SQL text (unlike the
+    # DataFrame API's float lit) — the D suffix keeps the math in doubles.
+    return spark.sql(
+        "SELECT event_id, floor(np_log1p(value) * 10000.0D + 0.5D) / 10000.0D AS log_score "
+        "FROM _udf_events WHERE value > 0"
     )
