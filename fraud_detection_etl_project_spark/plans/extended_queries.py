@@ -1087,3 +1087,78 @@ def registered_udf_value_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT event_id, floor(np_log1p(value) * 10000.0D + 0.5D) / 10000.0D AS log_score "
         "FROM _udf_events WHERE value > 0"
     )
+
+
+@query(
+    "events_hourly_gapfilled",
+    oracle="""
+WITH b AS (SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS h0,
+                  date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS h1
+           FROM events),
+cal AS (SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT c.hour, t.event_type FROM cal c CROSS JOIN types t),
+agg AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+               count(*) AS n
+        FROM events GROUP BY 1, 2)
+SELECT g.hour, g.event_type, CAST(coalesce(a.n, 0) AS BIGINT) AS n_events
+FROM grid g LEFT JOIN agg a ON g.hour = a.hour AND g.event_type = a.event_type
+""",
+)
+def events_hourly_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: the full (hour × event_type) grid over
+    the observed range, zero-filled where no events landed — what a
+    monitoring/feature pipeline needs before windowed models (gaps read
+    as missing rows otherwise).
+
+    Scale shape: the calendar is generated with ``sequence`` from ONE
+    aggregated (min, max) row — a broadcast-able dim built inside the
+    plan, never a driver-side loop; the grid (hours × types, tiny)
+    broadcast-left-joins the aggregated counts, so the only fact shuffle
+    is the groupBy."""
+    e = _t(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    )
+    bounds = e.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    cal = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = e.select("event_type").distinct()
+    grid = cal.crossJoin(types)
+    agg = e.groupBy("hour", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        F.broadcast(grid)
+        .join(agg, ["hour", "event_type"], "left")
+        .select("hour", "event_type", F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"))
+    )
+
+
+@query(
+    "daily_new_users_running",
+    oracle="""
+WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id),
+d AS (SELECT first_day, count(*) AS new_users FROM fs GROUP BY first_day)
+SELECT first_day,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(sum(new_users) OVER (ORDER BY first_day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+FROM d
+""",
+)
+def daily_new_users_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day WITHOUT distinct-state windows:
+    reduce each user to a first-seen date (one groupBy), then a daily
+    count and a running sum over days. The naive
+    ``count_distinct OVER (ORDER BY day)`` holds a growing user set per
+    row; first-seen reduction keeps state at |users| for the aggregation
+    and |days| for the window — the only formulation that survives 100 TB
+    of events. The final window is over the tiny per-day series."""
+    e = _t(spark, sf_dir, "events")
+    fs = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    d = fs.groupBy("first_day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("first_day").rowsBetween(Window.unboundedPreceding, 0)
+    return d.select(
+        "first_day",
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )
