@@ -1162,3 +1162,90 @@ def daily_new_users_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_users").cast("bigint").alias("new_users"),
         F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
     )
+
+
+@query(
+    "user_funnel_stages",
+    oracle="""
+WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view
+           FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
+      GROUP BY e.user_id)
+SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+UNION ALL SELECT 'view>click', CAST(count(*) AS BIGINT) FROM c
+UNION ALL SELECT 'view>click>purchase', CAST(count(*) AS BIGINT) FROM p
+""",
+)
+def user_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked AFTER the first view,
+    then purchased AFTER that click. Each stage is a per-user min-timestamp
+    aggregation joined to the previous stage — the ordering constraint
+    rides in the join predicate, so state per stage is one row per
+    surviving user (never per event) and each stage shrinks. All joins are
+    user_id-keyed — co-partitioned after the first shuffle."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    one = lambda df, label: df.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(  # noqa: E731
+        F.lit(label).alias("stage"), "n_users"
+    )
+    return one(v, "view").unionByName(one(c, "view>click")).unionByName(
+        one(p, "view>click>purchase")
+    )
+
+
+@query(
+    "cohort_retention_matrix",
+    oracle="""
+WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id),
+act AS (SELECT DISTINCT e.user_id, f.cohort_day,
+                        datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+        FROM events e JOIN fs f ON e.user_id = f.user_id)
+SELECT cohort_day, CAST(day_offset AS INT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM act GROUP BY cohort_day, day_offset
+""",
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, activity counted
+    per day-offset since cohort entry. First-seen reduction (one row per
+    user) broadcast-joins back to events; the distinct collapses multiple
+    same-day events BEFORE the final count — both shuffles are on already-
+    reduced keys."""
+    e = _t(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("day"))
+    fs = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = (
+        e.join(fs, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active")
+    ).select("cohort_day", F.col("day_offset").cast("int").alias("day_offset"), "n_active")
