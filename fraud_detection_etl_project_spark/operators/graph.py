@@ -50,19 +50,49 @@ def connected_components(
     over the undirected edge set. Singletons keep their own id.
 
     ``nodes`` must contain every vertex (edge endpoints may be a subset).
+
+    Two structural optimizations beyond plain label propagation:
+
+    - **The loop runs only over edge-touched nodes.** In a near-dup graph
+      almost every document is a singleton; their labels can never change,
+      so they are excluded up front and stitched back with one left join
+      at the end. Iteration cost scales with |edge endpoints|, not |corpus|.
+    - **Neighbor-min via left join + ``least``, not union.** Only the
+      neighbor messages go through the grouped min; the node's own label
+      merges with one co-keyed join. (Also load-bearing: the
+      union-of-checkpointed-labels formulation trips a Catalyst
+      Union-constraint rewrite bug in Spark 4.1.2 — ``key not found`` in
+      ``UnionBase.rewriteConstraints`` — on complex edge lineages.)
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     sym = sym.localCheckpoint(eager=True)  # edge list reused every iteration
 
-    labels = nodes.select(F.col(node_col).alias("node"), F.col(node_col).alias("comp"))
-    labels = labels.localCheckpoint(eager=True)
+    # Size iteration parallelism to the SUBGRAPH, not the corpus: after LSH
+    # pruning, the non-singleton subgraph is usually orders of magnitude
+    # smaller than the corpus, and per-iteration scheduler/shuffle overhead
+    # at corpus parallelism dominates the actual work. ~50k edges per
+    # partition keeps tasks meaty; huge graphs keep full parallelism.
+    n_edges = sym.count()  # free: checkpoint already materialized
+    default_parts = int(sym.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    parts = max(1, min(default_parts, n_edges // 50_000))
+    if parts < default_parts:
+        sym = sym.repartition(parts, "b").localCheckpoint(eager=True)
+
+    labels = sym.select(F.col("a").alias("node")).distinct().select(
+        F.col("node"), F.col("node").alias("comp")
+    )
+    labels = labels.repartition(parts, "node").localCheckpoint(eager=True)
 
     for _ in range(max_iter):
-        nbr = sym.join(labels.withColumnRenamed("node", "b"), "b").select(
-            F.col("a").alias("node"), F.col("comp")
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("comp").alias("ncomp"))
         )
-        merged = labels.unionByName(nbr).groupBy("node").agg(F.min("comp").alias("comp"))
+        merged = labels.join(nbr_min, "node", "left").select(
+            "node", F.least("comp", "ncomp").alias("comp")  # least skips nulls
+        )
         # pointer jump: adopt the representative's current label
         jumped = (
             merged.alias("x")
@@ -82,7 +112,11 @@ def connected_components(
         labels = jumped
         if changed.isEmpty():
             break
-    return labels
+
+    # stitch singletons (and any node absent from the edge set) back in
+    return nodes.select(F.col(node_col).alias("node")).join(labels, "node", "left").select(
+        F.col("node"), F.coalesce(F.col("comp"), F.col("node")).alias("comp")
+    )
 
 
 def canonical_per_component(components: DataFrame) -> DataFrame:
