@@ -108,6 +108,18 @@ def jdbc_append(
     writer.jdbc(url, table, properties=properties)
 
 
+def write_jsonl(
+    df: DataFrame, path: str, mode: str = "overwrite", compression: str | None = "gzip"
+) -> None:
+    """JSON-lines sink (one object per line — the only JSON layout whose
+    files split for parallel re-reads; mirrors sources/json.py). Gzip by
+    default for interchange; pass ``compression=None`` for raw text."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
 def write_orc(
     df: DataFrame,
     path: str,

@@ -115,3 +115,18 @@ def test_merge_upsert_semantics(spark):
     )
     merged = {r.k: (r.v, r.x) for r in sinks.merge_upsert(target, updates, ["k"]).collect()}
     assert merged == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_jsonl_sink_roundtrip(spark, tmp_path):
+    from fraud_detection_etl_project_spark.sinks import write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, name string, v double"
+    )
+    out = str(tmp_path / "jl")
+    write_jsonl(df, out)
+    back = spark.read.json(out)
+    assert sorted((r["id"], r["name"], r["v"]) for r in back.collect()) == [
+        (1, "a", 1.5),
+        (2, "b", 2.5),
+    ]
