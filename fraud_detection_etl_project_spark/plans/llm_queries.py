@@ -156,7 +156,7 @@ SELECT doc_id, tok, tfidf, CAST(rn AS INT) AS rn FROM r WHERE rn <= 5
 """
 
 
-@query("tfidf_top_terms", oracle=_TFIDF_ORACLE)
+@query("tfidf_top_terms", oracle=_TFIDF_ORACLE, bench=True)
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document. tf = term count / doc length;
     idf = ln((N+1)/(df+1)), smoothed.
