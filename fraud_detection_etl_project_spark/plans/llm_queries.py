@@ -617,3 +617,46 @@ def stream_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-batch-per-S3-file model, provisioning.tf:160-167) into a memory
     sink. The batch oracle is the same rollup in plain SQL."""
     return hourly_event_rollup(spark, sf_dir)
+
+
+@query(
+    "source_token_entropy",
+    oracle=f"""
+WITH t AS (SELECT source, UNNEST({TOKS_SQL}) AS tok FROM documents),
+c AS (SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2),
+s AS (SELECT source,
+             sum(c) AS n,
+             sum(CAST(floor(c * ln(c) * 1000000.0 + 0.5) AS BIGINT)) AS clnc_q
+      FROM c GROUP BY source)
+SELECT source,
+       CAST(n AS BIGINT) AS n_tokens,
+       floor((ln(n) - (clnc_q / 1000000.0) / n) * 1000000.0 + 0.5) / 1000000.0 AS token_entropy
+FROM s
+""",
+)
+def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the token distribution per corpus source — the
+    diversity signal a data-mixing pipeline monitors (a collapsing source
+    shows falling entropy).
+
+    Formulated on integer counts: H = ln N - (Σ c·ln c)/N, with each
+    c·ln c term quantized to 1e-6 before an exact int64 sum — the
+    transcendental is evaluated on identical integer inputs in both
+    engines and the sum is summation-order-free, so the result is
+    oracle-stable at any scale. One (source, tok) aggregation with
+    map-side partials, then a source-level rollup — two shuffles total,
+    both on shrinking keys."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split(T.normalized(F.col("text")), " ")).alias("tok"))
+    c = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    s = c.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.sum(
+            F.floor(F.col("c") * F.log(F.col("c")) * F.lit(1e6) + F.lit(0.5)).cast("long")
+        ).alias("clnc_q"),
+    )
+    return s.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        fxr(F.log("n") - (F.col("clnc_q") / F.lit(1e6)) / F.col("n"), 6).alias("token_entropy"),
+    )
