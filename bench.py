@@ -76,6 +76,26 @@ def main() -> None:
         _etl()  # warmup
         timings["fraud_etl_paysim_6.36M_rows"] = timed(_etl)
 
+        # Hot-key aggregation at the same scale: top destination accounts
+        # by flow — nameDest is the natural skew key (SURVEY.md §4.3);
+        # partial aggregation + TakeOrderedAndProject keep it one shuffle.
+        from pyspark.sql import functions as F
+
+        def _hotkey():
+            (
+                read_transactions(spark, paysim)
+                .groupBy("nameDest")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("amount").alias("total"))
+                .orderBy(F.col("total").desc())
+                .limit(20)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+
+        _hotkey()  # warmup
+        timings["paysim_hotkey_agg_6.36M_rows"] = timed(_hotkey)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
