@@ -373,16 +373,46 @@ def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_event_stats", oracle=None)
+@query(
+    "approx_event_stats",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(count(*) AS BIGINT) AS n_events,
+       TRUE AS hll_within_5pct,
+       TRUE AS pctl_within_range
+FROM events GROUP BY event_type
+""",
+)
 def approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch aggregates (HLL++ distinct count, t-digest percentile) — the
+    """Sketch aggregates (HLL++ distinct count, approx percentile) — the
     100 TB path where exact distinct/percentile shuffles would dominate.
-    Approximate by design => rows-only driver check (no oracle)."""
+
+    The sketch VALUES are engine-specific, so the query emits exact
+    companions plus error-bound booleans: HLL estimate (rsd=1%) within ±5%
+    of the exact distinct count (a 5-sigma bound), and the
+    approximate median inside the group's exact [p40, p60]. The oracle
+    asserts the exact values and that both bounds hold (literal TRUE) —
+    so the sketches themselves are under value-level test, without
+    demanding bit-equality of sketch internals."""
     e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        fxr(F.percentile_approx("value", 0.5), 2).alias("approx_median_value"),
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5).alias("approx_median"),
+        F.expr("percentile(value, 0.4)").alias("p40"),
+        F.expr("percentile(value, 0.6)").alias("p60"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.col("exact_users") * F.lit(0.05)
+        ).alias("hll_within_5pct"),
+        F.col("approx_median").between(F.col("p40"), F.col("p60")).alias("pctl_within_range"),
     )
 
 
