@@ -44,15 +44,9 @@ SELECT doc_id, UNNEST(fps) AS fp FROM w
 """
 
 
-@query("doc_winnow_fingerprints", oracle=_WINNOW_ORACLE)
-def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing (rolling-hash) fingerprints: hash every token bigram,
-    slide a window of {w} hashes, keep each window's minimum, dedupe —
-    the plagiarism-detection fingerprint set whose overlap localizes
-    *partial* duplication (MinHash only scores whole-document similarity).
-    Narrow per-row array work + one explode; the (fp) column becomes the
-    shuffle key for cross-corpus overlap joins at scale."""
-    d = _t(spark, sf_dir, "documents")
+def _winnow_rows(d: DataFrame) -> DataFrame:
+    """(doc_id, fp) winnowing fingerprint rows — shared by the fingerprint
+    query and the train/test contamination check."""
     normd = d.select("doc_id", T.normalized(F.col("text")).alias("norm"))
     tokd = normd.withColumn("toks", F.split(F.col("norm"), " "))
     bi = F.transform(
@@ -72,6 +66,17 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.array_distinct(wins))
     )
     return bid.select("doc_id", F.explode(fps).alias("fp"))
+
+
+@query("doc_winnow_fingerprints", oracle=_WINNOW_ORACLE)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints: hash every token bigram,
+    slide a window of {w} hashes, keep each window's minimum, dedupe —
+    the plagiarism-detection fingerprint set whose overlap localizes
+    *partial* duplication (MinHash only scores whole-document similarity).
+    Narrow per-row array work + one explode; the (fp) column becomes the
+    shuffle key for cross-corpus overlap joins at scale."""
+    return _winnow_rows(_t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -286,4 +291,65 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st").cast("int").alias("start_tok"),
         F.size(chunk).cast("int").alias("n_chunk_tokens"),
         F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/test contamination detection (decontamination pre-pass)
+# ---------------------------------------------------------------------------
+
+_SPLIT_BUCKET_SQL = (
+    "CAST(('0x' || substring(md5('split1|' || CAST(doc_id AS VARCHAR)), 1, 6)) AS INT) % 100"
+)
+
+
+@query(
+    "split_contamination",
+    oracle=f"""
+WITH fpr AS ({_WINNOW_ORACLE}),
+sp AS (SELECT doc_id,
+              CASE WHEN {_SPLIT_BUCKET_SQL} < {SPLIT_TRAIN_PCT} THEN 'train' ELSE 'test' END AS split
+       FROM documents),
+train_fps AS (SELECT DISTINCT fp FROM fpr JOIN sp USING (doc_id) WHERE sp.split = 'train')
+SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_shared_fps
+FROM fpr f JOIN sp s USING (doc_id) JOIN train_fps t ON f.fp = t.fp
+WHERE s.split = 'test'
+GROUP BY f.doc_id
+""",
+)
+def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination pre-pass: test-split documents that share winnowing
+    fingerprints with ANY train-split document, with the count of shared
+    fingerprints — the leakage check a training pipeline runs before
+    trusting its eval numbers (composes the deterministic split with the
+    rolling-hash fingerprints, so partial copies are caught, not just
+    exact dups).
+
+    Scale shape: the join key is the 32-char fingerprint, never text;
+    train fingerprints are deduplicated BEFORE the join (one hash agg),
+    and the test side joins it semi-join-style — fp-keyed shuffles only."""
+    d = _t(spark, sf_dir, "documents")
+    fps = _winnow_rows(d)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split1|"), F.col("doc_id").cast("string")).cast("binary")),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    sp = d.select(
+        "doc_id", F.when(bucket < SPLIT_TRAIN_PCT, "train").otherwise("test").alias("split")
+    )
+    fps_s = fps.join(sp, "doc_id")
+    train_fps = fps_s.filter(F.col("split") == "train").select("fp").distinct()
+    return (
+        fps_s.filter(F.col("split") == "test")
+        .join(train_fps, "fp")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_fps"))
     )
