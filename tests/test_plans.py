@@ -80,3 +80,18 @@ def test_stratified_sample_is_narrow(spark):
     plan = plan_of(spark, "stratified_event_sample")
     assert "Exchange" not in plan  # pure row-local predicate, no shuffle
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_source_entropy_partial_agg_no_python(spark):
+    plan = plan_of(spark, "source_token_entropy")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_contamination_joins_on_fingerprints_not_text(spark):
+    plan = plan_of(spark, "split_contamination")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # shuffle keys are fp/doc_id hashes; document text never reaches an exchange
+    exchange_lines = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert exchange_lines
+    assert all("text#" not in l for l in exchange_lines)

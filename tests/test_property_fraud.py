@@ -74,3 +74,40 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def spark_session(spark):
     return spark
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_connected_components_matches_union_find(spark_session, edge_list):
+    """Randomized graphs: Spark min-label propagation == pure-Python
+    union-find (smallest-id representative)."""
+    from fraud_detection_etl_project_spark.operators.graph import connected_components
+
+    nodes = sorted({n for e in edge_list for n in e} | {99})  # 99: forced singleton
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in nodes}
+
+    nodes_df = spark_session.createDataFrame([(n,) for n in nodes], "node long")
+    if edge_list:
+        edges_df = spark_session.createDataFrame(edge_list, "src long, dst long")
+    else:
+        edges_df = spark_session.createDataFrame([], "src long, dst long")
+    got = {r["node"]: r["comp"] for r in connected_components(nodes_df, edges_df).collect()}
+    assert got == expected
