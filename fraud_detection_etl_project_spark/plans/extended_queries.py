@@ -1249,3 +1249,44 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return act.groupBy("cohort_day", "day_offset").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_active")
     ).select("cohort_day", F.col("day_offset").cast("int").alias("day_offset"), "n_active")
+
+
+@query(
+    "nullsafe_tier_join",
+    oracle="""
+WITH e AS (SELECT CASE WHEN CAST(json_extract(props, '$.k') AS INT) >= 80 THEN 'high'
+                       WHEN CAST(json_extract(props, '$.k') AS INT) >= 50 THEN 'mid'
+                       ELSE NULL END AS tier,
+                  value
+           FROM events),
+d(tier, w) AS (VALUES ('high', 3.0), ('mid', 2.0), (NULL, 1.0))
+SELECT e.tier,
+       CAST(count(*) AS BIGINT) AS n_events,
+       floor((sum(CAST(floor(e.value * d.w * 100.0 + 0.5) AS BIGINT)) / 100.0) * 100.0 + 0.5) / 100.0 AS weighted_value
+FROM e JOIN d ON e.tier IS NOT DISTINCT FROM d.tier
+GROUP BY e.tier
+""",
+)
+def nullsafe_tier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM, §2.3): a
+    nullable derived tier (NULL = unknown) joined to a weight dim whose
+    NULL row prices the unknown tier — a plain equi-join would silently
+    drop every unknown-tier event (null never equals null). Broadcast
+    dim, so the null-safe comparison adds no shuffle; weighted sums run
+    in exact integer cents."""
+    e = _t(spark, sf_dir, "events").select(
+        F.when(F.get_json_object("props", "$.k").cast("int") >= 80, "high")
+        .when(F.get_json_object("props", "$.k").cast("int") >= 50, "mid")
+        .otherwise(F.lit(None).cast("string"))
+        .alias("tier"),
+        "value",
+    )
+    dim = spark.createDataFrame([("high", 3.0), ("mid", 2.0), (None, 1.0)], "tier string, w double")
+    return (
+        e.join(F.broadcast(dim), e["tier"].eqNullSafe(dim["tier"]))
+        .groupBy(e["tier"].alias("tier"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            cents_sum(F.col("value") * F.col("w")).alias("weighted_value"),
+        )
+    )
