@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from fraud_detection_etl_project_spark.functions.rounding import fxr
+
 # Small, fixed stopword list — deliberately tiny and engine-portable (the
 # same list is embedded in the DuckDB oracles, plans/queries.py).
 STOPWORDS = ["the", "a", "of", "and", "to", "in"]
@@ -69,7 +71,9 @@ def quality_score(text) -> Column:
     heuristics (very short or highly repetitive docs score low)."""
     n = token_count(text)
     len_ok = F.when((n >= 20) & (n <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
-    return F.round((len_ok + uniq_token_ratio(text) + F.least(stopword_ratio(text) * 5, F.lit(1.0))) / 3.0, 4)
+    # fxr, not F.round: the DuckDB oracles mirror the same floor(x*1e4+0.5)
+    # formula, so both engines cross rounding boundaries identically.
+    return fxr((len_ok + uniq_token_ratio(text) + F.least(stopword_ratio(text) * 5, F.lit(1.0))) / 3.0, 4)
 
 
 def lang_guess(text) -> Column:

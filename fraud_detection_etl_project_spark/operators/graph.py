@@ -45,11 +45,21 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) for every node; component = min node id reachable
     over the undirected edge set. Singletons keep their own id.
 
     ``nodes`` must contain every vertex (edge endpoints may be a subset).
+
+    ``checkpoint_dir`` selects the lineage-truncation mode. Default
+    (``None``) uses ``localCheckpoint``: blocks live in executor memory —
+    fastest, but a lost executor kills the whole iterative job, so it fits
+    single-node and small-cluster runs. Passing a directory (HDFS/S3 on a
+    real cluster) switches to reliable ``checkpoint``: each iteration's
+    labels are persisted to fault-tolerant storage and survive executor
+    loss — the right trade for a 100 TB corpus where an hours-long CC job
+    must not restart because one of 1000 executors was preempted.
 
     Two structural optimizations beyond plain label propagation:
 
@@ -64,9 +74,20 @@ def connected_components(
       Union-constraint rewrite bug in Spark 4.1.2 — ``key not found`` in
       ``UnionBase.rewriteConstraints`` — on complex edge lineages.)
     """
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    sym = sym.localCheckpoint(eager=True)  # edge list reused every iteration
+    sym = _ckpt(sym)  # edge list reused every iteration
 
     # Size iteration parallelism to the SUBGRAPH, not the corpus: after LSH
     # pruning, the non-singleton subgraph is usually orders of magnitude
@@ -77,12 +98,12 @@ def connected_components(
     default_parts = int(sym.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     parts = max(1, min(default_parts, n_edges // 50_000))
     if parts < default_parts:
-        sym = sym.repartition(parts, "b").localCheckpoint(eager=True)
+        sym = _ckpt(sym.repartition(parts, "b"))
 
     labels = sym.select(F.col("a").alias("node")).distinct().select(
         F.col("node"), F.col("node").alias("comp")
     )
-    labels = labels.repartition(parts, "node").localCheckpoint(eager=True)
+    labels = _ckpt(labels.repartition(parts, "node"))
 
     for _ in range(max_iter):
         nbr_min = (
@@ -94,7 +115,7 @@ def connected_components(
             "node", F.least("comp", "ncomp").alias("comp")  # least skips nulls
         )
         # pointer jump: adopt the representative's current label
-        jumped = (
+        jumped = _ckpt(
             merged.alias("x")
             .join(
                 merged.select(F.col("node").alias("comp"), F.col("comp").alias("cc")).alias("y"),
@@ -102,7 +123,6 @@ def connected_components(
                 "left",
             )
             .select(F.col("node"), F.coalesce(F.col("cc"), F.col("comp")).alias("comp"))
-            .localCheckpoint(eager=True)
         )
         changed = (
             jumped.alias("n")

@@ -64,14 +64,73 @@ def to_media_table(df: DataFrame, id_col: str, payload_col: str, media_type: str
 
 
 def decode_real(payload: bytes, media_type: str):
-    """The production decode contract (image -> HxWxC array, audio -> PCM
-    frames, video -> sampled frames). Requires codec libraries not present
-    in this environment."""
+    """The production decode contract (image -> (w, h, pixel bytes), audio
+    -> PCM frames, video -> sampled frames).
+
+    One container is decoded for real, with pure Python: binary PPM (P6) —
+    a header ``P6 <w> <h> <maxval>`` then raw RGB bytes, no compression, so
+    the full decode→feature path is exercised end-to-end (and oracle-
+    checkable) without codec libraries. Every other container raises: JPEG/
+    PNG/WAV/MP4 need PIL/ffmpeg, which this environment doesn't have; wire
+    them here — the mapInPandas plumbing in extract_features is already
+    batch-shaped for it.
+    """
+    if media_type == "image" and payload[:2] == b"P6":
+        return decode_ppm(payload)
     raise NotImplementedError(
-        "media decode requires image/audio codec libraries (PIL/ffmpeg); "
-        "wire them here — the mapInPandas plumbing in extract_features is "
-        "already batch-shaped for it"
+        "media decode beyond PPM requires image/audio codec libraries "
+        "(PIL/ffmpeg); wire them here — the mapInPandas plumbing in "
+        "extract_features is already batch-shaped for it"
     )
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Pure-Python binary-PPM (P6) decoder: returns (width, height, rgb)
+    where ``rgb`` is w*h*3 raw bytes. Supports the standard header form
+    ``P6\\n<w> <h>\\n<maxval>\\n`` with arbitrary whitespace and ``#``
+    comments, maxval <= 255."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    pos += 1  # single whitespace after maxval
+    rgb = payload[pos : pos + w * h * 3]
+    if len(rgb) != w * h * 3:
+        raise ValueError(f"truncated PPM: want {w * h * 3} bytes, have {len(rgb)}")
+    return w, h, rgb
+
+
+def ppm_pixel_features(payload: bytes) -> dict:
+    """Decode a P6 PPM and compute per-channel pixel statistics — the
+    feature-extraction step of an image pipeline, on a really-decoded
+    container. Means are integer-sum / pixel-count divisions, so they are
+    bit-identical across engines for identical bytes."""
+    w, h, rgb = decode_ppm(payload)
+    n = w * h
+    chans = [rgb[c::3] for c in range(3)]
+    return {
+        "width": w,
+        "height": h,
+        "n_pixels": n,
+        "mean_r": sum(chans[0]) / n,
+        "mean_g": sum(chans[1]) / n,
+        "mean_b": sum(chans[2]) / n,
+        "max_byte": max(rgb),
+        "min_byte": min(rgb),
+    }
 
 
 def decode_stub(payload: bytes, dim: int = 8) -> list[float]:
@@ -173,6 +232,36 @@ def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 16) ->
             )
 
     return media.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+PPM_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+        StructField("max_byte", LongType()),
+        StructField("min_byte", LongType()),
+    ]
+)
+
+
+def extract_ppm_features(media: DataFrame) -> DataFrame:
+    """Real-decode feature extraction: parse each payload as binary PPM and
+    emit per-channel pixel statistics (Arrow-batched mapInPandas — same
+    batch shape a PIL/ffmpeg decoder would use)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [ppm_pixel_features(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.mapInPandas(run, schema=PPM_FEATURES_SCHEMA)
 
 
 def extract_features(media: DataFrame, batch_decoder=decode_stub) -> DataFrame:

@@ -13,4 +13,71 @@ from fraud_detection_etl_project_spark.plans import llm_queries  # noqa: F401,E4
 from fraud_detection_etl_project_spark.plans import extended_queries  # noqa: F401,E402
 from fraud_detection_etl_project_spark.plans import curation_queries  # noqa: F401,E402
 
-__all__ = ["REGISTRY", "BENCH_QUERIES", "QuerySpec"]
+# Harnesses that sample the registry take a prefix in insertion order, so the
+# first entries must span every operator family (one representative each):
+# the reference's fraud pipeline, each §2 relational family (projection,
+# conditional, string, date, JSON, aggs, sketches, hierarchies, pivot, every
+# join type, subqueries, TPC-H shapes, windows, sort/top-k, set ops,
+# distinct, SQL API), the streaming surface, the UDF surface, and each
+# LLM-pipeline family (text, dedup, ANN, multimodal, curation). The
+# remaining queries keep their module order after the prefix — nothing is
+# dropped. tests/test_entry_contract.py asserts every name here exists.
+FAMILY_PREFIX = [
+    "flagship_inconsistent_orders",
+    "fraud_valid_txns",
+    "fraud_flagged_txns",
+    "orders_price_buckets",
+    "customer_string_funcs",
+    "monthly_order_stats",
+    "events_json_extract",
+    "pricing_summary",
+    "distinct_supplier_counts",
+    "quantity_percentiles",
+    "approx_event_stats",
+    "rollup_flag_status",
+    "grouping_sets_sales",
+    "pivot_status_counts",
+    "lineitem_unpivot_stats",
+    "region_customer_rollup",
+    "order_fill_left_join",
+    "lineitem_fill_right_join",
+    "nation_party_full_join",
+    "customers_with_big_orders",
+    "orders_without_lineitems",
+    "region_priority_grid",
+    "event_value_bands",
+    "asof_purchase_signup",
+    "nullsafe_tier_join",
+    "salted_user_event_join",
+    "customers_with_urgent_orders",
+    "q5_local_supplier_revenue",
+    "q18_large_volume_orders",
+    "top_customers_per_nation",
+    "customer_quartiles",
+    "event_value_deltas",
+    "running_user_totals",
+    "event_trailing_features",
+    "top10_orders",
+    "all_parties_union",
+    "nations_with_both",
+    "nations_customers_only",
+    "distinct_user_event_pairs",
+    "sql_top_revenue_customers",
+    "stream_hourly_event_rollup",
+    "stream_session_windows",
+    "stream_user_running_profile",
+    "stream_click_attribution",
+    "udtf_sentence_split",
+    "doc_stats",
+    "neardup_dedup_kept",
+    "ivf_ann_top10",
+    "multimodal_features",
+    "curated_documents",
+]
+
+_ordered = {n: REGISTRY[n] for n in FAMILY_PREFIX if n in REGISTRY}
+_ordered.update({n: s for n, s in REGISTRY.items() if n not in _ordered})
+REGISTRY.clear()
+REGISTRY.update(_ordered)
+
+__all__ = ["REGISTRY", "BENCH_QUERIES", "QuerySpec", "FAMILY_PREFIX"]

@@ -124,6 +124,7 @@ def customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "event_trailing_features",
+    bench=True,
     oracle="""
 SELECT event_id, user_id,
        floor((avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -846,16 +847,43 @@ def ivf_ann_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(e.select("vec_id", "embedding"), qvec, cents)
 
 
-@query("multimodal_features", oracle=None)
+@query(
+    "multimodal_features",
+    oracle="""
+WITH t AS (SELECT doc_id, md5(text) || substring(md5(text || 'x'), 1, 16) AS hx
+           FROM documents),
+b AS (SELECT doc_id,
+             list_transform(range(0, 24), i -> CAST(('0x' || substring(hx, 2*i + 1, 2)) AS INT)) AS bs
+      FROM t)
+SELECT doc_id AS media_id,
+       CAST(4 AS BIGINT) AS width,
+       CAST(2 AS BIGINT) AS height,
+       CAST(8 AS BIGINT) AS n_pixels,
+       CAST(list_sum(list_transform(range(0, 8), j -> bs[3*j + 1])) AS DOUBLE) / 8.0 AS mean_r,
+       CAST(list_sum(list_transform(range(0, 8), j -> bs[3*j + 2])) AS DOUBLE) / 8.0 AS mean_g,
+       CAST(list_sum(list_transform(range(0, 8), j -> bs[3*j + 3])) AS DOUBLE) / 8.0 AS mean_b,
+       CAST(list_max(bs) AS BIGINT) AS max_byte,
+       CAST(list_min(bs) AS BIGINT) AS min_byte
+FROM b
+""",
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched media feature extraction via mapInPandas over an
-    opaque-binary media table (decode stubbed — deterministic byte-stats
-    features; operators/multimodal.py documents the real-codec contract).
-    Python-side decode => rows-only driver check."""
+    """Real media decode, end-to-end and value-checked: each document is
+    rendered as a tiny binary-PPM image (P6 header + 4×2 RGB pixels derived
+    from md5 of the text — deterministic, engine-portable bytes), then
+    decoded by the pure-Python PPM parser (operators/multimodal.decode_ppm)
+    inside Arrow-batched mapInPandas, yielding per-channel pixel statistics.
+    The oracle re-derives the same pixels from the md5 hex in SQL. Pixel
+    means are integer-sum/8 divisions — bit-identical across engines.
+    JPEG/PNG/audio/video stay behind the decode_real NotImplementedError
+    seam (no codec libs in this environment); the batch plumbing is
+    identical."""
     d = _t(spark, sf_dir, "documents")
-    media = M.to_media_table(d.withColumn("payload", F.col("text").cast("binary")),
-                             "doc_id", "payload", "image")
-    return M.extract_features(media)
+    h1 = F.md5(F.col("text").cast("binary"))
+    h2 = F.substring(F.md5(F.concat(F.col("text"), F.lit("x")).cast("binary")), 1, 16)
+    ppm = F.concat(F.lit("P6\n4 2\n255\n").cast("binary"), F.unhex(F.concat(h1, h2)))
+    media = M.to_media_table(d.withColumn("payload", ppm), "doc_id", "payload", "image")
+    return M.extract_ppm_features(media)
 
 
 @query(

@@ -555,6 +555,55 @@ def order_fill_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lineitem_fill_right_join",
+    oracle="""
+SELECT o.o_orderkey,
+       CAST(coalesce(l.n_items, 0) AS BIGINT) AS n_items,
+       floor((coalesce(l.items_total, 0)) * 100.0 + 0.5) / 100.0 AS items_total
+FROM (SELECT l_orderkey, count(*) AS n_items,
+             sum(l_extendedprice) AS items_total
+      FROM lineitem GROUP BY l_orderkey) l
+RIGHT JOIN orders o ON l.l_orderkey = o.o_orderkey
+""",
+)
+def lineitem_fill_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (§2.3): the mirror of ``order_fill_left_join`` with
+    the preserved side on the right — orders lacking lineitems survive with
+    null-filled aggregates. Physically Spark plans right-outer as the
+    mirrored left-outer, so the same pre-aggregate-then-join scale shape
+    applies."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("l_extendedprice").alias("_total"))
+    )
+    return li.join(o, li.l_orderkey == o.o_orderkey, "right").select(
+        "o_orderkey",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_items"),
+        fxr(F.coalesce(F.col("_total"), F.lit(0.0)), 2).alias("items_total"),
+    )
+
+
+@query(
+    "region_priority_grid",
+    oracle="""
+SELECT r.r_name, o.o_orderpriority
+FROM region r CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) o
+""",
+)
+def region_priority_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (§2.3): cartesian grid of two tiny relations —
+    the dimension-scaffold use (every region × every priority, e.g. to
+    left-join sparse facts onto a dense reporting grid). Cartesian products
+    are only sane when one side is broadcast-tiny; Spark plans this as a
+    BroadcastNestedLoopJoin with no shuffle."""
+    r = _t(spark, sf_dir, "region").select("r_name")
+    p = _t(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+    return r.crossJoin(p)
+
+
+@query(
     "nation_party_full_join",
     oracle="""
 SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
@@ -619,6 +668,7 @@ def event_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "asof_purchase_signup",
+    bench=True,
     oracle="""
 WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
      s AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
@@ -698,6 +748,7 @@ def event_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "running_user_totals",
+    bench=True,
     oracle="""
 SELECT event_id, user_id,
        floor((sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -928,23 +979,30 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped HAVING, then customer join and global top-100.
 
     Scale plan: the HAVING aggregate reduces lineitem to qualifying
-    orderkeys FIRST (semi-join pre-filter) so the 3-way join only sees
-    qualifying orders; the final top-100 is a TakeOrderedAndProject
-    (per-partition heap + single merge on the driver — never a full
-    sort). l_quantity values are integral doubles, so the sum is exact
-    and the 2-place quantization is parity-safe; ties on o_totalprice
-    break on o_orderkey."""
+    orderkeys FIRST (semi-join pre-filter), and the per-order quantity
+    sum happens BEFORE the customer join, so customer joins against the
+    tiny qualifying-orders aggregate — never the other way around. No
+    broadcast hints: customer scales with the fact data, and which side
+    is broadcastable depends on runtime sizes, which is exactly what AQE
+    decides better than a static hint. The final top-100 is a
+    TakeOrderedAndProject (per-partition heap + single merge — never a
+    full sort). l_quantity values are integral doubles, so the sum is
+    exact and the 2-place quantization is parity-safe; ties on
+    o_totalprice break on o_orderkey."""
     li = _t(spark, sf_dir, "lineitem")
     big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("_tq")).filter(F.col("_tq") > 150)
     o = _t(spark, sf_dir, "orders").join(
         big.select("l_orderkey"), F.col("o_orderkey") == big["l_orderkey"], "left_semi"
     )
+    per_order = (
+        li.join(o.select("o_orderkey", "o_custkey", "o_totalprice"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey", "o_orderkey", "o_totalprice")
+        .agg(fxr(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
     c = _t(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(li, F.col("o_orderkey") == li.l_orderkey)
-        .groupBy("c_name", "o_orderkey", "o_totalprice")
-        .agg(fxr(F.sum("l_quantity"), 2).alias("total_qty"))
+        per_order.join(c, per_order.o_custkey == c.c_custkey)
+        .select("c_name", "o_orderkey", "o_totalprice", "total_qty")
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
     )

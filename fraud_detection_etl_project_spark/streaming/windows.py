@@ -8,6 +8,7 @@ tests and the driver's batch-equivalence oracle.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import uuid
@@ -17,6 +18,7 @@ from pyspark.sql import functions as F
 
 from fraud_detection_etl_project_spark.functions.rounding import fxr
 from fraud_detection_etl_project_spark.schemas import EVENTS_SCHEMA
+from fraud_detection_etl_project_spark.sources.parquet import pin_session_confs
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -25,14 +27,20 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``readStream`` needs an explicit schema, and Spark's file stream source
     wants a *directory* (one micro-batch per discovered file — the S3
     landing-bucket model). The fixture is a bare file, so it is exposed
-    through a temp directory of symlinks; a real deployment points this at
-    the landing directory itself. ``ts`` arrives as raw ns longs
-    (nanosAsLong) and is converted exactly like the batch source.
+    through a per-source cached directory of symlinks (deterministic path,
+    reused across calls); a real deployment points this at the landing
+    directory itself. ``ts`` arrives as raw ns longs (nanosAsLong) and is
+    converted exactly like the batch source.
     """
+    pin_session_confs(spark)
     src = os.path.join(sf_dir, "events.parquet")
     if os.path.isfile(src):
-        d = tempfile.mkdtemp(prefix="events_stream_")
-        os.symlink(src, os.path.join(d, "events.parquet"))
+        tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
+        d = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
+        link = os.path.join(d, "events.parquet")
+        os.makedirs(d, exist_ok=True)
+        if not os.path.islink(link):
+            os.symlink(src, link)
         src = d
     raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(src)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -57,7 +65,7 @@ def hourly_event_rollup(
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            fxr(F.sum("value"), 2).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

@@ -42,3 +42,29 @@ def test_all_oracles_parse_in_duckdb():
 def test_sample_queries_run(spark, name):
     df = entry_mod.queries()[name](spark, SF)
     assert df.count() > 0
+
+
+def test_family_prefix_leads_registry():
+    """A prefix-sampling harness must see one query per operator family:
+    FAMILY_PREFIX names must all exist and be the registry's first entries."""
+    from fraud_detection_etl_project_spark.plans import FAMILY_PREFIX, REGISTRY
+
+    missing = [n for n in FAMILY_PREFIX if n not in REGISTRY]
+    assert not missing, f"FAMILY_PREFIX names not registered: {missing}"
+    assert list(REGISTRY)[: len(FAMILY_PREFIX)] == FAMILY_PREFIX
+
+
+def test_queries_survive_bare_session(spark):
+    """The verification driver builds its OWN SparkSession without our confs;
+    load_table must re-pin them at read time (nanosAsLong for the ns-precision
+    events.parquet, UTC, case-insensitivity). Simulated by unsetting the confs
+    on the live session before running an events-backed query."""
+    for key in (
+        "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.session.timeZone",
+    ):
+        spark.conf.unset(key)
+    df = entry_mod.queries()["distinct_user_event_pairs"](spark, SF)
+    assert df.count() > 0
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"

@@ -45,9 +45,32 @@ def test_extract_features_deterministic(media):
     assert sorted(map(str, a)) == sorted(map(str, b))
 
 
-def test_decode_real_is_explicit_stub():
+def test_decode_real_is_explicit_stub_beyond_ppm():
     with pytest.raises(NotImplementedError):
-        decode_real(b"bytes", "image")
+        decode_real(b"\xff\xd8 jpeg bytes", "image")
+    with pytest.raises(NotImplementedError):
+        decode_real(b"RIFF wav bytes", "audio")
+
+
+def test_decode_ppm_roundtrip():
+    from fraud_detection_etl_project_spark.operators.multimodal import (
+        decode_ppm,
+        ppm_pixel_features,
+    )
+
+    rgb = bytes(range(12))  # 2x2 image, channels 0..11
+    payload = b"P6\n# a comment\n2 2\n255\n" + rgb
+    w, h, got = decode_ppm(payload)
+    assert (w, h, got) == (2, 2, rgb)
+    f = ppm_pixel_features(payload)
+    assert f["width"] == 2 and f["height"] == 2 and f["n_pixels"] == 4
+    assert f["mean_r"] == (0 + 3 + 6 + 9) / 4
+    assert f["mean_g"] == (1 + 4 + 7 + 10) / 4
+    assert f["max_byte"] == 11 and f["min_byte"] == 0
+    # decode_real dispatches PPM images to the real decoder
+    assert decode_real(payload, "image") == (2, 2, rgb)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n255\n\x00\x01")  # truncated pixel data
 
 
 def test_stub_locality():

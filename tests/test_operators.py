@@ -144,3 +144,22 @@ def test_connected_components_chain_and_singleton(spark):
     kept = {r["node"]: r["cluster_size"] for r in canonical_per_component(
         connected_components(nodes, edges)).collect()}
     assert kept == {1: 5, 10: 2, 20: 1}
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation to reliable checkpoint()
+    (fault-tolerant storage; survives executor loss on a cluster) — same
+    results, and checkpoint files actually land in the directory."""
+    import os
+
+    from fraud_detection_etl_project_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 20]], "node long")
+    edges = spark.createDataFrame([(2, 1), (2, 3), (3, 4), (5, 4)], "src long, dst long")
+    ckpt = str(tmp_path / "cc_ckpt")
+    cc = {
+        r["node"]: r["comp"]
+        for r in connected_components(nodes, edges, checkpoint_dir=ckpt).collect()
+    }
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 20: 20}
+    assert any(files for _, _, files in os.walk(ckpt)), "no checkpoint files written"

@@ -70,6 +70,22 @@ def test_q18_topk_avoids_total_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_q18_no_static_broadcast_hint(spark):
+    # customer scales with the fact data: a static broadcast hint on it
+    # forces an OOM-prone build at scale. Broadcast decisions here belong
+    # to AQE (runtime sizes), so the logical plan must carry no hints.
+    qe = REGISTRY["q18_large_volume_orders"].fn(spark, SF)._jdf.queryExecution()
+    logical = qe.analyzed().toString()
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+
+
+def test_cross_join_is_broadcast_nested_loop(spark):
+    plan = plan_of(spark, "region_priority_grid")
+    # tiny × tiny cartesian: broadcast nested loop, never a shuffle cartesian
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_tfidf_stays_jvm_side(spark):
     plan = plan_of(spark, "tfidf_top_terms")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
