@@ -353,3 +353,59 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_fps"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality signals (Gopher-style)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_repetition_scores",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+b AS (SELECT doc_id,
+             list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bis
+      FROM t WHERE len(toks) >= 2),
+e AS (SELECT doc_id, len(bis) AS n_bi, UNNEST(bis) AS bg FROM b),
+c AS (SELECT doc_id, n_bi, bg, count(*) AS c FROM e GROUP BY 1, 2, 3)
+SELECT doc_id,
+       CAST(n_bi AS BIGINT) AS n_bigrams,
+       CAST(max(c) AS DOUBLE) / n_bi AS top_bigram_frac,
+       1.0 - CAST(count(*) AS DOUBLE) / n_bi AS dup_bigram_frac
+FROM c GROUP BY doc_id, n_bi
+""",
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher/MassiveText-style filters):
+    per-document fraction of bigram occurrences taken by the single most
+    frequent bigram, and the duplicate-bigram fraction. High values mark
+    boilerplate/spam for curation filtering.
+
+    Scale: the token array is materialized once (never recomputed inside a
+    lambda), bigrams explode to (doc_id, bigram) rows with map-side partial
+    counts, and both ratios are integer/integer divisions — bit-identical
+    across engines, no quantization needed. The shuffle key is
+    (doc_id, bigram): high cardinality, well-spread; document text itself
+    never shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", T.tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bi = base.select(
+        "doc_id",
+        F.expr(
+            "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),"
+            " (a, b) -> concat(a, ' ', b))"
+        ).alias("bis"),
+    )
+    ex = bi.select("doc_id", F.size("bis").alias("n_bi"), F.explode("bis").alias("bg"))
+    cnt = ex.groupBy("doc_id", "n_bi", "bg").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id", "n_bi").agg(
+        F.max("c").alias("_max_c"), F.count(F.lit(1)).alias("_n_distinct")
+    ).select(
+        "doc_id",
+        F.col("n_bi").cast("bigint").alias("n_bigrams"),
+        (F.col("_max_c").cast("double") / F.col("n_bi")).alias("top_bigram_frac"),
+        (F.lit(1.0) - F.col("_n_distinct").cast("double") / F.col("n_bi")).alias("dup_bigram_frac"),
+    )

@@ -1318,3 +1318,166 @@ def nullsafe_tier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents_sum(F.col("value") * F.col("w")).alias("weighted_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization / TPC-H Q10 / multi-resolution rollup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "user_sessions_batch",
+    oracle=f"""
+WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+m AS (SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {cents_sum_sql('value')} AS session_value
+FROM s GROUP BY user_id, sid
+""",
+)
+def user_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gap-based, 30-min inactivity): lag over the
+    per-user event-time order marks session starts, a running sum of the
+    marks numbers sessions, then one grouped aggregate per session — the
+    classic lag→cumsum→groupBy composition (§2.5 windows applied to the
+    event-analytics shape the streaming session_window covers in §2.9).
+
+    Scale: one shuffle on user_id drives both window passes AND the final
+    group-by (same partitioning, reused); gap math runs on int64 epoch
+    micros (identical across engines, no float time arithmetic). Ties on
+    ts break on event_id so numbering is total-ordered and deterministic."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    marked = e.withColumn(
+        "new_s", F.when(prev.isNull() | ((us - prev) > 1_800_000_000), 1).otherwise(0)
+    )
+    numbered = marked.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        cents_sum("value").alias("session_value"),
+    )
+
+
+@query(
+    "q10_returned_revenue",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       {cents_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+""",
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer in one
+    quarter, top 20.
+
+    Scale plan: the date filter pushes into the orders scan and the
+    returnflag filter into the lineitem scan BEFORE any join (Catalyst
+    pushdown — the joins see one quarter × one flag of data); nation is
+    the only broadcast (25 rows, a true dim); orders⋈lineitem shuffles on
+    orderkey, then one shuffle on custkey for the grouped revenue;
+    top-20 is TakeOrderedAndProject on the quantized revenue with a
+    custkey tiebreaker (total order → engine-stable)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "multires_event_rollup",
+    oracle="""
+WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts,
+                  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+           FROM events),
+h AS (SELECT date_trunc('hour', ts) AS b, count(*) AS n, sum(cents) AS c
+      FROM e GROUP BY 1)
+SELECT 'hour' AS grain, b AS bucket_start, CAST(n AS BIGINT) AS n_events,
+       c / 100.0 AS total_value FROM h
+UNION ALL
+SELECT 'day', date_trunc('day', b), CAST(sum(n) AS BIGINT), sum(c) / 100.0
+FROM h GROUP BY 2
+UNION ALL
+SELECT 'month', date_trunc('month', b), CAST(sum(n) AS BIGINT), sum(c) / 100.0
+FROM h GROUP BY 2
+""",
+)
+def multires_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup cascade (the hypertable/continuous-aggregate
+    pattern): aggregate raw events ONCE at the finest grain (hour), then
+    derive day and month grains by re-aggregating the hourly partials —
+    never re-scanning raw data. Value sums are integer cents throughout,
+    so re-aggregation of partials is exact and associative (the property
+    that makes cascaded rollups correct at all).
+
+    Scale: raw data is scanned and shuffled once (to hours) — the hourly
+    partial is persisted (MEMORY_AND_DISK; it is one row per hour, ~9k/
+    year, regardless of raw volume), and the day/month re-aggs plus the
+    hour output leg all read the cache. Without the explicit persist,
+    Spark plans each union branch independently and re-scans the fact
+    table three times (verified: no ReusedExchange fires across the
+    branches) — at 100 TB that is the difference between one fact-table
+    pass and three. In a production continuous-aggregate setup the hourly
+    grain would be written to storage and coarser grains derived from it
+    incrementally; the persist is the single-query form of the same
+    materialization."""
+    e = _t(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("b"),
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    hourly = e.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c")
+    ).persist()
+    hour_leg = hourly.select(
+        F.lit("hour").alias("grain"),
+        F.col("b").alias("bucket_start"),
+        F.col("n").cast("bigint").alias("n_events"),
+        (F.col("c") / 100.0).alias("total_value"),
+    )
+
+    def _reagg(grain: str) -> DataFrame:
+        return (
+            hourly.groupBy(F.date_trunc(grain, F.col("b")).alias("bucket_start"))
+            .agg(F.sum("n").cast("bigint").alias("n_events"), (F.sum("c") / 100.0).alias("total_value"))
+            .select(F.lit(grain).alias("grain"), "bucket_start", "n_events", "total_value")
+        )
+
+    return hour_leg.unionByName(_reagg("day")).unionByName(_reagg("month"))

@@ -79,6 +79,23 @@ def test_q18_no_static_broadcast_hint(spark):
     assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
 
 
+def test_multires_rollup_reads_fact_once(spark):
+    # the day/month grains must re-aggregate the persisted hourly partial,
+    # not re-scan the fact table per union branch
+    df = REGISTRY["multires_event_rollup"].fn(spark, SF)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    cache_reads = plan.count("InMemoryTableScan") + plan.count("TableCacheQueryStage")
+    assert cache_reads >= 3, plan
+
+
+def test_q10_filters_push_to_scans_and_nation_broadcasts(spark):
+    plan = plan_of(spark, "q10_returned_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(l_returnflag,R)" in plan  # flag filter at the lineitem scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # date filter at the orders scan
+
+
 def test_cross_join_is_broadcast_nested_loop(spark):
     plan = plan_of(spark, "region_priority_grid")
     # tiny × tiny cartesian: broadcast nested loop, never a shuffle cartesian
