@@ -409,3 +409,60 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_max_c").cast("double") / F.col("n_bi")).alias("top_bigram_frac"),
         (F.lit(1.0) - F.col("_n_distinct").cast("double") / F.col("n_bi")).alias("dup_bigram_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (redaction pre-pass)
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-z0-9]+@[a-z]+\\.com"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "doc_pii_scrubbed",
+    oracle=f"""
+WITH t AS (SELECT doc_id,
+                  CASE WHEN doc_id % 10 = 0
+                       THEN text || ' contact user' || doc_id || '@example.com or 555-123-4567'
+                       ELSE text END AS raw
+           FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(raw, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_fp
+FROM t
+""",
+)
+def doc_pii_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pre-pass (training-data hygiene): count and replace
+    email/phone patterns. The fixture corpus is synthetic-clean, so PII is
+    deterministically injected into every 10th document first — making the
+    redaction counts and the scrubbed output non-trivially value-checked
+    (the md5 of the scrubbed text proves content parity without shipping
+    text through the comparison).
+
+    Scale: pure row-local regexp expressions inside WholeStageCodegen —
+    no shuffle, no Python; the scan's linear cost is the whole cost.
+    (DuckDB's regexp_replace needs the 'g' flag to match Spark's
+    replace-all semantics.)"""
+    d = _t(spark, sf_dir, "documents")
+    raw = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567"),
+        ),
+    ).otherwise(F.col("text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(raw, F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.md5(scrubbed.cast("binary")).alias("scrubbed_fp"),
+    )

@@ -1481,3 +1481,52 @@ def multires_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return hour_leg.unionByName(_reagg("day")).unionByName(_reagg("month"))
+
+
+@query(
+    "grouped_minmax_normalized",
+    oracle="""
+WITH w AS (SELECT o_custkey, o_orderkey, o_totalprice,
+                  min(o_totalprice) OVER (PARTITION BY o_custkey) AS mn,
+                  max(o_totalprice) OVER (PARTITION BY o_custkey) AS mx,
+                  count(*) OVER (PARTITION BY o_custkey) AS n
+           FROM orders)
+SELECT o_custkey, o_orderkey,
+       CASE WHEN mx = mn THEN 0.5 ELSE (o_totalprice - mn) / (mx - mn) END AS price_norm,
+       CAST(n AS BIGINT) AS group_n
+FROM w
+""",
+)
+def grouped_minmax_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas transform (§2.10 applyInPandas): per-customer
+    min-max normalization of order prices — the batch grouped-map escape
+    hatch for per-group logic the built-ins can't express (model scoring,
+    per-group curve fitting). Here the logic IS SQL-expressible, which is
+    deliberate: it gives the Arrow grouped-map path a full value-level
+    oracle (window min/max in SQL). Arithmetic is subtract/divide on
+    identical doubles — bit-identical across engines, no quantization.
+
+    Scale: one shuffle on the grouping key; each group becomes one pandas
+    frame (Arrow-batched). Grouped-map requires whole groups in executor
+    memory — fine for per-customer order groups (tens of rows), the
+    documented constraint for anything bigger (use window functions
+    instead, as every relational query here does)."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+
+    def normalize(pdf: pandas.DataFrame) -> pandas.DataFrame:
+        mn, mx = pdf["o_totalprice"].min(), pdf["o_totalprice"].max()
+        span = mx - mn
+        norm = (pdf["o_totalprice"] - mn) / span if span != 0 else 0.5
+        return pandas.DataFrame(
+            {
+                "o_custkey": pdf["o_custkey"],
+                "o_orderkey": pdf["o_orderkey"],
+                "price_norm": norm,
+                "group_n": len(pdf),
+            }
+        )
+
+    return o.groupBy("o_custkey").applyInPandas(
+        normalize,
+        schema="o_custkey long, o_orderkey long, price_norm double, group_n bigint",
+    )

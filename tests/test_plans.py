@@ -96,6 +96,12 @@ def test_q10_filters_push_to_scans_and_nation_broadcasts(spark):
     assert "GreaterThanOrEqual(o_orderdate" in plan  # date filter at the orders scan
 
 
+def test_pii_scrub_is_narrow_and_jvm_side(spark):
+    plan = plan_of(spark, "doc_pii_scrubbed")
+    assert "Exchange" not in plan  # row-local regexp pipeline, no shuffle
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_cross_join_is_broadcast_nested_loop(spark):
     plan = plan_of(spark, "region_priority_grid")
     # tiny × tiny cartesian: broadcast nested loop, never a shuffle cartesian
