@@ -1530,3 +1530,38 @@ def grouped_minmax_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalize,
         schema="o_custkey long, o_orderkey long, price_norm double, group_n bigint",
     )
+
+
+@query(
+    "events_variant_props",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+FROM events GROUP BY 1
+""",
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4): ``parse_json`` turns the
+    props JSON string into a binary variant once, ``variant_get`` extracts
+    typed paths — the open-schema column type that replaces
+    string-re-parsing per access (get_json_object parses the string on
+    EVERY extraction; a variant parses once and serves many typed reads).
+    Oracle is DuckDB's native JSON extraction over the same strings.
+
+    Scale: parse + extract are row-local JVM expressions in codegen; the
+    aggregate is standard partial/final. At 100 TB the variant encoding is
+    also the right parquet storage choice for heterogeneous props (shredded
+    columnar access in Spark 4 parquet variant support)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("k").cast("bigint").alias("k_total"),
+            F.max("k").cast("bigint").alias("k_max"),
+        )
+    )

@@ -18,6 +18,7 @@ from __future__ import annotations
 import uuid
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 # Reference sink DDL column widths, lambda_function_aws.py:70-85.
 TXN_COLUMN_TYPES = (
@@ -205,3 +206,26 @@ def jdbc_atomic_append(
     if run_ddl is not None:
         run_ddl(swap)
     return staging
+
+
+def write_range_sorted(
+    df: DataFrame, path: str, range_col: str, n_files: int, mode: str = "overwrite"
+) -> None:
+    """Range-partitioned, within-file-sorted parquet layout: the storage
+    organization that makes range predicates cheap at 100 TB.
+
+    ``repartitionByRange`` samples the column and assigns disjoint value
+    ranges to partitions (one output file each); ``sortWithinPartitions``
+    orders rows inside every file, so parquet writes tight, monotone
+    min/max statistics per row group. A later scan with a range predicate
+    then (a) prunes whole files via footer stats and (b) prunes row groups
+    inside the surviving file — the poor man's clustered index, no
+    lakehouse runtime needed. Trade: one extra range-shuffle + sort at
+    write time, amortized over every subsequent read.
+    """
+    (
+        df.repartitionByRange(n_files, F.col(range_col))
+        .sortWithinPartitions(range_col)
+        .write.mode(mode)
+        .parquet(path)
+    )

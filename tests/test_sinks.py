@@ -130,3 +130,37 @@ def test_jsonl_sink_roundtrip(spark, tmp_path):
         (1, "a", 1.5),
         (2, "b", 2.5),
     ]
+
+
+def test_write_range_sorted_layout(spark, tmp_path):
+    """Range-partitioned + sorted parquet: files carry disjoint value
+    ranges and monotone row-group stats (what enables file- and
+    row-group-level pruning on range predicates)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from fraud_detection_etl_project_spark.sinks import write_range_sorted
+
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    out = str(tmp_path / "ranged")
+    write_range_sorted(df, out, "k", n_files=4)
+
+    spans = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        # row groups sorted within the file
+        assert mins == sorted(mins) and maxs == sorted(maxs)
+        spans.append((min(mins), max(maxs)))
+    assert len(spans) == 4
+    # files cover disjoint ranges
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2
+    # round-trip completeness
+    assert spark.read.parquet(out).count() == 10_000
