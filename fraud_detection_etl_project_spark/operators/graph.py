@@ -34,7 +34,7 @@ with a recursive CTE.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -105,16 +105,21 @@ def connected_components(
     )
     labels = _ckpt(labels.repartition(parts, "node"))
 
-    for _ in range(max_iter):
+    for i in range(max_iter):
         nbr_min = (
             sym.join(labels.withColumnRenamed("node", "b"), "b")
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("comp").alias("ncomp"))
         )
+        # track label movement inline so convergence needs no extra action:
+        # ch1 = neighbor-min lowered the label, ch2 = pointer jump did.
         merged = labels.join(nbr_min, "node", "left").select(
-            "node", F.least("comp", "ncomp").alias("comp")  # least skips nulls
+            "node",
+            F.least("comp", "ncomp").alias("comp"),  # least skips nulls
+            (F.col("ncomp") < F.col("comp")).cast("int").alias("ch1"),
         )
         # pointer jump: adopt the representative's current label
+        obs = Observation(f"cc_iter_{i}")
         jumped = _ckpt(
             merged.alias("x")
             .join(
@@ -122,15 +127,21 @@ def connected_components(
                 "comp",
                 "left",
             )
-            .select(F.col("node"), F.coalesce(F.col("cc"), F.col("comp")).alias("comp"))
-        )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-        )
+            .select(
+                F.col("x.node").alias("node"),
+                F.coalesce(F.col("cc"), F.col("x.comp")).alias("comp"),
+                F.greatest(
+                    F.coalesce(F.col("x.ch1"), F.lit(0)),
+                    (F.col("cc") < F.col("x.comp")).cast("int"),
+                ).alias("ch"),
+            )
+            # the eager checkpoint materializes this plan, which also fills
+            # the observation — convergence costs zero additional jobs
+            # (vs. a separate isEmpty anti-join scan per iteration)
+            .observe(obs, F.sum("ch").alias("n_changed"))
+        ).drop("ch")
         labels = jumped
-        if changed.isEmpty():
+        if not obs.get["n_changed"]:
             break
 
     # stitch singletons (and any node absent from the edge set) back in
