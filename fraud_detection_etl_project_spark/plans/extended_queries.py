@@ -1565,3 +1565,103 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").cast("bigint").alias("k_max"),
         )
     )
+
+
+@query(
+    "orders_cdc_applied",
+    oracle="""
+WITH feed AS (
+  SELECT o_orderkey AS k, 'U' AS op,
+         floor(o_totalprice * 1.1 * 100.0 + 0.5) / 100.0 AS price, 2 AS seq
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, 'D', NULL, 3 FROM orders WHERE o_orderkey % 11 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'I',
+         floor(o_totalprice * 100.0 + 0.5) / 100.0, 1
+  FROM orders WHERE o_orderkey % 13 = 0
+),
+latest AS (SELECT k, op, price FROM
+           (SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+            FROM feed) WHERE rn = 1),
+snap AS (SELECT o_orderkey AS k,
+                floor(o_totalprice * 100.0 + 0.5) / 100.0 AS price
+         FROM orders)
+SELECT coalesce(s.k, l.k) AS o_orderkey,
+       CASE WHEN l.op IN ('U', 'I') THEN l.price ELSE s.price END AS price,
+       coalesce(l.op, 'N') AS last_op
+FROM snap s FULL JOIN latest l ON s.k = l.k
+WHERE l.op IS NULL OR l.op != 'D'
+""",
+)
+def orders_cdc_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC apply (sinks.apply_cdc): a deterministic synthetic change
+    feed — updates on keys %7, deletes on %11, inserts with fresh keys on
+    %13, with per-key sequence conflicts resolved highest-wins (a key hit
+    by both update and delete, e.g. %77, is deleted) — applied onto the
+    orders snapshot. Everything (feed, conflict resolution, apply) is
+    re-derived in the oracle, so inserts/updates/deletes/pass-throughs are
+    all value-checked.
+
+    Scale: one window pass over the (small) feed + one full-outer join on
+    the key; the snapshot shuffles once. See sinks.apply_cdc."""
+    from fraud_detection_etl_project_spark.sinks import apply_cdc
+
+    o = _t(spark, sf_dir, "orders")
+    snap = o.select("o_orderkey", fxr("o_totalprice", 2).alias("price"))
+    updates = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        fxr(F.col("o_totalprice") * 1.1, 2).alias("price"),
+        F.lit(2).alias("seq"),
+    )
+    deletes = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderkey",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("price"),
+        F.lit(3).alias("seq"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit("I").alias("op"),
+        fxr("o_totalprice", 2).alias("price"),
+        F.lit(1).alias("seq"),
+    )
+    feed = updates.unionByName(deletes).unionByName(inserts)
+    return apply_cdc(snap, feed, key_col="o_orderkey", seq_col="seq")
+
+
+@query(
+    "customer_order_scd2",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS valid_to,
+       CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) IS NULL
+            AS BOOLEAN) AS is_current
+FROM orders
+""",
+)
+def customer_order_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 history build: each customer's
+    orders become versioned dimension rows with [valid_from, valid_to)
+    ranges — valid_to is the NEXT version's start (lead over the per-key
+    version order, ties broken on the key for a total order); the open
+    interval marks the current row. The standard warehouse pattern for
+    turning a change log into a point-in-time-joinable dimension.
+
+    Scale: one shuffle on the dimension key; lead() is a single window
+    pass. Joining facts point-in-time against this output is the range
+    join (event_value_bands) on valid_from <= ts < valid_to."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    valid_to = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )

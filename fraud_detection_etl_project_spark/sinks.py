@@ -149,6 +149,54 @@ def merge_upsert(target: DataFrame, updates: DataFrame, key_cols: list[str]) -> 
     return untouched.unionByName(updates)
 
 
+def apply_cdc(
+    snapshot: DataFrame,
+    feed: DataFrame,
+    key_col: str,
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Full CDC apply (inserts + updates + deletes) of a change feed onto a
+    snapshot.
+
+    ``feed`` rows carry ``op`` ∈ {'I','U','D'}, the business key, a
+    monotone sequence column, and the payload columns (same names as the
+    snapshot's non-key columns; null for deletes). Per key, the
+    HIGHEST-sequence change wins (a delete after an update deletes); the
+    survivor is joined full-outer onto the snapshot:
+
+    - op 'D'            → row removed
+    - op 'U' / 'I'      → feed payload replaces / adds the row
+    - no feed row       → snapshot row passes through
+
+    Scale: one window pass on the feed (shuffle on key; the feed is the
+    small side in steady-state CDC) + one full join with the snapshot on
+    the same key. Output columns: key, every payload column, and
+    ``last_op`` ('N' for untouched rows) for audit."""
+    from pyspark.sql import Window
+
+    payload_cols = [c for c in snapshot.columns if c != key_col]
+    w = Window.partitionBy(key_col).orderBy(F.col(seq_col).desc())
+    latest = (
+        feed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", seq_col)
+    )
+    s = snapshot.alias("s")
+    l = latest.alias("l")  # noqa: E741
+    joined = s.join(l, F.col(f"s.{key_col}") == F.col(f"l.{key_col}"), "full_outer")
+    kept = joined.filter(F.col(f"l.{op_col}").isNull() | (F.col(f"l.{op_col}") != "D"))
+    use_feed = F.col(f"l.{op_col}").isin("U", "I")
+    return kept.select(
+        F.coalesce(F.col(f"s.{key_col}"), F.col(f"l.{key_col}")).alias(key_col),
+        *[
+            F.when(use_feed, F.col(f"l.{c}")).otherwise(F.col(f"s.{c}")).alias(c)
+            for c in payload_cols
+        ],
+        F.coalesce(F.col(f"l.{op_col}"), F.lit("N")).alias("last_op"),
+    )
+
+
 def jdbc_stream_sink(
     url: str,
     table: str,

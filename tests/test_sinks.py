@@ -164,3 +164,26 @@ def test_write_range_sorted_layout(spark, tmp_path):
         assert hi1 < lo2
     # round-trip completeness
     assert spark.read.parquet(out).count() == 10_000
+
+
+def test_apply_cdc_semantics(spark):
+    from fraud_detection_etl_project_spark.sinks import apply_cdc
+
+    snap = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, price double"
+    )
+    feed = spark.createDataFrame(
+        [
+            (2, "U", 21.0, 1),   # update key 2
+            (3, "U", 31.0, 1),   # update then delete key 3: delete wins
+            (3, "D", None, 2),
+            (4, "I", 40.0, 1),   # fresh insert
+            (5, "D", None, 1),   # delete of a key not in the snapshot: no row
+        ],
+        "k long, op string, price double, seq long",
+    )
+    out = {r["k"]: r for r in apply_cdc(snap, feed, "k", "seq").collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1]["price"] == 10.0 and out[1]["last_op"] == "N"
+    assert out[2]["price"] == 21.0 and out[2]["last_op"] == "U"
+    assert out[4]["price"] == 40.0 and out[4]["last_op"] == "I"
