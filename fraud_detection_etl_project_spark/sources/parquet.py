@@ -15,13 +15,53 @@ microsecond-native engines (DuckDB, Postgres) do when reading the same file.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from fraud_detection_etl_project_spark.schemas import FIXTURE_TABLES
+
+_PKG_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_PKG_NAME = os.path.basename(_PKG_DIR)
+
+
+def _package_zip() -> str:
+    """Zip this package's sources into a content-addressed /tmp archive.
+
+    Python workers deserialize mapInPandas / applyInPandas closures by
+    importing this package BY NAME — which only works if the package is on
+    the worker's import path. A driver process launched from an arbitrary
+    cwd (any external harness) satisfies the import on the driver via
+    sys.path but not on the workers, so every Python-escape-hatch operator
+    would die with ModuleNotFoundError. Shipping the package archive via
+    ``addPyFile`` (below) makes worker imports independent of the
+    launcher's cwd/PYTHONPATH — the same mechanism used to submit
+    application eggs/zips to a real cluster.
+    """
+    entries = []
+    for root, _, files in os.walk(_PKG_DIR):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                entries.append(f"{os.path.relpath(p, _PKG_DIR)}:{st.st_mtime_ns}:{st.st_size}")
+    tag = hashlib.md5("\n".join(entries).encode()).hexdigest()[:12]
+    zpath = os.path.join(tempfile.gettempdir(), f"{_PKG_NAME}_{tag}.zip")
+    if not os.path.exists(zpath):
+        tmp = f"{zpath}.{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for root, _, files in os.walk(_PKG_DIR):
+                for f in sorted(files):
+                    if f.endswith(".py"):
+                        p = os.path.join(root, f)
+                        z.write(p, os.path.join(_PKG_NAME, os.path.relpath(p, _PKG_DIR)))
+        os.replace(tmp, zpath)
+    return zpath
 
 # Semantics-bearing confs every query assumes. They are normally set by
 # session.get_spark(), but callers (test harnesses, notebooks) may hand us a
@@ -39,12 +79,17 @@ _REQUIRED_CONFS = {
 
 
 def pin_session_confs(spark: SparkSession) -> None:
-    """Force the confs our query semantics depend on, on any session."""
+    """Force the confs our query semantics depend on, on any session, and
+    ship the package sources to the Python workers (see _package_zip)."""
     for key, value in _REQUIRED_CONFS.items():
         try:
             spark.conf.set(key, value)
         except Exception:
             pass  # a conf made static in some future Spark: keep going
+    try:
+        spark.sparkContext.addPyFile(_package_zip())
+    except Exception:
+        pass  # already added under this name, or a connect-only session
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -54,6 +54,34 @@ def test_family_prefix_leads_registry():
     assert list(REGISTRY)[: len(FAMILY_PREFIX)] == FAMILY_PREFIX
 
 
+def test_python_operators_survive_foreign_cwd(tmp_path):
+    """mapInPandas / stateful / UDTF closures are deserialized on Python
+    WORKERS by importing this package by name; a driver launched from an
+    arbitrary cwd (any external harness) has the package on sys.path but
+    its workers don't. pin_session_confs ships the package zip via
+    addPyFile — verified here with a subprocess whose cwd is a temp dir
+    and whose session is completely bare."""
+    import subprocess
+    import sys as _sys
+
+    code = """
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .appName("foreign-cwd").getOrCreate())
+import __spark_entry__ as e
+n = e.queries()["multimodal_features"](spark, "/root/testdata/sf0.001").count()
+assert n > 0, n
+print("FOREIGN_CWD_OK", n)
+"""
+    out = subprocess.run(
+        [_sys.executable, "-c", code], cwd=tmp_path, capture_output=True, text=True, timeout=300
+    )
+    assert "FOREIGN_CWD_OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
+
+
 def test_queries_survive_bare_session(spark):
     """The verification driver builds its OWN SparkSession without our confs;
     load_table must re-pin them at read time (nanosAsLong for the ns-precision
