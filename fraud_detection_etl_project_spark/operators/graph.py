@@ -22,9 +22,10 @@ Scale design (the part that matters at 100 TB):
 - **``localCheckpoint`` per iteration** truncates the lineage chain —
   without it the plan doubles every iteration and the driver OOMs on plan
   serialization long before data is the problem.
-- **Convergence check is one ``isEmpty`` on the changed-label set** —
-  an action per iteration is inherent to iterative algorithms; the check
-  short-circuits on the first changed row.
+- **Convergence detection is free**: label movement is tracked as an
+  inline flag summed through ``observe()`` on the plan the eager
+  checkpoint already materializes — no separate changed-set action per
+  iteration.
 
 Determinism: min-label is order-free (min is commutative/associative), so
 results are bit-stable across partitionings and engines — the DuckDB
@@ -155,3 +156,64 @@ def canonical_per_component(components: DataFrame) -> DataFrame:
     under min-label propagation IS the component id), with cluster size."""
     sizes = components.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
     return sizes.select(F.col("comp").alias("node"), "cluster_size")
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    quant: int = 12,
+) -> DataFrame:
+    """Weighted PageRank over (src, dst, weight) edges: (node, r) after a
+    fixed number of power iterations.
+
+    Cross-engine-deterministic by construction (the same discipline as the
+    rest of the repo): per-target contribution sums are quantized to
+    integer 1e-``quant`` units and summed exactly in int64 (order-free),
+    and each iteration's rank is re-quantized before it feeds the next
+    multiply — so two engines running this recurrence on the same graph
+    produce bit-identical ranks, which is what makes a fixed-iteration
+    oracle possible (see nation_trade_pagerank).
+
+    Scale: transition probabilities are computed once (one out-weight
+    aggregation + join); each iteration is one (src-keyed) join + one
+    (dst-keyed) grouped sum over the EDGE list — the standard
+    rank-shuffles-edges, never-materializes-the-matrix formulation. For
+    many iterations on huge graphs, wrap ranks in the same checkpoint
+    cadence as connected_components; at a handful of iterations plan
+    growth is harmless. Dangling-node mass (nodes with no out-edges) is
+    dropped rather than redistributed — documented deviation, fine for
+    relative ranking. ``nodes.count()`` is one scalar action (the N in
+    the teleport term — a parameter, not data)."""
+    scale = float(10**quant)
+    n = nodes.count()
+    base = (1.0 - damping) / n
+    outsum = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    p = edges.join(outsum, "src").select(
+        "src", "dst", (F.col("weight") / F.col("out_w")).alias("p")
+    )
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
+    for _ in range(iterations):
+        contribs = (
+            p.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                (
+                    F.sum(F.floor(F.col("r") * F.col("p") * F.lit(scale) + F.lit(0.5)).cast("long"))
+                    / F.lit(scale)
+                ).alias("in_r")
+            )
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.floor(
+                    (F.lit(base) + F.lit(damping) * F.coalesce("in_r", F.lit(0.0)))
+                    * F.lit(scale)
+                    + F.lit(0.5)
+                )
+                / F.lit(scale)
+            ).alias("r"),
+        )
+    return ranks

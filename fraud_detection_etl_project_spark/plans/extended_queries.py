@@ -1665,3 +1665,150 @@ def customer_order_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+@query(
+    "order_price_histogram",
+    oracle="""
+SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+                 WHEN o_totalprice >= 600000.0 THEN 13
+                 ELSE CAST(floor(o_totalprice / 50000.0) AS INT) + 1 END AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       floor((min(o_totalprice)) * 100.0 + 0.5) / 100.0 AS bucket_min,
+       floor((max(o_totalprice)) * 100.0 + 0.5) / 100.0 AS bucket_max
+FROM orders GROUP BY 1
+""",
+)
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket (§2.8): the one-pass
+    distribution profile (12 buckets over [0, 600k), overflow bucket 13).
+    The oracle mirrors Spark's exact bucket arithmetic
+    (floor(v / bucket_width) + 1 on identical doubles; DuckDB has no
+    width_bucket scalar), so assignment is bit-identical.
+
+    Scale: single partial/final aggregation on a 13-value key; the
+    histogram of a 100 TB column costs one scan."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(12))
+            .cast("int")
+            .alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            fxr(F.min("o_totalprice"), 2).alias("bucket_min"),
+            fxr(F.max("o_totalprice"), 2).alias("bucket_max"),
+        )
+    )
+
+
+@query(
+    "customer_na_cleaned",
+    oracle="""
+SELECT c_custkey,
+       coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS acctbal_clean,
+       coalesce(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN NULL ELSE c_mktsegment END,
+                'UNKNOWN') AS segment_clean
+FROM customer
+WHERE c_acctbal IS NOT NULL
+""",
+)
+def customer_na_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling surface (§2.8, DataFrameNaFunctions): nullify
+    sentinel values (negative balances, one segment treated as a sentinel
+    to make the fixture's clean data exercise the path), then
+    ``na.fill`` per-column defaults and ``na.drop`` on the key column —
+    the standard ingestion-cleanup composition, row-local and
+    shuffle-free."""
+    c = _t(spark, sf_dir, "customer")
+    nullified = c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")).alias("acctbal_clean"),
+        F.when(F.col("c_mktsegment") == "AUTOMOBILE", None)
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment_clean"),
+    )
+    return nullified.na.fill({"acctbal_clean": 0.0, "segment_clean": "UNKNOWN"}).na.drop(
+        subset=["c_custkey"]
+    )
+
+
+# Constants shared between the Spark pagerank call and its generated
+# oracle — embedding the repr of the Python-computed doubles guarantees
+# both engines start from bit-identical teleport/init terms.
+_PR_N = 25  # nations
+_PR_D = 0.85
+_PR_ITERS = 3
+_PR_SCALE = float(10**12)
+_PR_BASE = (1.0 - _PR_D) / _PR_N
+_PR_R0 = 1.0 / _PR_N
+
+
+def _pagerank_oracle() -> str:
+    head = f"""
+WITH edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS weight
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2),
+nodes AS (SELECT n_nationkey AS node, n_name FROM nation),
+outsum AS (SELECT src, sum(weight) AS out_w FROM edges GROUP BY src),
+p AS (SELECT e.src, e.dst, CAST(e.weight AS DOUBLE) / CAST(o.out_w AS DOUBLE) AS p
+      FROM edges e JOIN outsum o ON e.src = o.src),
+r0 AS (SELECT node, {_PR_R0!r} AS r FROM nodes)"""
+    steps = []
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(f"""
+r{i} AS (SELECT n.node,
+               floor(({_PR_BASE!r} + {_PR_D!r} * coalesce(s.in_r, 0.0)) * {_PR_SCALE!r} + 0.5) / {_PR_SCALE!r} AS r
+        FROM nodes n LEFT JOIN (
+            SELECT p.dst AS node,
+                   sum(CAST(floor(r.r * p.p * {_PR_SCALE!r} + 0.5) AS BIGINT)) / {_PR_SCALE!r} AS in_r
+            FROM p JOIN r{i - 1} r ON p.src = r.node GROUP BY p.dst) s
+          ON n.node = s.node)""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+SELECT nodes.n_name, r{_PR_ITERS}.r AS pr_rank
+FROM r{_PR_ITERS} JOIN nodes ON r{_PR_ITERS}.node = nodes.node
+"""
+    )
+
+
+@query("nation_trade_pagerank", oracle=_pagerank_oracle())
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation trade graph (customer-nation → supplier-
+    nation, weighted by lineitem count): which nations' suppliers absorb
+    the most demand, recursively weighted. Second iterative-graph operator
+    beside connected components (operators/graph.pagerank).
+
+    Building the edge list is the heavy part at scale (one pass over the
+    fact star, aggregated to a 25×25 weighted digraph); the power
+    iterations then shuffle only edge-sized frames. Every iteration
+    quantizes to integer 1e-12 units with exact int64 sums, so the
+    3-iteration recurrence is bit-identical to the oracle's unrolled CTE
+    chain."""
+    from fraud_detection_etl_project_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    nodes = n.select(F.col("n_nationkey").alias("node"))
+    ranks = pagerank(nodes, edges, iterations=_PR_ITERS, damping=_PR_D, quant=12)
+    return ranks.join(n, ranks.node == n.n_nationkey).select("n_name", F.col("r").alias("pr_rank"))

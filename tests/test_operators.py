@@ -163,3 +163,23 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     }
     assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 20: 20}
     assert any(files for _, _, files in os.walk(ckpt)), "no checkpoint files written"
+
+
+def test_pagerank_star_graph(spark):
+    """Hub-and-spoke digraph: all spokes point at the hub, hub points at
+    one spoke. The hub must outrank everything; ranks are deterministic
+    and repeatable; total mass stays <= 1 (dangling loss is dropped)."""
+    from fraud_detection_etl_project_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "node long")
+    edges = spark.createDataFrame(
+        [(1, 0, 1), (2, 0, 1), (3, 0, 1), (4, 0, 1), (0, 1, 1)],
+        "src long, dst long, weight long",
+    )
+    r = {row["node"]: row["r"] for row in pagerank(nodes, edges, iterations=5).collect()}
+    assert max(r, key=r.get) == 0  # hub wins
+    assert r[1] > r[2]  # the hub's one out-link beats plain spokes
+    assert abs(r[2] - r[3]) < 1e-12 and abs(r[3] - r[4]) < 1e-12  # symmetry
+    assert sum(r.values()) <= 1.0 + 1e-9
+    again = {row["node"]: row["r"] for row in pagerank(nodes, edges, iterations=5).collect()}
+    assert r == again
