@@ -1377,6 +1377,7 @@ def user_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q10_returned_revenue",
+    bench=True,
     oracle=f"""
 SELECT c.c_custkey, c.c_name, n.n_name,
        {cents_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
@@ -1782,7 +1783,7 @@ FROM r{_PR_ITERS} JOIN nodes ON r{_PR_ITERS}.node = nodes.node
     )
 
 
-@query("nation_trade_pagerank", oracle=_pagerank_oracle())
+@query("nation_trade_pagerank", bench=True, oracle=_pagerank_oracle())
 def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the nation trade graph (customer-nation → supplier-
     nation, weighted by lineitem count): which nations' suppliers absorb
