@@ -39,22 +39,28 @@ def asof_join(
     right_ts: str,
     payload: Sequence[str],
     tolerance: Column | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of join: for each left row, the latest right row with
-    ``right_ts <= left_ts`` within the same ``on`` key.
+    """As-of join: for each left row, the nearest right row within the same
+    ``on`` key — ``direction="backward"`` (default) takes the latest right
+    with ``right_ts <= left_ts``; ``direction="forward"`` the earliest
+    right with ``right_ts >= left_ts``.
 
-    Implemented with the union-tag + ``last(ignorenulls)`` running-window
-    trick rather than a join: both sides are unioned, sorted once per key by
-    (ts, side), and each left row picks up the most recent right payload seen
-    so far. This costs ONE shuffle on the key — no join blow-up, no
-    broadcast-nested-loop — and is the formulation that survives 100 TB
-    (a naive ``l.ts >= r.ts`` join is O(|L|·|R|) per key).
+    Implemented with the union-tag + ``last/first(ignorenulls)``
+    running-window trick rather than a join: both sides are unioned, sorted
+    once per key by (ts, side), and each left row picks up the nearest
+    right payload in the chosen direction. This costs ONE shuffle on the
+    key — no join blow-up, no broadcast-nested-loop — and is the
+    formulation that survives 100 TB (a naive ``l.ts >= r.ts`` join is
+    O(|L|·|R|) per key).
 
     Right-side ties on the same (key, ts) resolve to the row that sorts last
     in input order of the union; pass pre-deduplicated right sides for strict
-    determinism. ``tolerance``: optional max age (left_ts - right_ts) as an
+    determinism. ``tolerance``: optional max age (|left_ts - right_ts|) as an
     interval/double column-compatible literal; matches outside it are nulled.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     lcols = left.columns
     l_tag = left.select(
         F.col(on).alias("__k"),
@@ -72,22 +78,32 @@ def asof_join(
         F.lit(None).cast(l_tag.schema["__lrow"].dataType).alias("__lrow"),
         F.struct(*[F.col(c) for c in payload]).alias("__rrow"),
     )
-    # right (0) sorts before left (1) at equal ts => "<=" as-of semantics
-    w = (
-        Window.partitionBy("__k")
-        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     unioned = l_tag.unionByName(r_tag)
-    matched = unioned.withColumn("__match", F.last("__rrow", ignorenulls=True).over(w)).withColumn(
-        "__match_ts", F.last(F.when(F.col("__is_left") == 0, F.col("__ts")), ignorenulls=True).over(w)
+    if direction == "backward":
+        # right (0) sorts before left (1) at equal ts => "<=" as-of semantics
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+        age = F.col("__ts") - F.col("__match_ts")
+    else:
+        # left (1) sorts before right (0) at equal ts so the window
+        # [current, following] still sees an equal-ts right row => ">="
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__ts").asc(), F.col("__is_left").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+        age = F.col("__match_ts") - F.col("__ts")
+    matched = unioned.withColumn("__match", pick(F.col("__rrow"))).withColumn(
+        "__match_ts", pick(F.when(F.col("__is_left") == 0, F.col("__ts")))
     )
     out = matched.filter(F.col("__is_left") == 1)
     if tolerance is not None:
-        out = out.withColumn(
-            "__match",
-            F.when(F.col("__ts") - F.col("__match_ts") <= tolerance, F.col("__match")),
-        )
+        out = out.withColumn("__match", F.when(age <= tolerance, F.col("__match")))
     sel = [F.col(f"__lrow.{c}").alias(c) for c in lcols]
     sel += [F.col(f"__match.{c}").alias(f"asof_{c}") for c in payload]
     return out.select(*sel)

@@ -696,6 +696,38 @@ def asof_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "asof_next_purchase",
+    oracle="""
+WITH s AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+     p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     j AS (SELECT s.event_id, s.user_id,
+                  p.event_id AS next_purchase_id,
+                  row_number() OVER (PARTITION BY s.event_id
+                                     ORDER BY p.ts ASC NULLS LAST, p.event_id ASC NULLS LAST) AS rn
+           FROM s LEFT JOIN p ON s.user_id = p.user_id AND p.ts >= s.ts)
+SELECT event_id, user_id, CAST(next_purchase_id AS BIGINT) AS next_purchase_id
+FROM j WHERE rn = 1
+""",
+)
+def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (§2.3): each signup matched to the user's next
+    purchase at-or-after it — the conversion-lag primitive (mirror of the
+    backward asof_purchase_signup). Same union-tag single-shuffle
+    formulation, direction='forward' (first-following instead of
+    last-preceding)."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    purchases = e.filter(F.col("event_type") == "purchase").drop("event_type")
+    signups = e.filter(F.col("event_type") == "signup").drop("event_type")
+    out = asof_join(
+        signups, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        payload=["event_id"], direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("asof_event_id").cast("bigint").alias("next_purchase_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Windows, sorts, top-k
 # ---------------------------------------------------------------------------

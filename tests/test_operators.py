@@ -183,3 +183,22 @@ def test_pagerank_star_graph(spark):
     assert sum(r.values()) <= 1.0 + 1e-9
     again = {row["node"]: row["r"] for row in pagerank(nodes, edges, iterations=5).collect()}
     assert r == again
+
+
+def test_asof_join_forward(spark):
+    trades = spark.createDataFrame(
+        [(1, "A", _ts("2024-01-01T10:00:30")), (2, "A", _ts("2024-01-01T10:02:00")),
+         (3, "B", _ts("2024-01-01T10:02:00"))],
+        "trade_id long, sym string, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [("A", _ts("2024-01-01T10:01:00"), 11.0), ("A", _ts("2024-01-01T10:02:00"), 12.0),
+         ("B", _ts("2024-01-01T10:00:00"), 5.0)],
+        "sym string, ts timestamp, px double",
+    )
+    out = asof_join(trades, quotes, on="sym", left_ts="ts", right_ts="ts",
+                    payload=["px"], direction="forward")
+    got = {r["trade_id"]: r["asof_px"] for r in out.collect()}
+    # trade1: next quote >= 10:00:30 is 11.0; trade2: equal-ts quote 12.0
+    # matches (>= semantics); trade3: no following quote
+    assert got == {1: 11.0, 2: 12.0, 3: None}
