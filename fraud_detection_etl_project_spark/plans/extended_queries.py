@@ -1813,3 +1813,97 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = n.select(F.col("n_nationkey").alias("node"))
     ranks = pagerank(nodes, edges, iterations=_PR_ITERS, damping=_PR_D, quant=12)
     return ranks.join(n, ranks.node == n.n_nationkey).select("n_name", F.col("r").alias("pr_rank"))
+
+
+# --- k-means (Lloyd) over embeddings: 2 oracle-checked iterations ---------
+
+_KM_K = 8
+_KM_MEAN_SQL = "sum(CAST(floor(val * 100000000.0 + 0.5) AS BIGINT)) / 100000000.0 / count(*)"
+
+
+def _km_unroll_sql() -> str:
+    """cent0 (seed = lowest-id vectors) -> a1 -> cent1 -> a2 -> cent2,
+    mirroring the Spark recurrence exactly (same quantized means, same
+    sequential-fold cosine, same lowest-cid tie-break)."""
+
+    def assign(cent: str, out: str) -> str:
+        return f"""
+{out} AS (SELECT vec_id, embedding, cid FROM
+            (SELECT e.vec_id, e.embedding, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                                       ORDER BY {_cos_sql('e.embedding', 'c.c')} DESC, c.cid ASC) AS rn
+             FROM embeddings e CROSS JOIN {cent} c)
+          WHERE rn = 1)"""
+
+    def recompute(asg: str, out: str) -> str:
+        return f"""
+{out}_p AS (SELECT cid, UNNEST(range(1, len(embedding) + 1)) AS pos,
+                   UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val
+            FROM {asg}),
+{out} AS (SELECT cid, list(cval ORDER BY pos) AS c FROM
+            (SELECT cid, pos, {_KM_MEAN_SQL} AS cval FROM {out}_p GROUP BY 1, 2)
+          GROUP BY cid)"""
+
+    return f"""
+WITH cent0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+               FROM embeddings WHERE vec_id < {_KM_K}),{assign('cent0', 'a1')},{recompute('a1', 'cent1')},{assign('cent1', 'a2')},{recompute('a2', 'cent2')}
+SELECT a.cid AS cell,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       floor((any_value(c.c[1])) * 1000000.0 + 0.5) / 1000000.0 AS c_dim0,
+       floor((any_value(c.c[2])) * 1000000.0 + 0.5) / 1000000.0 AS c_dim1
+FROM a2 a JOIN cent2 c ON a.cid = c.cid
+GROUP BY a.cid
+"""
+
+
+@query("embedding_kmeans_2iter", oracle=_km_unroll_sql())
+def embedding_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means (Lloyd) over the embedding table, two full iterations:
+    seed with the k lowest-id vectors, assign every vector to its
+    max-cosine centroid (JVM-side argmax, lowest-cell tie-break),
+    recompute centroids as 1e-8-quantized elementwise means (exact int64
+    sums — summation-order-free), repeat, and report per-cell sizes plus
+    two centroid dimensions. The whole two-iteration recurrence is
+    bit-identical to the oracle's unrolled CTE chain — the same
+    quantize-between-iterations discipline as pagerank.
+
+    Scale: each iteration is one narrow scan for assignment (k·d literal
+    codebook, no join) + one posexplode shuffle of (cell, pos, val)
+    triples for the recompute; centroids collect as k·d floats
+    (parameters, not data). More iterations repeat the same two jobs."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def recompute(assigned: DataFrame) -> list[tuple[int, list[float]]]:
+        pos = assigned.select("cell", F.posexplode("embedding").alias("pos", "val"))
+        cent = (
+            pos.groupBy("cell", "pos")
+            .agg(
+                (
+                    F.sum(F.floor(F.col("val").cast("double") * F.lit(1e8) + F.lit(0.5)).cast("long"))
+                    / F.lit(1e8)
+                    / F.count(F.lit(1))
+                ).alias("cval")
+            )
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pairs"))
+            .select("cell", F.transform("pairs", lambda p: p["cval"]).alias("centroid"))
+            .orderBy("cell")
+        )
+        return [(int(r["cell"]), [float(x) for x in r["centroid"]]) for r in cent.collect()]
+
+    cents = S.ivf_centroids(e, k=_KM_K)
+    assigned = None
+    for _ in range(2):
+        assigned = S.ivf_assign(e, cents)
+        cents = recompute(assigned)
+    # report the LAST assignment's cell sizes with the centroids
+    # recomputed FROM it (a2 + cent2 in the oracle's unrolled chain)
+    cent_df = spark.createDataFrame(
+        [(c, v[0], v[1]) for c, v in cents], "cell int, d0 double, d1 double"
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+        .join(F.broadcast(cent_df), "cell")
+        .select("cell", "n_vectors", fxr("d0", 6).alias("c_dim0"), fxr("d1", 6).alias("c_dim1"))
+    )
