@@ -127,3 +127,30 @@ def test_dedup_within_watermark_drops_redelivered_events(spark, tmp_path):
     q.awaitTermination()
     got = sorted(r["event_id"] for r in spark.table(name).collect())
     assert got == [1, 2, 3]
+
+
+def test_cdc_stream_merges_and_replays_idempotently(spark, tmp_path):
+    """Change-feed files stream into a parquet target via foreachBatch +
+    apply_cdc: updates land, inserts land, deletes remove, per-key seq
+    conflicts resolve highest-wins — and a replayed drain (same checkpoint,
+    no new files) leaves the target unchanged."""
+    from fraud_detection_etl_project_spark.streaming.cdc import run_cdc_stream
+
+    target = str(tmp_path / "target")
+    landing = tmp_path / "landing"
+    ckpt = str(tmp_path / "ckpt")
+    landing.mkdir()
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, price double"
+    ).write.parquet(target)
+    (landing / "f1.csv").write_text("k,op,price,seq\n2,U,21.0,1\n4,I,40.0,1\n")
+    (landing / "f2.csv").write_text("k,op,price,seq\n1,D,,2\n4,U,41.0,2\n")
+    schema = "k long, op string, price double, seq long"
+
+    run_cdc_stream(spark, str(landing), ckpt, target, schema)
+    got = {r["k"]: r["price"] for r in spark.read.parquet(target).collect()}
+    assert got == {2: 21.0, 3: 30.0, 4: 41.0}  # 1 deleted, 2 updated, 4 upserted
+
+    run_cdc_stream(spark, str(landing), ckpt, target, schema)  # replay: no-op
+    again = {r["k"]: r["price"] for r in spark.read.parquet(target).collect()}
+    assert again == got
