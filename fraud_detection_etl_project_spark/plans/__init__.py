@@ -37,7 +37,7 @@ FAMILY_PREFIX = [
     "rollup_flag_status",
     "grouping_sets_sales",
     "pivot_status_counts",
-    "lineitem_unpivot_stats",
+    "nation_trade_pagerank",
     "region_customer_rollup",
     "order_fill_left_join",
     "lineitem_fill_right_join",
@@ -60,7 +60,7 @@ FAMILY_PREFIX = [
     "top10_orders",
     "all_parties_union",
     "nations_with_both",
-    "nations_customers_only",
+    "orders_cdc_applied",
     "distinct_user_event_pairs",
     "sql_top_revenue_customers",
     "stream_hourly_event_rollup",
