@@ -1907,3 +1907,34 @@ def embedding_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cent_df), "cell")
         .select("cell", "n_vectors", fxr("d0", 6).alias("c_dim0"), fxr("d1", 6).alias("c_dim1"))
     )
+
+
+@query(
+    "synthetic_source_rollup",
+    oracle="""
+SELECT CAST((1103515245 * i + 12345) % 97 AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(md5(CAST(i AS VARCHAR))) AS min_fp
+FROM range(5000) t(i) GROUP BY 1
+""",
+)
+def synthetic_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 API, sources/pydatasource.py):
+    a registered ``format("syntheticrows")`` source with real partition
+    planning (8 range partitions, each read independently — the paged-
+    REST/object-listing shape), aggregated downstream like any scan. The
+    source is a deterministic function of the row id, so the whole
+    connector path — registration, options, partition split, per-
+    partition iterators, Arrow hand-off — is value-checked against a
+    pure-SQL mirror."""
+    from fraud_detection_etl_project_spark.sources.pydatasource import register
+
+    register(spark)
+    df = spark.read.format("syntheticrows").option("n", 5000).option("parts", 8).load()
+    return (
+        df.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("fp").alias("min_fp"),
+        )
+    )

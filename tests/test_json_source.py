@@ -48,3 +48,19 @@ def test_inferred_schema_clean_input(spark, tmp_path):
     (p / "b.jsonl").write_text('{"k": 1}\n{"k": 2}\n')
     df = read_json(spark, str(p))
     assert sorted(r.k for r in df.collect()) == [1, 2]
+
+
+def test_python_datasource_partition_planning(spark):
+    """The custom Python DataSource plans real partitions: 'parts' range
+    splits, all rows exactly once, deterministic across reads."""
+    from fraud_detection_etl_project_spark.sources.pydatasource import register
+
+    register(spark)
+    df = spark.read.format("syntheticrows").option("n", 100).option("parts", 5).load()
+    assert df.rdd.getNumPartitions() == 5
+    rows = df.collect()
+    assert len(rows) == 100
+    assert sorted(r["id"] for r in rows) == list(range(100))
+    one = {r["id"]: (r["bucket"], r["fp"]) for r in rows}
+    two = {r["id"]: (r["bucket"], r["fp"]) for r in df.collect()}
+    assert one == two
