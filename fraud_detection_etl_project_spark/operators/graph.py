@@ -47,11 +47,24 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
     checkpoint_dir: str | None = None,
+    local_edge_threshold: int = 200_000,
 ) -> DataFrame:
     """(node, component) for every node; component = min node id reachable
     over the undirected edge set. Singletons keep their own id.
 
     ``nodes`` must contain every vertex (edge endpoints may be a subset).
+
+    **Adaptive execution.** After LSH pruning, the non-singleton subgraph
+    of a near-dup corpus is typically orders of magnitude smaller than the
+    corpus (tens of candidate pairs per million docs). When the distinct
+    edge count is below ``local_edge_threshold``, the edges are collected
+    and resolved with a driver-side union-find (O(E α(E)), microseconds),
+    skipping the per-iteration join/checkpoint/action overhead entirely —
+    the result is identical (min-reachable-id labels). Above the
+    threshold, the distributed min-label/pointer-jump loop below runs;
+    at 100 TB with billions of candidate edges that is the only option,
+    and the threshold (≈ a few MB of (id,id) pairs) keeps driver memory
+    bounded. Property tests assert both paths agree on random graphs.
 
     ``checkpoint_dir`` selects the lineage-truncation mode. Default
     (``None``) uses ``localCheckpoint``: blocks live in executor memory —
@@ -90,12 +103,15 @@ def connected_components(
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     sym = _ckpt(sym)  # edge list reused every iteration
 
+    n_edges = sym.count()  # free: checkpoint already materialized
+    if n_edges <= local_edge_threshold:
+        return _local_components(nodes, sym, node_col)
+
     # Size iteration parallelism to the SUBGRAPH, not the corpus: after LSH
     # pruning, the non-singleton subgraph is usually orders of magnitude
     # smaller than the corpus, and per-iteration scheduler/shuffle overhead
     # at corpus parallelism dominates the actual work. ~50k edges per
     # partition keeps tasks meaty; huge graphs keep full parallelism.
-    n_edges = sym.count()  # free: checkpoint already materialized
     default_parts = int(sym.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     parts = max(1, min(default_parts, n_edges // 50_000))
     if parts < default_parts:
@@ -147,6 +163,45 @@ def connected_components(
 
     # stitch singletons (and any node absent from the edge set) back in
     return nodes.select(F.col(node_col).alias("node")).join(labels, "node", "left").select(
+        F.col("node"), F.coalesce(F.col("comp"), F.col("node")).alias("comp")
+    )
+
+
+def _local_components(nodes: DataFrame, sym: DataFrame, node_col: str) -> DataFrame:
+    """Driver-side union-find over a collected (small) edge list, labels
+    re-joined distributed. Produces the same min-reachable-id component
+    labels as the iterative path. The collect is bounded by the caller's
+    ``local_edge_threshold`` (pairs of int64 ids — a few MB at most)."""
+    parent: dict = {}
+    seen: set = set()
+
+    def find(x):
+        chain = []
+        while parent.get(x, x) != x:
+            chain.append(x)
+            x = parent[x]
+        for c in chain:  # path compression
+            parent[c] = x
+        return x
+
+    for row in sym.collect():
+        a, b = row["a"], row["b"]
+        seen.add(a)
+        seen.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # smaller id stays root => min-label semantics
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = sym.schema["a"].dataType
+    label_df = sym.sparkSession.createDataFrame(
+        sorted((x, find(x)) for x in seen),
+        StructType([StructField("node", id_type), StructField("comp", id_type)]),
+    )
+    return nodes.select(F.col(node_col).alias("node")).join(label_df, "node", "left").select(
         F.col("node"), F.coalesce(F.col("comp"), F.col("node")).alias("comp")
     )
 

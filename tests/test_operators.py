@@ -141,6 +141,12 @@ def test_connected_components_chain_and_singleton(spark):
     )
     cc = {r["node"]: r["comp"] for r in connected_components(nodes, edges).collect()}
     assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20}
+    # same answer on the distributed path (fast path bypassed)
+    cc_dist = {
+        r["node"]: r["comp"]
+        for r in connected_components(nodes, edges, local_edge_threshold=0).collect()
+    }
+    assert cc_dist == cc
     kept = {r["node"]: r["cluster_size"] for r in canonical_per_component(
         connected_components(nodes, edges)).collect()}
     assert kept == {1: 5, 10: 2, 20: 1}
@@ -159,7 +165,9 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     ckpt = str(tmp_path / "cc_ckpt")
     cc = {
         r["node"]: r["comp"]
-        for r in connected_components(nodes, edges, checkpoint_dir=ckpt).collect()
+        for r in connected_components(
+            nodes, edges, checkpoint_dir=ckpt, local_edge_threshold=0
+        ).collect()
     }
     assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 20: 20}
     assert any(files for _, _, files in os.walk(ckpt)), "no checkpoint files written"

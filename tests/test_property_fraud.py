@@ -109,5 +109,12 @@ def test_connected_components_matches_union_find(spark_session, edge_list):
         edges_df = spark_session.createDataFrame(edge_list, "src long, dst long")
     else:
         edges_df = spark_session.createDataFrame([], "src long, dst long")
+    # small-graph fast path (driver union-find)
     got = {r["node"]: r["comp"] for r in connected_components(nodes_df, edges_df).collect()}
     assert got == expected
+    # distributed min-label/pointer-jump path (threshold forced to 0)
+    got_dist = {
+        r["node"]: r["comp"]
+        for r in connected_components(nodes_df, edges_df, local_edge_threshold=0).collect()
+    }
+    assert got_dist == expected
