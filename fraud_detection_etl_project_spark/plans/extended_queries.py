@@ -1938,3 +1938,52 @@ def synthetic_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("fp").alias("min_fp"),
         )
     )
+
+
+@query(
+    "synthetic_stream_rollup",
+    oracle="""
+SELECT CAST((1103515245 * i + 12345) % 97 AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(md5(CAST(i AS VARCHAR))) AS min_fp
+FROM range(2000) t(i) GROUP BY 1
+""",
+)
+def synthetic_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING Python DataSource (Spark 4
+    SimpleDataSourceStreamReader): the same deterministic rows served as
+    an offset-tracked micro-batch stream (queue-cursor/API-page shape:
+    read advances a position offset, replay between committed offsets is
+    exact), drained with availableNow into a memory sink and rolled up.
+    availableNow prefetches ONE batch from a simple stream reader, so the
+    query serves the full range in a single batch; the incremental
+    multi-batch offset walk (600-row pages across repeated checkpointed
+    drains) is exercised in tests/test_streaming.py. Bounded +
+    deterministic => the connector path (offsets, batch serving, replay
+    contract, checkpointed drain) is value-checked against the same
+    pure-SQL mirror as the batch source."""
+    import uuid as _uuid
+
+    from fraud_detection_etl_project_spark.sources.pydatasource import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("syntheticrowsstream")
+        .option("n", 2000)
+        .option("batch", 2000)
+        .load()
+    )
+    agg = stream.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("fp").alias("min_fp"),
+    )
+    name = f"synth_stream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

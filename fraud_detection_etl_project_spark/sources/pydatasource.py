@@ -23,7 +23,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 # LCG constants (glibc) for the deterministic bucket column — arbitrary,
 # mirrored verbatim in the oracle SQL.
@@ -70,9 +75,51 @@ class SyntheticRowsDataSource(DataSource):
         return SyntheticRowsReader(self.options)
 
 
+class SyntheticRowsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming variant: the same deterministic rows delivered as an
+    offset-tracked micro-batch stream — the wrapper shape for polling an
+    external system (queue cursor, API page token) as a Structured
+    Streaming source. Offsets are row positions; each ``read`` serves at
+    most ``batch`` rows and advances the offset, ending at ``n`` (a
+    bounded stream, so availableNow drains deterministically and replay
+    from any committed offset yields identical rows)."""
+
+    def __init__(self, options: dict):
+        self.n = int(options.get("n", 1000))
+        self.batch = int(options.get("batch", 250))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        lo = start["pos"]
+        hi = min(lo + self.batch, self.n)
+        rows = [
+            (i, (_LCG_A * i + _LCG_C) % _LCG_M, hashlib.md5(str(i).encode()).hexdigest())
+            for i in range(lo, hi)
+        ]
+        return iter(rows), {"pos": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            (i, (_LCG_A * i + _LCG_C) % _LCG_M, hashlib.md5(str(i).encode()).hexdigest())
+            for i in range(start["pos"], end["pos"])
+        )
+
+
+class SyntheticRowsDataSourceStreaming(SyntheticRowsDataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "syntheticrowsstream"
+
+    def simpleStreamReader(self, schema) -> SyntheticRowsStreamReader:
+        return SyntheticRowsStreamReader(self.options)
+
+
 def register(spark) -> None:
-    """Idempotently register the source under its format name."""
-    try:
-        spark.dataSource.register(SyntheticRowsDataSource)
-    except Exception:
-        pass  # already registered in this session
+    """Idempotently register both sources under their format names."""
+    for ds in (SyntheticRowsDataSource, SyntheticRowsDataSourceStreaming):
+        try:
+            spark.dataSource.register(ds)
+        except Exception:
+            pass  # already registered in this session

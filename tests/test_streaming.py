@@ -154,3 +154,34 @@ def test_cdc_stream_merges_and_replays_idempotently(spark, tmp_path):
     run_cdc_stream(spark, str(landing), ckpt, target, schema)  # replay: no-op
     again = {r["k"]: r["price"] for r in spark.read.parquet(target).collect()}
     assert again == got
+
+
+def test_python_stream_source_offset_walk(spark, tmp_path):
+    """The custom streaming DataSource pages through its offset range:
+    each availableNow drain with a shared checkpoint advances the cursor
+    by one batch (600 rows), never re-delivering, until the bounded
+    stream is exhausted — the queue-cursor replay contract."""
+    from fraud_detection_etl_project_spark.sources.pydatasource import register
+
+    register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        stream = (
+            spark.readStream.format("syntheticrowsstream")
+            .option("n", 2000).option("batch", 600).load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    sizes = [drain().count() for _ in range(4)]
+    assert sizes == [600, 1200, 1800, 2000]  # one 600-row page per drain, capped at n
+    final = drain()  # exhausted: no re-delivery
+    assert final.count() == 2000
+    assert sorted(r["id"] for r in final.select("id").collect()) == list(range(2000))
