@@ -1987,3 +1987,60 @@ def synthetic_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "orders_column_profile",
+    oracle="""
+SELECT 'o_totalprice' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(o_totalprice) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+       CAST(floor(min(o_totalprice) * 100.0 + 0.5) / 100.0 AS VARCHAR) AS min_s,
+       CAST(floor(max(o_totalprice) * 100.0 + 0.5) / 100.0 AS VARCHAR) AS max_s
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(o_orderstatus) AS BIGINT),
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+       min(o_orderstatus), max(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(o_orderpriority) AS BIGINT),
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+       min(o_orderpriority), max(o_orderpriority)
+FROM orders
+""",
+)
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling (the data-quality pre-pass every ingestion
+    pipeline runs): per-column row/null/distinct counts + min/max,
+    emitted as one metric row per column. Numeric extrema are quantized
+    and rendered as strings so the profile has one uniform schema.
+
+    Scale: each column's profile is one aggregate over the same scan;
+    the three single-row aggregates union for free. At very high column
+    counts, profile in one pass with a single agg emitting a struct per
+    column instead (same scan cost, one job)."""
+    o = _t(spark, sf_dir, "orders")
+
+    def prof(col: str, numeric: bool) -> DataFrame:
+        if numeric:
+            mn = F.floor(F.min(col) * 100.0 + F.lit(0.5)) / 100.0
+            mx = F.floor(F.max(col) * 100.0 + F.lit(0.5)) / 100.0
+        else:
+            mn, mx = F.min(col), F.max(col)
+        return o.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).cast("bigint").alias("n_nulls"),
+            F.count_distinct(F.col(col)).cast("bigint").alias("n_distinct"),
+            mn.cast("string").alias("min_s"),
+            mx.cast("string").alias("max_s"),
+        ).select(F.lit(col).alias("col_name"), "*")
+
+    return (
+        prof("o_totalprice", True)
+        .unionByName(prof("o_orderstatus", False))
+        .unionByName(prof("o_orderpriority", False))
+    )

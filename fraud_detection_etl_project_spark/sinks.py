@@ -15,6 +15,7 @@ the reference-parity interchange format.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame
@@ -277,3 +278,36 @@ def write_range_sorted(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files and atomically swap it in. Returns
+    the new file count.
+
+    The 100 TB housekeeping operator: streaming sinks and incremental
+    merges accrete small files, and at scale the cost is real — file
+    listing, per-file open overhead, and row groups too small for
+    effective column statistics. Compaction restores ~target-sized files
+    (default 128 MB, the usual HDFS/S3 sweet spot). The swap is
+    directory-rename atomic like the CDC merge sink; table formats do
+    this as a transactional rewrite (OPTIMIZE), same logic."""
+    import math
+    import shutil
+
+    df = spark.read.parquet(path)
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    tmp, old = f"{path}.compact_tmp", f"{path}.compact_old"
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files

@@ -187,3 +187,22 @@ def test_apply_cdc_semantics(spark):
     assert out[1]["price"] == 10.0 and out[1]["last_op"] == "N"
     assert out[2]["price"] == 21.0 and out[2]["last_op"] == "U"
     assert out[4]["price"] == 40.0 and out[4]["last_op"] == "I"
+
+
+def test_compact_parquet(spark, tmp_path):
+    """Small-files compaction rewrites to ~target-sized files, atomically,
+    without changing the data."""
+    import glob
+
+    from fraud_detection_etl_project_spark.sinks import compact_parquet
+
+    out = str(tmp_path / "frag")
+    spark.range(0, 50_000).repartition(40).write.parquet(out)
+    before = len(glob.glob(f"{out}/part-*.parquet"))
+    assert before == 40
+    n = compact_parquet(spark, out, target_file_bytes=1024 * 1024)
+    after = glob.glob(f"{out}/part-*.parquet")
+    assert len(after) == n < before
+    df = spark.read.parquet(out)
+    assert df.count() == 50_000
+    assert df.selectExpr("sum(id)").collect()[0][0] == 49_999 * 50_000 // 2
