@@ -167,6 +167,49 @@ def connected_components(
     )
 
 
+def _local_pagerank(
+    nodes: DataFrame,
+    edge_rows_in,
+    iterations: int,
+    damping: float,
+    scale: float,
+    n: int,
+    base: float,
+) -> DataFrame:
+    """Driver-side power iteration over a collected (small, pre-aggregated)
+    edge list — the exact recurrence of the distributed loop: quantized
+    contributions summed in exact ints, rank re-quantized per iteration.
+    Python floats are IEEE doubles, so results are bit-identical."""
+    import math
+    from collections import defaultdict
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    edge_rows = [(r["src"], r["dst"], r["weight"]) for r in edge_rows_in]
+    node_list = [r["node"] for r in nodes.collect()]
+    out_w: dict = defaultdict(int)
+    for s, _, w in edge_rows:
+        out_w[s] += w
+    p = [(s, d, w / out_w[s]) for s, d, w in edge_rows]
+    r = {x: 1.0 / n for x in node_list}
+    for _ in range(iterations):
+        contrib: dict = defaultdict(int)
+        for s, d, pv in p:
+            if s in r:
+                contrib[d] += int(math.floor(r[s] * pv * scale + 0.5))
+        r = {
+            x: math.floor((base + damping * (contrib[x] / scale)) * scale + 0.5) / scale
+            if x in contrib
+            else math.floor((base + damping * 0.0) * scale + 0.5) / scale
+            for x in node_list
+        }
+    id_type = nodes.schema["node"].dataType
+    return nodes.sparkSession.createDataFrame(
+        sorted(r.items()),
+        StructType([StructField("node", id_type), StructField("r", DoubleType())]),
+    )
+
+
 def _local_components(nodes: DataFrame, sym: DataFrame, node_col: str) -> DataFrame:
     """Driver-side union-find over a collected (small) edge list, labels
     re-joined distributed. Produces the same min-reachable-id component
@@ -219,6 +262,7 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     quant: int = 12,
+    local_edge_threshold: int = 100_000,
 ) -> DataFrame:
     """Weighted PageRank over (src, dst, weight) edges: (node, r) after a
     fixed number of power iterations.
@@ -244,10 +288,28 @@ def pagerank(
     scale = float(10**quant)
     n = nodes.count()
     base = (1.0 - damping) / n
+
+    # Adaptive execution, same rationale as connected_components: ranks
+    # and transitions are graph-sized, not corpus-sized. When the
+    # AGGREGATED edge list is small (the nation graph is 625 rows no
+    # matter how many fact rows built it), driver-side power iteration
+    # with the identical quantized arithmetic (IEEE doubles + exact int
+    # sums — Python and the JVM agree bit-for-bit) skips all
+    # per-iteration job scheduling. Above the threshold the distributed
+    # loop runs — the only option for web-scale graphs.
+    # one-pass probe: collect up to threshold+1 edges; a small graph pays
+    # for its edge build exactly once (no separate count action)
+    probe = edges.limit(local_edge_threshold + 1).collect()
+    if len(probe) <= local_edge_threshold:
+        return _local_pagerank(nodes, probe, iterations, damping, scale, n, base)
+
+    # persist the transition matrix: every iteration references it, and
+    # without the persist the (possibly expensive) edge-build lineage is
+    # embedded — and recomputed — once per iteration in the final plan
     outsum = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
     p = edges.join(outsum, "src").select(
         "src", "dst", (F.col("weight") / F.col("out_w")).alias("p")
-    )
+    ).persist()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
     for _ in range(iterations):
         contribs = (

@@ -191,6 +191,12 @@ def test_pagerank_star_graph(spark):
     assert sum(r.values()) <= 1.0 + 1e-9
     again = {row["node"]: row["r"] for row in pagerank(nodes, edges, iterations=5).collect()}
     assert r == again
+    # the distributed path (fast path bypassed) is bit-identical
+    dist = {
+        row["node"]: row["r"]
+        for row in pagerank(nodes, edges, iterations=5, local_edge_threshold=0).collect()
+    }
+    assert dist == r
 
 
 def test_asof_join_forward(spark):
