@@ -334,3 +334,35 @@ def pagerank(
             ).alias("r"),
         )
     return ranks
+
+
+def bfs_khop(seeds: DataFrame, edges: DataFrame, k: int) -> DataFrame:
+    """Breadth-first k-hop reachability: (node, dist) for every node within
+    ``k`` undirected hops of a seed set, dist = minimum hop count.
+
+    ``seeds`` is (node,), ``edges`` is (src, dst) in any orientation —
+    symmetrized here. Each hop is one frontier⋈edges join (frontier-sized,
+    not graph-sized: the left-anti against already-settled nodes keeps the
+    frontier to NEWLY discovered nodes only, so a hop's shuffle moves at
+    most the new-node adjacency, the textbook distributed-BFS bound). The
+    first discovery IS the min distance — no per-node min aggregation
+    needed. For small fixed k the loop is left unchained (no checkpoint);
+    for deep traversals wrap in the same checkpoint cadence as
+    connected_components (plan depth grows linearly with k).
+    """
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    settled = seeds.select("node").distinct().withColumn("dist", F.lit(0))
+    frontier = settled
+    for i in range(1, k + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(settled.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(i))
+        )
+        settled = settled.union(nxt)
+        frontier = nxt
+    return settled.withColumn("dist", F.col("dist").cast("int"))
