@@ -304,3 +304,44 @@ def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= 3)
         .orderBy(F.col("support").desc(), "src", "dst")
     )
+
+
+@query(
+    "heavy_hitter_users",
+    oracle="""
+WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, t.n_total
+FROM events, t
+GROUP BY user_id, t.n_total
+HAVING count(*) * 1000 >= t.n_total * 8
+""",
+)
+def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (frequent-element detection) as the two-pass
+    sketch-then-verify pattern: candidate generation with
+    ``DataFrame.freqItems`` (the Karp/Misra-Gries streaming summary —
+    single pass, bounded memory, NO false negatives above the support
+    level), then one exact filtered count over the candidates. The final
+    output is therefore EXACT (every user with ≥0.8% of all events),
+    which is what makes a value-level oracle possible for an
+    approximate-algorithm query.
+
+    Scale: the sketch pass aggregates per-partition summaries of ≤1/s
+    entries each — the collected candidate list is parameters-sized
+    (≤200 items at support=0.005), like ivf_centroids. The verify pass is
+    a broadcast-filtered groupBy on the candidate set only. The threshold
+    comparison is exact integer cross-multiplication (n·1000 ≥ total·8) —
+    no float shares. On this fixture's ~uniform 150 users the candidate
+    set is all users (1/s exceeds the cardinality), so the prune is a
+    no-op pass-through — the machinery still runs; on a skewed 100 TB
+    keyspace it is what caps the verify join."""
+    e = _t(spark, sf_dir, "events").select("user_id")
+    total = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    cands = [r for r in e.freqItems(["user_id"], support=0.005).collect()[0][0]]
+    return (
+        e.filter(F.col("user_id").isin(cands))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_events") * 1000 >= F.col("n_total") * 8)
+    )
