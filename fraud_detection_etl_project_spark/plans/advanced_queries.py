@@ -55,6 +55,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "copurchase_triangle_count",
+    bench=True,
     oracle=f"""
 WITH e AS ({_EDGES_SQL}),
 tri AS (SELECT count(*) AS n_triangles
@@ -345,3 +346,259 @@ def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .filter(F.col("n_events") * 1000 >= F.col("n_total") * 8)
     )
+
+
+@query(
+    "hll_partial_union_users",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS union_within_5pct
+FROM events
+GROUP BY event_type
+""",
+)
+def hll_partial_union_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct-count sketches (Datasketches HLL): build
+    one HLL sketch per (event_type, day) partial, then MERGE the daily
+    partials per event_type with hll_union_agg — the
+    continuous-aggregate pattern where daily rollups are persisted and
+    coarser distinct counts are derived by sketch union, never by
+    re-scanning raw data (exact distincts are NOT re-aggregatable; HLL
+    partials are).
+
+    As with approx_event_stats, sketch bytes are engine-specific, so the
+    query emits exact companions plus an error-bound boolean: the unioned
+    estimate must land within ±5% of the exact distinct count
+    (lgConfigK=14 gives ~0.8% rsd — 5% is a >5-sigma bound). The oracle
+    asserts the exact values and that the bound holds.
+
+    Scale: pass 1 shuffles raw events once to (type, day) partials; pass 2
+    shuffles only sketch bytes (KB per partial, independent of row
+    count). At 100 TB the partials would be a persisted table; the union
+    step reads sketches, not events."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch"),
+    )
+    unioned = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return (
+        unioned.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "exact_users",
+            (
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                <= F.col("exact_users") * F.lit(0.05)
+            ).alias("union_within_5pct"),
+        )
+    )
+
+
+@query(
+    "monthly_stats_incremental",
+    oracle="""
+SELECT date_trunc('month', o_orderdate) AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0 AS total_price
+FROM orders
+GROUP BY 1
+""",
+)
+def monthly_stats_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a monthly orders aggregate kept
+    up-to-date by merging a persisted BASE partial with a newly-arrived
+    DELTA partial — sum-of-sums / sum-of-counts re-aggregation, never a
+    full recompute. The base here is everything before 2000-01-01 and the
+    delta everything after (standing in for the already-materialized
+    aggregate and the new arrivals); the oracle is the full recompute,
+    proving merge(base, delta) == recompute(all) — the algebraic property
+    (commutative-monoid partials, exact integer cents) that makes
+    incremental maintenance correct.
+
+    Scale: at 100 TB the base partial is a stored table of one row per
+    (month) — merging the day's delta touches delta-sized data plus the
+    partial, so daily maintenance cost is O(delta), not O(history). Both
+    partial aggregations here are map-side-combined single shuffles."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint").alias("cents"),
+    )
+    cut = F.lit("2000-01-01").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("month").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+
+    base = partial(o.filter(F.col("month") < cut))
+    delta = partial(o.filter(F.col("month") >= cut))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("month")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+    return merged.select(
+        "month", "n_orders", (F.col("sum_cents") / F.lit(100.0)).alias("total_price")
+    )
+
+
+@query(
+    "user_time_weighted_value",
+    oracle="""
+WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+w AS (SELECT user_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+             (lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - epoch_us(ts)) // 1000000 AS dur_s
+      FROM e)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_holds,
+       CAST(sum(cents * dur_s) AS BIGINT) AS weighted_sum_units,
+       CAST(sum(dur_s) AS BIGINT) AS total_dur_s
+FROM w WHERE dur_s IS NOT NULL
+GROUP BY user_id
+""",
+)
+def user_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted aggregation (the finance/IoT TWAP shape): each event's
+    value is held until the user's next event; the per-user sum of
+    value×holding-duration and the total held duration — the two exact
+    integers a time-weighted average divides (kept un-divided so the
+    oracle match is bit-exact). Units are sized for int64 headroom:
+    integer cents × whole seconds (floor division of the microsecond
+    gap — identical integer semantics in both engines); micro-units ×
+    microseconds would overflow int64 on month-long gaps.
+
+    Scale: one user_id shuffle serves both the lead() window and the final
+    grouped sum (partitioning reuse); duration math is exact int64 epoch
+    microseconds — no float time arithmetic anywhere."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    held = e.select(
+        "user_id",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("cents"),
+        ((F.lead(us).over(w) - us) / F.lit(1_000_000)).cast("bigint").alias("dur_s"),
+    ).filter(F.col("dur_s").isNotNull())
+    return held.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_holds"),
+        F.sum(F.col("cents") * F.col("dur_s")).cast("bigint").alias("weighted_sum_units"),
+        F.sum("dur_s").cast("bigint").alias("total_dur_s"),
+    )
+
+
+@query(
+    "nation_revenue_share",
+    oracle="""
+WITH rev AS (
+  SELECT n.n_name,
+         sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1
+)
+SELECT n_name, cents / 100.0 AS revenue,
+       floor(cents * 1000000.0 / sum(cents) OVER () + 0.5) / 1000000.0 AS revenue_share
+FROM rev
+""",
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio_to_report): each nation's share of global
+    order revenue via an unbounded whole-relation window over the grouped
+    aggregate.
+
+    Scale: the whole-relation window is safe for the same reason as the
+    sweep-line prefix sum — it consumes the ALREADY-AGGREGATED 25-row
+    nation frame, not raw orders (reduce first, window the reduced
+    frame). Shares divide exact integer cent sums and quantize at 1e-6,
+    so the ratio is engine-stable."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")).alias("cents"))
+    )
+    total = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        (F.col("cents") / F.lit(100.0)).alias("revenue"),
+        (
+            F.floor(F.col("cents") * F.lit(1_000_000.0) / F.sum("cents").over(total) + F.lit(0.5))
+            / F.lit(1_000_000.0)
+        ).alias("revenue_share"),
+    )
+
+
+@query(
+    "order_price_outliers",
+    oracle="""
+WITH med AS (
+  SELECT o_orderpriority,
+         floor(quantile_cont(o_totalprice, 0.5) * 1000000.0 + 0.5) / 1000000.0 AS med_price
+  FROM orders GROUP BY 1
+),
+dev AS (
+  SELECT o.o_orderpriority,
+         floor(quantile_cont(abs(o.o_totalprice - m.med_price), 0.5) * 1000000.0 + 0.5)
+           / 1000000.0 AS mad
+  FROM orders o JOIN med m USING (o_orderpriority)
+  GROUP BY 1
+)
+SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice
+FROM orders o
+JOIN med m USING (o_orderpriority)
+JOIN dev d USING (o_orderpriority)
+WHERE abs(o.o_totalprice - m.med_price) > 2.0 * d.mad
+""",
+)
+def order_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection (median absolute deviation): orders whose
+    price deviates from their priority-group median by more than 2×MAD —
+    the data-quality screen that, unlike z-scores, isn't poisoned by the
+    outliers it hunts.
+
+    Scale: two grouped exact-percentile passes over the fact (each one
+    shuffle on the 5-value priority key), then the flagging join
+    broadcasts the 5-row (median, mad) parameter frame back onto the
+    scan — the fact is never self-joined row-to-row. Medians are exact
+    interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``, see quantity_percentiles), quantized at 1e-6 so
+    the 3×MAD threshold both engines compare against is the identical
+    double; ``percentile_approx`` is the documented scale path when an
+    approximate screen suffices."""
+    from fraud_detection_etl_project_spark.functions.rounding import fxr
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+    med = o.groupBy("o_orderpriority").agg(
+        fxr(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("med_price")
+    )
+    dev = (
+        o.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(fxr(F.expr("percentile(abs(o_totalprice - med_price), 0.5)"), 6).alias("mad"))
+    )
+    flagged = (
+        o.join(F.broadcast(med), "o_orderpriority")
+        .join(F.broadcast(dev), "o_orderpriority")
+        .filter(F.abs(F.col("o_totalprice") - F.col("med_price")) > 2.0 * F.col("mad"))
+    )
+    return flagged.select("o_orderkey", "o_orderpriority", "o_totalprice")

@@ -150,6 +150,7 @@ _Q19_CLAUSES = (
 
 @query(
     "q19_disjunctive_revenue",
+    bench=True,
     oracle=f"""
 SELECT {cents_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
        CAST(count(*) AS BIGINT) AS n_lines
@@ -199,6 +200,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q21_sole_return_supplier",
+    bench=True,
     oracle="""
 WITH l1 AS (
   SELECT l.l_orderkey, l.l_suppkey

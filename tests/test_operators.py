@@ -216,3 +216,36 @@ def test_asof_join_forward(spark):
     # trade1: next quote >= 10:00:30 is 11.0; trade2: equal-ts quote 12.0
     # matches (>= semantics); trade3: no following quote
     assert got == {1: 11.0, 2: 12.0, 3: None}
+
+
+def test_bfs_khop_matches_reference(spark):
+    from collections import deque
+    import random
+
+    from fraud_detection_etl_project_spark.operators.graph import bfs_khop
+
+    rng = random.Random(7)
+    n = 40
+    edge_list = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(60)})
+    seeds_py = [0, 5, 9]
+    adj = {i: set() for i in range(n)}
+    for a, b in edge_list:
+        adj[a].add(b)
+        adj[b].add(a)
+    # reference BFS: min hop distance from any seed, capped at k
+    k = 3
+    ref = {s: 0 for s in seeds_py}
+    frontier = deque(seeds_py)
+    while frontier:
+        v = frontier.popleft()
+        if ref[v] == k:
+            continue
+        for u in adj[v]:
+            if u not in ref:
+                ref[u] = ref[v] + 1
+                frontier.append(u)
+
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    seeds = spark.createDataFrame([(s,) for s in seeds_py], "node long")
+    got = {r["node"]: r["dist"] for r in bfs_khop(seeds, edges, k=k).collect()}
+    assert got == ref

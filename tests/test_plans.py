@@ -134,3 +134,42 @@ def test_contamination_joins_on_fingerprints_not_text(spark):
     exchange_lines = [l for l in plan.splitlines() if "hashpartitioning" in l]
     assert exchange_lines
     assert all("text#" not in l for l in exchange_lines)
+
+
+def test_q19_disjunction_pushes_to_both_scans(spark):
+    plan = plan_of(spark, "q19_disjunctive_revenue")
+    # Catalyst must derive one-sided implications of the OR and push them
+    # into BOTH parquet scans (quantity bounds -> lineitem, brand/size -> part)
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    li_scan = next(l for l in scans if "l_quantity" in l)
+    p_scan = next(l for l in scans if "p_brand" in l)
+    assert "l_quantity" in li_scan.split("PushedFilters")[-1]
+    assert "p_brand" in p_scan.split("PushedFilters")[-1] or "p_size" in p_scan.split("PushedFilters")[-1]
+    # common equi-key extracted: hash join, never nested loop
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_q21_exists_chain_becomes_semi_and_anti_joins(spark):
+    plan = plan_of(spark, "q21_sole_return_supplier")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lateral_aggregate_decorrelates(spark):
+    # the LATERAL subquery must rewrite to a relational join+aggregate,
+    # not per-row subquery execution
+    plan = plan_of(spark, "customer_order_stats_lateral")
+    assert "Subquery" not in plan  # no surviving correlated subquery nodes
+    assert "Join" in plan or "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_sweepline_orders_only_bucket_grain(spark):
+    # the unpartitioned prefix-sum window must consume the hour-grain
+    # aggregate, never the raw event rows: a partial_sum aggregate runs
+    # before any single-partition exchange
+    df = REGISTRY["session_concurrency_hourly"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    single = [l for l in plan.splitlines() if "SinglePartition" in l]
+    assert single, "expected the final prefix-sum exchange"
+    assert "partial_sum" in plan  # hourly reduction happens distributed, first
