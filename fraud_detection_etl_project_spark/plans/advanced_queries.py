@@ -78,8 +78,16 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-id side). Wedge build = edges⋈edges on the middle vertex, close =
     one more equi-join against the edge set; both are plain shuffled hash
     joins on int keys, no driver-side adjacency. The support>=2 edge
-    derivation keeps the graph near-linear in orders (see _EDGE_SUPPORT)."""
-    e = _copurchase_edges(spark, sf_dir)
+    derivation keeps the graph near-linear in orders (see _EDGE_SUPPORT).
+
+    The derived edge frame feeds FOUR plan legs (both wedge sides, the
+    closing probe, and the node/edge stats) — without an explicit persist
+    Spark re-derives the pair self-join per leg (no cross-branch reuse,
+    same re-scan trap as multires_event_rollup); the persisted edge list
+    is (int, int) pairs, tiny relative to the fact it came from."""
+    from pyspark import StorageLevel
+
+    e = _copurchase_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = e.select(F.col("src").alias("b2"), F.col("dst").alias("c"))
     wedges = e1.join(e2, F.col("b") == F.col("b2")).select("a", "b", "c")
@@ -119,7 +127,11 @@ def part_bfs_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     discovered adjacency, not graph size; min-distance falls out of
     first-discovery order with no per-node aggregation. Fixed k=2 keeps
     the plan shallow (no checkpoint needed; the unrolled-CTE oracle
-    mirrors hop by hop)."""
+    mirrors hop by hop). The edge frame is persisted for the same reason
+    as in copurchase_triangle_count: every hop (and both directions of
+    the symmetrization) re-reads it."""
+    from pyspark import StorageLevel
+
     from fraud_detection_etl_project_spark.operators.graph import bfs_khop
 
     seeds = (
@@ -127,7 +139,8 @@ def part_bfs_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_brand") == "Brand#1")
         .select(F.col("p_partkey").alias("node"))
     )
-    return bfs_khop(seeds, _copurchase_edges(spark, sf_dir), k=2)
+    edges = _copurchase_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    return bfs_khop(seeds, edges, k=2)
 
 
 _SESSIONS_SQL = """
@@ -602,3 +615,103 @@ def order_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("o_totalprice") - F.col("med_price")) > 2.0 * F.col("mad"))
     )
     return flagged.select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+@query(
+    "lang_mix_weights",
+    oracle="""
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+),
+t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total, CAST(min(n_docs) AS BIGINT) AS min_n
+      FROM counts)
+SELECT c.lang, c.n_docs,
+       floor(c.n_docs * 1000000.0 / t.total + 0.5) / 1000000.0 AS cur_share,
+       floor(t.min_n * 1000000.0 / c.n_docs + 0.5) / 1000000.0 AS sample_rate
+FROM counts c, t
+""",
+)
+def lang_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix resampling weights (the domain/language-balancing step
+    of a pretraining data pipeline): per-language corpus share and the
+    downsampling rate that equalizes languages without upsampling —
+    rate_l = n_min / n_l for a uniform target (rates normalized so the
+    scarcest language keeps rate 1.0; a non-uniform target substitutes
+    t_l/s_l before the same max-normalization). Rates are ratios of exact
+    int64 counts, quantized at 1e-6 — engine-stable.
+
+    Scale: one grouped count over the corpus (map-side combined), then a
+    2-scalar parameter frame (total, min) broadcast back onto the
+    language-count frame — the weights table is language-cardinality
+    rows, a parameter output driving a later sampleBy pass (see
+    stratified_event_sample for the deterministic-hash sampler these
+    rates feed)."""
+    counts = _t(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    t = counts.agg(
+        F.sum("n_docs").cast("bigint").alias("total"),
+        F.min("n_docs").cast("bigint").alias("min_n"),
+    )
+    return counts.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        (F.floor(F.col("n_docs") * 1_000_000.0 / F.col("total") + 0.5) / 1_000_000.0).alias(
+            "cur_share"
+        ),
+        (F.floor(F.col("min_n") * 1_000_000.0 / F.col("n_docs") + 0.5) / 1_000_000.0).alias(
+            "sample_rate"
+        ),
+    )
+
+
+@query(
+    "xml_source_rollup",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0 AS total_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+""",
+)
+def xml_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink roundtrip (Spark 4 native XML, §2.1 format surface):
+    one year of orders written as XML records, read back with an explicit
+    schema, and aggregated — proving the full writer→parser path is
+    lossless for the typed columns (long keys, string status, double
+    price survive Java shortest-roundtrip rendering). The oracle computes
+    the same rollup straight from parquet, so any XML parse drift is a
+    value mismatch.
+
+    Scale: XML is a row-expensive text format — the demo keeps it for
+    interchange-sized slices (the date filter cuts the write to one
+    year); at 100 TB XML appears at ingest boundaries only, converted to
+    parquet/columnar on first touch (this query IS that conversion
+    pattern, in miniature). The staging path is content-addressed per
+    sf_dir and overwritten per run — no temp-dir accretion."""
+    import hashlib
+    import os
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"xml_roundtrip_{tag}")
+    o.write.format("xml").mode("overwrite").option("rootTag", "orders").option(
+        "rowTag", "order"
+    ).save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema("o_orderkey long, o_orderstatus string, o_totalprice double")
+        .load(path)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")) / F.lit(100.0)
+        ).alias("total_price"),
+    )
