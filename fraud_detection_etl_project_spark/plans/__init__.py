@@ -24,6 +24,10 @@ from fraud_detection_etl_project_spark.plans import advanced_queries  # noqa: F4
 # LLM-pipeline family (text, dedup, ANN, multimodal, curation). The
 # remaining queries keep their module order after the prefix — nothing is
 # dropped. tests/test_entry_contract.py asserts every name here exists.
+# Round-2 swaps: xml_source_rollup (new format family) and
+# copurchase_triangle_count (graph-motif family) replaced the second
+# §2.4-hierarchy and second set-op slots (pivot/intersect stay registered
+# and judge-verified right after the prefix).
 FAMILY_PREFIX = [
     "flagship_inconsistent_orders",
     "fraud_valid_txns",
@@ -38,7 +42,7 @@ FAMILY_PREFIX = [
     "approx_event_stats",
     "rollup_flag_status",
     "grouping_sets_sales",
-    "pivot_status_counts",
+    "xml_source_rollup",
     "nation_trade_pagerank",
     "region_customer_rollup",
     "order_fill_left_join",
@@ -61,7 +65,7 @@ FAMILY_PREFIX = [
     "event_trailing_features",
     "top10_orders",
     "all_parties_union",
-    "nations_with_both",
+    "copurchase_triangle_count",
     "orders_cdc_applied",
     "distinct_user_event_pairs",
     "sql_top_revenue_customers",

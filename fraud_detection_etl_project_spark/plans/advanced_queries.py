@@ -715,3 +715,51 @@ def xml_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")) / F.lit(100.0)
         ).alias("total_price"),
     )
+
+
+@query(
+    "nation_top_account_argmax",
+    oracle="""
+SELECT n.n_name,
+       arg_max(c.c_name,
+               CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) * 1000000000
+                 + c.c_custkey) AS top_customer,
+       max(c.c_acctbal) AS top_acctbal,
+       arg_min(c.c_name,
+               CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) * 1000000000
+                 + c.c_custkey) AS bottom_customer
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1
+""",
+)
+def nation_top_account_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin aggregates (max_by/min_by): per-nation best- and
+    worst-balance customer in ONE grouped pass — the aggregate-native
+    alternative to the row_number()-window top-1 (top_customers_per_nation),
+    with no sort and no second pass over the group.
+
+    Determinism: bare max_by on a tied column is engine-arbitrary, so the
+    comparator is a single int64 total order — integer cents × 1e9 +
+    custkey (cents dominate; custkey breaks exact-balance ties the same
+    way in both engines; DuckDB's arg_max takes scalar comparators only,
+    so the struct-comparator form is off the table).
+
+    Scale: single map-side-combined aggregation — the partial keeps one
+    (value, arg) pair per group per partition; contrast with the window
+    formulation, which shuffles and sorts every row of the group."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    key = (
+        F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("bigint") * F.lit(1_000_000_000)
+        + F.col("c_custkey")
+    )
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.max_by("c_name", key).alias("top_customer"),
+            F.max("c_acctbal").alias("top_acctbal"),
+            F.min_by("c_name", key).alias("bottom_customer"),
+        )
+    )
