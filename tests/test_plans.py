@@ -213,3 +213,39 @@ def test_runtime_bloom_filter_fires_on_fact_fact_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    # AQE skew-join handling is the runtime complement to the explicit
+    # salting operator (operators/skew.py): a hot key's oversized shuffle
+    # partition is split into advisory-sized chunks (the matching side is
+    # duplicated) with no query rewrite. Cluster-sized gates are lowered so
+    # the split fires on a synthetic hot key at fixture scale; the skewed
+    # frame is built from range() unions, execution is one collect.
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(500_000).select(F.lit(0).alias("k"), F.col("id").alias("payload"))
+        tail = spark.range(1, 50_000).select(F.col("id").alias("k"), F.col("id").alias("payload"))
+        right = spark.range(50_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        j = hot.union(tail).join(right, "k").agg(F.sum("v").alias("sv"))
+        j.collect()  # the aggregate keeps the join live (a filter would fold to empty)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan  # AQEShuffleRead marks the split partition read
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
