@@ -763,3 +763,38 @@ def nation_top_account_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min_by("c_name", key).alias("bottom_customer"),
         )
     )
+
+
+@query(
+    "props_schema_inferred",
+    oracle="""
+SELECT 'STRUCT<k: BIGINT>' AS inferred_schema,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+""",
+)
+def props_schema_inferred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON schema inference feeding typed parsing (§2.8's last JSON
+    primitive: ``schema_of_json``): infer the DDL schema from one sample
+    payload, parse the whole column with from_json AGAINST that inferred
+    schema, and aggregate a typed field — proving inference and parsing
+    compose. The oracle pins the inferred DDL text itself (a wrong
+    inference changes the string AND breaks the typed sum).
+
+    Scale: schema inference runs on ONE driver-side literal (parameters,
+    not data — the same place a schema registry lookup would sit);
+    from_json then parses distributed with zero per-row inference. At
+    100 TB you infer once (or take the schema from a registry/contract),
+    never per row — per-row schema_of_json would be a quadratic trap."""
+    e = _t(spark, sf_dir, "events").select("props")
+    sample = e.filter(F.col("props").isNotNull()).limit(1).collect()[0][0]
+    ddl = spark.range(1).select(
+        F.schema_of_json(F.lit(sample)).alias("s")
+    ).collect()[0][0]
+    parsed = e.select(F.from_json("props", ddl).alias("p"))
+    return parsed.agg(
+        F.lit(ddl).alias("inferred_schema"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("p.k")).cast("bigint").alias("sum_k"),
+    )
