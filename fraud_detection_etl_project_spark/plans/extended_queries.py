@@ -2044,3 +2044,44 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(prof("o_orderstatus", False))
         .unionByName(prof("o_orderpriority", False))
     )
+
+
+@query(
+    "stream_click_attribution_outer",
+    oracle="""
+WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+wm AS (SELECT least((SELECT max(ts) FROM e WHERE event_type = 'click'),
+                    (SELECT max(ts) FROM e WHERE event_type = 'purchase'))
+              - INTERVAL 2 HOUR AS t),
+m AS (SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+             c.user_id, p.value AS purchase_value
+      FROM e c JOIN e p ON c.user_id = p.user_id
+      WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+SELECT click_id, purchase_id, user_id, purchase_value FROM m
+UNION ALL
+SELECT c.event_id, CAST(NULL AS BIGINT), c.user_id, CAST(NULL AS DOUBLE)
+FROM e c, wm
+WHERE c.event_type = 'click'
+  AND c.event_id NOT IN (SELECT click_id FROM m)
+  AND c.ts + INTERVAL 1 HOUR < wm.t
+""",
+)
+def stream_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join (§2.9's hardest stateful shape):
+    click→purchase attribution that ALSO emits unconverted clicks.
+    Matched pairs emit as they join; an unmatched click emits its
+    NULL-extended row only when the global watermark (min of both sides)
+    passes click_ts + horizon — the point at which Spark can prove no
+    future purchase will match and evicts the state. The oracle encodes
+    that exact emission boundary: unmatched clicks with
+    click_ts + 1h < min(max click_ts, max purchase_ts) − 2h; later
+    clicks stay buffered at end-of-stream and correctly never emit.
+
+    Scale: identical state bounds to the inner variant (the range
+    condition gates eviction); outer emission adds no state, only the
+    watermark-delayed null flush — the mechanics that make outer
+    stream-stream joins safe on unbounded streams."""
+    from fraud_detection_etl_project_spark.streaming.windows import clicks_purchase_attribution
+
+    return clicks_purchase_attribution(spark, sf_dir, join_type="left_outer")

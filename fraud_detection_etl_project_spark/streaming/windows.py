@@ -130,9 +130,13 @@ def streamed_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def clicks_purchase_attribution(
-    spark: SparkSession, sf_dir: str, horizon: str = "1 hour", watermark: str = "2 hours"
+    spark: SparkSession,
+    sf_dir: str,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+    join_type: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with event-time range condition: attribute
+    """Stream-stream join with event-time range condition: attribute
     each purchase to every click by the same user in the preceding hour.
 
     Both sides carry watermarks and the join condition bounds the
@@ -142,6 +146,15 @@ def clicks_purchase_attribution(
     An unbounded (condition-free) stream-stream join would accumulate
     state forever — the range condition IS the scale design. Drained with
     ``availableNow`` into an append memory sink for determinism.
+
+    ``join_type="left_outer"`` adds the unconverted-click rows: matched
+    pairs still emit as they join; an unmatched click emits a
+    NULL-extended row only when the GLOBAL watermark (min of both sides'
+    watermarks) passes click_ts + horizon — i.e. when its state is
+    evicted and Spark has proof no future purchase can match. Clicks
+    inside the final watermark window stay buffered and never emit on a
+    bounded drain; the oracle mirrors that emission boundary exactly
+    (`stream_click_attribution_outer`).
     """
     clicks = (
         events_stream(spark, sf_dir)
@@ -169,6 +182,7 @@ def clicks_purchase_attribution(
         (F.col("c_user") == F.col("p_user"))
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        join_type,
     ).select(
         F.col("click_id"),
         F.col("purchase_id"),
