@@ -798,3 +798,57 @@ def props_schema_inferred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.sum(F.col("p.k")).cast("bigint").alias("sum_k"),
     )
+
+
+@query(
+    "order_price_dense_ranks",
+    oracle="""
+WITH o AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+                  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+r AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+             dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY cents DESC) AS price_dense_rank,
+             nth_value(o_totalprice, 3) OVER (PARTITION BY o_orderpriority
+                 ORDER BY cents DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_highest_price
+      FROM o)
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       CAST(price_dense_rank AS BIGINT) AS price_dense_rank,
+       third_highest_price
+FROM r WHERE price_dense_rank <= 5
+""",
+)
+def order_price_dense_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank + nth_value window functions (the §2.5 ranking family's
+    remaining members): top-5 price ranks per priority, each row carrying
+    the third-highest price seen so far in its partition's running frame.
+
+    Determinism: ranks order by integer cents (ties collapse to the same
+    dense rank — safe); nth_value's frame order adds the orderkey
+    tiebreak so "third row so far" is a total order in both engines.
+
+    Scale: one priority-key shuffle, both window functions share the sort;
+    the rank<=5 filter is applied post-window (ranking filters cannot
+    push below the window, but the output is 5 ranks × ties per group,
+    small by construction)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint").alias("cents"),
+    )
+    rank_w = Window.partitionBy("o_orderpriority").orderBy(F.col("cents").desc())
+    frame_w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("cents").desc(), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.withColumn("price_dense_rank", F.dense_rank().over(rank_w).cast("bigint"))
+        .withColumn("third_highest_price", F.nth_value("o_totalprice", 3).over(frame_w))
+        .filter(F.col("price_dense_rank") <= 5)
+        .select(
+            "o_orderkey", "o_orderpriority", "o_totalprice",
+            "price_dense_rank", "third_highest_price",
+        )
+    )
