@@ -2085,3 +2085,51 @@ def stream_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFram
     from fraud_detection_etl_project_spark.streaming.windows import clicks_purchase_attribution
 
     return clicks_purchase_attribution(spark, sf_dir, join_type="left_outer")
+
+
+@query(
+    "udtf_polymorphic_top_tokens",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents)
+SELECT doc_id, toks[1] AS tok_1, toks[2] AS tok_2, toks[3] AS tok_3
+FROM t
+""",
+)
+def udtf_polymorphic_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4 ``analyze()`` static method —
+    §2.10's dynamic-schema contract): the OUTPUT SCHEMA is computed at
+    plan time from the constant ``k`` argument (k=3 → columns
+    tok_1..tok_3), the shape a generic "expand-to-k-columns" table
+    function needs. eval() pads short token lists with NULLs, matching
+    SQL out-of-bounds list access in the oracle.
+
+    Same policy note as udtf_sentence_split: this fan-out is expressible
+    JVM-side (element_at over split) and hot paths must do that; the
+    query exists to pin the analyze()-based registration/invocation
+    machinery with a value oracle."""
+    from pyspark.sql.functions import udtf as _udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    class TopTokens:
+        @staticmethod
+        def analyze(text_arg, k_arg):
+            from pyspark.sql.udtf import AnalyzeResult
+
+            k = int(k_arg.value)
+            return AnalyzeResult(
+                StructType([StructField(f"tok_{i + 1}", StringType()) for i in range(k)])
+            )
+
+        def eval(self, text: str, k: int):
+            toks = (text or "").split(" ")
+            yield tuple(toks[i] if i < len(toks) else None for i in range(k))
+
+    spark.udtf.register("top_tokens", _udtf(TopTokens))
+    d = _t(spark, sf_dir, "documents")
+    d.select("doc_id", normalized(F.col("text")).alias("norm")).createOrReplaceTempView(
+        "_udtf_docs_poly"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, s.tok_1, s.tok_2, s.tok_3 "
+        "FROM _udtf_docs_poly d, LATERAL top_tokens(d.norm, 3) s"
+    )
