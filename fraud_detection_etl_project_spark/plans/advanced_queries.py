@@ -852,3 +852,46 @@ def order_price_dense_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_dense_rank", "third_highest_price",
         )
     )
+
+
+@query(
+    "lineitem_stats_aggregates",
+    oracle="""
+SELECT l_returnflag,
+       floor(corr(l_quantity, l_extendedprice) * 1000000.0 + 0.5) / 1000000.0 AS qty_price_corr,
+       floor(covar_samp(l_quantity, l_extendedprice) * 100.0 + 0.5) / 100.0 AS qty_price_covar,
+       floor(stddev_samp(l_extendedprice) * 100.0 + 0.5) / 100.0 AS price_stddev,
+       floor(regr_slope(l_extendedprice, l_quantity) * 1000000.0 + 0.5) / 1000000.0 AS price_per_qty_slope,
+       floor(regr_intercept(l_extendedprice, l_quantity) * 100.0 + 0.5) / 100.0 AS price_intercept
+FROM lineitem
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def lineitem_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family (§2.4's remaining members): grouped
+    Pearson correlation, sample covariance, sample stddev, and
+    least-squares regression slope/intercept — the profile-and-model
+    moments a feature pipeline computes per segment.
+
+    Parity: both engines use one-pass co-moment accumulation whose float
+    results differ only in summation order (measured ≤3e-10 absolute on
+    this data); outputs are quantized well above that noise floor (1e-6
+    for ratios, cents for magnitudes), the same discipline as fxr
+    everywhere else. Scale: all five are single-pass partial-aggregable
+    (sums of products) — one shuffle on the 3-value group key, map-side
+    combined."""
+    from fraud_detection_etl_project_spark.functions.rounding import fxr
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            fxr(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            fxr(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+            fxr(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+            fxr(F.expr("regr_slope(l_extendedprice, l_quantity)"), 6).alias("price_per_qty_slope"),
+            fxr(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 2).alias("price_intercept"),
+        )
+        .orderBy("l_returnflag")
+    )
