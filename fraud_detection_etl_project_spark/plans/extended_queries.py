@@ -2133,3 +2133,58 @@ def udtf_polymorphic_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, s.tok_1, s.tok_2, s.tok_3 "
         "FROM _udtf_docs_poly d, LATERAL top_tokens(d.norm, 3) s"
     )
+
+
+@query(
+    "stream_hourly_rollup_append",
+    oracle="""
+WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS t FROM e)
+SELECT date_trunc('hour', e.ts) AS window_start,
+       e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       floor((sum(e.value)) * 100.0 + 0.5) / 100.0 AS total_value
+FROM e, wm
+GROUP BY 1, 2, wm.t
+HAVING date_trunc('hour', min(e.ts)) + INTERVAL 1 HOUR <= wm.t
+""",
+)
+def stream_hourly_rollup_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode watermarked windowed aggregate (§2.9's third output
+    semantic beside complete and update): a window emits EXACTLY ONCE,
+    only after the watermark passes its end — the mode that writes to
+    append-only sinks (files, Kafka) and the reason late data beyond the
+    watermark is droppable. On a bounded drain, windows still open at
+    end-of-stream (window_end > max(ts) − delay) never flush; the oracle
+    encodes that emission boundary (window_end ≤ final watermark), the
+    same discipline as stream_click_attribution_outer's null flush.
+
+    Scale: state per (window × type) row as in the complete-mode variant,
+    but append mode lets the sink be append-only and the state store
+    DROP finalized windows instead of retaining every window forever —
+    at 100 TB/day of events, complete mode re-emits the whole history
+    per batch and is not an option; append is the production shape."""
+    import uuid as _uuid
+
+    from fraud_detection_etl_project_spark.streaming.windows import events_stream
+
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            fxr(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+    name = f"hourly_append_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
