@@ -660,3 +660,58 @@ def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_tokens"),
         fxr(F.log("n") - (F.col("clnc_q") / F.lit(1e6)) / F.col("n"), 6).alias("token_entropy"),
     )
+
+
+@query(
+    "neardup_dedup_best_quality",
+    oracle=_CC_BASE_SQL
+    + f""",
+comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+q AS (SELECT doc_id,
+             CAST(floor((
+               (CASE WHEN len(toks) BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END
+                + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                + least(CAST(len(list_filter(toks, t -> t IN ({_STOP_LIST_SQL}))) AS DOUBLE)
+                        / len(toks) * 5, 1.0)
+               ) / 3.0) * 10000.0 + 0.5) AS BIGINT) AS q_units
+      FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents))
+SELECT CAST(c.comp AS BIGINT) AS component,
+       arg_max(c.node, q.q_units * 1000000000 - c.node) AS kept_doc_id,
+       CAST(count(*) AS BIGINT) AS cluster_size,
+       max(q.q_units) / 10000.0 AS best_quality
+FROM comp c JOIN q ON q.doc_id = c.node
+GROUP BY c.comp
+""",
+)
+def neardup_dedup_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: one kept doc per near-dup
+    cluster, chosen by argmax quality (doc_id breaks exact ties toward
+    the smaller id) instead of neardup_dedup_kept's min-id rule — the
+    curation policy real pipelines want (keep the BEST duplicate, not the
+    first-crawled one). Comparator is the quantized quality in integer
+    1e-4 units × 1e9 − doc_id: one int64 total order shared with the
+    oracle (same technique as nation_top_account_argmax).
+
+    Scale: reuses the banded-LSH candidate pairs and connected components
+    (subgraph-sized iteration), then ONE grouped max_by over (component,
+    doc) rows — quality joins in by doc_id, documents' text never touches
+    the component shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.neardup_pairs_minhash(d)
+    cc = G.connected_components(
+        d.select("doc_id"), pairs, node_col="doc_id", src="doc_a", dst="doc_b"
+    )
+    q = d.select(
+        F.col("doc_id").alias("q_doc"),
+        F.floor(T.quality_score(F.col("text")) * 10_000.0 + 0.5).cast("bigint").alias("q_units"),
+    )
+    key = F.col("q_units") * F.lit(1_000_000_000) - F.col("node")
+    return (
+        cc.join(q, cc["node"] == F.col("q_doc"))
+        .groupBy(F.col("comp").cast("bigint").alias("component"))
+        .agg(
+            F.max_by("node", key).alias("kept_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+            (F.max("q_units") / F.lit(10_000.0)).alias("best_quality"),
+        )
+    )
