@@ -895,3 +895,41 @@ def lineitem_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "user_rolling_median_value",
+    oracle="""
+WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+SELECT user_id, event_id,
+       floor(quantile_cont(value, 0.5) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) * 1000000.0 + 0.5) / 1000000.0
+         AS rolling_median_10
+FROM e
+""",
+)
+def user_rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median over a bounded row frame (arbitrary aggregate
+    as a window function — §2.5 beyond the built-in ranking/offset
+    family): each event's median of the user's trailing 10 values.
+    Spark ``percentile`` == DuckDB ``quantile_cont`` over the identical
+    (ts, event_id)-ordered frame; quantized at 1e-6 like
+    quantity_percentiles.
+
+    Scale: the frame is ROWS-bounded (10), so per-row work and state are
+    O(frame), not O(partition) — the shape that stays cheap on
+    million-event users; one user_id shuffle drives the whole window."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    from fraud_detection_etl_project_spark.functions.rounding import fxr
+
+    return e.select(
+        "user_id",
+        "event_id",
+        fxr(F.expr("percentile(value, 0.5)").over(w), 6).alias("rolling_median_10"),
+    )
