@@ -933,3 +933,98 @@ def user_rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         fxr(F.expr("percentile(value, 0.5)").over(w), 6).alias("rolling_median_10"),
     )
+
+
+# Portable Bloom filter: k=4 affine hashes over the 28-bit integer drawn
+# from md5 of the normalized text (the exact idiom operators/dedup.py uses
+# for MinHash), bit positions mod _BLOOM_M. Because both engines compute
+# identical positions, the WHOLE result — including which non-members
+# false-positive — is deterministic and value-checked, not just bounded.
+_BLOOM_AB = [(37, 911), (101, 577), (193, 271), (419, 131)]
+_BLOOM_P = 1_000_000_007
+_BLOOM_M = 2048
+
+_BLOOM_V_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substring(md5(norm), {k + 1}, 1)) - 1) * {16 ** (6 - k)}"
+    for k in range(7)
+)
+_BLOOM_POS_SQL = ", ".join(
+    f"(({a} * v + {b}) % {_BLOOM_P}) % {_BLOOM_M}" for a, b in _BLOOM_AB
+)
+
+
+@query(
+    "bloom_blocklist_filter",
+    oracle=f"""
+WITH d AS (SELECT doc_id, source,
+                  lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+           FROM documents),
+v AS (SELECT doc_id, source, {_BLOOM_V_SQL} AS v FROM d),
+pos AS (SELECT doc_id, source, UNNEST([{_BLOOM_POS_SQL}]) AS p FROM v),
+bits AS (SELECT DISTINCT p FROM pos WHERE source = 'src0'),
+flags AS (SELECT doc_id, bool_and(p IN (SELECT p FROM bits)) AS bloom_hit
+          FROM pos GROUP BY doc_id),
+members AS (SELECT DISTINCT v AS mv FROM v WHERE source = 'src0')
+SELECT f.doc_id, v.v IN (SELECT mv FROM members) AS exact_member
+FROM flags f JOIN v ON v.doc_id = f.doc_id
+WHERE f.bloom_hit
+""",
+)
+def bloom_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter blocklist membership — the scale pattern for screening
+    a corpus against a huge deny-list WITHOUT shuffling the corpus: build
+    a bit set from the blocklist's k hash positions (KB-sized at any
+    blocklist cardinality), broadcast it, and probe row-locally; only
+    flagged survivors (true members + the filter's false positives) need
+    exact verification. Output = flagged docs with their exact-membership
+    verdict, so the false-positive set itself is under value test.
+
+    The filter is built from engine-portable arithmetic (md5 → 28-bit v →
+    4 affine hashes mod 2048 — operators/dedup.py's MinHash idiom), which
+    is what makes a value-level oracle possible where the JVM-internal
+    bloom_filter_agg bit layout would not be. No false negatives by
+    construction: a member's positions are all in the set it defined.
+
+    Scale: the probe is a broadcast join on ≤2048 distinct positions
+    (parameters, not data) + a 4-row-per-doc grouped bool_and; the
+    corpus text never shuffles. At 100 TB, sizing m per expected
+    blocklist cardinality keeps the false-positive rate chosen, and the
+    exact-verify join runs only on the flagged fraction."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("norm"),
+    )
+    h = F.md5(F.col("norm"))
+    v = None
+    for k in range(7):
+        term = (F.instr(F.lit("0123456789abcdef"), F.substring(h, k + 1, 1)) - 1).cast(
+            "long"
+        ) * F.lit(16 ** (6 - k))
+        v = term if v is None else v + term
+    dv = d.select("doc_id", "source", v.alias("v"))
+    pos_cols = [
+        ((F.lit(a) * F.col("v") + F.lit(b)) % F.lit(_BLOOM_P)) % F.lit(_BLOOM_M)
+        for a, b in _BLOOM_AB
+    ]
+    posed = dv.select("doc_id", "source", F.explode(F.array(*pos_cols)).alias("p"))
+    bits = (
+        posed.filter(F.col("source") == "src0")
+        .select("p")
+        .distinct()
+        .withColumn("in_bits", F.lit(True))
+    )
+    flags = (
+        posed.join(F.broadcast(bits), "p", "left")
+        .groupBy("doc_id")
+        .agg(F.min(F.coalesce("in_bits", F.lit(False))).alias("bloom_hit"))
+    )
+    members = dv.filter(F.col("source") == "src0").select(F.col("v").alias("mv")).distinct()
+    verdict = dv.join(F.broadcast(members), dv["v"] == F.col("mv"), "left").select(
+        "doc_id", F.col("mv").isNotNull().alias("exact_member")
+    )
+    return (
+        flags.filter(F.col("bloom_hit"))
+        .join(verdict, "doc_id")
+        .select("doc_id", "exact_member")
+    )
