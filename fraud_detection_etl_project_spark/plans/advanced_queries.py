@@ -1028,3 +1028,71 @@ def bloom_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(verdict, "doc_id")
         .select("doc_id", "exact_member")
     )
+
+
+@query(
+    "user_event_type_maps",
+    oracle="""
+WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2)
+SELECT user_id, event_type, n
+FROM c WHERE n >= 10
+""",
+)
+def user_event_type_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType construction + higher-order map functions (§2.8): per-user
+    event-type histograms built as real map columns
+    (map_from_entries ∘ collect_list), thresholded with map_filter, and
+    exploded back to rows. The map layer is exercised end-to-end but the
+    OUTPUT is rows, not maps — map key order is engine- and
+    partition-order-dependent, so maps themselves can never be in a
+    value-hash; re-exploding restores a total row order the oracle (a
+    plain grouped HAVING, semantically identical) can match.
+
+    Scale: one user_id shuffle for the grouped collect; map_filter and
+    explode are row-local. The collected map is event-type-cardinality
+    sized (5 entries), not event-count sized."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    per_type = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("counts")
+    )
+    hot = mapped.select(
+        "user_id", F.map_filter("counts", lambda k, v: v >= F.lit(10)).alias("hot")
+    )
+    return hot.select("user_id", F.explode("hot").alias("event_type", "n"))
+
+
+@query(
+    "doc_number_extraction",
+    oracle="""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '[a-z]{6,}') AS hits FROM documents)
+SELECT doc_id,
+       CAST(len(hits) AS BIGINT) AS n_hits,
+       CAST(len(list_distinct(hits)) AS BIGINT) AS n_distinct_hits,
+       CAST(list_max(list_transform(hits, x -> len(x))) AS INT) AS longest_hit
+FROM t WHERE len(hits) > 0
+""",
+)
+def doc_number_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all + array reductions (§2.8's remaining regex
+    member): pull every 6+-letter word out of each document and summarize
+    (count, distinct count, longest match) — the typed-entity-extraction
+    shape (IDs, quantities, dates) a curation pass runs before masking
+    or feature-building; the pattern targets long words because the
+    synthetic fixture text contains no digits.
+
+    Scale: entirely row-local (no shuffle) — regex and the array
+    reductions run inside whole-stage codegen; only the 3-int summary
+    leaves the row."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_extract_all("text", F.lit("[a-z]{6,}"), 0).alias("hits")
+    )
+    return d.filter(F.size("hits") > 0).select(
+        "doc_id",
+        F.size("hits").cast("bigint").alias("n_hits"),
+        F.size(F.array_distinct("hits")).cast("bigint").alias("n_distinct_hits"),
+        F.array_max(F.transform("hits", lambda x: F.length(x))).cast("int").alias("longest_hit"),
+    )
