@@ -1,10 +1,13 @@
-"""Deep TPC-H query-shape coverage: Q7, Q12, Q19, Q21, Q22 adapted to the
-fixture star schema.
+"""Deep TPC-H query-shape coverage: Q4, Q6, Q7, Q12, Q13, Q15, Q17, Q19,
+Q21, Q22 adapted to the fixture star schema.
 
 These close the remaining classic analytical join/filter shapes the earlier
-rounds didn't name: two-sided dimension pair disjunction (Q7), conditional
-CASE aggregation over a join (Q12), multi-clause disjunctive join predicates
-(Q19), EXISTS/NOT-EXISTS chains with self-joins (Q21), and scalar-subquery
+rounds didn't name: EXISTS counted per group (Q4), pure scan-filter-aggregate
+(Q6), two-sided dimension pair disjunction (Q7), conditional CASE aggregation
+over a join (Q12), count-of-counts distribution with a zero bucket (Q13),
+derived view + scalar max subquery (Q15), correlated per-group average
+threshold (Q17), multi-clause disjunctive join predicates (Q19),
+EXISTS/NOT-EXISTS chains with self-joins (Q21), and scalar-subquery
 threshold + anti-join (Q22). The reference engine's query surface is filter/
 project/aggregate (SURVEY.md §2.2-§2.4); these are the §2.3/§2.4 gap-category
 shapes a complete relational engine must run.
@@ -326,4 +329,219 @@ def q22_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents_sum("c_acctbal").alias("totacctbal"),
         )
         .orderBy("cntrycode")
+    )
+
+
+@query(
+    "q4_priority_order_check",
+    oracle="""
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q4_priority_order_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS against the fact table, counted per
+    priority — one quarter's orders having at least one line shipped
+    more than 60 days after the order date (fixture stand-in for the
+    commit<receipt lateness test).
+
+    Scale plan: the EXISTS is a left-semi join on orderkey (first match
+    wins — no row multiplication, no distinct needed); the date filter
+    prunes the orders scan before the join; the lateness condition rides
+    as a residual on the semi join. One orderkey shuffle + a 5-row
+    grouped count."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT sum(CAST(floor(l_extendedprice * l_discount * 100.0 + 0.5) AS BIGINT)) / 100.0 AS promo_revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24.0
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-filter-aggregate query — revenue
+    effect of discount changes, no join anywhere.
+
+    Scale plan: ALL three predicates push to the parquet scan (date +
+    discount range + quantity bound — row-group stats prune), the
+    product aggregates map-side, and the result is one row: the query
+    that measures raw scan bandwidth. This is the shape where columnar
+    pruning matters most — 4 of 11 lineitem columns read."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24.0)
+    )
+    return li.agg(
+        cents_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("promo_revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+
+@query(
+    "q13_customer_order_distribution",
+    oracle="""
+WITH c_orders AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY 1
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM c_orders
+GROUP BY 1
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: count-of-counts distribution — how many customers
+    placed N qualifying orders each, including the zero bucket (the LEFT
+    join is what keeps order-less customers in the histogram; an inner
+    join silently drops the most interesting bar).
+
+    Scale plan: the priority filter lands on the orders scan INSIDE the
+    join condition (left-join semantics: filtering before the join is
+    required, a WHERE after it would turn the join inner); first
+    aggregation shuffles on custkey, the count-of-counts re-shuffles
+    only the (custkey-count, 1) pairs — second shuffle is
+    distribution-sized, not customer-sized."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, r.total_cents / 100.0 AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_cents = (SELECT max(total_cents) FROM revenue)
+ORDER BY s.s_suppkey
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: derived revenue view + scalar subquery on its own
+    maximum — the supplier(s) with peak quarterly revenue. The max
+    comparison runs on exact integer cents, so "equals the max" is
+    engine-stable (a float revenue tie would be ulp-fragile).
+
+    Scale plan: one quarter-pruned fact aggregation builds the revenue
+    frame ONCE (cached implicitly by reuse through the self-referencing
+    max — Spark plans the max as a separate aggregation of the same
+    frame; both legs are supplier-cardinality, cheap); the max is a
+    1-row broadcast crossed into the filter; supplier joins in as a
+    broadcast dim."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0 + 0.5).cast(
+                "bigint"
+            )
+        ).alias("total_cents")
+    )
+    mx = revenue.agg(F.max("total_cents").alias("max_cents"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_cents") == F.col("max_cents"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", (F.col("total_cents") / F.lit(100.0)).alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+WITH pavg AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+         CAST(count(*) AS BIGINT) AS qty_n
+  FROM lineitem GROUP BY 1
+)
+SELECT sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)) / 100.0 AS avg_yearly_cents_sum,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN pavg p ON p.l_partkey = l.l_partkey
+WHERE CAST(l.l_quantity AS BIGINT) * 5 * p.qty_n < p.qty_sum
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-group average threshold — revenue
+    from lineitems whose quantity is below 20% of their part's average
+    quantity (the small-lot analysis). The correlated avg decorrelates to
+    one grouped aggregate joined back to the fact; the threshold
+    comparison is the exact integer cross-multiplication
+    qty·5·n < Σqty (fixture quantities are whole numbers), so no float
+    average exists to disagree on.
+
+    Scale plan: two passes over lineitem (the per-part aggregate, then
+    the probe join) — both shuffle on partkey and AQE reuses the
+    exchange; the per-part aggregate is part-cardinality (a dimension-
+    sized build side)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    pavg = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("qty_n"),
+    )
+    return (
+        li.join(pavg, F.col("l_partkey") == F.col("p_key"))
+        .filter(F.col("l_quantity").cast("bigint") * 5 * F.col("qty_n") < F.col("qty_sum"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("bigint"))
+                / F.lit(100.0)
+            ).alias("avg_yearly_cents_sum"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
     )
