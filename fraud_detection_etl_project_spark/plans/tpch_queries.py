@@ -545,3 +545,50 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         )
     )
+
+
+@query(
+    "q9_product_type_profit",
+    oracle=f"""
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+       {cents_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_type LIKE 'STA%' OR p.p_type LIKE '%OMO'
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and order
+    year, selecting parts by LIKE patterns (prefix + suffix — fixture
+    p_type is single-word, so 'STA%'/'%OMO' stand in for Q9's
+    '%green%'). No ps_supplycost in the fixture ⇒ profit reduces to
+    discounted revenue; the 5-way join + two-level rollup IS the shape.
+
+    Scale plan: the LIKE disjunction pushes into the part scan as
+    StartsWith/EndsWith parquet filters (plan-tested — the pushdown
+    class this query exists to pin), cutting the build side before the
+    fact join; supplier/nation broadcast; lineitem⋈orders is the one
+    fact-fact shuffle; the rollup key is (25 nations × ~6 years)."""
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_type").like("STA%") | F.col("p_type").like("%OMO")
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("profit"))
+        .orderBy("nation", "o_year")
+    )

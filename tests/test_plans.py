@@ -249,3 +249,12 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q9_like_patterns_push_to_part_scan(spark):
+    plan = plan_of(spark, "q9_product_type_profit")
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l and "p_type" in l]
+    assert scans, "part scan missing"
+    pushed = scans[0].split("PushedFilters")[-1]
+    assert "StringStartsWith" in pushed or "StartsWith" in pushed, pushed
+    assert "StringEndsWith" in pushed or "EndsWith" in pushed, pushed
