@@ -1,5 +1,7 @@
-"""Deep TPC-H query-shape coverage: Q4, Q6, Q7, Q12, Q13, Q15, Q17, Q19,
-Q21, Q22 adapted to the fixture star schema.
+"""Deep TPC-H query-shape coverage: Q2, Q4, Q6, Q7, Q8, Q9, Q11, Q12, Q13,
+Q15, Q16, Q17, Q19, Q20, Q21, Q22 adapted to the fixture star schema —
+together with Q1/Q3/Q5/Q10/Q14/Q18 elsewhere in the registry, ALL 22 TPC-H
+query archetypes are represented and oracle-checked.
 
 These close the remaining classic analytical join/filter shapes the earlier
 rounds didn't name: EXISTS counted per group (Q4), pure scan-filter-aggregate
@@ -591,4 +593,305 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("profit"))
         .orderBy("nation", "o_year")
+    )
+
+
+@query(
+    "q2_min_price_supplier",
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+keyed AS (
+  SELECT l_partkey, l_suppkey,
+         (sum_cents * 10000) // n AS avg_units
+  FROM ps
+),
+best AS (
+  SELECT l_partkey,
+         arg_min(l_suppkey, avg_units * 100000 + l_suppkey) AS best_supp,
+         min(avg_units) AS best_avg_units
+  FROM keyed GROUP BY 1
+)
+SELECT p.p_partkey, p.p_brand, s.s_name AS cheapest_supplier,
+       b.best_avg_units / 10000.0 AS cheapest_avg_price
+FROM best b
+JOIN part p ON p.p_partkey = b.l_partkey
+JOIN supplier s ON s.s_suppkey = b.best_supp
+WHERE p.p_size <= 5
+ORDER BY p.p_partkey
+""",
+)
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-group minimum with the argument joined back —
+    each small part's cheapest supplier by average sale price (fixture
+    stand-in for ps_supplycost). The average is exact integer units
+    (cents·1e4 floor-divided by count — both engines' integer division
+    agrees), and the min carries a suppkey tiebreak in one scalar key, so
+    "the" cheapest supplier is a total order, not an engine accident.
+
+    Scale plan: one (part, supplier) aggregate over the fact, one
+    part-keyed min_by — no correlated per-part subquery survives; the
+    size filter prunes via the broadcast part dim at the end (cheap
+    either way; at TPC-H cardinalities part⋈best is dim-sized)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("bigint")).alias("sum_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    keyed = ps.select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr("sum_cents * 10000 div n").alias("avg_units"),
+    )
+    best = keyed.groupBy("l_partkey").agg(
+        F.min_by("l_suppkey", F.col("avg_units") * F.lit(100_000) + F.col("l_suppkey")).alias(
+            "best_supp"
+        ),
+        F.min("avg_units").alias("best_avg_units"),
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5).select("p_partkey", "p_brand")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        best.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("best_supp") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.col("s_name").alias("cheapest_supplier"),
+            (F.col("best_avg_units") / F.lit(10_000.0)).alias("cheapest_avg_price"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "q8_nation_market_share",
+    oracle="""
+WITH rev AS (
+  SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+         CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100.0 + 0.5) AS BIGINT) AS cents,
+         ns.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = nc.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'ASIA'
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN cents ELSE 0 END) AS BIGINT) AS nation_cents,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       floor(sum(CASE WHEN supp_nation = 'NATION_5' THEN cents ELSE 0 END) * 1000000.0
+             / sum(cents) + 0.5) / 1000000.0 AS mkt_share
+FROM rev GROUP BY 1 ORDER BY 1
+""",
+)
+def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: market share — one nation's slice of a region's
+    yearly import revenue, the conditional-numerator / full-denominator
+    fraction computed inside a single aggregate pass (never two scans).
+    Numerator and denominator are exact integer cents; the share divides
+    once and quantizes at 1e-6.
+
+    Scale plan: region filter cuts the customer dim before the fact
+    joins (broadcast chain region→nation→customer semi); supplier nation
+    broadcasts in for the CASE; the single grouped agg keys on ~6 years.
+    One orderkey and one custkey shuffle — identical movement to Q5."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    nc = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cnk"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("cnk"), "left_semi")
+        .select("c_custkey")
+    )
+    ns = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("snk"))
+        .select("s_suppkey", "supp_nation")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0 + 0.5
+    ).cast("bigint")
+    nation_cents = F.sum(
+        F.when(F.col("supp_nation") == "NATION_5", cents).otherwise(F.lit(0))
+    ).cast("bigint")
+    total_cents = F.sum(cents).cast("bigint")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            nation_cents.alias("nation_cents"),
+            total_cents.alias("total_cents"),
+            (
+                F.floor(nation_cents * F.lit(1_000_000.0) / total_cents + F.lit(0.5))
+                / F.lit(1_000_000.0)
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+WITH excluded AS (
+  SELECT s_suppkey FROM supplier WHERE s_name LIKE '%0'
+),
+pairs AS (
+  SELECT DISTINCT l.l_partkey, l.l_suppkey
+  FROM lineitem l
+  WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM excluded)
+)
+SELECT p.p_brand, CAST(p.p_size // 10 AS INT) AS size_decade,
+       CAST(count(DISTINCT pr.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM pairs pr
+JOIN part p ON p.p_partkey = pr.l_partkey
+GROUP BY 1, 2
+ORDER BY supplier_cnt DESC, p.p_brand, size_decade
+""",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    bucket, with a NOT IN exclusion subquery (complaint suppliers →
+    fixture stand-in: names ending in '0').
+
+    Scale plan: the NOT IN becomes a left-anti join against the tiny
+    excluded set BEFORE the distinct — the exclusion prunes the
+    (part, supplier) pair space first; count(DISTINCT) then runs on
+    already-distinct pairs (the explicit distinct makes the partial
+    aggregation two-phase-safe); part attributes broadcast in."""
+    excluded = _t(spark, sf_dir, "supplier").filter(F.col("s_name").like("%0")).select(
+        "s_suppkey"
+    )
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(excluded), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .distinct()
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    return (
+        pairs.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", F.expr("p_size div 10").cast("int").alias("size_decade"))
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "size_decade")
+    )
+
+
+@query(
+    "q20_heavy_shippers_of_brand",
+    oracle="""
+SELECT s.s_name, n.n_name AS nation
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l
+  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1')
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l.l_suppkey
+  HAVING sum(CAST(l.l_quantity AS BIGINT)) > 100
+)
+ORDER BY s.s_name
+""",
+)
+def q20_heavy_shippers_of_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN chains with a grouped HAVING inside —
+    suppliers who shipped more than 100 units of one brand's parts in a
+    year (the promotion-candidate screen; fixture has no partsupp
+    availability, so the half-of-stock threshold becomes an absolute
+    quantity bar — integer sum, engine-exact).
+
+    Scale plan: innermost IN = broadcast semi of the brand's parts onto
+    the date-pruned lineitem scan; the HAVING aggregate reduces to
+    qualifying suppkeys (a parameter-sized set); the outer IN is a semi
+    join of supplier against that set; nation broadcasts for the label.
+    Every IN collapses to a semi join — no correlated execution."""
+    brand_parts = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    heavy = (
+        li.join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    return (
+        s.join(F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "nation")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q11_important_part_values",
+    oracle="""
+WITH pv AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS part_cents
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT CAST(sum(part_cents) AS BIGINT) AS total_cents,
+               CAST(count(*) AS BIGINT) AS n_parts FROM pv)
+SELECT pv.l_partkey AS p_partkey, pv.part_cents / 100.0 AS part_value
+FROM pv, tot
+WHERE pv.part_cents * tot.n_parts * 10 > tot.total_cents * 12
+ORDER BY pv.part_cents DESC, pv.l_partkey
+""",
+)
+def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups retained only when their share of the
+    GLOBAL total clears a fraction threshold (important-stock scan).
+    TPC-H scales the fraction by 1/SF; the portable equivalent here is
+    "above 1.2× the average part value" — part_cents·n·10 >
+    total_cents·12, an exact integer cross-multiplication with no float
+    fraction, so the boundary is bit-stable in both engines and the
+    result is non-trivial at every scale factor.
+
+    Scale plan: one part-keyed aggregate over the fact; the global total
+    re-aggregates the part-level partials (part-cardinality input, not a
+    second fact scan) and broadcasts as one row into the filter. Ordered
+    by the exact cents with a partkey tiebreak — a total order."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("bigint")).alias("part_cents")
+    )
+    tot = pv.agg(
+        F.sum("part_cents").cast("bigint").alias("total_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_cents") * F.col("n_parts") * 10 > F.col("total_cents") * 12)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("part_cents") / F.lit(100.0)).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "p_partkey")
     )
