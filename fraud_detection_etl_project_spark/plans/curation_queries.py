@@ -6,7 +6,7 @@ UDFs — with DuckDB oracles built from the same constants.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fraud_detection_etl_project_spark.functions import text as T
@@ -465,4 +465,103 @@ def doc_pii_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(raw, F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
         F.regexp_count(raw, F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
         F.md5(scrubbed.cast("binary")).alias("scrubbed_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-then-chunk training batch construction)
+# ---------------------------------------------------------------------------
+
+PACK_TOKENS = 256  # tokens per packed training sequence
+PACK_SHARDS = 16  # independent packing streams (parallelism knob)
+
+_PACK_SHARD_SQL = (
+    "CAST(('0x' || substring(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 6)) AS INT) % "
+    f"{PACK_SHARDS}"
+)
+
+
+@query(
+    "doc_sequence_packing",
+    oracle=f"""
+WITH t AS (SELECT doc_id, len({TOKS_SQL}) AS n, {_PACK_SHARD_SQL} AS shard FROM documents),
+c AS (SELECT doc_id, shard, n,
+             sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t WHERE n > 0),
+s AS (SELECT doc_id, shard, n,
+             CAST(cum - n AS BIGINT) AS st, CAST(cum AS BIGINT) AS en
+      FROM c),
+u AS (SELECT doc_id, shard, st, en,
+             UNNEST(range(st // {PACK_TOKENS}, ((en - 1) // {PACK_TOKENS}) + 1)) AS sid
+      FROM s)
+SELECT CAST(shard AS INT) AS shard,
+       CAST(sid AS BIGINT) AS seq_id,
+       doc_id,
+       CAST(greatest(st, sid * {PACK_TOKENS}) - st AS BIGINT) AS doc_offset,
+       CAST(least(en, (sid + 1) * {PACK_TOKENS}) - greatest(st, sid * {PACK_TOKENS}) AS BIGINT) AS n_toks
+FROM u
+""",
+)
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pretraining: concatenate documents (in
+    deterministic doc_id order) within independent shards, then cut the
+    token stream into fixed {PACK_TOKENS}-token training sequences —
+    GPT-style concat-then-chunk packing. Each output row records one
+    document's contribution to one packed sequence (seq_id, offset inside
+    the document, token count), which is exactly what a loader needs to
+    rebuild sequences and their attention-mask document boundaries.
+
+    Scale shape: the only shuffle is the hash partition on ``shard`` for
+    the per-shard running token total; shard count is the parallelism
+    knob (set ≈ 4× cores on a cluster — packing streams are independent,
+    matching how multi-worker training shards its corpus). The chunk
+    fan-out (explode over spanned sequence ids) is row-local, and the
+    per-doc state is ONE long (token count) — the document text never
+    moves through the shuffle. All outputs are integers, so the DuckDB
+    oracle is hash-exact."""
+    d = _t(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("pack|"), F.col("doc_id").cast("string")).cast("binary")),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % PACK_SHARDS
+    ).cast("int")
+    t = d.select(
+        "doc_id",
+        F.size(F.split(T.normalized(F.col("text")), " ")).cast("long").alias("n"),
+        shard.alias("shard"),
+    ).filter(F.col("n") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        t.withColumn("cum", F.sum("n").over(w))
+        .withColumn("st", F.col("cum") - F.col("n"))
+        .withColumn("en", F.col("cum"))
+        .withColumn(
+            "seq_id",
+            F.explode(
+                F.sequence(
+                    F.expr(f"st div {PACK_TOKENS}"), F.expr(f"(en - 1) div {PACK_TOKENS}")
+                )
+            ),
+        )
+    )
+    lo = F.greatest(F.col("st"), F.col("seq_id") * PACK_TOKENS)
+    hi = F.least(F.col("en"), (F.col("seq_id") + 1) * PACK_TOKENS)
+    return spans.select(
+        "shard",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "doc_id",
+        (lo - F.col("st")).cast("long").alias("doc_offset"),
+        (hi - lo).cast("long").alias("n_toks"),
     )
