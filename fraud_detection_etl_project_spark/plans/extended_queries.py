@@ -2188,3 +2188,101 @@ def stream_hourly_rollup_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Time-series linear interpolation (gap repair between known neighbors)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_value_interpolated",
+    oracle="""
+WITH g AS (SELECT event_id, user_id, ts, epoch_us(ts) AS t,
+                  CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+           FROM events),
+n AS (SELECT event_id, user_id, t, v,
+             last_value(v IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(v IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM g)
+SELECT event_id, user_id,
+       (v IS NULL) AS was_gap,
+       floor((CASE
+                WHEN v IS NOT NULL THEN v
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+              END) * 1000000.0 + 0.5) / 1000000.0 AS v_filled
+FROM n
+""",
+)
+def events_value_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap repair: linearly interpolate missing sensor values
+    from the nearest known neighbors on each side (per user, event-time
+    order) — the standard feature-engineering fill for irregular series.
+    The fixture has no nulls, so gaps are injected deterministically
+    (every 7th event_id), making the fill itself value-checked: leading /
+    trailing gaps take the one-sided neighbor, interior gaps the
+    time-weighted blend.
+
+    Scale shape: one hash shuffle on user_id, then two window passes over
+    each partition (ignore-nulls running last/first) — no self-join, no
+    point-lookup explosion; identical cost profile to any per-key window.
+    The lerp is mirrored expression-for-expression in the oracle (exact
+    integer microsecond deltas, IEEE double ops in the same order), with a
+    1e-6 quantization guard on top."""
+    e = _t(spark, sf_dir, "events")
+    g = e.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("t"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    vt = F.when(F.col("v").isNotNull(), F.col("t"))
+    n = g.select(
+        "event_id",
+        "user_id",
+        "t",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(vt, ignorenulls=True).over(back).alias("pt"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(vt, ignorenulls=True).over(fwd).alias("nt"),
+    )
+    lerp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("t") - F.col("pt")).cast("double") / (F.col("nt") - F.col("pt")).cast("double")
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(lerp)
+    )
+    return n.select(
+        "event_id",
+        "user_id",
+        F.col("v").isNull().alias("was_gap"),
+        fxr(filled, 6).alias("v_filled"),
+    )
