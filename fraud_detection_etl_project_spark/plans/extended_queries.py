@@ -2286,3 +2286,128 @@ def events_value_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").isNull().alias("was_gap"),
         fxr(filled, 6).alias("v_filled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint audit (ETL validation suite)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_constraint_audit",
+    oracle="""
+SELECT 'orders_pk_unique' AS constraint_name,
+       CAST(count(*) AS BIGINT) AS n_checked,
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'orders_fk_customer', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'lineitem_fk_orders', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'orders_totalprice_positive', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'lineitem_qty_in_1_50', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'orders_date_in_tpch_range', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderdate < DATE '1992-01-01' OR o_orderdate > DATE '1998-12-31'
+                THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'customer_name_not_null', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM customer
+""",
+)
+def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit — the validation suite an ETL engine
+    runs before trusting a load (the reference's P5 validity filter,
+    generalized): primary-key uniqueness, referential integrity, range
+    and null-rate assertions, each reported as (checked, violations)
+    counts so a zero-violation run is itself value-checked.
+
+    Scale shape: every constraint is one scan + partial aggregation;
+    the two FK checks aggregate a key-only left join (null-probe count —
+    Spark plans the dim side broadcast when small, shuffle-hash
+    otherwise under AQE). The per-constraint results are single-row
+    aggregates, so the final union is free. At 100 TB each check is
+    embarrassingly parallel and they share no state — a real deployment
+    runs them as one job over a cached scan or as independent jobs."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def row(name, n_checked, n_violations):
+        return F.struct(
+            F.lit(name).alias("constraint_name"),
+            n_checked.cast("bigint").alias("n_checked"),
+            n_violations.cast("bigint").alias("n_violations"),
+        )
+
+    cnt = F.count(F.lit(1))
+    pk = o.agg(row("orders_pk_unique", cnt, cnt - F.count_distinct("o_orderkey")).alias("r"))
+    fk_cust = (
+        o.join(c.select("c_custkey"), o.o_custkey == c.c_custkey, "left")
+        .agg(
+            row(
+                "orders_fk_customer",
+                cnt,
+                F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)),
+            ).alias("r")
+        )
+    )
+    fk_ord = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left")
+        .agg(
+            row(
+                "lineitem_fk_orders",
+                cnt,
+                F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)),
+            ).alias("r")
+        )
+    )
+    price = o.agg(
+        row(
+            "orders_totalprice_positive",
+            cnt,
+            F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)),
+        ).alias("r")
+    )
+    qty = li.agg(
+        row(
+            "lineitem_qty_in_1_50",
+            cnt,
+            F.sum(F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(0)),
+        ).alias("r")
+    )
+    dates = o.agg(
+        row(
+            "orders_date_in_tpch_range",
+            cnt,
+            F.sum(
+                F.when(
+                    (F.col("o_orderdate") < F.lit("1992-01-01").cast("date"))
+                    | (F.col("o_orderdate") > F.lit("1998-12-31").cast("date")),
+                    1,
+                ).otherwise(0)
+            ),
+        ).alias("r")
+    )
+    names = c.agg(
+        row(
+            "customer_name_not_null", cnt, F.sum(F.when(F.col("c_name").isNull(), 1).otherwise(0))
+        ).alias("r")
+    )
+    out = pk
+    for frame in (fk_cust, fk_ord, price, qty, dates, names):
+        out = out.unionByName(frame)
+    return out.select("r.constraint_name", "r.n_checked", "r.n_violations")
