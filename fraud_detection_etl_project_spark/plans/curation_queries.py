@@ -565,3 +565,48 @@ def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         (lo - F.col("st")).cast("long").alias("doc_offset"),
         (hi - lo).cast("long").alias("n_toks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Class-balanced sampling (deterministic k-per-group downsample)
+# ---------------------------------------------------------------------------
+
+BALANCE_K = 40  # rows kept per class
+
+
+@query(
+    "balanced_event_sample",
+    oracle=f"""
+WITH r AS (SELECT event_id, event_type,
+                  row_number() OVER (
+                      PARTITION BY event_type
+                      ORDER BY md5('bal1|' || CAST(event_id AS VARCHAR)), event_id) AS rk
+           FROM events)
+SELECT event_id, event_type, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {BALANCE_K}
+""",
+)
+def balanced_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: keep exactly {BALANCE_K} rows per class
+    (fewer if the class is smaller), chosen by ranking on a salted md5 of
+    the row id — a deterministic, engine-portable stand-in for per-class
+    uniform sampling (every row's hash, and therefore the selected set, is
+    reproducible across engines, runs, and cluster sizes; unlike
+    ``sample``/``rand`` no seed plumbing or partition-order sensitivity).
+    This is the majority-class downsampling step of imbalanced-training
+    prep — the fraud-detection north star's 1:773 fraud:clean skew
+    (SURVEY §1) is exactly where it applies.
+
+    Scale shape: one hash shuffle on the class key, then a per-partition
+    top-k rank — Spark runs row_number with a rank-limit pushdown
+    (WindowGroupLimit) so each partition keeps only k rows per class
+    before the final filter; no global sort, no collect. The md5 rank key
+    is computed in the scan's project (codegen, no Python)."""
+    e = _t(spark, sf_dir, "events")
+    rk_key = F.md5(F.concat(F.lit("bal1|"), F.col("event_id").cast("string")).cast("binary"))
+    w = Window.partitionBy("event_type").orderBy(rk_key, F.col("event_id"))
+    return (
+        e.select("event_id", "event_type", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= BALANCE_K)
+        .select("event_id", "event_type", F.col("rk").cast("long").alias("rk"))
+    )
