@@ -2411,3 +2411,69 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for frame in (fk_cust, fk_ord, price, qty, dates, names):
         out = out.unionByName(frame)
     return out.select("r.constraint_name", "r.n_checked", "r.n_violations")
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering key (Morton curve) + cell bounding-box audit
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 10  # 10 bits per dimension -> 20-bit z-values
+_Z_CELL_SHIFT = 12  # cells of 4096 consecutive z-values (256 cells)
+
+_Z_SPARK = (
+    "aggregate(sequence(0, {b}), CAST(0 AS BIGINT), (acc, i) -> acc"
+    " + shiftleft(CAST(shiftright(da, i) & 1 AS BIGINT), 2*i)"
+    " + shiftleft(CAST(shiftright(db, i) & 1 AS BIGINT), 2*i + 1))"
+).format(b=_Z_BITS - 1)
+
+_Z_DUCK = (
+    "list_sum(list_transform(range(0, {n}), i ->"
+    " ((da >> i) & 1)::BIGINT * (1::BIGINT << (2*i))"
+    " + ((db >> i) & 1)::BIGINT * (1::BIGINT << (2*i + 1))))"
+).format(n=_Z_BITS)
+
+
+@query(
+    "events_zorder_cells",
+    oracle=f"""
+WITH d AS (SELECT CAST(user_id % 1024 AS INT) AS da,
+                  CAST(least(floor(value), 1023) AS INT) AS db
+           FROM events),
+z AS (SELECT da, db, {_Z_DUCK} AS zval FROM d)
+SELECT CAST(zval >> {_Z_CELL_SHIFT} AS BIGINT) AS z_cell,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(da) AS INT) AS min_user_bucket, CAST(max(da) AS INT) AS max_user_bucket,
+       CAST(min(db) AS INT) AS min_value_bucket, CAST(max(db) AS INT) AS max_value_bucket
+FROM z GROUP BY 1
+""",
+)
+def events_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton space-filling curve) clustering keys with a
+    bounding-box audit per curve cell — the multi-dimensional layout
+    technique behind Delta/Iceberg Z-ORDER: interleaving the bits of two
+    dimension buckets gives a single sort key whose consecutive ranges
+    bound BOTH dimensions, so files written in z order let min/max file
+    stats prune scans filtered on either column (a plain sort only prunes
+    its leading column). The emitted per-cell min/max of each dimension IS
+    the pruning property under test: every 4096-key cell must bound both
+    buckets in a ~2^5-wide box, and the oracle value-checks those bounds.
+
+    Scale shape: the z-value is a row-local integer HOF inside codegen
+    (variable-distance shifts via SQL shiftleft/shiftright — the Python
+    ``F.shiftleft`` only takes literal distances); one hash aggregation on
+    the cell id. To materialize the layout at 100 TB, feed ``zval`` to
+    ``sinks.write_range_sorted`` as the sort key — the audit here is the
+    engine-side proof the key clusters correctly."""
+    e = _t(spark, sf_dir, "events")
+    d = e.select(
+        (F.col("user_id") % 1024).cast("int").alias("da"),
+        F.least(F.floor(F.col("value")), F.lit(1023)).cast("int").alias("db"),
+    )
+    z = d.select("da", "db", F.expr(_Z_SPARK).alias("zval"))
+    return z.groupBy(F.shiftright(F.col("zval"), _Z_CELL_SHIFT).cast("bigint").alias("z_cell")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("da").cast("int").alias("min_user_bucket"),
+        F.max("da").cast("int").alias("max_user_bucket"),
+        F.min("db").cast("int").alias("min_value_bucket"),
+        F.max("db").cast("int").alias("max_value_bucket"),
+    )
