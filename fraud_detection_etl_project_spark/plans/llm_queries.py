@@ -715,3 +715,88 @@ def neardup_dedup_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("q_units") / F.lit(10_000.0)).alias("best_quality"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram LM perplexity quality scoring (CCNet-style)
+# ---------------------------------------------------------------------------
+
+_LM_Q = 10000.0  # log-prob quantum: 1e-4 nat (boundary-flip risk ~1e-10/bigram)
+
+
+@query(
+    "doc_lm_quality_scores",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+       FROM t, UNNEST(range(1, len(toks))) AS u(i)
+       WHERE len(toks) >= 2),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+v AS (SELECT count(DISTINCT w) AS v FROM (SELECT UNNEST(toks) AS w FROM t)),
+sc AS (SELECT bg.doc_id,
+              CAST(floor(ln((CAST(c2.c2 AS DOUBLE) + 1.0)
+                            / (CAST(c1.c1 AS DOUBLE) + CAST(v.v AS DOUBLE)))
+                         * {_LM_Q} + 0.5) AS BIGINT) AS qlp
+       FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+               JOIN c1 ON bg.w1 = c1.w1
+               CROSS JOIN v)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(qlp) AS BIGINT) AS logp_sum_q,
+       floor((CAST(sum(qlp) AS DOUBLE) / {_LM_Q} / count(*)) * 1000000.0 + 0.5) / 1000000.0
+           AS avg_logp
+FROM sc GROUP BY doc_id
+""",
+)
+def doc_lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring (the CCNet recipe, self-trained):
+    fit a token-bigram language model with add-one smoothing on the corpus
+    itself, then score every document by its average bigram
+    log-probability — low scores flag boilerplate-free but incoherent text
+    that length/ratio heuristics miss; high scores flag repetitive
+    boilerplate. Two corpus passes: (1) bigram/prefix counts — one hash
+    aggregation, with the prefix counts derived from the bigram counts
+    (aggregates the already-reduced table, not the raw stream); (2) score
+    join of each document's bigrams against the model — shuffle keys are
+    the bigram strings, model size is corpus vocabulary, not corpus size.
+    Vocabulary size (the smoothing denominator) rides along as a
+    broadcast scalar, never a driver round-trip.
+
+    Cross-engine parity: each bigram's log-prob is quantized to 1e-4 nat
+    as an exact int64 BEFORE summation (same order-free integer-sum
+    policy as cents_sum; ln() may differ in the last ulp between libm and
+    the JVM, so the quantum is set where a boundary flip has ~1e-10
+    probability per bigram), and the reported average divides two exact
+    integers."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split(T.normalized(F.col("text")), " ").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.struct(
+            F.element_at("toks", i).alias("w1"), F.element_at("toks", i + 1).alias("w2")
+        ),
+    )
+    bg = t.select("doc_id", F.explode(pairs).alias("b")).select("doc_id", "b.w1", "b.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    v = (
+        d.select(F.explode(F.split(T.normalized(F.col("text")), " ")).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    p = (F.col("c2").cast("double") + F.lit(1.0)) / (
+        F.col("c1").cast("double") + F.col("v").cast("double")
+    )
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", F.floor(F.log(p) * _LM_Q + F.lit(0.5)).cast("bigint").alias("qlp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("qlp").cast("bigint").alias("logp_sum_q"),
+        fxr(F.sum("qlp").cast("double") / F.lit(_LM_Q) / F.count(F.lit(1)), 6).alias("avg_logp"),
+    )
