@@ -179,3 +179,24 @@ def ivf_topk(
     probes = [cid for cid, _ in sorted(centroids, key=lambda c: (-cos(c[1], query_vec), c[0]))[:nprobe]]
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
     return knn_brute(assigned.filter(F.col("cell").isin(probes)), query_vec, k, id_col, vec_col)
+
+
+JL_SEED = 7
+JL_DIM = 16  # projected dimensionality
+
+
+def jl_matrix(k: int = JL_DIM, dim: int = LSH_DIM, seed: int = JL_SEED) -> list[list[float]]:
+    """Deterministic ±1 (sign) Johnson–Lindenstrauss projection matrix —
+    Achlioptas' database-friendly construction. Entries are exact ±1.0, so
+    literal SQL embeddings are bit-identical in any engine; the 1/sqrt(k)
+    scale is dropped because cosine similarity is scale-invariant."""
+    rng = np.random.default_rng(seed)
+    return [[1.0 if x >= 0 else -1.0 for x in rng.standard_normal(dim)] for _ in range(k)]
+
+
+def jl_project(vec_col, mat: list[list[float]] | None = None) -> Column:
+    """Project an embedding column to ``len(mat)`` dims: one JVM-side dot
+    product per output dim against a literal matrix row (constant-folded;
+    the data vector is read once per row)."""
+    mat = mat or jl_matrix()
+    return F.array(*[dot(vec_col, _plane_lit(row)) for row in mat])

@@ -800,3 +800,88 @@ def doc_lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qlp").cast("bigint").alias("logp_sum_q"),
         fxr(F.sum("qlp").cast("double") / F.lit(_LM_Q) / F.count(F.lit(1)), 6).alias("avg_logp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# JL random projection + shortlist-then-exact-rerank ANN
+# ---------------------------------------------------------------------------
+
+_JL_SHORTLIST = 50
+
+
+def _jl_rows_sql() -> str:
+    return ", ".join(
+        "CAST([" + ", ".join(repr(x) for x in row) + f"] AS DOUBLE[]) AS r{j}"
+        for j, row in enumerate(S.jl_matrix())
+    )
+
+
+def _jl_proj_sql(tbl: str) -> str:
+    dims = ", ".join(
+        f"list_sum(list_transform(range(1, len({tbl}.embedding) + 1),"
+        f" i -> CAST({tbl}.embedding[i] AS DOUBLE) * m.r{j}[i]))"
+        for j in range(S.JL_DIM)
+    )
+    return f"[{dims}]"
+
+
+_JL_ORACLE = f"""
+WITH m AS (SELECT {_jl_rows_sql()}),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+qp AS (SELECT {_jl_proj_sql('q')} AS pv FROM q, m),
+dp AS (SELECT e.vec_id, e.embedding, {_jl_proj_sql('e')} AS pv FROM embeddings e, m),
+sc AS (SELECT dp.vec_id, dp.embedding,
+              floor((list_sum(list_transform(range(1, {S.JL_DIM} + 1), i -> dp.pv[i] * qp.pv[i]))
+                     / (sqrt(list_sum(list_transform(dp.pv, x -> x * x)))
+                        * sqrt(list_sum(list_transform(qp.pv, x -> x * x)))))
+                    * 10000.0 + 0.5) / 10000.0 AS proj_cos
+       FROM dp, qp),
+sl AS (SELECT * FROM sc ORDER BY proj_cos DESC, vec_id ASC LIMIT {_JL_SHORTLIST})
+SELECT e.vec_id, e.proj_cos,
+       floor(({_DOT_Q_SQL} / (sqrt({_SQNORM('e')}) * sqrt({_SQNORM('q')}))) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+FROM sl AS e, q
+ORDER BY cos_sim DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+@query("ann_jl_rerank_top10", oracle=_JL_ORACLE)
+def ann_jl_rerank_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: Johnson–Lindenstrauss sign projection (64 → 16 dims,
+    literal ±1 matrix) scores a cheap shortlist of {sl} candidates, then
+    the full-precision embedding reranks only the shortlist — the standard
+    compressed-first/exact-last retrieval pattern (same shape as PQ or
+    int8 first-pass scoring). 4× fewer multiply-adds per row in the scan
+    stage, and at 100 TB the projected vectors are the only thing a
+    shortlist pass needs to read (store them as a sibling column; 4×
+    smaller I/O).
+
+    Plan: projection is {k} constant-folded dot products inside codegen;
+    both stages end in TakeOrderedAndProject (k rows per partition, no
+    global sort); the rerank reads full vectors for 50 ids only. Both
+    ranking keys are quantized (1e-4) with vec_id tiebreaks, so shortlist
+    membership and final order are ULP-stable and the DuckDB oracle
+    reproduces them exactly."""
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    qlit = F.array(*[F.lit(x).cast("double") for x in qvec])
+    pv = S.jl_project(F.col("embedding"))
+    qp = S.jl_project(qlit)
+    short = (
+        e.select(
+            "vec_id",
+            "embedding",
+            fxr(cosine(pv, qp), 4).alias("proj_cos"),
+        )
+        .orderBy(F.col("proj_cos").desc(), F.col("vec_id").asc())
+        .limit(_JL_SHORTLIST)
+    )
+    return (
+        short.select(
+            "vec_id",
+            "proj_cos",
+            fxr(cosine(F.col("embedding"), qlit), 4).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
