@@ -885,3 +885,90 @@ def ann_jl_rerank_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build (postings + delta-gap encoding)
+# ---------------------------------------------------------------------------
+
+_IDX_MIN_DF = 2
+_IDX_MAX_DF_FRAC = 0.2  # drop terms present in > 20% of the corpus (stopword tier)
+
+
+@query(
+    "phrase_inverted_index",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+b AS (SELECT doc_id,
+             UNNEST(list_distinct(list_transform(range(1, len(toks)),
+                                                 i -> toks[i] || ' ' || toks[i + 1]))) AS phrase
+      FROM t WHERE len(toks) >= 2),
+n AS (SELECT count(*) AS nd FROM documents),
+g AS (SELECT phrase, list_sort(list(DISTINCT doc_id)) AS postings,
+             count(DISTINCT doc_id) AS df
+      FROM b GROUP BY phrase)
+SELECT phrase, CAST(df AS BIGINT) AS df,
+       CAST(postings AS BIGINT[]) AS postings,
+       CAST(list_prepend(postings[1],
+                         list_transform(range(1, len(postings)),
+                                        i -> postings[i + 1] - postings[i])) AS BIGINT[]) AS gaps
+FROM g, n
+WHERE df >= {_IDX_MIN_DF} AND df <= floor(nd * {_IDX_MAX_DF_FRAC})
+""",
+)
+def phrase_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build over token-bigram phrases: phrase → sorted
+    posting list of doc_ids, plus the delta-gap encoding (first id, then
+    successive differences) that real indexes compress with
+    varint/PForDelta — gaps are small where postings cluster, which is
+    what makes the layout compress. The df band is corpus-relative:
+    singletons carry no join value, and terms in > 20% of documents
+    belong in a separate high-df (stopword) tier at scale, so the cut
+    scales with the corpus instead of going empty at 10× the data.
+
+    Scale shape: per-document phrases are deduplicated BEFORE the explode
+    (array_distinct inside the row), so the shuffle carries one (phrase,
+    doc_id) pair per distinct occurrence; one hash aggregation groups
+    postings; sorting happens per-array inside the reduced row, never as
+    a global sort; the corpus size joins in as a broadcast 1-row
+    aggregate (no driver round-trip)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(T.normalized(F.col("text")), " ")
+    phrases = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat(
+                F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
+            ),
+        )
+    )
+    b = (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select("doc_id", F.explode(phrases).alias("phrase"))
+    )
+    nd = d.agg(F.count(F.lit(1)).alias("nd"))
+    g = b.groupBy("phrase").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("postings"),
+        F.count_distinct("doc_id").cast("bigint").alias("df"),
+    )
+    gaps = F.concat(
+        F.slice("postings", 1, 1),
+        F.transform(
+            F.sequence(F.lit(1), F.size("postings") - 1),
+            lambda i: F.element_at("postings", i + 1) - F.element_at("postings", i),
+        ),
+    )
+    return (
+        g.crossJoin(F.broadcast(nd))
+        .filter(
+            (F.col("df") >= _IDX_MIN_DF)
+            & (F.col("df") <= F.floor(F.col("nd") * _IDX_MAX_DF_FRAC))
+        )
+        .select(
+            "phrase",
+            "df",
+            F.col("postings").cast("array<bigint>"),
+            gaps.cast("array<bigint>").alias("gaps"),
+        )
+    )
