@@ -258,3 +258,42 @@ def test_q9_like_patterns_push_to_part_scan(spark):
     pushed = scans[0].split("PushedFilters")[-1]
     assert "StringStartsWith" in pushed or "StartsWith" in pushed, pushed
     assert "StringEndsWith" in pushed or "EndsWith" in pushed, pushed
+
+
+def test_balanced_sample_uses_window_group_limit(spark):
+    plan = plan_of(spark, "balanced_event_sample")
+    # partial (map-side) + final rank-limit: each task keeps <= k rows per
+    # class before the single exchange
+    assert plan.count("WindowGroupLimit") >= 2
+    assert plan.count("Exchange") == 1
+
+
+def test_sequence_packing_single_shuffle_no_text(spark):
+    plan = plan_of(spark, "doc_sequence_packing")
+    # one hash shuffle (per-shard running totals); the document text never
+    # moves through it — only doc_id + token count + shard
+    assert plan.count("Exchange") == 1
+    exch = [l for l in plan.splitlines() if "Exchange" in l]
+    assert all("text" not in l for l in exch)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zorder_cells_is_rowlocal_then_one_agg(spark):
+    plan = plan_of(spark, "events_zorder_cells")
+    assert plan.count("Exchange") == 1  # only the final cell aggregation
+    assert "partial_count" in plan or "partial_min" in plan  # map-side combine
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_interpolation_one_shuffle_two_window_passes(spark):
+    plan = plan_of(spark, "events_value_interpolated")
+    # user_id hash partitioning reused by both window frames — no extra
+    # exchange between the backward and forward passes
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_jl_rerank_both_stages_take_ordered(spark):
+    plan = plan_of(spark, "ann_jl_rerank_top10")
+    assert plan.count("TakeOrderedAndProject") == 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
