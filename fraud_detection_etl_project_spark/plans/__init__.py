@@ -27,7 +27,13 @@ from fraud_detection_etl_project_spark.plans import advanced_queries  # noqa: F4
 # Round-2 swaps: xml_source_rollup (new format family) and
 # copurchase_triangle_count (graph-motif family) replaced the second
 # §2.4-hierarchy and second set-op slots (pivot/intersect stay registered
-# and judge-verified right after the prefix).
+# and judge-verified right after the prefix). Later round-2 swaps put the
+# new data-quality, deterministic-sampling, and sequence-packing families
+# in the prefix by displacing second representatives of already-covered
+# families (grouping_sets_sales -> rollup_flag_status still covers
+# hierarchies; customer_quartiles -> four other window queries remain;
+# top10_orders -> q18's top-100 still exercises TakeOrderedAndProject).
+# All displaced queries stay registered immediately after the prefix.
 FAMILY_PREFIX = [
     "flagship_inconsistent_orders",
     "fraud_valid_txns",
@@ -41,7 +47,7 @@ FAMILY_PREFIX = [
     "quantity_percentiles",
     "approx_event_stats",
     "rollup_flag_status",
-    "grouping_sets_sales",
+    "doc_sequence_packing",
     "xml_source_rollup",
     "nation_trade_pagerank",
     "region_customer_rollup",
@@ -59,11 +65,11 @@ FAMILY_PREFIX = [
     "q5_local_supplier_revenue",
     "q18_large_volume_orders",
     "top_customers_per_nation",
-    "customer_quartiles",
+    "dq_constraint_audit",
     "event_value_deltas",
     "running_user_totals",
     "event_trailing_features",
-    "top10_orders",
+    "balanced_event_sample",
     "all_parties_union",
     "copurchase_triangle_count",
     "orders_cdc_applied",
