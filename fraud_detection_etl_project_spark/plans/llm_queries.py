@@ -972,3 +972,117 @@ def phrase_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             gaps.cast("array<bigint>").alias("gaps"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (query -> top documents)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("hash", "join", "batch")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_tf_sql(term: str) -> str:
+    return f"len(list_filter(toks, x -> x = '{term}'))"
+
+
+def _bm25_contrib_sql(term: str, i: int) -> str:
+    tf = f"CAST(tf{i} AS DOUBLE)"
+    idf = (
+        f"(floor(ln((s.nd - s.df{i} + 0.5) / (s.df{i} + 0.5) + 1.0) * 1000000.0 + 0.5)"
+        " / 1000000.0)"
+    )
+    denom = (
+        f"({tf} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * (CAST(dl AS DOUBLE)"
+        " / (CAST(s.tot AS DOUBLE) / s.nd))))"
+    )
+    return (
+        f"CAST(floor(({idf} * ({tf} * {_BM25_K1 + 1.0}) / {denom}) * 1000000.0 + 0.5)"
+        " AS BIGINT)"
+    )
+
+
+_BM25_ORACLE = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+d AS (SELECT doc_id, len(toks) AS dl,
+             {', '.join(f'{_bm25_tf_sql(term)} AS tf{i}' for i, term in enumerate(_BM25_TERMS))}
+      FROM t),
+s AS (SELECT count(*) AS nd, sum(dl) AS tot,
+             {', '.join(f'count(*) FILTER (tf{i} > 0) AS df{i}' for i in range(len(_BM25_TERMS)))}
+      FROM d),
+sc AS (SELECT d.doc_id,
+              {' + '.join(_bm25_contrib_sql(term, i) for i, term in enumerate(_BM25_TERMS))}
+                  AS score_q
+       FROM d, s)
+SELECT doc_id, CAST(score_q AS DOUBLE) / 1000000.0 AS bm25
+FROM sc ORDER BY score_q DESC, doc_id ASC LIMIT 20
+"""
+
+
+@query("bm25_search_top20", oracle=_BM25_ORACLE)
+def bm25_search_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for the fixed query {q} — the document-ranking
+    complement to tfidf_top_terms' term ranking (k1={k1}, b={b}, the
+    Robertson/Okapi defaults). Per-term contributions are quantized to
+    exact int64 micro-units before summation (order-free, same policy as
+    cents_sum), and ties break on doc_id, so the top-20 is deterministic
+    and engine-exact.
+
+    Scale shape: NO explode — term frequencies are per-row array HOFs
+    (the query has 3 terms, so 3 countIf lambdas inside codegen), corpus
+    statistics (N, total tokens, per-term document frequencies) reduce to
+    ONE broadcast row, and the final ranking is TakeOrderedAndProject. At
+    100 TB with an ad-hoc query the same two passes hold; a standing
+    retrieval service would swap pass 1 for the phrase_inverted_index
+    postings."""
+    d0 = _t(spark, sf_dir, "documents")
+    toks = F.split(T.normalized(F.col("text")), " ")
+    def _eq(term):
+        # NB: a 2-arg lambda would be read by the HOF as (element, index)
+        return lambda x: x == term
+
+    tf_cols = [
+        F.size(F.filter(toks, _eq(t))).alias(f"tf{i}") for i, t in enumerate(_BM25_TERMS)
+    ]
+    d = d0.select("doc_id", F.size(toks).alias("dl"), *tf_cols)
+    s = d.agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("dl").alias("tot"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    avgdl = F.col("tot").cast("double") / F.col("nd")
+    contribs = []
+    for i in range(len(_BM25_TERMS)):
+        tf = F.col(f"tf{i}").cast("double")
+        idf = (
+            F.floor(
+                F.log(
+                    (F.col("nd") - F.col(f"df{i}") + F.lit(0.5))
+                    / (F.col(f"df{i}") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        )
+        denom = tf + _BM25_K1 * (
+            F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * (F.col("dl").cast("double") / avgdl)
+        )
+        contribs.append(
+            F.floor(idf * (tf * F.lit(_BM25_K1 + 1.0)) / denom * 1e6 + F.lit(0.5)).cast("bigint")
+        )
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    return (
+        d.crossJoin(F.broadcast(s))
+        .select("doc_id", total.alias("score_q"))
+        .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select("doc_id", (F.col("score_q").cast("double") / F.lit(1e6)).alias("bm25"))
+    )
