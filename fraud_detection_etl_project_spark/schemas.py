@@ -17,6 +17,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 # PaySim-style mobile-money transactions (the reference's only table).
@@ -53,9 +54,10 @@ TXN_SINK_COLUMN_TYPES = (
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        # stored as TIMESTAMP(NANOS) in parquet; surfaced as TimestampType by
-        # sources.parquet.load_table after ns->us conversion.
-        StructField("ts", LongType()),
+        # stored as µs TIMESTAMP (isAdjustedToUTC=false) in parquet; surfaces
+        # as session-TZ TimestampType under the pinned reader confs
+        # (sources.parquet._REQUIRED_CONFS).
+        StructField("ts", TimestampType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),

@@ -12,8 +12,9 @@ that matter at 100 TB:
   ``Sample File/test_aws.csv:1``);
 - UTC session timezone so timestamp semantics are stable across clusters;
 - Arrow-backed pandas interop for the few Pandas-UDF escape hatches;
-- ``parquet nanosAsLong`` so nanosecond-precision parquet timestamps (the
-  ``events`` fixture) are readable; the parquet source converts them.
+- timestamp-affinity confs so parquet timestamps always surface as session-TZ
+  ``TimestampType`` regardless of how the writer annotated them (NANOS
+  precision → long + source-side conversion; un-adjusted µs → LTZ, not NTZ).
 """
 
 from __future__ import annotations
@@ -32,9 +33,14 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.caseSensitive": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # events.parquet stores TIMESTAMP(NANOS,false) which vanilla Spark
-    # rejects (PARQUET_TYPE_ILLEGAL); read as long, convert in the source.
+    # TIMESTAMP(NANOS) parquet columns are rejected by vanilla Spark
+    # (PARQUET_TYPE_ILLEGAL); read as long, convert in the source.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet timestamps with isAdjustedToUTC=false would otherwise surface
+    # as TIMESTAMP_NTZ (Spark 4 default), which time-instant functions
+    # (unix_micros, window, watermarks) reject; with a UTC session the LTZ
+    # reading preserves the stored wall-clock values exactly.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Respect partition-size targets rather than fixed task counts; AQE
     # coalesces small shuffles, this caps big scans.
     "spark.sql.files.maxPartitionBytes": "128m",

@@ -5,12 +5,15 @@ predicate pushdown to row-group statistics, column pruning. Keeping this a
 plain ``spark.read.parquet`` (no collect, no pandas round-trip) is what makes
 the same code work at sf0.001 and at 100 TB; everything downstream is lazy.
 
-One fixture quirk handled here: ``events.parquet`` stores ``ts`` as
-TIMESTAMP(NANOS), which Spark's reader rejects outright. With
-``spark.sql.legacy.parquet.nanosAsLong=true`` (set by session.get_spark) the
-column arrives as nanoseconds-since-epoch LongType, and we convert it to a
-microsecond TimestampType with integer division — truncation, matching what
-microsecond-native engines (DuckDB, Postgres) do when reading the same file.
+Timestamp normalization handled here: fixture timestamps must surface as
+session-TZ ``TimestampType`` whatever the writer's annotation. Un-adjusted
+microsecond columns (isAdjustedToUTC=false, the current fixtures) would read
+as TIMESTAMP_NTZ under Spark 4's default — ``inferTimestampNTZ.enabled=false``
+keeps them LTZ, value-preserving under the pinned UTC session. NANOS-precision
+columns (earlier fixture generations) are rejected outright by the vanilla
+reader — ``nanosAsLong=true`` surfaces them as LongType and the ns→µs integer
+division below converts them, matching what microsecond-native engines
+(DuckDB, Postgres) do when reading the same file.
 """
 
 from __future__ import annotations
@@ -68,9 +71,13 @@ def _package_zip() -> str:
 # session they built themselves — so pin them again at read time. All three
 # are runtime-settable (verified: spark.conf.set then re-read succeeds).
 _REQUIRED_CONFS = {
-    # events.parquet stores TIMESTAMP(NANOS); without this the scan throws
-    # PARQUET_TYPE_ILLEGAL. With it, ts arrives as LongType nanoseconds.
+    # TIMESTAMP(NANOS) parquet columns throw PARQUET_TYPE_ILLEGAL without
+    # this; with it they arrive as LongType nanoseconds (converted below).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # isAdjustedToUTC=false µs timestamps must read as LTZ (wall clock kept
+    # by the UTC session), not TIMESTAMP_NTZ — instant functions and
+    # watermarks require TimestampType.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Oracle comparisons assume UTC wall-clock rendering.
     "spark.sql.session.timeZone": "UTC",
     # Reference resolves column names case-insensitively (SURVEY §2.2).

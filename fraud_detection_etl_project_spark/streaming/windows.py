@@ -29,8 +29,8 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing-bucket model). The fixture is a bare file, so it is exposed
     through a per-source cached directory of symlinks (deterministic path,
     reused across calls); a real deployment points this at the landing
-    directory itself. ``ts`` arrives as raw ns longs (nanosAsLong) and is
-    converted exactly like the batch source.
+    directory itself. ``ts`` arrives as session-TZ TimestampType directly
+    (µs parquet under the pinned reader confs, like the batch source).
     """
     pin_session_confs(spark)
     src = os.path.join(sf_dir, "events.parquet")
@@ -42,8 +42,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not os.path.islink(link):
             os.symlink(src, link)
         src = d
-    raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(src)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(src)
 
 
 def hourly_event_rollup(

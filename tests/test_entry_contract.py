@@ -84,15 +84,18 @@ print("FOREIGN_CWD_OK", n)
 
 def test_queries_survive_bare_session(spark):
     """The verification driver builds its OWN SparkSession without our confs;
-    load_table must re-pin them at read time (nanosAsLong for the ns-precision
-    events.parquet, UTC, case-insensitivity). Simulated by unsetting the confs
-    on the live session before running an events-backed query."""
+    load_table must re-pin them at read time (timestamp reader affinity, UTC,
+    case-insensitivity). Simulated by unsetting the confs on the live session
+    before running an events-backed query — unset restores Spark defaults
+    (inferTimestampNTZ=true, which would surface ts as TIMESTAMP_NTZ)."""
     for key in (
         "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.parquet.inferTimestampNTZ.enabled",
         "spark.sql.session.timeZone",
     ):
         spark.conf.unset(key)
     df = entry_mod.queries()["distinct_user_event_pairs"](spark, SF)
     assert df.count() > 0
     assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    assert spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled") == "false"
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"

@@ -108,7 +108,9 @@ def test_dedup_within_watermark_drops_redelivered_events(spark, tmp_path):
     ]
     spark.createDataFrame(
         rows, "event_id long, ts long, user_id long, event_type string, value double, props string"
-    ).write.mode("overwrite").parquet(str(d))
+    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).write.mode(
+        "overwrite"
+    ).parquet(str(d))
 
     from fraud_detection_etl_project_spark.schemas import EVENTS_SCHEMA
 
@@ -116,7 +118,6 @@ def test_dedup_within_watermark_drops_redelivered_events(spark, tmp_path):
         spark.readStream.schema(EVENTS_SCHEMA)
         .format("parquet")
         .load(str(d))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
     )
