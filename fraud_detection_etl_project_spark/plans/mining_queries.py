@@ -1,0 +1,555 @@
+"""Round-2 operator additions: portable count-min sketch, bucketed
+range-join rewrite, weighted (Poisson/importance) sampling, SemDeDup-style
+cluster dedup, entity-resolution blocking, EWMA decay features, and the
+remaining native format surfaces (ORC, binaryFile) plus planner-control
+join hints.
+
+Every query follows the repo's oracle discipline: engine-portable
+arithmetic only (md5-derived integers, affine hashes mod a prime, integer
+cents/quanta with exact int64 sums), so each one carries a value-level
+DuckDB oracle. Reference anchor: these are north-star scale operators
+beyond the reference's 245-LoC surface (SURVEY.md §2 gap categories);
+the formats close §2.1's source/sink enumeration for what this container
+ships (`/root/reference/Lambda Function/lambda_function_aws.py` reads
+only CSV — ORC/binaryFile are the engine-completeness additions).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fraud_detection_etl_project_spark.functions.rounding import cents_sum, cents_sum_sql
+from fraud_detection_etl_project_spark.functions.vectors import cosine
+from fraud_detection_etl_project_spark.operators import similarity as S
+from fraud_detection_etl_project_spark.plans.registry import query
+from fraud_detection_etl_project_spark.sources.parquet import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (portable): d affine hash rows x w columns
+# ---------------------------------------------------------------------------
+
+_CMS_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+_CMS_W = 512
+_CMS_AB = [(1103515245, 12345), (69069, 362437), (1664525, 1013904223), (22695477, 1)]
+
+
+@query(
+    "cms_user_counts",
+    oracle=f"""
+WITH par AS (SELECT UNNEST([{', '.join(str(i) for i in range(len(_CMS_AB)))}]) AS i,
+                    UNNEST([{', '.join(str(a) for a, _ in _CMS_AB)}]) AS a,
+                    UNNEST([{', '.join(str(b) for _, b in _CMS_AB)}]) AS b),
+cells AS (SELECT p.i, ((p.a * e.user_id + p.b) % {_CMS_P}) % {_CMS_W} AS col,
+                 count(*) AS cnt
+          FROM events e CROSS JOIN par p GROUP BY 1, 2),
+exact AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1),
+top20 AS (SELECT * FROM exact ORDER BY exact_n DESC, user_id ASC LIMIT 20),
+probe AS (SELECT t.user_id, t.exact_n, p.i,
+                 ((p.a * t.user_id + p.b) % {_CMS_P}) % {_CMS_W} AS col
+          FROM top20 t CROSS JOIN par p)
+SELECT pr.user_id, CAST(pr.exact_n AS BIGINT) AS exact_n,
+       CAST(min(c.cnt) AS BIGINT) AS cms_estimate,
+       min(c.cnt) >= pr.exact_n AS never_underestimates
+FROM probe pr JOIN cells c ON c.i = pr.i AND c.col = pr.col
+GROUP BY pr.user_id, pr.exact_n
+""",
+)
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the event stream: d=4 affine hash rows x
+    w=512 columns, built with one grouped count; the 20 heaviest users are
+    then estimated from the sketch (min over their d cells) next to their
+    exact counts, with the CMS guarantee (estimate >= truth, always) as a
+    value-checked boolean per row.
+
+    Like the portable Bloom filter (advanced_queries), the hashes are
+    plain affine maps mod a Mersenne prime — engine-portable arithmetic is
+    what lets the sketch itself be under value-level test, where Spark's
+    JVM-internal count_min_sketch() byte layout could only be row-counted.
+
+    Scale: the sketch build is ONE map-side-combinable groupBy over
+    (row, column) — at most d*w = 2048 cells regardless of stream size or
+    key cardinality, the whole point of CMS at 100 TB: a fixed-size,
+    mergeable (cellwise-additive) heavy-hitter summary with no per-key
+    state. The probe side joins 20*d rows against the 2048-cell frame —
+    broadcast-sized on both sides."""
+    e = _t(spark, sf_dir, "events").select("user_id")
+    hash_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                ((F.lit(a) * F.col("user_id") + F.lit(b)) % _CMS_P % _CMS_W)
+                .cast("int")
+                .alias("col"),
+            )
+            for i, (a, b) in enumerate(_CMS_AB)
+        ]
+    )
+    cells = (
+        e.select(F.explode(hash_structs).alias("s"))
+        .select("s.i", "s.col")
+        .groupBy("i", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+    top20 = exact.orderBy(F.col("exact_n").desc(), F.col("user_id").asc()).limit(20)
+    a_arr = F.array(*[F.lit(a) for a, _ in _CMS_AB])
+    b_arr = F.array(*[F.lit(b) for _, b in _CMS_AB])
+    probe = (
+        top20.withColumn("i", F.explode(F.array(*[F.lit(i) for i in range(len(_CMS_AB))])))
+        .withColumn(
+            "col",
+            (
+                (
+                    F.element_at(a_arr, F.col("i") + 1) * F.col("user_id")
+                    + F.element_at(b_arr, F.col("i") + 1)
+                )
+                % _CMS_P
+                % _CMS_W
+            ).cast("int"),
+        )
+    )
+    return (
+        probe.join(F.broadcast(cells), ["i", "col"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").cast("bigint").alias("cms_estimate"))
+        .withColumn("never_underestimates", F.col("cms_estimate") >= F.col("exact_n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed range-join rewrite: theta join -> equi join on a derived bucket
+# ---------------------------------------------------------------------------
+
+_BAND_N = 12
+_BAND_STRIDE_C = 4000  # band b covers [4000b, 4000b + 7000) integer cents
+_BAND_WIDTH_C = 7000
+_BUCKET_C = 3500  # fixed bucket width (cents); bands expand to 2-3 buckets
+
+
+@query(
+    "event_band_bucketed_join",
+    oracle=f"""
+WITH bands AS (SELECT i AS band_id, {_BAND_STRIDE_C} * i AS lo_c,
+                      {_BAND_STRIDE_C} * i + {_BAND_WIDTH_C} AS hi_c
+               FROM range({_BAND_N}) t(i)),
+ev AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc, value FROM events)
+SELECT b.band_id, CAST(count(*) AS BIGINT) AS n_events,
+       {cents_sum_sql('e.value')} AS total_value
+FROM ev e JOIN bands b ON e.vc >= b.lo_c AND e.vc < b.hi_c
+GROUP BY 1
+""",
+)
+def event_band_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/theta join rewritten as an equi join — THE scale path for
+    interval lookups. A naive `e.value BETWEEN lo AND hi` join has no
+    equi key, so Spark must fall back to BroadcastNestedLoopJoin (every
+    row against every band — quadratic, and broadcast-bound). Instead:
+    quantize values to integer cents, overlay a fixed bucket grid, expand
+    each band to the 2-3 buckets it overlaps, and join on the bucket id
+    with the range predicate as a residual filter. The join becomes a
+    plain hash join on an int key — shuffled, skew-splittable, AQE-owned
+    (tests/test_plans.py asserts no nested-loop node survives).
+
+    Each event computes exactly one bucket, so no dedup pass is needed:
+    an event meets a band at most once even when the band spans several
+    buckets. Overlapping bands (stride 40 < width 70) mean events can hit
+    two bands — the oracle's plain range join keeps that honest.
+
+    Scale: expansion factor = width/bucket ≈ 2-3 rows per band
+    (dimension side), zero fan-out on the fact side; vs the nested-loop
+    baseline this turns O(|events| * |bands|) comparisons into
+    O(|events| + |bands| * spread) hashed rows."""
+    bands = spark.range(_BAND_N).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.lit(_BAND_STRIDE_C) * F.col("id")).alias("lo_c"),
+        (F.lit(_BAND_STRIDE_C) * F.col("id") + F.lit(_BAND_WIDTH_C)).alias("hi_c"),
+    )
+    expanded = bands.select(
+        "band_id",
+        "lo_c",
+        "hi_c",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo_c") / _BUCKET_C),
+                F.floor((F.col("hi_c") - 1) / _BUCKET_C),
+            )
+        ).alias("bucket"),
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("vc"), "value"
+    )
+    joined = ev.withColumn("bucket", F.floor(F.col("vc") / _BUCKET_C)).join(
+        expanded, "bucket"
+    ).filter((F.col("vc") >= F.col("lo_c")) & (F.col("vc") < F.col("hi_c")))
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        cents_sum("value").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted (Poisson / importance) sampling: inclusion probability ~ weight
+# ---------------------------------------------------------------------------
+
+_WS_MULT = 180_000  # p(doc) = n_chars * MULT / 2^28  (~3-37% across the corpus)
+
+_WS_U28_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), {k + 1}, 1)) - 1)"
+    f" * {16 ** (6 - k)}"
+    for k in range(7)
+)
+
+
+@query(
+    "weighted_doc_sample",
+    oracle=f"""
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM (SELECT doc_id, n_chars, {_WS_U28_SQL} AS u28 FROM documents)
+WHERE u28 < n_chars * {_WS_MULT}
+""",
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Poisson sampling — each document is kept with probability
+    proportional to its length (n_chars * MULT / 2^28), the importance-
+    sampling primitive behind size-aware training mixes (long documents
+    carry more tokens, so sampling docs uniformly under-represents them;
+    sampling ∝ length approximates token-uniform selection).
+
+    The coin is the first 7 hex digits of md5(doc_id) as a 28-bit integer
+    compared against weight * MULT — pure integer arithmetic on a portable
+    digest, so membership is deterministic and the EXACT selected set is
+    value-checked (the same replayable-coin idiom as
+    stratified_event_sample; no RNG state, no seed drift between runs or
+    engines).
+
+    Scale: shuffle-free — one narrow scan, per-row hash + compare, the
+    filter pushes down beside the parquet scan. Reweighting consumers
+    divide by the known inclusion probability; rows with
+    n_chars * MULT >= 2^28 have p=1 (none in fixture range)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    u28 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10).cast(
+        "long"
+    )
+    return d.filter(u28 < F.col("n_chars") * _WS_MULT).select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup inside coarse embedding clusters
+# ---------------------------------------------------------------------------
+
+_SEM_TAU_Q = 300_000  # cosine quantized at 1e-6; tau = 0.30
+
+
+def _sem_cos_sql(a_vec: str, b_vec: str) -> str:
+    dot = (
+        f"list_sum(list_transform(range(1, len({a_vec}) + 1), "
+        f"i -> CAST({a_vec}[i] AS DOUBLE) * CAST({b_vec}[i] AS DOUBLE)))"
+    )
+    sq = "list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    return f"({dot} / (sqrt({sq.format(v=a_vec)}) * sqrt({sq.format(v=b_vec)})))"
+
+
+@query(
+    "semdedup_cluster_stats",
+    oracle=f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
+              WHERE vec_id < {S.IVF_CELLS}),
+vc AS (SELECT e.vec_id, e.embedding, c.cid, {_sem_cos_sql('e.embedding', 'c.c')} AS sim
+       FROM embeddings e CROSS JOIN cent c),
+asg AS (SELECT vec_id, embedding, cid AS cell FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, cid ASC) AS rn
+           FROM vc)
+        WHERE rn = 1),
+dropped AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE CAST(floor({_sem_cos_sql('a.embedding', 'b.embedding')} * 1000000.0 + 0.5)
+                       AS BIGINT) >= {_SEM_TAU_Q})
+SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(count(*) FILTER (WHERE vec_id NOT IN (SELECT vec_id FROM dropped))
+            AS BIGINT) AS n_kept
+FROM asg GROUP BY 1
+""",
+)
+def semdedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public): assign
+    every embedding to a coarse cluster, then dedupe ONLY within clusters —
+    a vector is dropped when a lower-id vector in the same cluster has
+    cosine >= tau. Reports per-cluster totals and survivors.
+
+    This composes the repo's IVF machinery (deterministic lowest-id
+    codebook, max-cosine assignment — identical recurrence to
+    ivf_cell_histogram) with the dedup keep-lowest-id discipline of the
+    MinHash pipeline, and is the standard way semantic dedup scales: the
+    cluster pass turns an O(n²) corpus-wide similarity join into
+    per-cluster quadratic work (same blocking idea as LSH banding, but in
+    embedding space, catching paraphrase-level duplicates that lexical
+    n-gram methods miss).
+
+    Scale: assignment is a narrow scan against a k*d literal codebook (no
+    join, no shuffle); the pairwise stage self-joins on the cell key so
+    each task sees one cluster's vectors. Hot clusters are the risk —
+    production splits them by a secondary LSH bit (the salting remedy
+    documented for LSH banding in operators/dedup.py). Cosine is
+    quantized at 1e-6 before the threshold compare so the pair set is
+    bit-stable across engines."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = S.ivf_centroids(e, k=S.IVF_CELLS)
+    asg = S.ivf_assign(e, cents).select("vec_id", "embedding", "cell")
+    a, b = asg.alias("a"), asg.alias("b")
+    simq = F.floor(
+        cosine(F.col("a.embedding"), F.col("b.embedding")) * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    dropped = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(simq >= _SEM_TAU_Q)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        asg.join(dropped.withColumn("is_dropped", F.lit(1)), "vec_id", "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.count(F.when(F.col("is_dropped").isNull(), 1)).cast("bigint").alias("n_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: blocked candidate generation + edit-distance scoring
+# ---------------------------------------------------------------------------
+
+_ER_MAX_DIST = 2
+
+
+@query(
+    "customer_er_matches",
+    oracle=f"""
+SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= {_ER_MAX_DIST}
+""",
+)
+def customer_er_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate matching: block on coarse attributes
+    (nation, market segment), score only within-block pairs with edit
+    distance, keep near-matches. Blocking is what makes record linkage
+    feasible at scale — the full cross product is O(n²), the blocked join
+    is Σ per-block quadratic, driven down by block granularity (the same
+    economics as LSH banding, with attribute equality as the band).
+
+    Scale: the self-join shuffles on the composite block key; skewed
+    blocks (one giant segment) would concentrate quadratic work in one
+    task — the remedy is a finer key (add a name-prefix component) or the
+    salted-join pattern of operators/skew.py. Levenshtein runs JVM-side
+    (classic DP, identical results in every engine)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    a, b = c.alias("a"), c.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(dist <= _ER_MAX_DIST)
+        .select(
+            F.col("a.c_custkey").alias("a_key"),
+            F.col("b.c_custkey").alias("b_key"),
+            dist.cast("int").alias("edit_dist"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA decay features: exact half-life weighting over a bounded history
+# ---------------------------------------------------------------------------
+
+_EWMA_J = 8  # window length; alpha = 1/2 per step
+
+
+@query(
+    "user_ewma_value",
+    oracle=f"""
+WITH u AS (SELECT event_id, user_id, ts,
+                  CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS vu
+           FROM events)
+SELECT event_id, user_id,
+       ({' + '.join(f'coalesce(lag(vu, {j}) OVER w, 0) * {2 ** (_EWMA_J - 1 - j)}' for j in range(_EWMA_J))})
+       / {float(2 ** (_EWMA_J - 1) * 10000)} AS ewma_value
+FROM u
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def user_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of event values per user
+    (half-life = one event, 8-step horizon): the standard time-decay
+    feature for activity scoring. EWMA's infinite recurrence is not
+    window-expressible; the 8-step truncation is (residual weight 2^-8 <
+    0.4%), as a lag-composition with alpha = 1/2 — which makes every
+    weight a power of two, so the weighted sum is EXACT integer
+    arithmetic on 1e-4-quantized values (no float accumulation at all:
+    units * 2^(7-j) summed in int64, one division at the end).
+
+    Scale: one window shuffle on user_id; the 8 lags share a single sort
+    within the frame (one WindowExec, no extra exchanges). Missing
+    history (first events of a user) contributes zero — the decayed
+    warm-up ramp is part of the definition and matches the oracle."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 10000.0 + 0.5).cast("long").alias("vu"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    weighted = sum(
+        F.coalesce(F.lag("vu", j).over(w), F.lit(0)) * F.lit(2 ** (_EWMA_J - 1 - j))
+        for j in range(_EWMA_J)
+    )
+    denom = float(2 ** (_EWMA_J - 1) * 10000)
+    return e.select(
+        "event_id", "user_id", (weighted / F.lit(denom)).alias("ewma_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Native format surfaces: ORC roundtrip, binaryFile ingestion
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orc_source_rollup",
+    oracle=f"""
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+       {cents_sum_sql('c_acctbal')} AS total_balance
+FROM customer GROUP BY 1
+""",
+)
+def orc_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink roundtrip (§2.1 format surface, beside parquet /
+    CSV / JSON / XML): customers written as ORC with zstd, read back, and
+    aggregated — the oracle computes the same rollup from parquet, so any
+    ORC writer/reader drift is a value mismatch. ORC is the other
+    columnar interchange format a complete engine must speak (Hive-lineage
+    warehouses); Spark's reader gives it the same vectorized scan +
+    predicate-pushdown treatment as parquet, so downstream plans are
+    format-agnostic.
+
+    Scale: identical posture to the parquet path — splittable stripes,
+    column projection at the scan, partition-parallel write. The staging
+    path is content-addressed per sf_dir and overwritten per run."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"orc_roundtrip_{tag}")
+    c.write.format("orc").mode("overwrite").option("compression", "zstd").save(path)
+    back = spark.read.format("orc").load(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        cents_sum("c_acctbal").alias("total_balance"),
+    )
+
+
+@query(
+    "binaryfile_blob_stats",
+    oracle="""
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS checksum
+FROM documents WHERE doc_id < 100
+""",
+)
+def binaryfile_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile ingestion (§2.1 + multimodal north star): opaque files
+    on disk read as (path, length, content) rows — Spark's native entry
+    point for image/audio/video corpora, upstream of the mapInPandas
+    decode operators (operators/multimodal.py). One hundred documents are
+    staged as individual .bin files (setup fixture, content-addressed,
+    written once), read back through format("binaryFile"), and
+    fingerprinted: id parsed from the path, byte length, md5 checksum —
+    all value-checked against the originating table.
+
+    Scale: binaryFile assigns whole files to tasks (files are the unit of
+    parallelism — fine for media blobs, wrong for one giant file);
+    metadata-only queries (path/length) never read content thanks to the
+    reader's column pruning. The md5 runs JVM-side on the content bytes."""
+    staged_tag = hashlib.md5((os.path.abspath(sf_dir) + ":blobs").encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"blob_stage_{staged_tag}")
+    done = os.path.join(d, "_STAGED")
+    if not os.path.exists(done):
+        os.makedirs(d, exist_ok=True)
+        docs = (
+            _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 100)
+            .select("doc_id", "text")
+            .collect()  # 100 capped rows: fixture staging, not the operator
+        )
+        for r in docs:
+            with open(os.path.join(d, f"doc_{int(r['doc_id']):05d}.bin"), "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+        with open(done, "w") as f:
+            f.write("ok")
+    blobs = spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(d)
+    return blobs.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1).cast("bigint").alias("doc_id"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5(F.col("content")).alias("checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Planner-control surface: explicit join-strategy hints
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hinted_hash_join_rollup",
+    oracle=f"""
+SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+       {cents_sum_sql('o.o_totalprice')} AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""",
+)
+def hinted_hash_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy hint surface: the same orders⋈customer rollup every
+    engine runs, with the build side pinned to a shuffled hash join via
+    .hint("shuffle_hash"). Default Spark picks sort-merge once both sides
+    exceed the broadcast threshold; when the build side fits a task's
+    memory, hashing skips both sorts — the classic win for
+    mid-sized-dimension joins, and the knob users of a planner-controlled
+    engine expect to have (SURVEY §2.3 planner-control row). The hint
+    constrains STRATEGY only, never results — the oracle keeps that
+    honest; tests/test_plans.py asserts the ShuffledHashJoin node
+    actually materialized (a silently-ignored hint would pass values but
+    fail the plan check).
+
+    Scale: shuffle-hash shuffles both sides like SMJ but builds a hash
+    table instead of sorting; it loses only when the per-partition build
+    side spills — the reason it is a hint, not the default. AQE can make
+    the same choice at runtime from observed sizes; the hint is the
+    deterministic override."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment").hint("shuffle_hash")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            cents_sum("o_totalprice").alias("total_price"),
+        )
+    )

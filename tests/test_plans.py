@@ -297,3 +297,31 @@ def test_jl_rerank_both_stages_take_ordered(spark):
     plan = plan_of(spark, "ann_jl_rerank_top10")
     assert plan.count("TakeOrderedAndProject") == 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bucketed_range_join_avoids_nested_loop(spark):
+    plan = plan_of(spark, "event_band_bucketed_join")
+    # the rewrite's whole point: the interval lookup runs as an equi join
+    # on the derived bucket key, never as a nested-loop scan of all bands
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_shuffle_hash_hint_materializes(spark):
+    plan = plan_of(spark, "hinted_hash_join_rollup")
+    # a silently-ignored hint would still pass the value oracle; the plan
+    # check is what proves the strategy override took effect
+    assert "ShuffledHashJoin" in plan
+
+
+def test_weighted_sample_is_shuffle_free_pushdown_scan(spark):
+    plan = plan_of(spark, "weighted_doc_sample")
+    assert "Exchange" not in plan  # per-row coin: narrow, no shuffle
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cms_build_is_one_partial_agg(spark):
+    plan = plan_of(spark, "cms_user_counts")
+    # sketch cells must combine map-side (d*w bounded frame after combine)
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
