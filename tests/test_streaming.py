@@ -186,3 +186,34 @@ def test_python_stream_source_offset_walk(spark, tmp_path):
     final = drain()  # exhausted: no re-delivery
     assert final.count() == 2000
     assert sorted(r["id"] for r in final.select("id").collect()) == list(range(2000))
+
+
+def test_rocksdb_state_store_matches_default_provider(spark):
+    """The state-store provider is a storage engine, not a semantics
+    change: the same watermarked stateful query must produce identical
+    results under heap-backed and RocksDB state (streaming/state.py —
+    the 100 TB posture is RocksDB, where live keys exceed any heap)."""
+    from fraud_detection_etl_project_spark.streaming.state import (
+        ROCKSDB_PROVIDER,
+        use_default_state,
+        use_rocksdb_state,
+    )
+
+    def run():
+        out = hourly_event_rollup(spark, SF)
+        return {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+            for r in out.collect()
+        }
+
+    baseline = run()
+    use_rocksdb_state(spark)
+    try:
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            == ROCKSDB_PROVIDER
+        )
+        assert run() == baseline
+    finally:
+        use_default_state(spark)
+    assert baseline  # non-empty: the parity check compared real windows
