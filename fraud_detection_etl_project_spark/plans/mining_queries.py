@@ -553,3 +553,119 @@ def hinted_hash_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents_sum("o_totalprice").alias("total_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketches over windows: sliding weekly-active-users from daily
+# HLL partials
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sliding_weekly_active_users",
+    oracle="""
+WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+b AS (SELECT max(day) AS d1 FROM du),
+contrib AS (SELECT du.day + to_days(CAST(t.i AS INT)) AS out_day, du.user_id
+            FROM du CROSS JOIN range(7) t(i)),
+ex AS (SELECT out_day AS day, count(DISTINCT user_id) AS exact_wau
+       FROM contrib WHERE out_day <= (SELECT d1 FROM b) GROUP BY 1)
+SELECT day, CAST(exact_wau AS BIGINT) AS exact_wau, TRUE AS wau_within_9pct
+FROM ex
+""",
+)
+def sliding_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 7-day distinct-user counts from MERGEABLE daily sketches —
+    the scale answer to 'distinct over a window', which no engine supports
+    directly (DISTINCT aggregates are not window functions) and which
+    recomputing per window makes O(days * window) scans. Instead: one
+    pass builds a KB-sized HLL sketch per day, and the trailing window
+    UNIONS sketches (hll_union_agg as a window aggregate over the
+    day-grain frame) — the same partials can roll to monthly/quarterly
+    grains without touching raw data (the multires_event_rollup
+    discipline, applied to distincts).
+
+    Sketch values are engine-specific, so the output carries the exact
+    companion (computed by a calendar explode: each active day
+    contributes its users to 7 trailing windows) and a 9%-bound boolean
+    (>5 sigma at the default lgConfigK=12, rel-err 1.625%) the oracle
+    asserts as literal TRUE — the approx_event_stats discipline. A
+    calendar spine densifies gap days so window offsets mean calendar
+    days, not observed-day ranks.
+
+    Scale: the raw scan reduces to (day, user) pairs, the sketch build is
+    one map-side-combined groupBy to ~days rows; the window runs on the
+    day-grain frame (hundreds of rows regardless of corpus size — the
+    reduce-then-window rule of session_concurrency_hourly)."""
+    du = (
+        _t(spark, sf_dir, "events")
+        .select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .distinct()
+    )
+    bounds = du.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    daysk = du.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    est = spine.join(daysk, "day", "left").select(
+        "day", F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("wau_est")
+    )
+    exact = (
+        du.select(
+            F.explode(
+                F.sequence("day", F.col("day") + F.expr("interval 6 days"), F.expr("interval 1 day"))
+            ).alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("exact_wau"))
+    )
+    return est.join(exact, "day").select(
+        "day",
+        "exact_wau",
+        (
+            F.abs(F.col("wau_est") - F.col("exact_wau"))
+            <= F.greatest(F.lit(3), F.col("exact_wau") * F.lit(0.09))
+        ).alias("wau_within_9pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hidden file-metadata columns: per-file provenance audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "file_metadata_rollup",
+    oracle="""
+SELECT 'events.parquet' AS file_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(event_id) AS BIGINT) AS min_event_id,
+       CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM events
+""",
+)
+def file_metadata_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden ``_metadata`` file columns (§2.1 provenance surface):
+    per-source-file row counts and key ranges, the audit every ingest
+    pipeline runs — which files fed this table, how many rows each
+    contributed, are any files' key ranges overlapping/anomalous. The
+    _metadata struct (file_name, file_size, modification time) is
+    populated by the scan itself — no filename parsing, no extra read —
+    and at scale powers file-level incremental processing (process only
+    files newer than the last high-watermark) and bad-file forensics.
+
+    Scale: the rollup groups on a scan-constant column, so it map-side
+    combines to one row per file; with the fixture's single file the
+    oracle pins the exact (name, count, key-range) triple."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(F.col("_metadata.file_name").alias("file_name"), "event_id")
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("event_id").cast("bigint").alias("min_event_id"),
+            F.max("event_id").cast("bigint").alias("max_event_id"),
+        )
+    )
