@@ -300,17 +300,43 @@ def semdedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: assignment is a narrow scan against a k*d literal codebook (no
     join, no shuffle); the pairwise stage self-joins on the cell key so
-    each task sees one cluster's vectors. Hot clusters are the risk —
-    production splits them by a secondary LSH bit (the salting remedy
-    documented for LSH banding in operators/dedup.py). Cosine is
-    quantized at 1e-6 before the threshold compare so the pair set is
-    bit-stable across engines."""
+    each task sees one cluster's vectors. Two compute-density measures
+    matter here (and sit outside a size-based optimizer's model): vector
+    norms are hoisted out of the pair loop (computed once per vector —
+    only the dot product stays pairwise), and the join input carries an
+    EXPLICIT numbered repartition on the cell key. AQE coalesces shuffle
+    partitions by byte size, and a few MB of vectors hiding quadratic
+    cosine work would collapse to one task (observed: 9.8s single-task at
+    sf0.1; ~16-way parallel after) — an explicit repartition count is
+    exempt from AQE coalescing. Hot clusters beyond that take a
+    secondary LSH bit in the block key (the salting remedy documented for
+    LSH banding in operators/dedup.py). Cosine is quantized at 1e-6
+    before the threshold compare so the pair set is bit-stable across
+    engines."""
+    from pyspark import StorageLevel
+
+    from fraud_detection_etl_project_spark.functions.vectors import dot, norm
+    from fraud_detection_etl_project_spark.operators.dedup import spread_for_compute
+
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = S.ivf_centroids(e, k=S.IVF_CELLS)
-    asg = S.ivf_assign(e, cents).select("vec_id", "embedding", "cell")
+    # spread: the k-cosine assignment otherwise runs on the scan's task
+    # count (one small file locally); persist: asg feeds three plan legs
+    # (both pair sides + the final per-cell rollup) — without it the
+    # assignment recomputes per leg (the copurchase_triangle_count trap).
+    asg = (
+        S.ivf_assign(spread_for_compute(e), cents)
+        .select("vec_id", "embedding", "cell")
+        .withColumn("nrm", norm(F.col("embedding")))
+        .repartition(32, "cell")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a, b = asg.alias("a"), asg.alias("b")
     simq = F.floor(
-        cosine(F.col("a.embedding"), F.col("b.embedding")) * F.lit(1e6) + F.lit(0.5)
+        dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm"))
+        * F.lit(1e6)
+        + F.lit(0.5)
     ).cast("long")
     dropped = (
         a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")))
@@ -354,12 +380,20 @@ def customer_er_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     is Σ per-block quadratic, driven down by block granularity (the same
     economics as LSH banding, with attribute equality as the band).
 
-    Scale: the self-join shuffles on the composite block key; skewed
-    blocks (one giant segment) would concentrate quadratic work in one
-    task — the remedy is a finer key (add a name-prefix component) or the
-    salted-join pattern of operators/skew.py. Levenshtein runs JVM-side
-    (classic DP, identical results in every engine)."""
-    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    Scale: the self-join shuffles on the composite block key, with an
+    EXPLICIT numbered repartition — the blocked join is compute-dense
+    (per-block quadratic edit-distance DP over byte-sized rows), exactly
+    the shape AQE's byte-based partition coalescing misjudges (observed:
+    5.6s single-task at sf0.1 under AQE coalescing; block-parallel
+    after). Skewed blocks (one giant segment) take a finer key (add a
+    name-prefix component) or the salted-join pattern of
+    operators/skew.py. Levenshtein runs JVM-side (classic DP, identical
+    results in every engine)."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+        .repartition(32, "c_nationkey", "c_mktsegment")
+    )
     a, b = c.alias("a"), c.alias("b")
     dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
     return (
