@@ -703,3 +703,195 @@ def file_metadata_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").cast("bigint").alias("max_event_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Partitioned layout + dynamic partition pruning
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "partitioned_dpp_rollup",
+    oracle=f"""
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+       {cents_sum_sql('o_totalprice')} AS total_price
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY 1
+""",
+)
+def partitioned_dpp_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + DYNAMIC partition pruning: orders
+    staged partitionBy(o_orderstatus) (directory-per-value — the standard
+    warehouse fact layout), then joined to a dimension whose filter
+    ('finished') is only known at runtime. Catalyst plants a dynamic-
+    pruning subquery on the fact scan: the dim side is evaluated first
+    and the fact reads ONLY the matching partition directories —
+    tests/test_plans.py asserts the dynamicpruning subquery materialized.
+
+    This is the mechanism that makes star-schema queries touch 1/k of a
+    100 TB fact: static pruning handles literal predicates, DPP handles
+    predicates that arrive through a join (date dims, enum dims). The
+    oracle mirrors the whole join+prune as a plain filtered rollup.
+
+    Scale: partition count = column cardinality — the layout rule is
+    low-cardinality columns only (status/date), or file-count explosion
+    eats the benefit (see sinks.compact_parquet). Staging is
+    content-addressed per sf_dir, written once."""
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"orders_part_{tag}")
+    done = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(done):
+        _t(spark, sf_dir, "orders").write.partitionBy("o_orderstatus").mode(
+            "overwrite"
+        ).parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("O", "open"), ("F", "finished"), ("P", "pending")], "st string, label string"
+    ).filter(F.col("label") == "finished")
+    return (
+        fact.join(F.broadcast(dim), fact.o_orderstatus == dim.st)
+        .groupBy(F.col("o_orderstatus"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            cents_sum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parquet schema evolution: mergeSchema across batches
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "schema_evolution_rollup",
+    oracle=f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+            AS BIGINT) AS n_with_priority,
+       {cents_sum_sql('o_totalprice')} AS total_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+""",
+)
+def schema_evolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution (§2.1): an old batch written WITHOUT a
+    column and a new batch written WITH it, read together via
+    mergeSchema — the reader unions the schemas and back-fills the old
+    batch's missing column with NULL, exactly how long-lived ingest
+    pipelines absorb added fields without rewriting history. The rollup
+    counts rows, non-null occurrences of the evolved column (= new-batch
+    rows, pinned by the oracle via the date boundary), and an exact money
+    total across both batches.
+
+    Scale: schema merge reads every file's FOOTER at planning time — for
+    100k-file tables that is the expensive step (Spark samples footers;
+    a catalog/metastore schema is the production answer), while the data
+    path stays columnar and NULL back-fill is metadata-only. Staging is
+    content-addressed per sf_dir, written once."""
+    o = _t(spark, sf_dir, "orders")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"orders_evo_{tag}")
+    d96, d97 = os.path.join(path, "y96"), os.path.join(path, "y97")
+    if not (os.path.exists(os.path.join(d96, "_SUCCESS")) and os.path.exists(os.path.join(d97, "_SUCCESS"))):
+        o.filter(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+        ).select("o_orderkey", "o_totalprice").write.mode("overwrite").parquet(d96)
+        o.filter(
+            (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+        ).select("o_orderkey", "o_totalprice", "o_orderpriority").write.mode(
+            "overwrite"
+        ).parquet(d97)
+    merged = spark.read.option("mergeSchema", "true").parquet(d96, d97)
+    return merged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("o_orderpriority").cast("bigint").alias("n_with_priority"),
+        cents_sum("o_totalprice").alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted shortest paths: Bellman-Ford min-plus relaxation (3 rounds)
+# ---------------------------------------------------------------------------
+
+_SP_ROUNDS = 3
+_SP_SCALE = 1_000_000  # edge cost = SCALE div support (integer min-plus)
+
+_SP_EDGES_SQL = f"""
+SELECT a.l_partkey AS src, b.l_partkey AS dst,
+       CAST({_SP_SCALE} // count(*) AS BIGINT) AS cost
+FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+def _sp_oracle() -> str:
+    steps = []
+    prev = "d0"
+    for i in range(1, _SP_ROUNDS + 1):
+        steps.append(
+            f"""
+r{i} AS (SELECT s.dst AS node, {prev}.dist + s.cost AS dist
+         FROM {prev} JOIN sym s ON s.src = {prev}.node),
+d{i} AS (SELECT node, min(dist) AS dist FROM
+           (SELECT * FROM {prev} UNION ALL SELECT * FROM r{i})
+         GROUP BY node)"""
+        )
+        prev = f"d{i}"
+    chain = ",".join(steps)
+    return f"""
+WITH e AS ({_SP_EDGES_SQL}),
+sym AS (SELECT src, dst, cost FROM e UNION ALL SELECT dst, src, cost FROM e),
+d0 AS (SELECT DISTINCT p_partkey AS node, CAST(0 AS BIGINT) AS dist
+       FROM part WHERE p_brand = 'Brand#2'),{chain}
+SELECT node, CAST(dist AS BIGINT) AS dist FROM {prev}
+"""
+
+
+@query("part_shortest_path_3hop", oracle=_sp_oracle())
+def part_shortest_path_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source-set shortest paths (Bellman-Ford, 3
+    min-plus relaxation rounds) over the co-purchase graph: edge cost =
+    1e6 div support (stronger ties are cheaper), sources = Brand#2 parts.
+    Beside BFS hop counts (part_bfs_2hop) and PageRank this completes the
+    classic iterative-graph triad; costs are integers so every round is
+    exact and the oracle unrolls the identical recurrence.
+
+    Scale: each round is one join (frontier against the symmetric edge
+    list, shuffled on the relax key) + one min-groupBy — the Pregel
+    message/combine pattern as plain relational ops. The round count
+    bounds the hop horizon; deeper horizons reuse the lineage-truncation
+    discipline of operators/graph.py (checkpoint every few rounds).
+    Edge derivation keys the same support>=2 sparsification as the other
+    graph queries (near-linear edge growth; see advanced_queries)."""
+    from pyspark import StorageLevel
+
+    items = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = items.select(F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("dst"))
+    e = (
+        a.join(b, (F.col("k") == F.col("k2")) & (F.col("src") < F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("src", "dst", (F.lit(_SP_SCALE) / F.col("support")).cast("bigint").alias("cost"))
+    )
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "cost")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    dist = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#2")
+        .select(F.col("p_partkey").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    for _ in range(_SP_ROUNDS):
+        relaxed = dist.join(sym, dist.node == sym.src).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("cost")).alias("dist")
+        )
+        dist = dist.union(relaxed).groupBy("node").agg(F.min("dist").alias("dist"))
+    return dist.select("node", F.col("dist").cast("bigint").alias("dist"))

@@ -325,3 +325,10 @@ def test_cms_build_is_one_partial_agg(spark):
     # sketch cells must combine map-side (d*w bounded frame after combine)
     assert "partial_count" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dynamic_partition_pruning_fires(spark):
+    plan = plan_of(spark, "partitioned_dpp_rollup")
+    # the fact scan must carry a runtime pruning subquery fed by the dim
+    # side — reading all partitions would pass values but not this check
+    assert "dynamicpruning" in plan.lower()
