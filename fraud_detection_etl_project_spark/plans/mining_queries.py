@@ -20,6 +20,9 @@ import hashlib
 import os
 import tempfile
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -895,3 +898,74 @@ def part_shortest_path_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         dist = dist.union(relaxed).groupBy("node").agg(F.min("dist").alias("dist"))
     return dist.select("node", F.col("dist").cast("bigint").alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# §2.10 grouped-aggregate pandas UDF: per-group trimmed mean
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "grouped_agg_trimmed_mean",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+kept AS (SELECT event_type,
+                CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS vu
+         FROM ranked
+         WHERE rn > n // 10 AND rn <= n - n // 10)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+       sum(vu) / 10000.0 / count(*) AS trimmed_mean
+FROM kept GROUP BY 1
+""",
+)
+def grouped_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-AGGREGATE pandas UDF (§2.10's remaining escape-hatch
+    shape, beside scalar Arrow UDFs, grouped-map applyInPandas, UDTFs and
+    applyInPandasWithState): each group's values arrive as ONE pandas
+    Series and reduce to ONE scalar — here a 10% two-sided trimmed mean,
+    the robust-statistics shape that has no single built-in expression.
+    Arrival order inside the Series is nondeterministic (it follows
+    shuffle file order), so the UDF sorts first and sums 1e-4-quantized
+    int64 units — the result depends only on the value multiset, making
+    the Python path value-checkable against a window-rank oracle.
+
+    The exact-companion discipline: n_kept pins the trim boundaries, the
+    quantized integer sum pins every kept value.
+
+    Scale: grouped-agg UDFs shuffle each group to one task and
+    materialize it in memory (unlike built-in aggregates, which combine
+    map-side) — acceptable for bounded groups (event types), wrong for
+    unbounded keys; that asymmetry is why the relational surface keeps a
+    zero-UDF policy and this family is quarantined to genuinely
+    non-expressible reductions."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def trimmed_units(v: pd.Series) -> int:
+        s = np.sort(v.to_numpy())
+        k = len(s) // 10
+        kept = s[k : len(s) - k]
+        # same IEEE ops as the oracle: x*1e4 + 0.5, floor, exact int64 sum
+        return int(np.floor(kept * 10000.0 + 0.5).astype("int64").sum())
+
+    @pandas_udf("long")
+    def trimmed_count(v: pd.Series) -> int:
+        return len(v) - 2 * (len(v) // 10)
+
+    e = _t(spark, sf_dir, "events").select("event_type", "value")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            trimmed_count("value").alias("n_kept"),
+            trimmed_units("value").alias("units"),
+        )
+        .select(
+            "event_type",
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+            (F.col("units") / F.lit(10000.0) / F.col("n_kept")).alias("trimmed_mean"),
+        )
+    )
