@@ -48,6 +48,7 @@ _CMS_AB = [(1103515245, 12345), (69069, 362437), (1664525, 1013904223), (2269547
 
 @query(
     "cms_user_counts",
+    bench=True,
     oracle=f"""
 WITH par AS (SELECT UNNEST([{', '.join(str(i) for i in range(len(_CMS_AB)))}]) AS i,
                     UNNEST([{', '.join(str(a) for a, _ in _CMS_AB)}]) AS a,
@@ -141,6 +142,7 @@ _BUCKET_C = 3500  # fixed bucket width (cents); bands expand to 2-3 buckets
 
 @query(
     "event_band_bucketed_join",
+    bench=True,
     oracle=f"""
 WITH bands AS (SELECT i AS band_id, {_BAND_STRIDE_C} * i AS lo_c,
                       {_BAND_STRIDE_C} * i + {_BAND_WIDTH_C} AS hi_c
@@ -600,6 +602,7 @@ def hinted_hash_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sliding_weekly_active_users",
+    bench=True,
     oracle="""
 WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
 b AS (SELECT max(day) AS d1 FROM du),
