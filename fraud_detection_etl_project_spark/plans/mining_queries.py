@@ -972,3 +972,285 @@ def grouped_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("units") / F.lit(10000.0) / F.col("n_kept")).alias("trimmed_mean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 pagination: OFFSET pages under a total order (and why keysets win)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_page_two",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 15 OFFSET 15
+""",
+)
+def orders_page_two(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result pagination (§2.6): the second 15-row page of orders by
+    price under a TOTAL order (price desc, key asc — the tiebreak is what
+    makes pages deterministic and engines comparable; ordering on price
+    alone would make page boundaries arbitrary among ties).
+
+    Scale: offset(n).limit(k) must still compute the global top n+k —
+    Spark plans it as a single TakeOrderedAndProject of n+k rows, fine
+    for UI-depth pages, degenerate for deep scans (offset 10M computes
+    10M+k). The production pattern for deep pagination is the KEYSET:
+    filter on the last seen (price, key) tuple and take the next k,
+    which this same total order enables — documented here because the
+    offset form is the API surface users ask for first."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(15)
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1 text-line source roundtrip
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_source_line_stats",
+    oracle="""
+WITH lines AS (SELECT doc_id,
+                      replace(replace(text, chr(13), ' '), chr(10), ' ') AS line
+               FROM documents WHERE doc_id < 200)
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(strlen(line)) AS BIGINT) AS total_bytes,
+       min(md5(line)) AS min_line_fp
+FROM lines
+""",
+)
+def text_source_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text source (§2.1): documents flattened one-per-line
+    (newlines escaped — the line is the record boundary in this format),
+    written with the text sink, read back with ``spark.read.text`` and
+    fingerprinted: line count, byte total, min line digest — any
+    writer/reader drift (encoding, trailing whitespace, line splitting)
+    is a value mismatch against the originating table.
+
+    Scale: text files split on line boundaries, so the format
+    parallelizes like CSV without its quoting rules; it is the ingest
+    boundary for log-shaped corpora, converted columnar on first touch
+    (same posture as the XML roundtrip). Staging is content-addressed
+    per sf_dir, written once."""
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"text_lines_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 200)
+            .select(
+                F.regexp_replace(
+                    F.regexp_replace("text", "\r", " "), "\n", " "
+                ).alias("value")
+            )
+            .write.mode("overwrite")
+            .text(path)
+        )
+    lines = spark.read.text(path)
+    return lines.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.octet_length("value")).cast("bigint").alias("total_bytes"),
+        F.min(F.md5(F.col("value").cast("binary"))).alias("min_line_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.10 mapInArrow: zero-copy Arrow-native batch transform
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mapinarrow_blob_heads",
+    oracle="""
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+       substr(text, 1, 12) AS head_text
+FROM documents WHERE doc_id < 150
+""",
+)
+def mapinarrow_blob_heads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` (§2.10's Arrow-NATIVE batch hatch, beside the
+    pandas-converting mapInPandas): the transform receives raw
+    ``pyarrow.RecordBatch``es and answers with RecordBatches — no
+    pandas materialization, no object boxing, which matters exactly for
+    BINARY media payloads (pandas would copy every blob into Python
+    bytes objects; Arrow slices reference the original buffers).
+    Features stay vectorized in pyarrow.compute: payload byte length and
+    a 12-byte head slice — value-checked against the originating table,
+    so the whole Arrow round-trip (JVM -> C data interface -> compute ->
+    back) is under oracle test.
+
+    Scale: same executor-parallel batch contract as mapInPandas, minus
+    the pandas conversion tax; the decode seam of operators/multimodal.py
+    would sit inside this transform in an Arrow-native production build."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fraud_detection_etl_project_spark.operators.multimodal import to_media_table
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    media = to_media_table(docs, "doc_id", "text", "text/plain")
+
+    out_schema = "doc_id long, n_bytes long, head_text string"
+
+    def heads(batches):
+        for batch in batches:
+            payload = batch.column("payload")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("media_id"),
+                    pc.binary_length(payload).cast(pa.int64()),
+                    pc.binary_slice(payload, 0, 12).cast(pa.string()),
+                ],
+                ["doc_id", "n_bytes", "head_text"],
+            )
+
+    return media.select("media_id", "payload").mapInArrow(heads, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN: PQ codes + asymmetric-distance shortlist + rerank
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces (64 dims / 8)
+_PQ_D = 8  # dims per subspace
+_PQ_K = 16  # codes per subspace codebook
+_PQ_SHORTLIST = 50
+
+_PQ_DOT_Q = (
+    "list_sum(list_transform(range(1, len(e.embedding) + 1), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+)
+_PQ_SQN = lambda t: (  # noqa: E731
+    f"list_sum(list_transform({t}.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+)
+
+_PQ_ORACLE = f"""
+WITH cb AS (SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < {_PQ_K}),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+js AS (SELECT UNNEST(range({_PQ_M})) AS j),
+scored AS (
+  SELECT e.vec_id, js.j, cb.cid,
+         list_sum(list_transform(range(1, {_PQ_D} + 1),
+           i -> (CAST(e.embedding[{_PQ_D} * js.j + i] AS DOUBLE) - CAST(cb.c[{_PQ_D} * js.j + i] AS DOUBLE))
+              * (CAST(e.embedding[{_PQ_D} * js.j + i] AS DOUBLE) - CAST(cb.c[{_PQ_D} * js.j + i] AS DOUBLE)))) AS d2,
+         list_sum(list_transform(range(1, {_PQ_D} + 1),
+           i -> CAST(q.embedding[{_PQ_D} * js.j + i] AS DOUBLE) * CAST(cb.c[{_PQ_D} * js.j + i] AS DOUBLE))) AS dq
+  FROM embeddings e CROSS JOIN js CROSS JOIN cb CROSS JOIN q),
+enc AS (SELECT vec_id, j, dq FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, cid ASC) AS rn
+           FROM scored)
+        WHERE rn = 1),
+adc AS (SELECT vec_id,
+               sum(CAST(floor(dq * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 AS adc_dot
+        FROM enc GROUP BY 1),
+sl AS (SELECT vec_id, adc_dot FROM adc ORDER BY adc_dot DESC, vec_id ASC LIMIT {_PQ_SHORTLIST})
+SELECT e.vec_id, sl.adc_dot,
+       floor(({_PQ_DOT_Q} / (sqrt({_PQ_SQN('e')}) * sqrt({_PQ_SQN('q')}))) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+FROM sl JOIN embeddings e ON e.vec_id = sl.vec_id CROSS JOIN q
+ORDER BY cos_sim DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+@query("ann_pq_rerank_top10", oracle=_PQ_ORACLE)
+def ann_pq_rerank_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011, public): vectors
+    compress to M=8 one-byte codes (one per 8-dim subspace, argmin-L2
+    against a K=16 per-subspace codebook), the query scores candidates by
+    ASYMMETRIC distance — the exact query subvector against each code's
+    centroid, so only Σ_j dot(q_j, codebook_j[code_j]) per vector — and
+    the top-50 shortlist gets an exact cosine rerank (the JL-rerank
+    discipline, with codes instead of projections). Completes the ANN
+    family: brute force (exact baseline), LSH buckets, IVF cells, JL
+    projection, PQ codes — the last is what a billion-vector index
+    actually stores (8 bytes/vector here vs 256 for raw float32).
+
+    Determinism: codebooks are the K lowest-id vectors' subvectors (the
+    IVF seeding rule — a production build k-means-trains per subspace on
+    a sample; encode/score machinery is identical), argmin ties break to
+    the lowest code id, per-subspace ADC contributions quantize to 1e-6
+    int64 units before the order-free sum, and the shortlist orders on
+    (quantized score, vec_id) — bit-stable against the oracle's unrolled
+    mirror.
+
+    Scale: encoding is a narrow scan against an M*K*D literal codebook
+    (single transform lambda per subspace — the ivf_assign codegen
+    lesson); scoring reads codes, not vectors; only the 50-row shortlist
+    touches raw embeddings again. At 100 TB the codes table IS the index:
+    256 GB of codes replaces 25 TB of float32, and the rerank's random
+    reads are bounded by k."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < _PQ_K).collect()
+    }
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+
+    def fold_dot(a, b):
+        prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+        return F.aggregate(prods, F.lit(0.0), lambda acc, z: acc + z)
+
+    # per-subspace quantized ADC contribution for this row's best code
+    contribs = []
+    for j in range(_PQ_M):
+        cb_j = F.array(*[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[
+                    F.lit(seeds[cid][_PQ_D * j + i]).cast("double") for i in range(_PQ_D)
+                ]).alias("c"),
+            )
+            for cid in sorted(seeds)
+        ])
+        q_j = F.array(*[F.lit(qvec[_PQ_D * j + i]).cast("double") for i in range(_PQ_D)])
+        sub = F.slice(F.col("embedding"), _PQ_D * j + 1, _PQ_D)
+        def scorer(sub, q_j):
+            def inner(s):
+                d2 = F.aggregate(
+                    F.zip_with(
+                        sub, s["c"], lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, z: acc + z,
+                )
+                return F.struct(
+                    d2.alias("d2"), s["cid"].alias("cid"), fold_dot(q_j, s["c"]).alias("dq")
+                )
+
+            return inner
+
+        scored = F.transform(cb_j, scorer(sub, q_j))
+        best = F.array_min(scored)  # struct order: lowest d2, then lowest cid
+        contribs.append(F.floor(best.getField("dq") * F.lit(1e6) + F.lit(0.5)).cast("long"))
+
+    adc_units = contribs[0]
+    for c in contribs[1:]:
+        adc_units = adc_units + c
+    shortlist = (
+        e.select("vec_id", "embedding", (adc_units / F.lit(1e6)).alias("adc_dot"))
+        .orderBy(F.col("adc_dot").desc(), F.col("vec_id").asc())
+        .limit(_PQ_SHORTLIST)
+    )
+    q_full = F.array(*[F.lit(x).cast("double") for x in qvec])
+    qn = F.sqrt(F.aggregate(q_full, F.lit(0.0), lambda acc, x: acc + x * x))
+    vn = F.sqrt(
+        F.aggregate(
+            F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    cos = fold_dot(F.col("embedding"), q_full) / (vn * qn)
+    return (
+        shortlist.select(
+            "vec_id",
+            "adc_dot",
+            (F.floor(cos * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
