@@ -1254,3 +1254,118 @@ def ann_pq_rerank_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch: portable, mergeable, value-exact
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_SPACE = float(16**12)  # 48-bit hash space
+
+_KMV_H_SQL = " + ".join(
+    f"CAST(strpos('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), {k + 1}, 1)) - 1 AS BIGINT)"
+    f" * {16 ** (11 - k)}"
+    for k in range(12)
+)
+
+
+@query(
+    "kmv_distinct_users",
+    oracle=f"""
+WITH h AS (SELECT DISTINCT event_type, {_KMV_H_SQL} AS hv FROM events),
+ranked AS (SELECT event_type, hv,
+                  row_number() OVER (PARTITION BY event_type ORDER BY hv ASC) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n_distinct
+           FROM h)
+SELECT event_type,
+       CAST(max(n_distinct) AS BIGINT) AS exact_users,
+       CAST(floor(({_KMV_K} - 1) * {_KMV_SPACE} / max(CASE WHEN rn = {_KMV_K} THEN hv END)
+                  + 0.5) AS BIGINT) AS kmv_estimate
+FROM ranked
+WHERE rn <= {_KMV_K}
+GROUP BY event_type
+""",
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002, public):
+    keep the k=64 smallest hash values per group; the k-th smallest
+    estimates the distinct count as (k-1) * space / kth_min. Unlike HLL
+    (whose register layout is engine-internal, so approx_event_stats can
+    only bound-check it), KMV over a PORTABLE hash (48 md5 bits as an
+    integer) is bit-deterministic: the ESTIMATE ITSELF is value-checked
+    against the oracle, exact companion alongside. Sketches merge by
+    keeping the k smallest of any union — same mergeability story as the
+    HLL/CMS partials, with order statistics instead of registers.
+
+    Scale: one distinct-reduce then a per-group bottom-k (WindowGroupLimit
+    pushes the rank filter map-side, the balanced_event_sample plan
+    property) — state per group is k int64s regardless of cardinality.
+    The estimator's ±1/sqrt(k) ≈ 12% error shows honestly in the output
+    rows (exact vs estimate side by side)."""
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10).cast("long")
+    du = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", h.alias("hv"))
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("hv").asc())
+    ranked = du.select(
+        "event_type",
+        "hv",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n_distinct"),
+    ).filter(F.col("rn") <= _KMV_K)
+    return ranked.groupBy("event_type").agg(
+        F.max("n_distinct").cast("bigint").alias("exact_users"),
+        F.floor(
+            F.lit(_KMV_K - 1)
+            * F.lit(_KMV_SPACE)
+            / F.max(F.when(F.col("rn") == _KMV_K, F.col("hv")))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("kmv_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram: ntile buckets with value bounds
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "order_price_equidepth",
+    oracle="""
+WITH t AS (SELECT o_totalprice,
+                  ntile(8) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS bucket
+           FROM orders)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders,
+       floor(min(o_totalprice) * 100.0 + 0.5) / 100.0 AS lo,
+       floor(max(o_totalprice) * 100.0 + 0.5) / 100.0 AS hi
+FROM t GROUP BY 1
+""",
+)
+def order_price_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (quantile buckets): ntile(8) under a total
+    order gives buckets of equal row count with data-driven value
+    boundaries — the complement of order_price_histogram's equi-WIDTH
+    buckets, and the shape CBO statistics and monotonic feature binning
+    use (each bin is a percentile band, robust to skewed value
+    distributions where equi-width piles everything into one bar).
+
+    Scale: a global ntile needs a total sort; the scale substitute is
+    approx-percentile cut points applied as a row-local bucket lookup
+    (percentile_approx is already under bound-test in
+    approx_event_stats) — documented here, exact ntile kept as the
+    oracle-checkable form. The tiebreak on o_orderkey makes bucket
+    membership (not just sizes) deterministic cross-engine."""
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    t = _t(spark, sf_dir, "orders").select(
+        "o_totalprice", F.ntile(8).over(w).alias("bucket")
+    )
+    return t.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        (F.floor(F.min("o_totalprice") * 100.0 + 0.5) / 100.0).alias("lo"),
+        (F.floor(F.max("o_totalprice") * 100.0 + 0.5) / 100.0).alias("hi"),
+    )
