@@ -1369,3 +1369,55 @@ def order_price_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.min("o_totalprice") * 100.0 + 0.5) / 100.0).alias("lo"),
         (F.floor(F.max("o_totalprice") * 100.0 + 0.5) / 100.0).alias("hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pandas API on Spark: the reference's own code shape, distributed
+# ---------------------------------------------------------------------------
+
+
+from fraud_detection_etl_project_spark.plans.relational_queries import (
+    FRAUD_FLAGGED_ORACLE as _FRAUD_FLAGGED_ORACLE,
+)
+
+
+@query("fraud_flagged_pandas_api", oracle=_FRAUD_FLAGGED_ORACLE)
+def fraud_flagged_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference pipeline in its OWN idiom: pyspark.pandas runs the
+    pandas code shape (`/root/reference/Lambda Function/
+    lambda_function_aws.py:40-52` — read_csv, rounded balance masks,
+    boolean-indexed filters) on Spark unchanged in structure, so a user
+    migrating from the reference keeps their mental model while every
+    operation plans through Catalyst (the boolean masks become pushed
+    filters; nothing materializes driver-side). Same oracle as
+    fraud_flagged_txns — the DataFrame-API and pandas-API paths are
+    value-interchangeable.
+
+    The rounding is spelled as the engine-portable floor formula rather
+    than Series.round (pandas-on-Spark .round is decimal HALF_UP; the
+    reference's numpy round is half-even; both agree with the oracle on
+    every sample row, but the explicit formula is exact by construction
+    — functions/rounding.py policy).
+
+    Scale: pandas-on-Spark inherits Spark's execution, but beware
+    default_index_type — operations that need a global row index
+    (iloc, default reset_index) can force a single-partition pass; this
+    pipeline is pure column math + filters, which stays narrow."""
+    import pyspark.pandas as ps
+
+    from fraud_detection_etl_project_spark.plans.relational_queries import (
+        REFERENCE_SAMPLE_CSV,
+    )
+
+    pdf = ps.read_csv(REFERENCE_SAMPLE_CSV)
+
+    def r2(series):
+        # floordiv(1) == floor (also for negatives); stays a Column op
+        return (series * 100.0 + 0.5).floordiv(1.0) / 100.0
+
+    valid = pdf[
+        (r2(pdf.oldbalanceOrg - pdf.newbalanceOrig) >= pdf.amount)
+        | (r2(pdf.oldbalanceDest + pdf.amount) >= pdf.newbalanceDest)
+    ]
+    flagged = valid[(valid.isFraud == 1) | (valid.isFlaggedFraud == 1)]
+    return flagged.to_spark()
