@@ -1421,3 +1421,120 @@ def fraud_flagged_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     flagged = valid[(valid.isFraud == 1) | (valid.isFlaggedFraud == 1)]
     return flagged.to_spark()
+
+
+# ---------------------------------------------------------------------------
+# SQL-defined scalar functions, parameterized SQL, ANSI-safe try_* arithmetic
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_udf_revenue_rollup",
+    oracle="""
+SELECT l_returnflag,
+       sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) AS BIGINT)) / 100.0
+           AS revenue
+FROM lineitem GROUP BY 1
+""",
+)
+def sql_udf_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-DEFINED scalar function (Spark 4 `CREATE FUNCTION ... RETURN
+    expr`, §2.10's declarative UDF shape): the revenue expression is
+    named once in pure SQL and reused — unlike Python UDFs it inlines
+    into the plan as a Catalyst expression (whole-stage codegen, filter
+    pushdown through it, zero serialization), so it is the FIRST escape
+    hatch to reach for, and the only one allowed on hot paths by this
+    repo's zero-Python-UDF policy. The rounded per-row revenue feeds the
+    exact integer-cents sum under the usual oracle.
+
+    Scale: a SQL UDF is macro expansion — cost identical to writing the
+    expression inline; governance (one vetted definition of 'revenue')
+    is the point."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION cents_revenue(p DOUBLE, d DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(floor((p * (1 - d)) * 100.0 + 0.5) AS BIGINT)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(sum(cents_revenue(l_extendedprice, l_discount)) AS DOUBLE) / 100.0
+                   AS revenue
+        FROM lineitem GROUP BY 1
+        """
+    )
+
+
+@query(
+    "param_sql_urgent_orders",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0 AS total_price
+FROM orders
+WHERE o_totalprice > 150000.0 AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY 1
+""",
+)
+def param_sql_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL (named parameter markers, Spark 4): the query
+    text carries `:threshold` / `:p1` / `:p2` placeholders and values
+    bind at execution — the injection-safe template surface every SQL
+    entry point needs (string-concatenated predicates are both unsafe
+    and uncacheable; bound parameters keep one plan shape across
+    invocations). Values here reproduce the oracle's literals exactly.
+
+    Scale: parameter binding happens at parse time, so pushdown/pruning
+    see the bound literals — the threshold lands in PushedFilters like
+    any constant."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+                   AS total_price
+        FROM orders
+        WHERE o_totalprice > :threshold AND o_orderpriority IN (:p1, :p2)
+        GROUP BY 1
+        """,
+        args={"threshold": 150000.0, "p1": "1-URGENT", "p2": "2-HIGH"},
+    )
+
+
+@query(
+    "try_arithmetic_audit",
+    oracle="""
+WITH t AS (SELECT event_type,
+                  CASE WHEN event_id % 5 = 0 THEN NULL
+                       ELSE value / CAST(event_id % 5 AS DOUBLE) END AS d
+           FROM events)
+SELECT event_type,
+       CAST(count(*) FILTER (WHERE d IS NULL) AS BIGINT) AS n_div_null,
+       sum(CAST(floor(d * 10000.0 + 0.5) AS BIGINT)) / 10000.0 AS total_div
+FROM t GROUP BY 1
+""",
+)
+def try_arithmetic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode-safe arithmetic (§2.8): Spark 4 runs with
+    spark.sql.ansi.enabled=true, so division by zero and overflow are
+    runtime ERRORS, not silent NULL/wraparound — correct for integrity,
+    fatal for a 100 TB batch job where one dirty row kills hour-10 of an
+    11-hour run. The `try_*` family (try_divide here) is the row-level
+    pressure valve: dirty rows degrade to NULL and the audit COUNTS them
+    next to the clean aggregate, turning data-quality failures into a
+    metric instead of a job abort (the dq_constraint_audit philosophy
+    applied to expression evaluation).
+
+    Scale: try_divide is the same codegen'd division with a null guard —
+    no performance cliff; the null-count column is the monitoring hook."""
+    e = _t(spark, sf_dir, "events")
+    d = F.try_divide(F.col("value"), (F.col("event_id") % 5).cast("double"))
+    return (
+        e.select("event_type", d.alias("d"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("d").isNull(), 1)).cast("bigint").alias("n_div_null"),
+            (
+                F.sum(F.floor(F.col("d") * 10000.0 + 0.5).cast("long")) / F.lit(10000.0)
+            ).alias("total_div"),
+        )
+    )
