@@ -1309,15 +1309,17 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", h.alias("hv"))
         .distinct()
     )
+    # rank-only window + filter: eligible for WindowGroupLimit (each map
+    # task keeps <= k rows per group BEFORE the exchange). The exact count
+    # lives in a separate partial-aggregated branch — folding it into the
+    # window as count() OVER (PARTITION BY ...) would force every row
+    # through the window sort and kill the group-limit pushdown
+    # (plan-tested).
     w = Window.partitionBy("event_type").orderBy(F.col("hv").asc())
-    ranked = du.select(
-        "event_type",
-        "hv",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n_distinct"),
-    ).filter(F.col("rn") <= _KMV_K)
-    return ranked.groupBy("event_type").agg(
-        F.max("n_distinct").cast("bigint").alias("exact_users"),
+    bottomk = du.select("event_type", "hv", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= _KMV_K
+    )
+    est = bottomk.groupBy("event_type").agg(
         F.floor(
             F.lit(_KMV_K - 1)
             * F.lit(_KMV_SPACE)
@@ -1325,7 +1327,13 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.5)
         )
         .cast("bigint")
-        .alias("kmv_estimate"),
+        .alias("kmv_estimate")
+    )
+    exact = du.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_users")
+    )
+    return exact.join(F.broadcast(est), "event_type").select(
+        "event_type", "exact_users", "kmv_estimate"
     )
 
 

@@ -332,3 +332,27 @@ def test_dynamic_partition_pruning_fires(spark):
     # the fact scan must carry a runtime pruning subquery fed by the dim
     # side — reading all partitions would pass values but not this check
     assert "dynamicpruning" in plan.lower()
+
+
+def test_pq_encoding_is_narrow_single_scan(spark):
+    plan = plan_of(spark, "ann_pq_rerank_top10")
+    # codes come from a literal codebook: no join, no Python, and the
+    # shortlist is a TakeOrderedAndProject, not a global sort
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kmv_bottomk_pushes_rank_limit_mapside(spark):
+    plan = plan_of(spark, "kmv_distinct_users")
+    # per-group bottom-k must run as WindowGroupLimit (partial before the
+    # exchange), not a full sort of the distinct-hash frame
+    assert "WindowGroupLimit" in plan
+
+
+def test_semdedup_pair_join_keeps_explicit_partitioning(spark):
+    plan = plan_of(spark, "semdedup_cluster_stats")
+    # the compute-dense pair join must keep the explicit numbered
+    # repartition (REPARTITION_BY_NUM shows as a user-specified exchange
+    # AQE cannot coalesce); no Python anywhere
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning(32)" in plan or "hashpartitioning(cell" in plan
