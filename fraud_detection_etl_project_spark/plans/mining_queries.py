@@ -1546,3 +1546,79 @@ def try_arithmetic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_div"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedded-CSV parsing (from_csv) and the transpose API
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "from_csv_customer_roundtrip",
+    oracle="""
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+       sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) / 100.0 AS total_balance
+FROM customer GROUP BY 1
+""",
+)
+def from_csv_customer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded-CSV parsing (§2.8, closing the parser-function family
+    beside from_json/schema_of_json/parse_json): rows serialized to CSV
+    lines (to_csv's concat shape) and re-parsed with ``from_csv`` under
+    an explicit schema — the path for CSV-in-a-column payloads (message
+    queues, log fields) where whole-file CSV readers never see the data.
+    The rollup over PARSED columns matching the direct-table oracle
+    proves the serialize→parse loop is lossless for the typed fields.
+
+    Scale: from_csv is a row-local JVM expression (UnivocityParser per
+    task) — fuses into the scan stage, no shuffle, no Python."""
+    c = _t(spark, sf_dir, "customer")
+    lines = c.select(
+        F.concat_ws(",", "c_custkey", "c_acctbal", "c_mktsegment").alias("line")
+    )
+    parsed = lines.select(
+        F.from_csv(
+            "line", "c_custkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING"
+        ).alias("p")
+    ).select("p.*")
+    return parsed.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (
+            F.sum(F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("long")) / F.lit(100.0)
+        ).alias("total_balance"),
+    )
+
+
+@query(
+    "returnflag_quantity_transposed",
+    oracle="""
+SELECT 'sum_qty' AS key,
+       sum(CASE WHEN l_returnflag = 'A' THEN CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) END) / 100.0 AS A,
+       sum(CASE WHEN l_returnflag = 'N' THEN CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) END) / 100.0 AS N,
+       sum(CASE WHEN l_returnflag = 'R' THEN CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) END) / 100.0 AS R
+FROM lineitem
+""",
+)
+def returnflag_quantity_transposed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose`` (Spark 4 API, §2.4's pivot family): an
+    aggregated 3-row frame flips so rows become columns — the
+    report-shaping step after reduction, dual of unpivot/melt. Spark's
+    transpose keys columns from the first column's values (sorted
+    here by the upstream orderBy), equivalent to the oracle's manual
+    CASE pivot.
+
+    Scale: transpose requires column-cardinality = row count of the
+    input, so it belongs strictly AFTER aggregation (here: 3 rows in,
+    one row out); transposing a fact table is a category error the API's
+    collect-like semantics make obvious."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = (
+        li.groupBy("l_returnflag")
+        .agg(
+            (
+                F.sum(F.floor(F.col("l_quantity") * 100.0 + 0.5).cast("long")) / F.lit(100.0)
+            ).alias("sum_qty")
+        )
+        .orderBy("l_returnflag")
+    )
+    return agg.transpose()
