@@ -1622,3 +1622,72 @@ def returnflag_quantity_transposed(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy("l_returnflag")
     )
     return agg.transpose()
+
+
+# ---------------------------------------------------------------------------
+# Nested-data shaping: denormalize to array<struct>, renormalize with inline
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nested_order_items_roundtrip",
+    oracle="""
+WITH per_order AS (
+  SELECT l_orderkey, count(*) AS n_items,
+         sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS cents
+  FROM lineitem GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(n_items) AS BIGINT) AS n_items,
+       sum(cents) / 100.0 AS total_price,
+       CAST(max(n_items) AS BIGINT) AS max_items
+FROM per_order
+""",
+)
+def nested_order_items_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-data shaping (§2.8 complex types): lineitems DENORMALIZE
+    into one array<struct> per order (collect_list of structs — the
+    document shape exports and feature stores want), per-order facts
+    compute directly on the nested value (size, array-HOF sum), and
+    ``inline`` RE-NORMALIZES the structs back to rows whose grand total
+    must reconcile with the flat table — the full nest→compute→unnest
+    loop under one oracle.
+
+    Scale: nesting is one shuffle on the parent key (the rows were
+    headed to that grouping anyway); the nested column then moves as ONE
+    value per order — the point of the document shape: downstream
+    operators read order-atomic data without re-joining. inline is the
+    struct-aware explode (row-local, narrow). Array HOF aggregation on
+    int64 cents keeps the nested-side math exact."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.struct(
+            F.col("l_linenumber").alias("line"),
+            F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long").alias("cents"),
+        ).alias("item"),
+    )
+    nested = li.groupBy("l_orderkey").agg(F.collect_list("item").alias("items"))
+    per_order = nested.select(
+        "l_orderkey",
+        F.size("items").alias("n_items"),
+        F.aggregate(
+            "items", F.lit(0).cast("long"), lambda acc, it: acc + it["cents"]
+        ).alias("cents"),
+    )
+    back = nested.select(F.inline("items"))  # renormalize: one row per struct
+    flat_count = back.agg(F.count(F.lit(1)).cast("bigint").alias("n_items_flat"))
+    return (
+        per_order.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("n_items").cast("bigint").alias("n_items_nested"),
+            (F.sum("cents") / F.lit(100.0)).alias("total_price"),
+            F.max("n_items").cast("bigint").alias("max_items"),
+        )
+        .crossJoin(F.broadcast(flat_count))
+        # reconciliation: nested-side and renormalized counts must agree
+        .select(
+            "n_orders",
+            F.col("n_items_flat").alias("n_items"),
+            "total_price",
+            "max_items",
+        )
+    )
