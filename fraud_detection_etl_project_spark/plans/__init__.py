@@ -35,6 +35,12 @@ from fraud_detection_etl_project_spark.plans import mining_queries  # noqa: F401
 # hierarchies; customer_quartiles -> four other window queries remain;
 # top10_orders -> q18's top-100 still exercises TakeOrderedAndProject).
 # All displaced queries stay registered immediately after the prefix.
+# Round-2 swaps (2): the cross-join and null-safe-equality slots (two of
+# FOURTEEN join-family representatives in the prefix; both stay registered
+# right after it) gave way to partitioned_dpp_rollup (layout + dynamic
+# partition pruning family) and semdedup_cluster_stats (semantic-dedup
+# family) so the driver's prefix sample sees the round-2 marquee
+# families. Every query red in CORRECTNESS_r01 keeps its prefix slot.
 FAMILY_PREFIX = [
     "flagship_inconsistent_orders",
     "fraud_valid_txns",
@@ -57,10 +63,10 @@ FAMILY_PREFIX = [
     "nation_party_full_join",
     "customers_with_big_orders",
     "orders_without_lineitems",
-    "region_priority_grid",
+    "semdedup_cluster_stats",
     "event_value_bands",
     "asof_purchase_signup",
-    "nullsafe_tier_join",
+    "partitioned_dpp_rollup",
     "salted_user_event_join",
     "customers_with_urgent_orders",
     "q5_local_supplier_revenue",
