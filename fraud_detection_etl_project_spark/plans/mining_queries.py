@@ -1691,3 +1691,72 @@ def nested_order_items_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_items",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.10 cogrouped applyInPandas: per-key two-sided reconciliation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cogroup_order_reconciliation",
+    oracle="""
+WITH o AS (SELECT o_orderkey % 16 AS bucket,
+                  count(*) AS n_orders,
+                  sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS header_cents
+           FROM orders GROUP BY 1),
+l AS (SELECT l_orderkey % 16 AS bucket,
+             count(*) AS n_items,
+             sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS item_cents
+      FROM lineitem GROUP BY 1)
+SELECT o.bucket, CAST(o.n_orders AS BIGINT) AS n_orders,
+       CAST(l.n_items AS BIGINT) AS n_items,
+       (o.header_cents - l.item_cents) / 100.0 AS header_minus_items
+FROM o JOIN l ON o.bucket = l.bucket
+""",
+)
+def cogroup_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUPED applyInPandas (§2.10's final escape-hatch shape, beside
+    grouped-map/grouped-agg/UDTF/mapInPandas/mapInArrow/stateful): two
+    relations group on the same key and each key's BOTH pandas frames
+    arrive in one Python call — the shape for per-key algorithms that
+    need both sides at once (custom reconciliation, per-key model fits,
+    as-of logic too bespoke for the join rewrite). Here: per order-bucket
+    reconciliation of header totals vs line-item totals, all arithmetic
+    on quantized int64 cents so the result is order-free and the whole
+    Python path value-checks against a plain join+aggregate oracle.
+
+    Scale: cogroup shuffles BOTH inputs on the key and materializes each
+    key's two frames in one task's memory — same bounded-group caveat as
+    grouped-agg UDFs; express it relationally (as the oracle does)
+    whenever the per-key logic fits join+agg. The bucket key here bounds
+    group count (16) and size (1/16 of each table)."""
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 16).alias("bucket"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 16).alias("bucket"),
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+
+    def reconcile(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": [int(key[0])],
+                "n_orders": [int(len(odf))],
+                "n_items": [int(len(ldf))],
+                "header_minus_items": [
+                    (int(odf["cents"].sum()) - int(ldf["cents"].sum())) / 100.0
+                ],
+            }
+        )
+
+    return (
+        o.groupBy("bucket")
+        .cogroup(li.groupBy("bucket"))
+        .applyInPandas(
+            reconcile,
+            "bucket long, n_orders long, n_items long, header_minus_items double",
+        )
+    )
