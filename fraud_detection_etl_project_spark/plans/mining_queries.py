@@ -1760,3 +1760,84 @@ def cogroup_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket long, n_orders long, n_items long, header_minus_items double",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap aggregation (exact mergeable distinct) and null-preserving explode
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bitmap_distinct_users",
+    oracle="""
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+""",
+)
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap aggregation (Spark 4 bitmap_* functions, §2.4): distinct
+    counting as bit arithmetic — each key sets one bit in a 32K-position
+    bucket bitmap, buckets aggregate with bitmap_construct_agg, and the
+    distinct count is the sum of per-bucket popcounts. EXACT (the oracle
+    is plain count(DISTINCT)) yet mergeable like a sketch: per-day or
+    per-partition bucket bitmaps OR together (bitmap_or_agg) without
+    rescanning — the precise-when-affordable middle ground between exact
+    re-aggregation (not mergeable) and HLL/KMV (approximate). Cost is
+    one bit per possible key per bucket touched, the right trade for
+    dense integer keyspaces (user ids here).
+
+    Scale: the inner aggregation is map-side combinable on
+    (group, bucket); state per group = touched_buckets * 4 KB. Sparse
+    64-bit keyspaces (hashes) explode the bucket count — that regime
+    belongs to KMV/HLL (kmv_distinct_users, hll_partial_union_users)."""
+    e = _t(spark, sf_dir, "events")
+    buckets = (
+        e.select("event_type", F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+                 F.expr("bitmap_bit_position(user_id)").alias("pos"))
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("bitmap_count(bitmap_construct_agg(pos))").alias("cnt"))
+    )
+    return buckets.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n_users")
+    )
+
+
+@query(
+    "orders_items_explode_outer",
+    oracle="""
+SELECT CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_orders,
+       CAST((SELECT count(*) FROM orders o LEFT JOIN lineitem l
+             ON l.l_orderkey = o.o_orderkey) AS BIGINT) AS n_exploded,
+       CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS
+             (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+            AS BIGINT) AS n_childless
+""",
+)
+def orders_items_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving generation (§2.8 generators): ``explode_outer``
+    keeps parent rows whose array is empty/null as a single null-child
+    row — plain explode silently DROPS them, the classic
+    lost-parent bug in denormalization pipelines (an order with no
+    items vanishes from a per-item report and its downstream totals).
+    Orders nest their lineitems (left join → collect_list, childless
+    orders get an empty array), explode_outer re-flattens, and the
+    counts reconcile: exploded rows = lineitems + childless orders,
+    childless tracked explicitly. Oracle mirrors with LEFT JOIN /
+    NOT EXISTS cardinalities.
+
+    Scale: explode_outer is row-local like explode; the nesting shuffle
+    is the same parent-key grouping the data needed anyway (see
+    nested_order_items_roundtrip)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    nested = o.join(li, o.o_orderkey == li.l_orderkey, "left").groupBy("o_orderkey").agg(
+        F.collect_list("l_linenumber").alias("lines")
+    )
+    flat = nested.select(
+        "o_orderkey", F.explode_outer("lines").alias("line")
+    )
+    return flat.agg(
+        F.count_distinct("o_orderkey").cast("bigint").alias("n_orders"),
+        F.count(F.lit(1)).cast("bigint").alias("n_exploded"),
+        F.count(F.when(F.col("line").isNull(), 1)).cast("bigint").alias("n_childless"),
+    )
