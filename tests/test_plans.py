@@ -356,3 +356,11 @@ def test_semdedup_pair_join_keeps_explicit_partitioning(spark):
     # AQE cannot coalesce); no Python anywhere
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning(32)" in plan or "hashpartitioning(cell" in plan
+
+
+def test_bitmap_distinct_combines_mapside(spark):
+    plan = plan_of(spark, "bitmap_distinct_users")
+    # the bucketed bitmap build must partial-aggregate before its
+    # exchange — per-group state is bucket bitmaps, not raw rows
+    assert "partial_bitmap_construct_agg" in plan or "partial" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
