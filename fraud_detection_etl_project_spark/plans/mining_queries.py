@@ -1841,3 +1841,103 @@ def orders_items_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_exploded"),
         F.count(F.when(F.col("line").isNull(), 1)).cast("bigint").alias("n_childless"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PPJoin-style exact set-similarity join: prefix filtering + exact verify
+# ---------------------------------------------------------------------------
+
+# Jaccard >= 3/4, decided in exact integers: 4*|A∩B| >= 3*|A∪B|.
+_PP_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_PP_TOKS_SQL = f"string_split({_PP_NORM_SQL}, ' ')"
+
+
+@query(
+    "ppjoin_similar_docs",
+    oracle=f"""
+WITH toks AS (SELECT DISTINCT doc_id, UNNEST({_PP_TOKS_SQL}) AS tok FROM documents),
+sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+          FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+sim AS (SELECT i.doc_a, i.doc_b, i.n_common
+        FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+                     JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE 4 * i.n_common >= 3 * (sa.sz + sb.sz - i.n_common))
+SELECT doc_a, CAST(count(*) AS BIGINT) AS n_similar,
+       CAST(sum(doc_b) AS BIGINT) AS partner_idsum,
+       CAST(sum(n_common) AS BIGINT) AS common_total
+FROM sim GROUP BY 1
+""",
+)
+def ppjoin_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join with prefix filtering (PPJoin family,
+    Xiao et al. 2008, public) — the deterministic complement to MinHash
+    banding: every document keeps only its PREFIX tokens (rarest-first
+    global order; p = |d| - ceil(t*|d|) + 1), and two documents can reach
+    Jaccard >= t ONLY if their prefixes share a token (t = 3/4 here) — a guarantee, not
+    a probability, so there are no false negatives to tune away (LSH
+    banding trades exactly this for insensitivity to token frequencies).
+    Candidates sharing a prefix token get an exact integer verify
+    (4*|A∩B| >= 3*|A∪B|); the oracle computes ground truth from
+    ALL co-token pairs, so the result being equal PROVES the filter's
+    completeness, not just its precision.
+
+    Scale: the candidate join blocks on prefix tokens only — rare tokens
+    by construction (rarest-first ordering), so block sizes stay small
+    exactly where a naive token join explodes (stop-word blocks never
+    enter prefixes unless a doc is nearly all stop words). The global
+    token order is one df aggregation broadcast back; the verify stage
+    joins candidate ids against sizes, never text."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "
+        ))).alias("tok"),
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = toks.join(F.broadcast(dfreq), "tok")
+    w_doc = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("tok").asc())
+    sized = ranked.select(
+        "doc_id",
+        "tok",
+        F.row_number().over(w_doc).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("sz"),
+    )
+    # p = sz - ceil(sz/2) + 1 for t = 1/2
+    prefixes = sized.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.col("sz") * 3 / 4) + 1
+    ).select("doc_id", "tok")
+    cands = (
+        prefixes.alias("a")
+        .join(prefixes.alias("b"), "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    inter = (
+        toks.alias("ta")
+        .join(cands, F.col("ta.doc_id") == F.col("doc_a"))
+        .join(
+            toks.alias("tb"),
+            (F.col("tb.doc_id") == F.col("doc_b")) & (F.col("ta.tok") == F.col("tb.tok")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sim = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")), "doc_b")
+        .filter(
+            4 * F.col("n_common") >= 3 * (F.col("sza") + F.col("szb") - F.col("n_common"))
+        )
+    )
+    # per-doc reduction keeps the oracle frame compact while the partner
+    # id-sum + common-token total pin the full pair set exactly
+    return sim.groupBy("doc_a").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_similar"),
+        F.sum("doc_b").cast("bigint").alias("partner_idsum"),
+        F.sum("n_common").cast("bigint").alias("common_total"),
+    )
