@@ -249,3 +249,73 @@ def test_bfs_khop_matches_reference(spark):
     seeds = spark.createDataFrame([(s,) for s in seeds_py], "node long")
     got = {r["node"]: r["dist"] for r in bfs_khop(seeds, edges, k=k).collect()}
     assert got == ref
+
+
+def test_orient_by_degree_bounds_hub_fanout(spark):
+    """Degree orientation must leave a star hub with ZERO out-edges — the
+    scale property that bounds the wedge join's per-key fan-out on
+    power-law graphs. Under id-orientation a low-id hub would keep all
+    its edges outgoing (O(deg^2) wedges); under (degree, id) orientation
+    every spoke (degree 1) points AT the hub (degree 20)."""
+    from fraud_detection_etl_project_spark.plans.advanced_queries import orient_by_degree
+
+    # hub 0 (lowest id — worst case for id-orientation) with 20 spokes
+    edges = spark.createDataFrame([(0, i) for i in range(1, 21)], "src long, dst long")
+    oe = orient_by_degree(edges).collect()
+    assert len(oe) == 20
+    assert all(r["hi"] == 0 for r in oe), "every edge must point INTO the hub"
+    out_deg = {}
+    for r in oe:
+        out_deg[r["lo"]] = out_deg.get(r["lo"], 0) + 1
+    assert max(out_deg.values()) == 1  # wedge fan-out per apex: C(1,2)=0
+
+
+def test_count_triangles_oriented_known_graphs(spark):
+    """K4 has exactly 4 triangles; K4 plus a pendant edge still has 4; the
+    star from the fan-out test has 0. Exercises orientation + wedge-close
+    end-to-end on graphs with hand-countable answers, including degree
+    ties (K4 is degree-regular, so orientation falls back to id order)."""
+    from fraud_detection_etl_project_spark.plans.advanced_queries import (
+        count_triangles_oriented,
+        orient_by_degree,
+    )
+
+    def tri(pairs):
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        return count_triangles_oriented(orient_by_degree(e)).collect()[0]["n_triangles"]
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert tri(k4) == 4
+    assert tri(k4 + [(3, 9)]) == 4  # pendant edge creates no triangle
+    assert tri([(0, i) for i in range(1, 21)]) == 0  # star: wedges never close
+
+
+def test_neardup_components_reliable_checkpoint(spark):
+    """The registered near-dup CC query, re-run with reliable checkpoint()
+    lineage truncation and the distributed path forced: identical labels
+    to the default (localCheckpoint / adaptive) path."""
+    import tempfile
+
+    from fraud_detection_etl_project_spark.operators import dedup as D
+    from fraud_detection_etl_project_spark.operators import graph as G
+    from fraud_detection_etl_project_spark.plans.llm_queries import neardup_components
+    from fraud_detection_etl_project_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    default = {
+        (r["doc_id"], r["component"]) for r in neardup_components(spark, sf).collect()
+    }
+    d = load_table(spark, sf, "documents")
+    pairs = D.neardup_pairs_minhash(d)
+    ckpt = tempfile.mkdtemp(prefix="neardup_cc_ckpt_")
+    reliable = G.connected_components(
+        d.select("doc_id"),
+        pairs,
+        node_col="doc_id",
+        src="doc_a",
+        dst="doc_b",
+        checkpoint_dir=ckpt,
+        local_edge_threshold=0,
+    )
+    got = {(r["node"], r["comp"]) for r in reliable.collect()}
+    assert got == default
