@@ -33,6 +33,24 @@ from fraud_detection_etl_project_spark.plans.registry import query
 from fraud_detection_etl_project_spark.sources.parquet import load_table
 
 
+def _fixture_tag(sf_dir: str, *tables: str) -> str:
+    """Content-address a write-once staging dir by the sf_dir path AND the
+    file identity (mtime_ns, size) of the fixture tables it derives from.
+    Path-only tags served stale /tmp data after an in-place fixture
+    regeneration (ADVICE r02) — folding file identity in means a
+    regenerated fixture gets a fresh staging dir automatically (same
+    scheme as sources.parquet._package_zip)."""
+    parts = [os.path.abspath(sf_dir)]
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            st = os.stat(p)
+            parts.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
+        except OSError:
+            parts.append(f"{t}:absent")
+    return hashlib.md5("\n".join(parts).encode()).hexdigest()[:12]
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
@@ -526,7 +544,7 @@ def binaryfile_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism — fine for media blobs, wrong for one giant file);
     metadata-only queries (path/length) never read content thanks to the
     reader's column pruning. The md5 runs JVM-side on the content bytes."""
-    staged_tag = hashlib.md5((os.path.abspath(sf_dir) + ":blobs").encode()).hexdigest()[:12]
+    staged_tag = _fixture_tag(sf_dir, "documents")
     d = os.path.join(tempfile.gettempdir(), f"blob_stage_{staged_tag}")
     done = os.path.join(d, "_STAGED")
     if not os.path.exists(done):
@@ -742,8 +760,8 @@ def partitioned_dpp_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: partition count = column cardinality — the layout rule is
     low-cardinality columns only (status/date), or file-count explosion
     eats the benefit (see sinks.compact_parquet). Staging is
-    content-addressed per sf_dir, written once."""
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    content-addressed per sf_dir + orders file identity, written once."""
+    tag = _fixture_tag(sf_dir, "orders")
     path = os.path.join(tempfile.gettempdir(), f"orders_part_{tag}")
     done = os.path.join(path, "_SUCCESS")
     if not os.path.exists(done):
@@ -794,9 +812,9 @@ def schema_evolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100k-file tables that is the expensive step (Spark samples footers;
     a catalog/metastore schema is the production answer), while the data
     path stays columnar and NULL back-fill is metadata-only. Staging is
-    content-addressed per sf_dir, written once."""
+    content-addressed per sf_dir + orders file identity, written once."""
     o = _t(spark, sf_dir, "orders")
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tag = _fixture_tag(sf_dir, "orders")
     path = os.path.join(tempfile.gettempdir(), f"orders_evo_{tag}")
     d96, d97 = os.path.join(path, "y96"), os.path.join(path, "y97")
     if not (os.path.exists(os.path.join(d96, "_SUCCESS")) and os.path.exists(os.path.join(d97, "_SUCCESS"))):
@@ -883,7 +901,13 @@ def part_shortest_path_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 2)
-        .select("src", "dst", (F.lit(_SP_SCALE) / F.col("support")).cast("bigint").alias("cost"))
+        # Integer division (div), not double-divide-then-cast: mirrors the
+        # oracle's DuckDB `//` exactly whatever the constants (ADVICE r02).
+        .select(
+            "src",
+            "dst",
+            F.expr(f"CAST({_SP_SCALE} AS BIGINT) div support").alias("cost"),
+        )
     )
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "cost")).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -1037,8 +1061,8 @@ def text_source_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelizes like CSV without its quoting rules; it is the ingest
     boundary for log-shaped corpora, converted columnar on first touch
     (same posture as the XML roundtrip). Staging is content-addressed
-    per sf_dir, written once."""
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    per sf_dir + documents file identity, written once."""
+    tag = _fixture_tag(sf_dir, "documents")
     path = os.path.join(tempfile.gettempdir(), f"text_lines_{tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (
@@ -1101,11 +1125,16 @@ def mapinarrow_blob_heads(spark: SparkSession, sf_dir: str) -> DataFrame:
     def heads(batches):
         for batch in batches:
             payload = batch.column("payload")
+            # Decode to utf8 FIRST, then slice by code points — the oracle's
+            # substr(text, 1, 12) counts characters, and a byte-based
+            # binary_slice would both mismatch on multi-byte chars and raise
+            # on a mid-character split when cast to string (ADVICE r02).
+            text = payload.cast(pa.string())
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column("media_id"),
                     pc.binary_length(payload).cast(pa.int64()),
-                    pc.binary_slice(payload, 0, 12).cast(pa.string()),
+                    pc.utf8_slice_codeunits(text, 0, 12),
                 ],
                 ["doc_id", "n_bytes", "head_text"],
             )
@@ -1905,7 +1934,9 @@ def ppjoin_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_doc).alias("pos"),
         F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("sz"),
     )
-    # p = sz - ceil(sz/2) + 1 for t = 1/2
+    # p = sz - ceil(3*sz/4) + 1 for t = 3/4: a pair with Jaccard >= 3/4
+    # must overlap in >= ceil(3*sz/4) tokens, so two such sets share at
+    # least one token among each one's first p in global df-order.
     prefixes = sized.filter(
         F.col("pos") <= F.col("sz") - F.ceil(F.col("sz") * 3 / 4) + 1
     ).select("doc_id", "tok")

@@ -361,6 +361,8 @@ def test_semdedup_pair_join_keeps_explicit_partitioning(spark):
 def test_bitmap_distinct_combines_mapside(spark):
     plan = plan_of(spark, "bitmap_distinct_users")
     # the bucketed bitmap build must partial-aggregate before its
-    # exchange — per-group state is bucket bitmaps, not raw rows
-    assert "partial_bitmap_construct_agg" in plan or "partial" in plan
+    # exchange — per-group state is bucket bitmaps, not raw rows. Marker
+    # must be the bitmap-specific partial agg; a bare "partial" fallback
+    # would match any aggregate plan (ADVICE r02).
+    assert "partial_bitmap_construct_agg" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
