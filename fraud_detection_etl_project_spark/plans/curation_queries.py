@@ -139,12 +139,17 @@ def embedding_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked bit-for-bit; only the scale is rounded for display."""
     e = _t(spark, sf_dir, "embeddings")
     absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
-    s = e.select("vec_id", "embedding", F.greatest(absmax, F.lit(1e-12)).alias("scale"))
+    # The raw scale must NOT share a name with the rounded display alias
+    # below: with both named "scale" in the final select, the lambda's
+    # F.col("scale") resolved to the fxr-ROUNDED value (alias shadowing),
+    # nudging one borderline element per ~30k vectors across its 0.5
+    # rounding boundary — caught by the full-registry gate at sf0.001.
+    s = e.select("vec_id", "embedding", F.greatest(absmax, F.lit(1e-12)).alias("raw_scale"))
     q = F.transform(
         "embedding",
-        lambda x: F.floor(x.cast("double") / F.col("scale") * F.lit(127.0) + F.lit(0.5)).cast("long"),
+        lambda x: F.floor(x.cast("double") / F.col("raw_scale") * F.lit(127.0) + F.lit(0.5)).cast("long"),
     )
-    return s.select("vec_id", fxr("scale", 6).alias("scale"), q.alias("q"))
+    return s.select("vec_id", fxr("raw_scale", 6).alias("scale"), q.alias("q"))
 
 
 # ---------------------------------------------------------------------------
