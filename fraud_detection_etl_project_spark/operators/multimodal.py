@@ -6,11 +6,16 @@ resize / frame-sampling run as Arrow-batched Pandas functions via
 ``mapInPandas`` — the ONLY place Python touches the data, and it touches it
 in columnar batches, never row-at-a-time.
 
-The decode step itself is STUBBED (this container has no image/audio
-libraries): ``decode_stub`` produces a deterministic fake "feature vector"
-from the payload bytes, and ``decode_real`` raises NotImplementedError with
-the intended contract. The Spark-side plumbing — schema, batch iteration,
-partitioning — is real and tested (tests/test_multimodal.py).
+Three containers decode FOR REAL with pure Python (no codec libraries in
+this container — ``import PIL`` fails): binary PPM (P6), uncompressed
+24-bpp BMP (bottom-up rows, BGR, 4-byte row padding), and RIFF/WAVE PCM16
+(proper chunk walk, alignment, sign extension). Each has a registered
+query whose DuckDB oracle re-derives the decoded statistics from the same
+deterministic bytes, so the decoders are value-checked end-to-end.
+JPEG/PNG/MP4 stay behind ``decode_real``'s NotImplementedError seam;
+``decode_stub`` provides a deterministic fake for plumbing tests. The
+Spark-side plumbing — schema, batch iteration, partitioning — is real and
+tested (tests/test_multimodal.py).
 """
 
 from __future__ import annotations
@@ -77,8 +82,12 @@ def decode_real(payload: bytes, media_type: str):
     """
     if media_type == "image" and payload[:2] == b"P6":
         return decode_ppm(payload)
+    if media_type == "image" and payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if media_type == "audio" and payload[:4] == b"RIFF":
+        return decode_wav(payload)
     raise NotImplementedError(
-        "media decode beyond PPM requires image/audio codec libraries "
+        "media decode beyond PPM/BMP/WAV requires codec libraries "
         "(PIL/ffmpeg); wire them here — the mapInPandas plumbing in "
         "extract_features is already batch-shaped for it"
     )
@@ -130,6 +139,122 @@ def ppm_pixel_features(payload: bytes) -> dict:
         "mean_b": sum(chans[2]) / n,
         "max_byte": max(rgb),
         "min_byte": min(rgb),
+    }
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Pure-Python uncompressed 24-bpp BMP decoder: returns (width, height,
+    rgb) with ``rgb`` in top-down row-major RGB order (w*h*3 bytes) — the
+    same contract as decode_ppm, so downstream feature code is
+    container-agnostic.
+
+    Handles the parts a naive slice gets wrong: the pixel-array offset from
+    the file header (header extensions allowed), BOTTOM-UP row order for
+    positive heights (top-down for negative), per-pixel BGR byte order, and
+    rows padded to 4-byte boundaries. BITMAPINFOHEADER (>= 40 bytes),
+    biCompression=0, 24 bpp only — the standard interchange core."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP: no room for headers")
+    (pix_offset,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size, w, h_raw) = struct.unpack_from("<Iii", payload, 14)
+    if hdr_size < 40:
+        raise ValueError(f"BITMAPCOREHEADER ({hdr_size} bytes) not supported")
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if compression != 0:
+        raise ValueError(f"compressed BMP (biCompression={compression}) not supported")
+    if bpp != 24:
+        raise ValueError(f"{bpp}-bpp BMP not supported (24 only)")
+    if w <= 0 or h_raw == 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h_raw}")
+    h = abs(h_raw)
+    row_stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    need = pix_offset + row_stride * h
+    if len(payload) < need:
+        raise ValueError(f"truncated BMP: want {need} bytes, have {len(payload)}")
+    out = bytearray(w * h * 3)
+    for out_row in range(h):
+        # positive height = bottom-up storage: image row 0 is the LAST row
+        file_row = (h - 1 - out_row) if h_raw > 0 else out_row
+        src = pix_offset + file_row * row_stride
+        dst = out_row * w * 3
+        for x in range(w):
+            b, g, r = payload[src + 3 * x : src + 3 * x + 3]
+            out[dst + 3 * x] = r
+            out[dst + 3 * x + 1] = g
+            out[dst + 3 * x + 2] = b
+    return w, h, bytes(out)
+
+
+def bmp_pixel_features(payload: bytes) -> dict:
+    """Decode a 24-bpp BMP and compute the same per-channel pixel stats as
+    ppm_pixel_features — integer-sum / count divisions, bit-identical
+    across engines for identical bytes."""
+    w, h, rgb = decode_bmp(payload)
+    n = w * h
+    chans = [rgb[c::3] for c in range(3)]
+    return {
+        "width": w,
+        "height": h,
+        "n_pixels": n,
+        "mean_r": sum(chans[0]) / n,
+        "mean_g": sum(chans[1]) / n,
+        "mean_b": sum(chans[2]) / n,
+        "max_byte": max(rgb),
+        "min_byte": min(rgb),
+    }
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """Pure-Python RIFF/WAVE PCM decoder: returns (sample_rate, n_channels,
+    samples) where ``samples`` is the interleaved int16 stream. Walks the
+    chunk list properly (fmt / data may be separated by LIST/fact/cue
+    chunks; chunks are word-aligned), PCM (format 1) 16-bit only."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, len(payload)
+    rate = channels = bits = None
+    data = None
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if fmt != 1:
+                raise ValueError(f"non-PCM WAV (format {fmt}) not supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)  # chunks are 2-byte aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    if bits != 16:
+        raise ValueError(f"{bits}-bit WAV not supported (16 only)")
+    n = len(data) // 2
+    samples = list(struct.unpack(f"<{n}h", data[: 2 * n]))
+    return rate, channels, samples
+
+
+def wav_sample_features(payload: bytes) -> dict:
+    """Decode a PCM16 WAV and compute sample statistics: all integer
+    sums/extrema plus an integer-sum / count mean — bit-identical across
+    engines for identical bytes (no sqrt/float accumulation)."""
+    rate, channels, samples = decode_wav(payload)
+    n = len(samples)
+    return {
+        "sample_rate": rate,
+        "n_channels": channels,
+        "n_samples": n,
+        "mean_sample": sum(samples) / n,
+        "min_sample": min(samples),
+        "max_sample": max(samples),
+        "abs_energy": sum(s * s for s in samples),
     }
 
 
@@ -262,6 +387,49 @@ def extract_ppm_features(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(run, schema=PPM_FEATURES_SCHEMA)
+
+
+def extract_bmp_features(media: DataFrame) -> DataFrame:
+    """Real-decode feature extraction for 24-bpp BMP payloads — identical
+    batch shape and output schema to extract_ppm_features (the decode is
+    container-specific, the pipeline is not)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [bmp_pixel_features(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.mapInPandas(run, schema=PPM_FEATURES_SCHEMA)
+
+
+WAV_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_channels", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("mean_sample", DoubleType()),
+        StructField("min_sample", LongType()),
+        StructField("max_sample", LongType()),
+        StructField("abs_energy", LongType()),
+    ]
+)
+
+
+def extract_wav_features(media: DataFrame) -> DataFrame:
+    """Real-decode feature extraction for PCM16 WAV payloads (Arrow-batched
+    mapInPandas; Python touches payload bytes only)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [wav_sample_features(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.mapInPandas(run, schema=WAV_FEATURES_SCHEMA)
 
 
 def extract_features(media: DataFrame, batch_decoder=decode_stub) -> DataFrame:

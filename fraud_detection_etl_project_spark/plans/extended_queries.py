@@ -886,6 +886,136 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_ppm_features(media)
 
 
+def _bmp_header_3x2() -> bytes:
+    """Constant headers for a 3x2 24-bpp bottom-up BMP: 14-byte file header
+    (pixel offset 54) + 40-byte BITMAPINFOHEADER. Width 3 makes the row
+    stride 12 = 9 pixel bytes + 3 PAD bytes, so the decoder's padding
+    logic is actually exercised (a width-4 fixture would pad zero)."""
+    import struct
+
+    row_stride = 12
+    file_size = 54 + 2 * row_stride
+    return (
+        b"BM"
+        + struct.pack("<IHHI", file_size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, 2 * row_stride, 0, 0, 0, 0)
+    )
+
+
+@query(
+    "multimodal_bmp_stats",
+    oracle="""
+WITH t AS (SELECT doc_id, md5(text) || substring(md5(text || 'x'), 1, 4) AS hx
+           FROM documents),
+b AS (SELECT doc_id,
+             list_transform(range(0, 18), i -> CAST(('0x' || substring(hx, 2*i + 1, 2)) AS INT)) AS bs
+      FROM t)
+SELECT doc_id AS media_id,
+       CAST(3 AS BIGINT) AS width,
+       CAST(2 AS BIGINT) AS height,
+       CAST(6 AS BIGINT) AS n_pixels,
+       CAST(list_sum(list_transform(range(0, 6), j -> bs[3*j + 1])) AS DOUBLE) / 6.0 AS mean_r,
+       CAST(list_sum(list_transform(range(0, 6), j -> bs[3*j + 2])) AS DOUBLE) / 6.0 AS mean_g,
+       CAST(list_sum(list_transform(range(0, 6), j -> bs[3*j + 3])) AS DOUBLE) / 6.0 AS mean_b,
+       CAST(list_max(bs) AS BIGINT) AS max_byte,
+       CAST(list_min(bs) AS BIGINT) AS min_byte
+FROM b
+""",
+)
+def multimodal_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second REAL image decode (beside PPM): each document rendered as a
+    3×2 24-bpp BMP — constant headers plus md5-derived pixels packed the
+    way BMP actually stores them (bottom-up rows, BGR byte order, rows
+    padded to 4-byte boundaries) — then decoded by the pure-Python parser
+    (operators/multimodal.decode_bmp) inside Arrow-batched mapInPandas.
+    The byte packing happens JVM-side (unhex + binary substr/concat); the
+    oracle re-derives the same pixel stats straight from the md5 hex, so
+    any decode error in row order, channel order, or padding is a value
+    mismatch. Pixel k (top-down, RGB) = hx bytes 3k..3k+2."""
+    d = _t(spark, sf_dir, "documents")
+    hx = F.unhex(
+        F.concat(
+            F.md5(F.col("text").cast("binary")),
+            F.substring(F.md5(F.concat(F.col("text"), F.lit("x")).cast("binary")), 1, 4),
+        )
+    )
+
+    def px_bgr(k: int):  # pixel k as stored: B, G, R (1-based substr)
+        return F.concat(
+            F.substring(hx, 3 * k + 3, 1),
+            F.substring(hx, 3 * k + 2, 1),
+            F.substring(hx, 3 * k + 1, 1),
+        )
+
+    pad = F.lit(b"\x00\x00\x00")
+    # bottom-up: file stores image row 1 (pixels 3,4,5) first
+    payload = F.concat(
+        F.lit(_bmp_header_3x2()),
+        px_bgr(3), px_bgr(4), px_bgr(5), pad,
+        px_bgr(0), px_bgr(1), px_bgr(2), pad,
+    )
+    media = M.to_media_table(d.withColumn("payload", payload), "doc_id", "payload", "image")
+    return M.extract_bmp_features(media)
+
+
+def _wav_header_8s() -> bytes:
+    """Constant RIFF/WAVE headers for an 8-sample mono PCM16 clip at 8 kHz,
+    with a 'fact' chunk BETWEEN fmt and data so the decoder's chunk walk
+    (not a fixed-offset slice) is what the oracle checks."""
+    import struct
+
+    return (
+        b"RIFF"
+        + struct.pack("<I", 64)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        + b"fact"
+        + struct.pack("<II", 4, 8)
+        + b"data"
+        + struct.pack("<I", 16)
+    )
+
+
+@query(
+    "multimodal_wav_stats",
+    oracle="""
+WITH t AS (SELECT doc_id, md5(text) AS hx FROM documents),
+b AS (SELECT doc_id,
+             list_transform(range(0, 16), i -> CAST(('0x' || substring(hx, 2*i + 1, 2)) AS INT)) AS bs
+      FROM t),
+s AS (SELECT doc_id,
+             list_transform(range(0, 8), j ->
+               CASE WHEN bs[2*j + 1] + 256 * bs[2*j + 2] >= 32768
+                    THEN bs[2*j + 1] + 256 * bs[2*j + 2] - 65536
+                    ELSE bs[2*j + 1] + 256 * bs[2*j + 2] END) AS sm
+      FROM b)
+SELECT doc_id AS media_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(8 AS BIGINT) AS n_samples,
+       CAST(list_sum(sm) AS DOUBLE) / 8.0 AS mean_sample,
+       CAST(list_min(sm) AS BIGINT) AS min_sample,
+       CAST(list_max(sm) AS BIGINT) AS max_sample,
+       CAST(list_sum(list_transform(sm, v -> v * v)) AS BIGINT) AS abs_energy
+FROM s
+""",
+)
+def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: each document rendered as an 8-sample mono PCM16
+    WAV (md5 bytes as little-endian int16 samples, plus a fact chunk the
+    walker must skip), decoded by operators/multimodal.decode_wav inside
+    Arrow-batched mapInPandas. Sample stats are integer sums/extrema (the
+    mean is an exact /8), so the oracle's re-derivation from the md5 hex
+    is bit-identical — any endianness or sign-extension error in the
+    decoder is a value mismatch."""
+    d = _t(spark, sf_dir, "documents")
+    payload = F.concat(F.lit(_wav_header_8s()), F.unhex(F.md5(F.col("text").cast("binary"))))
+    media = M.to_media_table(d.withColumn("payload", payload), "doc_id", "payload", "audio")
+    return M.extract_wav_features(media)
+
+
 @query(
     "multimodal_frame_sample",
     oracle="""

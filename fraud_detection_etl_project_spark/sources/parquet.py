@@ -86,31 +86,35 @@ _REQUIRED_CONFS = {
 }
 
 
-# Sessions already pinned this process lifetime. A WeakSet keyed on the
-# session object itself (not id(): addresses get reused after GC) — a fresh
-# or rebuilt SparkSession gets pinned once; repeat load_table calls on the
-# same session skip the conf round-trips AND the package-tree stat walk in
-# _package_zip, which otherwise costs ~10 ms per table load and showed up as
-# a per-query bench regression (VERDICT r02, What's wrong #2).
-_PINNED_SESSIONS: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+# Sessions whose workers already received the package zip this process
+# lifetime. A WeakSet keyed on the session object itself (not id():
+# addresses get reused after GC). The zip ship is the expensive part of
+# pinning — an os.walk + per-file stat over the whole package plus an
+# addPyFile RPC (~10 ms) per load_table call, which showed up as a
+# per-query bench regression (VERDICT r02, What's wrong #2). The four
+# conf sets stay UNCONDITIONAL: they are cheap (µs-scale local RPCs) and
+# a caller-managed session may mutate its confs mid-lifetime — query
+# semantics must survive that (tests/test_entry_contract.py re-unsets
+# them and expects the next load to restore them).
+_SHIPPED_SESSIONS: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def pin_session_confs(spark: SparkSession) -> None:
     """Force the confs our query semantics depend on, on any session, and
-    ship the package sources to the Python workers (see _package_zip).
-    Idempotent and memoized per session object."""
-    if spark in _PINNED_SESSIONS:
-        return
+    ship the package sources to the Python workers (see _package_zip,
+    memoized per session object)."""
     for key, value in _REQUIRED_CONFS.items():
         try:
             spark.conf.set(key, value)
         except Exception:
             pass  # a conf made static in some future Spark: keep going
+    if spark in _SHIPPED_SESSIONS:
+        return
     try:
         spark.sparkContext.addPyFile(_package_zip())
     except Exception:
         pass  # already added under this name, or a connect-only session
-    _PINNED_SESSIONS.add(spark)
+    _SHIPPED_SESSIONS.add(spark)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -45,11 +45,141 @@ def test_extract_features_deterministic(media):
     assert sorted(map(str, a)) == sorted(map(str, b))
 
 
-def test_decode_real_is_explicit_stub_beyond_ppm():
+def test_decode_real_is_explicit_stub_beyond_builtin_codecs():
     with pytest.raises(NotImplementedError):
         decode_real(b"\xff\xd8 jpeg bytes", "image")
     with pytest.raises(NotImplementedError):
-        decode_real(b"RIFF wav bytes", "audio")
+        decode_real(b"ID3 mp3 bytes", "audio")
+    # RIFF dispatches to the REAL wav decoder, which rejects non-WAVE RIFF
+    with pytest.raises(ValueError):
+        decode_real(b"RIFF\x04\x00\x00\x00AVI ", "audio")
+
+
+def _bmp(w, h_signed, pixels_bgr_rows, extra_offset=0):
+    """Build a 24-bpp BMP from BGR row bytes (file order). pixels_bgr_rows
+    is a list of rows, each a bytes of w*3 BGR values, already in FILE row
+    order (bottom-up for positive h)."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    offset = 54 + extra_offset
+    body = b"".join(row + b"\x00" * (stride - len(row)) for row in pixels_bgr_rows)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", offset + len(body), 0, 0, offset)
+        + struct.pack("<IiiHHIIiiII", 40, w, h_signed, 1, 24, 0, len(body), 0, 0, 0, 0)
+        + b"\x00" * extra_offset
+        + body
+    )
+
+
+def test_decode_bmp_bottomup_bgr_padding():
+    from fraud_detection_etl_project_spark.operators.multimodal import (
+        bmp_pixel_features,
+        decode_bmp,
+    )
+
+    # 3x2 image; logical top row RGB pixels (1,2,3),(4,5,6),(7,8,9);
+    # bottom row (10,11,12),(13,14,15),(16,17,18)
+    top = bytes([3, 2, 1, 6, 5, 4, 9, 8, 7])  # BGR per pixel
+    bot = bytes([12, 11, 10, 15, 14, 13, 18, 17, 16])
+    payload = _bmp(3, 2, [bot, top])  # positive height: bottom row FIRST
+    w, h, rgb = decode_bmp(payload)
+    assert (w, h) == (3, 2)
+    assert rgb == bytes(range(1, 19))  # back to top-down RGB
+    f = bmp_pixel_features(payload)
+    assert f["n_pixels"] == 6 and f["mean_r"] == (1 + 4 + 7 + 10 + 13 + 16) / 6
+    assert f["min_byte"] == 1 and f["max_byte"] == 18
+    # decode_real dispatches BM images to the real decoder
+    assert decode_real(payload, "image")[2] == rgb
+
+
+def test_decode_bmp_topdown_and_offset():
+    from fraud_detection_etl_project_spark.operators.multimodal import decode_bmp
+
+    top = bytes([3, 2, 1, 6, 5, 4, 9, 8, 7])
+    bot = bytes([12, 11, 10, 15, 14, 13, 18, 17, 16])
+    # NEGATIVE height: rows stored top-down; also a 16-byte gap before the
+    # pixel array (e.g. color-space extension) the offset must skip
+    payload = _bmp(3, -2, [top, bot], extra_offset=16)
+    assert decode_bmp(payload)[2] == bytes(range(1, 19))
+
+
+def test_decode_bmp_rejects():
+    import struct
+
+    from fraud_detection_etl_project_spark.operators.multimodal import decode_bmp
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"PNG...")
+    with pytest.raises(ValueError):
+        decode_bmp(_bmp(3, 2, [bytes(12)]))  # one row short -> truncated
+    eight_bpp = bytearray(_bmp(1, 1, [bytes(4)]))
+    struct.pack_into("<H", eight_bpp, 28, 8)
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(eight_bpp))
+
+
+def _wav(samples, rate=8000, channels=1, junk_chunk=True):
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * 2 * channels, 2 * channels, 16
+    )
+    junk = (b"fact" + struct.pack("<II", 4, len(samples))) if junk_chunk else b""
+    body = b"WAVE" + fmt + junk + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_wav_roundtrip_and_chunk_walk():
+    from fraud_detection_etl_project_spark.operators.multimodal import (
+        decode_wav,
+        wav_sample_features,
+    )
+
+    samples = [0, 1, -1, 32767, -32768, 256, -257, 1000]
+    rate, ch, got = decode_wav(_wav(samples))
+    assert (rate, ch, got) == (8000, 1, samples)
+    # odd-sized junk chunk exercises the 2-byte alignment rule
+    import struct
+
+    payload = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 24 + 11 + 8 + 4)
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        + b"junk" + struct.pack("<I", 3) + b"abc\x00"  # 3-byte chunk + pad
+        + b"data" + struct.pack("<I", 4)
+        + struct.pack("<2h", 7, -7)
+    )
+    assert decode_wav(payload)[2] == [7, -7]
+    f = wav_sample_features(_wav(samples))
+    assert f["n_samples"] == 8 and f["mean_sample"] == sum(samples) / 8
+    assert f["min_sample"] == -32768 and f["max_sample"] == 32767
+    assert f["abs_energy"] == sum(s * s for s in samples)
+    # decode_real dispatches RIFF audio to the real decoder
+    assert decode_real(_wav(samples), "audio")[2] == samples
+
+
+def test_decode_wav_rejects():
+    import struct
+
+    from fraud_detection_etl_project_spark.operators.multimodal import decode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS...")
+    no_data = b"RIFF" + struct.pack("<I", 28) + b"WAVE" + b"fmt " + struct.pack(
+        "<I", 16
+    ) + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    with pytest.raises(ValueError):
+        decode_wav(no_data)
+    ieee_float = _wav([0, 0])
+    pos = ieee_float.index(b"fmt ") + 8
+    bad = ieee_float[:pos] + struct.pack("<H", 3) + ieee_float[pos + 2 :]
+    with pytest.raises(ValueError):
+        decode_wav(bad)
 
 
 def test_decode_ppm_roundtrip():
