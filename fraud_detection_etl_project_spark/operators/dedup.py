@@ -157,6 +157,72 @@ def neardup_pairs_minhash(df: DataFrame, text_col: str = "text", id_col: str = "
     )
 
 
+def neardup_pairs_minhash_salted(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_cap: int = 64,
+    salt_groups: int = 8,
+) -> DataFrame:
+    """Candidate pairs with HOT-BUCKET SALTING — identical output to
+    neardup_pairs_minhash (same pairs, oracle-interchangeable), different
+    physical distribution of the quadratic buckets.
+
+    The plain band self-join puts a bucket's entire |s|² pair generation
+    on ONE reducer key; a single viral duplicate cluster (boilerplate,
+    mirrored pages — routine in web corpora) makes that one task O(s²)
+    while 999 executors idle. Here buckets are sized first (one extra
+    (band, key) agg); members of buckets over ``bucket_cap`` get a
+    deterministic salt g = xxhash64(id) mod G and the self-join key
+    becomes (band, key, salt_a, salt_b): each side replicates its hot
+    rows G ways (the cross-salt cover, so NO pair is lost), and one hot
+    bucket's work spreads over G² reducer keys at (s/G)² apiece —
+    balanced parallelism instead of a straggler. Cool buckets take the
+    plain join untouched; replication cost is G× on hot-bucket rows
+    only, which the cap keeps to the skewed tail. Output pairs are
+    salt-invariant, so the DuckDB oracle for the unsalted operator
+    value-checks this one unchanged.
+    """
+    sig = minhash_signatures(df, text_col, id_col).select(F.col(id_col), *band_keys())
+    exploded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("key")) for b in range(BANDS)])
+        ).alias("bk"),
+    ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    sizes = exploded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("sz"))
+    e = exploded.join(sizes, ["band", "key"]).persist()
+
+    cool = e.filter(F.col("sz") <= bucket_cap).drop("sz")
+    a, b = cool.alias("a"), cool.alias("b")
+    cool_pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+    )
+
+    g = F.lit(salt_groups)
+    hot = e.filter(F.col("sz") > bucket_cap).drop("sz").withColumn(
+        "salt", F.pmod(F.xxhash64(F.col(id_col)), g).cast("int")
+    )
+    partner = F.explode(F.sequence(F.lit(0), g - 1)).alias("partner")
+    # left row (x): first-slot salt is x's own, second slot covers every
+    # possible partner salt; right row (y): mirror. Join key carries BOTH
+    # salts, so pair (x, y) meets on exactly (band, key, salt_x, salt_y).
+    left = hot.select(
+        F.col(id_col), "band", "key", F.col("salt").alias("sa"), partner
+    ).withColumnRenamed("partner", "sb")
+    right = hot.select(
+        F.col(id_col).alias("_rid"), "band", "key", partner, F.col("salt").alias("sb")
+    ).withColumnRenamed("partner", "sa")
+    hot_pairs = (
+        left.join(right, ["band", "key", "sa", "sb"])
+        .filter(F.col(id_col) < F.col("_rid"))
+        .select(F.col(id_col).alias("doc_a"), F.col("_rid").alias("doc_b"))
+    )
+    return cool_pairs.unionAll(hot_pairs).distinct()
+
+
 def _hex_bit(h, p: int, k: int):
     """Bit k (0..3, LSB-first) of hex digit p (0-based) of hex string col."""
     hv = F.instr(F.lit(HEX), F.substring(h, p + 1, 1)) - 1

@@ -296,6 +296,22 @@ def neardup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.neardup_pairs_minhash(_t(spark, sf_dir, "documents"))
 
 
+@query("neardup_pairs_salted", oracle=_NEARDUP_ORACLE)
+def neardup_pairs_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-bucket-salted LSH pair join (operators/dedup.
+    neardup_pairs_minhash_salted): identical pairs to
+    neardup_pairs_minhash — same oracle value-checks both — but buckets
+    over the cap self-join on (band, key, salt_a, salt_b), spreading a
+    viral duplicate cluster's quadratic pair generation over G² reducer
+    keys instead of one straggler task. The cap is set to 4 here so the
+    fixture actually exercises the salted leg (real corpora would use
+    O(100)); tests/test_operators.py drives an adversarial 1000-dup
+    fixture through it."""
+    return D.neardup_pairs_minhash_salted(
+        _t(spark, sf_dir, "documents"), bucket_cap=4, salt_groups=4
+    )
+
+
 # Connected components over the LSH candidate pairs — duplicate *clusters*,
 # not just pairs. The DuckDB oracle walks the same edge set with a recursive
 # CTE (min reachable id == component), so the full assignment is value-checked.

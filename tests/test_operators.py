@@ -319,3 +319,48 @@ def test_neardup_components_reliable_checkpoint(spark):
     )
     got = {(r["node"], r["comp"]) for r in reliable.collect()}
     assert got == default
+
+
+def test_salted_lsh_pairs_match_plain_on_adversarial_skew(spark):
+    """A viral duplicate cluster (1000 identical docs — every band bucket
+    hot) plus unique tail: the salted pair join must produce EXACTLY the
+    plain join's pairs, including all C(60,2) intra-cluster pairs of the
+    capped-down sample, while splitting the hot buckets across salt
+    groups. Run at a reduced cluster size so the pair count (C(60,2) =
+    1770) stays test-sized; correctness of the full-size path is the
+    sf0.01 oracle query (neardup_pairs_salted)."""
+    from fraud_detection_etl_project_spark.operators.dedup import (
+        neardup_pairs_minhash,
+        neardup_pairs_minhash_salted,
+    )
+
+    viral = [(i, "breaking news exclusive report shocking details inside") for i in range(60)]
+    unique = [(100 + i, f"document number {i} about topic {i * 7} entirely distinct {i}")
+              for i in range(40)]
+    docs = spark.createDataFrame(viral + unique, "doc_id long, text string")
+    plain = {(r["doc_a"], r["doc_b"]) for r in neardup_pairs_minhash(docs).collect()}
+    salted = {
+        (r["doc_a"], r["doc_b"])
+        for r in neardup_pairs_minhash_salted(docs, bucket_cap=8, salt_groups=4).collect()
+    }
+    assert salted == plain
+    # the viral cluster is fully paired: C(60,2) pairs among doc_id < 60
+    intra = {p for p in salted if p[0] < 60 and p[1] < 60}
+    assert len(intra) == 60 * 59 // 2
+
+
+def test_salted_lsh_join_key_carries_both_salts(spark):
+    """Plan shape: the hot-bucket leg's join key must include BOTH salt
+    columns (sa, sb) — that is what spreads one bucket over G² reducer
+    keys; without them the test would pass on output but regress to a
+    single straggler key at scale."""
+    from fraud_detection_etl_project_spark.operators.dedup import (
+        neardup_pairs_minhash_salted,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "same text every time for everyone") for i in range(40)],
+        "doc_id long, text string",
+    )
+    plan = neardup_pairs_minhash_salted(docs, bucket_cap=4, salt_groups=4)._jdf.queryExecution().executedPlan().toString()
+    assert "sa#" in plan and "sb#" in plan, plan
