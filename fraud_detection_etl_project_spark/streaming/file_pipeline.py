@@ -26,15 +26,31 @@ from fraud_detection_etl_project_spark.pipeline import fraud_predicate, valid_pr
 from fraud_detection_etl_project_spark.schemas import TXN_COLUMNS, TXN_SCHEMA
 
 
-def transactions_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+def transactions_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    max_files_per_trigger: int | None = 1,
+    max_bytes_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source CSV stream over a landing directory — the Spark-native
-    equivalent of one-Lambda-per-S3-object."""
-    return (
-        spark.readStream.schema(TXN_SCHEMA)
-        .option("header", True)
-        .option("maxFilesPerTrigger", 1)  # one file per micro-batch, as the reference
-        .csv(landing_dir)
-    )
+    equivalent of one-Lambda-per-S3-object.
+
+    Backpressure/pacing: ``max_files_per_trigger`` (default 1, the
+    reference's one-object-one-invocation cadence) and/or
+    ``max_bytes_per_trigger`` bound each micro-batch's admission, so a
+    backlog flood (a million objects landing while the job was down —
+    the S3-event model's standard failure recovery) drains as a sequence
+    of bounded batches instead of one giant batch that blows executor
+    memory and checkpoint latency. Bytes-based pacing is the right knob
+    when object sizes vary: it bounds the actual work per batch, not the
+    object count. Both are admission limits per trigger; availableNow
+    drains the whole backlog through them and then stops."""
+    r = spark.readStream.schema(TXN_SCHEMA).option("header", True)
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    if max_bytes_per_trigger is not None:
+        r = r.option("maxBytesPerTrigger", max_bytes_per_trigger)
+    return r.csv(landing_dir)
 
 
 def run_fraud_stream(
@@ -43,15 +59,23 @@ def run_fraud_stream(
     checkpoint_dir: str,
     sink: Callable[[DataFrame, int], None],
     available_now: bool = True,
+    max_files_per_trigger: int | None = 1,
+    max_bytes_per_trigger: int | None = None,
 ):
     """Start (and with ``available_now`` drain) the streaming fraud ETL.
 
     ``sink(batch_df, batch_id)`` runs per micro-batch — e.g. a JDBC append
     (sources/jdbc.py) or a parquet write. Checkpointing gives replay
-    idempotency at the batch level.
+    idempotency at the batch level. Pacing options bound each
+    micro-batch's admission (see transactions_stream).
     """
     staged = (
-        transactions_stream(spark, landing_dir)
+        transactions_stream(
+            spark,
+            landing_dir,
+            max_files_per_trigger=max_files_per_trigger,
+            max_bytes_per_trigger=max_bytes_per_trigger,
+        )
         .filter(valid_predicate())
         .filter(fraud_predicate())
         .select(*TXN_COLUMNS)

@@ -217,3 +217,39 @@ def test_rocksdb_state_store_matches_default_provider(spark):
     finally:
         use_default_state(spark)
     assert baseline  # non-empty: the parity check compared real windows
+
+
+def test_backlog_flood_drains_in_bounded_microbatches(spark, tmp_path):
+    """Backpressure: 8 backlog files land before the job starts (the
+    S3-event model's recovery-after-outage case). With maxBytesPerTrigger
+    ~ 2 files, availableNow must drain the whole backlog as MULTIPLE
+    micro-batches, each admitting a bounded number of files — never one
+    monster batch — and deliver every row exactly once."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    n_files = 8
+    for i in range(n_files):
+        (landing / f"flood{i}.csv").write_text(
+            HEADER + f"\n9,TRANSFER,{500.0 + i},C{i},{500.0 + i},0.0,D{i},0.0,0.0,1,0\n"
+        )
+    file_bytes = (landing / "flood0.csv").stat().st_size
+    batches = []
+
+    def sink(batch_df, batch_id):
+        batches.append((batch_id, batch_df.count()))
+
+    run_fraud_stream(
+        spark,
+        str(landing),
+        str(tmp_path / "ckpt"),
+        sink,
+        max_files_per_trigger=None,
+        max_bytes_per_trigger=2 * file_bytes + 10,
+    )
+    nonempty = [c for _, c in batches if c > 0]
+    assert sum(nonempty) == n_files  # one fraud row per file, none lost
+    assert len(nonempty) >= n_files // 2 - 1  # bounded admission -> many batches
+    assert max(nonempty) <= 3  # no batch admitted more than ~2 files' rows
+    # bytes pacing alone (no file cap) still bounded every batch: with an
+    # unbounded trigger the whole flood would have arrived as ONE batch
+    assert len(nonempty) > 1
