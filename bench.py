@@ -101,18 +101,50 @@ def main() -> None:
         timings["paysim_hotkey_agg_6.36M_rows"] = timed(_hotkey)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1),
-                "methodology": "steady-state: min of 3 timed passes after one untimed warmup pass per query (min rejects external-load noise on shared hosts)",
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1),
+        "methodology": "steady-state: min of 3 timed passes after one untimed warmup pass per query (min rejects external-load noise on shared hosts)",
+    }
+
+    # Scaling phase: the same headline queries on a 10x shard-replicated
+    # dataset (~sf1, tools/gen_scale.py — disjoint key universes, salted
+    # text, rotated embeddings), reporting per-query wall-clock factors vs
+    # the base run. This is the empirical check on the scale narratives:
+    # a linear operator on 10x data at fixed parallelism should land near
+    # 10x (minus fixed overhead); anything super-linear is a plan bug.
+    # One warmup + one timed pass per query — at these runtimes the
+    # per-pass noise is small relative to the factor being measured.
+    if os.environ.get("SPARK_GRAFT_SCALE", "1") != "0":
+        try:
+            from tools.gen_scale import generate
+
+            t0 = time.perf_counter()
+            scale_dir = generate(spark, base_dir=sf_dir, shards=10)
+            gen_sec = round(time.perf_counter() - t0, 3)
+            scaled: dict[str, float] = {}
+            for name, spec in specs.items():
+                spec.fn(spark, scale_dir).write.format("noop").mode("overwrite").save()
+                t0 = time.perf_counter()
+                spec.fn(spark, scale_dir).write.format("noop").mode("overwrite").save()
+                scaled[name] = round(time.perf_counter() - t0, 3)
+            result["scaling"] = {
+                "sf": result["sf"] * 10,
+                "data_x": 10,
+                "gen_sec": gen_sec,
+                "queries": scaled,
+                "factor_vs_base": {
+                    n: round(scaled[n] / timings[n], 2) for n in scaled if timings.get(n)
+                },
+                "methodology": "1 untimed warmup + 1 timed pass per query on the 10x dataset",
             }
-        )
-    )
+        except Exception as e:  # scaling is additive — never break the bench line
+            result["scaling"] = {"error": str(e)[:300]}
+
+    print(json.dumps(result))
     spark.stop()
 
 

@@ -305,8 +305,8 @@ def neardup_pairs_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     viral duplicate cluster's quadratic pair generation over G² reducer
     keys instead of one straggler task. The cap is set to 4 here so the
     fixture actually exercises the salted leg (real corpora would use
-    O(100)); tests/test_operators.py drives an adversarial 1000-dup
-    fixture through it."""
+    O(100)); tests/test_operators.py drives an adversarial 60-identical-
+    doc skew fixture through it and asserts exact pair parity."""
     return D.neardup_pairs_minhash_salted(
         _t(spark, sf_dir, "documents"), bucket_cap=4, salt_groups=4
     )

@@ -71,13 +71,13 @@ _CMS_AB = [(1103515245, 12345), (69069, 362437), (1664525, 1013904223), (2269547
 WITH par AS (SELECT UNNEST([{', '.join(str(i) for i in range(len(_CMS_AB)))}]) AS i,
                     UNNEST([{', '.join(str(a) for a, _ in _CMS_AB)}]) AS a,
                     UNNEST([{', '.join(str(b) for _, b in _CMS_AB)}]) AS b),
-cells AS (SELECT p.i, ((p.a * e.user_id + p.b) % {_CMS_P}) % {_CMS_W} AS col,
+cells AS (SELECT p.i, ((p.a * (e.user_id % {_CMS_P}) + p.b) % {_CMS_P}) % {_CMS_W} AS col,
                  count(*) AS cnt
           FROM events e CROSS JOIN par p GROUP BY 1, 2),
 exact AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1),
 top20 AS (SELECT * FROM exact ORDER BY exact_n DESC, user_id ASC LIMIT 20),
 probe AS (SELECT t.user_id, t.exact_n, p.i,
-                 ((p.a * t.user_id + p.b) % {_CMS_P}) % {_CMS_W} AS col
+                 ((p.a * (t.user_id % {_CMS_P}) + p.b) % {_CMS_P}) % {_CMS_W} AS col
           FROM top20 t CROSS JOIN par p)
 SELECT pr.user_id, CAST(pr.exact_n AS BIGINT) AS exact_n,
        CAST(min(c.cnt) AS BIGINT) AS cms_estimate,
@@ -97,6 +97,12 @@ def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain affine maps mod a Mersenne prime — engine-portable arithmetic is
     what lets the sketch itself be under value-level test, where Spark's
     JVM-internal count_min_sketch() byte layout could only be row-counted.
+    The key is reduced mod P BEFORE the multiply (mirrored in the oracle):
+    a < 2^31 times a reduced key < 2^31 stays under 2^62, so the hash is
+    overflow-safe for arbitrary 64-bit ids (snowflake-style production
+    ids exceed 2^32 and a*id would overflow int64 — caught by the 10x
+    scale bench, whose shard offsets push ids past 9e9); for ids < P the
+    reduction is the identity, so sketch values are unchanged.
 
     Scale: the sketch build is ONE map-side-combinable groupBy over
     (row, column) — at most d*w = 2048 cells regardless of stream size or
@@ -109,7 +115,7 @@ def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.struct(
                 F.lit(i).alias("i"),
-                ((F.lit(a) * F.col("user_id") + F.lit(b)) % _CMS_P % _CMS_W)
+                ((F.lit(a) * (F.col("user_id") % _CMS_P) + F.lit(b)) % _CMS_P % _CMS_W)
                 .cast("int")
                 .alias("col"),
             )
@@ -132,7 +138,7 @@ def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "col",
             (
                 (
-                    F.element_at(a_arr, F.col("i") + 1) * F.col("user_id")
+                    F.element_at(a_arr, F.col("i") + 1) * (F.col("user_id") % _CMS_P)
                     + F.element_at(b_arr, F.col("i") + 1)
                 )
                 % _CMS_P
