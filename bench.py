@@ -126,11 +126,15 @@ def main() -> None:
             scale_dir = generate(spark, base_dir=sf_dir, shards=10)
             gen_sec = round(time.perf_counter() - t0, 3)
             scaled: dict[str, float] = {}
+            errors: dict[str, str] = {}
             for name, spec in specs.items():
-                spec.fn(spark, scale_dir).write.format("noop").mode("overwrite").save()
-                t0 = time.perf_counter()
-                spec.fn(spark, scale_dir).write.format("noop").mode("overwrite").save()
-                scaled[name] = round(time.perf_counter() - t0, 3)
+                try:
+                    spec.fn(spark, scale_dir).write.format("noop").mode("overwrite").save()
+                    t0 = time.perf_counter()
+                    spec.fn(spark, scale_dir).write.format("noop").mode("overwrite").save()
+                    scaled[name] = round(time.perf_counter() - t0, 3)
+                except Exception as e:  # isolate: one query's failure is itself signal
+                    errors[name] = str(e)[:200]
             result["scaling"] = {
                 "sf": result["sf"] * 10,
                 "data_x": 10,
@@ -140,6 +144,7 @@ def main() -> None:
                     n: round(scaled[n] / timings[n], 2) for n in scaled if timings.get(n)
                 },
                 "methodology": "1 untimed warmup + 1 timed pass per query on the 10x dataset",
+                **({"query_errors": errors} if errors else {}),
             }
         except Exception as e:  # scaling is additive — never break the bench line
             result["scaling"] = {"error": str(e)[:300]}
