@@ -118,3 +118,36 @@ def test_connected_components_matches_union_find(spark_session, edge_list):
         for r in connected_components(nodes_df, edges_df, local_edge_threshold=0).collect()
     }
     assert got_dist == expected
+
+
+@given(
+    st.lists(
+        # small vocab + short docs => plenty of accidental band collisions,
+        # plus duplicate texts => genuinely hot buckets
+        st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon"]),
+                 min_size=1, max_size=8).map(" ".join),
+        min_size=0,
+        max_size=30,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_salted_lsh_pairs_property_parity(spark_session, texts):
+    """Randomized corpora: the hot-bucket-salted LSH pair join emits
+    EXACTLY the plain join's pair set for any input, any cap/salt
+    config — the salting is a physical redistribution, never a
+    semantic change."""
+    from fraud_detection_etl_project_spark.operators.dedup import (
+        neardup_pairs_minhash,
+        neardup_pairs_minhash_salted,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    if not rows:
+        return
+    docs = spark_session.createDataFrame(rows, "doc_id long, text string")
+    plain = {(r["doc_a"], r["doc_b"]) for r in neardup_pairs_minhash(docs).collect()}
+    salted = {
+        (r["doc_a"], r["doc_b"])
+        for r in neardup_pairs_minhash_salted(docs, bucket_cap=2, salt_groups=3).collect()
+    }
+    assert salted == plain
