@@ -1162,3 +1162,143 @@ def doc_number_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct("hits")).cast("bigint").alias("n_distinct_hits"),
         F.array_max(F.transform("hits", lambda x: F.length(x))).cast("int").alias("longest_hit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral sequence analytics: Markov transitions over per-user streams
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "markov_event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+pairs AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+          FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT prev_type, sum(n) AS total FROM pairs GROUP BY 1)
+SELECT p.prev_type, p.next_type,
+       CAST(p.n AS BIGINT) AS n,
+       floor(CAST(p.n AS DOUBLE) * 1000000.0 / t.total + 0.5) / 1000000.0 AS p_next
+FROM pairs p JOIN tot t USING (prev_type)
+""",
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    — the standard behavioral model behind next-action prediction and
+    anomaly scoring (improbable transitions). lag() over (user, time)
+    forms adjacent pairs; one grouped count + a per-source total gives
+    the row-stochastic matrix. Probabilities are quantized to 1e-6 with
+    the fxr formula so the whole matrix is value-checked cross-engine.
+
+    Scale: the lag window shuffles once on user_id (each user's events
+    sort locally — no global sort); the matrix itself is
+    |event_types|² rows, a parameter-sized result regardless of stream
+    length, and both aggregations are map-side combinable. Tie-break on
+    event_id makes same-timestamp ordering deterministic, so the oracle
+    matches row-for-row."""
+    from fraud_detection_etl_project_spark.functions.rounding import fxr
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "event_type", F.lag("event_type").over(w).alias("prev_type"))
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("total"))
+    return pairs.join(tot, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        fxr(F.col("n").cast("double") / F.col("total"), 6).alias("p_next"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-node local clustering coefficient (reuses the degree-oriented
+# triangle machinery)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "part_clustering_coefficients",
+    oracle=f"""
+WITH e AS ({_EDGES_SQL}),
+deg AS (SELECT v, count(*) AS d FROM
+          (SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)
+        GROUP BY v),
+tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM e e1 JOIN e e2 ON e1.dst = e2.src
+                  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+tn AS (SELECT v, count(*) AS t FROM
+         (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+       GROUP BY v)
+SELECT d.v AS part, CAST(d.d AS BIGINT) AS degree,
+       CAST(coalesce(tn.t, 0) AS BIGINT) AS n_triangles,
+       floor(CAST(2 * coalesce(tn.t, 0) AS DOUBLE) * 1000000.0 / (d.d * (d.d - 1)) + 0.5) / 1000000.0 AS lcc
+FROM deg d LEFT JOIN tn ON tn.v = d.v
+WHERE d.d >= 2
+""",
+)
+def part_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per part: 2·triangles(v) / (d(v)·(d(v)-1))
+    — how tightly each node's neighborhood closes, the per-node refinement
+    of the global triangle count (community cores vs bridge hubs).
+
+    Reuses orient_by_degree + the wedge-close join: each closed triangle
+    is attributed to its THREE corners with one posexplode-free array
+    explode, then a grouped count per node — same O(sqrt m) fan-out bound
+    as the global count, one extra narrow shuffle for the attribution.
+    The id-oriented oracle enumerates the same triangles (orientation-
+    invariant set), and the lcc ratio is fxr-quantized for cross-engine
+    value equality. Nodes with degree < 2 (undefined lcc) are excluded."""
+    from pyspark import StorageLevel
+
+    from fraud_detection_etl_project_spark.functions.rounding import fxr
+
+    oe = orient_by_degree(_copurchase_edges(spark, sf_dir)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    e1 = oe.select(F.col("lo").alias("a"), F.col("hi").alias("b"), F.col("deg_hi").alias("deg_b"))
+    e2 = oe.select(F.col("lo").alias("a2"), F.col("hi").alias("c"), F.col("deg_hi").alias("deg_c"))
+    wedges = e1.join(
+        e2,
+        (F.col("a") == F.col("a2"))
+        & (
+            (F.col("deg_b") < F.col("deg_c"))
+            | ((F.col("deg_b") == F.col("deg_c")) & (F.col("b") < F.col("c")))
+        ),
+    ).select("a", "b", "c")
+    closed = wedges.join(
+        oe.select(F.col("lo").alias("b"), F.col("hi").alias("c")), ["b", "c"], "inner"
+    )
+    tri_n = (
+        closed.select(F.explode(F.array("a", "b", "c")).alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    deg = (
+        oe.select(F.col("lo").alias("part"))
+        .unionAll(oe.select(F.col("hi").alias("part")))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri_n, "part", "left")
+        .select(
+            "part",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint").alias("n_triangles"),
+            fxr(
+                (F.lit(2) * F.coalesce(F.col("n_triangles"), F.lit(0))).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("lcc"),
+        )
+    )
