@@ -1197,9 +1197,13 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the lag window shuffles once on user_id (each user's events
     sort locally — no global sort); the matrix itself is
     |event_types|² rows, a parameter-sized result regardless of stream
-    length, and both aggregations are map-side combinable. Tie-break on
-    event_id makes same-timestamp ordering deterministic, so the oracle
-    matches row-for-row."""
+    length, and the pair count is map-side combinable. The per-source
+    total is a WINDOW over the already-tiny pair frame, not a second
+    aggregation branch — a grouped-total join would make Catalyst
+    re-derive the whole scan+lag pipeline for the totals leg (no
+    cross-branch reuse), doubling the stream scan at 100 TB. Tie-break
+    on event_id makes same-timestamp ordering deterministic, so the
+    oracle matches row-for-row."""
     from fraud_detection_etl_project_spark.functions.rounding import fxr
 
     e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
@@ -1210,12 +1214,12 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("total"))
-    return pairs.join(tot, "prev_type").select(
+    total = F.sum("n").over(Window.partitionBy("prev_type"))
+    return pairs.select(
         "prev_type",
         "next_type",
         "n",
-        fxr(F.col("n").cast("double") / F.col("total"), 6).alias("p_next"),
+        fxr(F.col("n").cast("double") / total, 6).alias("p_next"),
     )
 
 

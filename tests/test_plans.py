@@ -366,3 +366,25 @@ def test_bitmap_distinct_combines_mapside(spark):
     # would match any aggregate plan (ADVICE r02).
     assert "partial_bitmap_construct_agg" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_markov_transitions_scans_events_once(spark):
+    """The per-source total must come from a window over the tiny pair
+    frame, not a second aggregation branch — a join against a grouped
+    total would re-derive the whole scan+lag pipeline (two stream scans
+    at 100 TB)."""
+    plan = plan_of(spark, "markov_event_transitions")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_clustering_coefficients_reuse_cached_oriented_edges(spark):
+    """All legs (wedge sides, closing probe, degrees) must read the
+    persisted oriented-edge frame, not re-derive the lineitem pair
+    self-join per leg."""
+    plan = plan_of(spark, "part_clustering_coefficients")
+    # four legs (two wedge sides, closing probe, degrees) must all read
+    # the cache. (Scan-count assertions don't work here: every
+    # InMemoryTableScan reprints its cached child plan, parquet scan
+    # included, so the string contains one scan per cache REFERENCE.)
+    assert plan.count("InMemoryTableScan") >= 4, plan
