@@ -366,3 +366,82 @@ def bfs_khop(seeds: DataFrame, edges: DataFrame, k: int) -> DataFrame:
         settled = settled.union(nxt)
         frontier = nxt
     return settled.withColumn("dist", F.col("dist").cast("int"))
+
+
+def hits(nodes: DataFrame, edges: DataFrame, iterations: int = 2, quant: int = 12) -> DataFrame:
+    """HITS hubs-and-authorities over (src, dst, weight) edges: (node,
+    hub, auth) after a fixed number of mutual-reinforcement iterations —
+    the classic bipartite-flavored ranking (a good hub points at good
+    authorities; a good authority is pointed at by good hubs), the
+    complement of PageRank's single-score random walk.
+
+    Cross-engine-deterministic by the repo's quantized-iteration
+    discipline (see pagerank): edge weights are globally normalized to
+    sum 1 up front (HITS ranking is scale-invariant, and it bounds every
+    product at 1 so int64 sums cannot overflow for ANY weight magnitude);
+    each half-step's contributions are quantized to 1e-quant units and
+    summed exactly in int64; each score vector is L1-normalized (sum
+    normalization preserves the ranking that L2 gives while avoiding
+    sqrt, which has no cross-engine bit guarantee) and re-quantized
+    before feeding the next half-step. A fixed-iteration unrolled-CTE
+    oracle therefore matches bit-for-bit (nation_trade_hits).
+
+    Scale: the normalized edge frame persists once; each half-step is
+    one edge-keyed join + one grouped sum over the EDGE list (never a
+    matrix), exactly pagerank's shuffle shape. At the default 2
+    iterations the job count is constant, so no adaptive local path is
+    needed (pagerank's exists because its caller iterates more)."""
+    from pyspark.sql import Window
+
+    scale = float(10**quant)
+    n = nodes.count()
+    wall = Window.partitionBy()  # edges frame is aggregated graph-sized
+    p = edges.select(
+        "src", "dst", (F.col("weight").cast("double") / F.sum("weight").over(wall)).alias("w")
+    ).persist()
+
+    def _quantsum(score_col, out_key, in_key):
+        # raw contributions stay in INTEGER 1e-quant units end-to-end:
+        # the L1 total is then an exact int64 sum (order-free), where
+        # totalling the /scale doubles would round differently under
+        # different summation orders.
+        joined = p.join(
+            F.broadcast(scores.select(F.col("node").alias(in_key), F.col(score_col).alias("s"))),
+            in_key,
+        )
+        return (
+            joined.groupBy(F.col(out_key).alias("node"))
+            .agg(
+                F.sum(
+                    F.floor(F.col("s") * F.col("w") * F.lit(scale) + F.lit(0.5)).cast("long")
+                ).alias("raw_units")
+            )
+        )
+
+    def _l1norm(raw_df):
+        total = F.sum("raw_units").over(Window.partitionBy())
+        return nodes.join(raw_df, "node", "left").select(
+            "node",
+            F.coalesce(F.col("raw_units"), F.lit(0)).cast("long").alias("raw_units"),
+        ).select(
+            "node",
+            F.when(total == 0, F.lit(0.0))
+            .otherwise(
+                F.floor(
+                    F.col("raw_units").cast("double") / total.cast("double") * F.lit(scale)
+                    + F.lit(0.5)
+                )
+                / F.lit(scale)
+            )
+            .alias("score"),
+        )
+
+    scores = nodes.select("node", F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("auth"))
+    for _ in range(iterations):
+        auth = _l1norm(_quantsum("hub", "dst", "src"))  # auth <- hubs pointing in
+        scores = scores.drop("auth").join(
+            auth.withColumnRenamed("score", "auth"), "node"
+        )
+        hub = _l1norm(_quantsum("auth", "src", "dst"))  # hub <- auths pointed at
+        scores = scores.drop("hub").join(hub.withColumnRenamed("score", "hub"), "node")
+    return scores.select("node", "hub", "auth")

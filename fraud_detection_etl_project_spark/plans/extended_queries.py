@@ -2607,3 +2607,98 @@ def events_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("db").cast("int").alias("min_value_bucket"),
         F.max("db").cast("int").alias("max_value_bucket"),
     )
+
+
+# --- HITS hubs/authorities over the nation trade graph --------------------
+
+_HITS_ITERS = 2
+_HITS_SCALE = float(10**12)
+
+
+def _hits_oracle() -> str:
+    """Unrolled mutual-reinforcement chain mirroring operators/graph.hits
+    exactly: globally-normalized weights, integer-unit contribution sums,
+    L1 normalization with the ratio-of-exact-ints division."""
+    s = f"{_HITS_SCALE!r}"
+    head = f"""
+WITH edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS weight
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2),
+nodes AS (SELECT n_nationkey AS node, n_name FROM nation),
+p AS (SELECT src, dst,
+             CAST(weight AS DOUBLE) / (SELECT CAST(sum(weight) AS DOUBLE) FROM edges) AS w
+      FROM edges),
+h0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT count(*) FROM nodes) AS score FROM nodes),
+a0 AS (SELECT node, score FROM h0)"""
+    steps = []
+    prev_h, prev_a = "h0", "a0"
+    for i in range(1, _HITS_ITERS + 1):
+        steps.append(f"""
+a{i}r AS (SELECT n.node, CAST(coalesce(u.raw_units, 0) AS BIGINT) AS raw_units
+         FROM nodes n LEFT JOIN (
+           SELECT p.dst AS node,
+                  sum(CAST(floor(h.score * p.w * {s} + 0.5) AS BIGINT)) AS raw_units
+           FROM p JOIN {prev_h} h ON p.src = h.node GROUP BY p.dst) u ON n.node = u.node),
+a{i} AS (SELECT node, CASE WHEN (SELECT sum(raw_units) FROM a{i}r) = 0 THEN 0.0
+               ELSE floor(CAST(raw_units AS DOUBLE) / CAST((SELECT sum(raw_units) FROM a{i}r) AS DOUBLE) * {s} + 0.5) / {s}
+               END AS score FROM a{i}r),
+h{i}r AS (SELECT n.node, CAST(coalesce(u.raw_units, 0) AS BIGINT) AS raw_units
+         FROM nodes n LEFT JOIN (
+           SELECT p.src AS node,
+                  sum(CAST(floor(a.score * p.w * {s} + 0.5) AS BIGINT)) AS raw_units
+           FROM p JOIN a{i} a ON p.dst = a.node GROUP BY p.src) u ON n.node = u.node),
+h{i} AS (SELECT node, CASE WHEN (SELECT sum(raw_units) FROM h{i}r) = 0 THEN 0.0
+               ELSE floor(CAST(raw_units AS DOUBLE) / CAST((SELECT sum(raw_units) FROM h{i}r) AS DOUBLE) * {s} + 0.5) / {s}
+               END AS score FROM h{i}r)""")
+        prev_h, prev_a = f"h{i}", f"a{i}"
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+SELECT nodes.n_name, {prev_h}.score AS hub_score, {prev_a}.score AS auth_score
+FROM nodes JOIN {prev_h} ON nodes.node = {prev_h}.node
+           JOIN {prev_a} ON nodes.node = {prev_a}.node
+"""
+    )
+
+
+@query("nation_trade_hits", oracle=_hits_oracle())
+def nation_trade_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the nation trade digraph (customer
+    nation → supplier nation, weighted by lineitem count): hub = nations
+    whose demand flows to authoritative suppliers, authority = nations
+    whose suppliers absorb demand from strong hubs — the mutual-
+    reinforcement complement of nation_trade_pagerank's random walk,
+    completing the classic graph-ranking set (operators/graph.hits).
+
+    Same scale posture as pagerank: the fact-star edge build is the
+    heavy part, aggregated to a 25×25 digraph; each half-step joins and
+    sums over the EDGE frame only. Weights are globally normalized (so
+    int64 contribution sums cannot overflow at any weight magnitude) and
+    every half-step quantizes to integer 1e-12 units with exact L1
+    totals, making the 2-iteration recurrence bit-identical to the
+    oracle's unrolled CTE chain."""
+    from fraud_detection_etl_project_spark.operators.graph import hits
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    nodes = n.select(F.col("n_nationkey").alias("node"))
+    scores = hits(nodes, edges, iterations=_HITS_ITERS, quant=12)
+    return scores.join(n, scores.node == n.n_nationkey).select(
+        "n_name", F.col("hub").alias("hub_score"), F.col("auth").alias("auth_score")
+    )

@@ -364,3 +364,26 @@ def test_salted_lsh_join_key_carries_both_salts(spark):
     )
     plan = neardup_pairs_minhash_salted(docs, bucket_cap=4, salt_groups=4)._jdf.queryExecution().executedPlan().toString()
     assert "sa#" in plan and "sb#" in plan, plan
+
+
+def test_hits_star_digraph(spark):
+    """All spokes point at the hub: the hub must be the unique top
+    authority with ~all authority mass; spokes are the (equal) hubs.
+    Scores are deterministic and repeatable; L1-normalized columns each
+    sum to ~1."""
+    from fraud_detection_etl_project_spark.operators.graph import hits
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "node long")
+    edges = spark.createDataFrame(
+        [(1, 0, 3), (2, 0, 1), (3, 0, 1), (4, 0, 1)], "src long, dst long, weight long"
+    )
+    r = {row["node"]: (row["hub"], row["auth"]) for row in hits(nodes, edges).collect()}
+    assert max(r, key=lambda k: r[k][1]) == 0  # hub node: top authority
+    assert r[0][1] > 0.999  # all authority mass
+    assert r[0][0] == 0.0  # no out-edges -> zero hub score
+    assert r[1][0] > r[2][0]  # weight-3 spoke out-hubs weight-1 spokes
+    assert abs(r[2][0] - r[3][0]) < 1e-12  # symmetric spokes tie
+    assert abs(sum(v[0] for v in r.values()) - 1.0) < 1e-9
+    assert abs(sum(v[1] for v in r.values()) - 1.0) < 1e-9
+    again = {row["node"]: (row["hub"], row["auth"]) for row in hits(nodes, edges).collect()}
+    assert r == again
