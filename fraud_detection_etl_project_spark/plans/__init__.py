@@ -59,8 +59,8 @@ FAMILY_PREFIX = [
     "nation_trade_pagerank",
     "region_customer_rollup",
     "order_fill_left_join",
-    "lineitem_fill_right_join",
-    "nation_party_full_join",
+    "multimodal_bmp_stats",
+    "neardup_pairs_salted",
     "customers_with_big_orders",
     "orders_without_lineitems",
     "semdedup_cluster_stats",
@@ -75,7 +75,7 @@ FAMILY_PREFIX = [
     "dq_constraint_audit",
     "event_value_deltas",
     "running_user_totals",
-    "event_trailing_features",
+    "markov_event_transitions",
     "balanced_event_sample",
     "all_parties_union",
     "copurchase_triangle_count",
