@@ -1978,3 +1978,114 @@ def ppjoin_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_b").cast("bigint").alias("partner_idsum"),
         F.sum("n_common").cast("bigint").alias("common_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV/theta set-operation sketch: segment overlap from mergeable bottom-k
+# ---------------------------------------------------------------------------
+
+_KMV_SEG_A = "purchase"
+_KMV_SEG_B = "error"
+
+
+@query(
+    "kmv_segment_overlap",
+    oracle=f"""
+WITH h AS (SELECT DISTINCT event_type, {_KMV_H_SQL} AS hv
+           FROM events WHERE event_type IN ('{_KMV_SEG_A}', '{_KMV_SEG_B}')),
+ranked AS (SELECT event_type, hv,
+                  row_number() OVER (PARTITION BY event_type ORDER BY hv ASC) AS rn
+           FROM h),
+bk AS (SELECT * FROM ranked WHERE rn <= {_KMV_K}),
+nd AS (SELECT event_type, count(*) AS n FROM h GROUP BY 1),
+th AS (SELECT min(CASE WHEN nd.n < {_KMV_K} THEN {_KMV_SPACE!r}
+                       ELSE CAST(k.kth AS DOUBLE) END) AS theta
+       FROM nd JOIN (SELECT event_type, max(CASE WHEN rn = {_KMV_K} THEN hv END) AS kth
+                     FROM bk GROUP BY 1) k USING (event_type)),
+ia AS (SELECT a.hv FROM bk a JOIN bk b ON a.hv = b.hv
+       WHERE a.event_type = '{_KMV_SEG_A}' AND b.event_type = '{_KMV_SEG_B}'),
+c AS (SELECT count(*) AS c FROM ia, th WHERE CAST(ia.hv AS DOUBLE) < th.theta),
+u AS (SELECT count(*) AS u FROM (SELECT DISTINCT hv FROM bk) s, th
+      WHERE CAST(s.hv AS DOUBLE) < th.theta),
+ex AS (SELECT count(*) AS exact_overlap FROM
+         (SELECT DISTINCT user_id FROM events WHERE event_type = '{_KMV_SEG_A}'
+          INTERSECT
+          SELECT DISTINCT user_id FROM events WHERE event_type = '{_KMV_SEG_B}'))
+SELECT '{_KMV_SEG_A}' AS seg_a, '{_KMV_SEG_B}' AS seg_b,
+       CAST(ex.exact_overlap AS BIGINT) AS exact_overlap,
+       CAST(floor(CAST(c.c AS DOUBLE) * {_KMV_SPACE!r} / th.theta + 0.5) AS BIGINT) AS kmv_overlap_est,
+       floor(CAST(c.c AS DOUBLE) * 1000000.0 / u.u + 0.5) / 1000000.0 AS kmv_jaccard_est
+FROM ex, c, u, th
+""",
+)
+def kmv_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style SET OPERATIONS on KMV sketches: estimate the
+    overlap (intersection cardinality) and Jaccard of two user segments
+    from their mergeable bottom-k sketches alone — the audience-overlap
+    primitive that at 100 TB runs on k int64s per segment instead of
+    re-scanning either side (sketches union by keeping the k smallest of
+    both; intersection = hashes below theta = min of the two k-th mins,
+    scaled by space/theta; a segment smaller than k IS its sketch and the
+    estimate degrades to exact). The portable 48-bit md5 hash makes the
+    ESTIMATE itself bit-deterministic, so the oracle value-checks the
+    sketch math, not just bounds — exact intersection rides alongside.
+    sf0.001 exercises the small-set exact path (15 users < k=64), sf0.01
+    the estimator path (150 > k).
+
+    Scale: everything after the per-segment bottom-k (WindowGroupLimit,
+    same plan property as kmv_distinct_users) is parameter-sized: theta
+    is a 1-row frame, the candidate join touches <= 2k rows."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_KMV_SEG_A, _KMV_SEG_B)
+    )
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10).cast("long")
+    du = e.select("event_type", h.alias("hv")).distinct()
+    w = Window.partitionBy("event_type").orderBy(F.col("hv").asc())
+    bk = du.select("event_type", "hv", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= _KMV_K
+    )
+    nd = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    kth = bk.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("hv"))).alias("kth")
+    )
+    theta = (
+        nd.join(kth, "event_type")
+        .select(
+            F.when(F.col("n") < _KMV_K, F.lit(_KMV_SPACE))
+            .otherwise(F.col("kth").cast("double"))
+            .alias("t")
+        )
+        .agg(F.min("t").alias("theta"))
+    )
+    a = bk.filter(F.col("event_type") == _KMV_SEG_A).select("hv")
+    b = bk.filter(F.col("event_type") == _KMV_SEG_B).select("hv")
+    c = (
+        a.join(b, "hv")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("hv").cast("double") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    u = (
+        bk.select("hv")
+        .distinct()
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("hv").cast("double") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("u"))
+    )
+    ua = e.filter(F.col("event_type") == _KMV_SEG_A).select("user_id").distinct()
+    ub = e.filter(F.col("event_type") == _KMV_SEG_B).select("user_id").distinct()
+    exact = ua.intersect(ub).agg(F.count(F.lit(1)).cast("bigint").alias("exact_overlap"))
+    return (
+        exact.crossJoin(c)
+        .crossJoin(u)
+        .crossJoin(theta)
+        .select(
+            F.lit(_KMV_SEG_A).alias("seg_a"),
+            F.lit(_KMV_SEG_B).alias("seg_b"),
+            "exact_overlap",
+            F.floor(F.col("c").cast("double") * F.lit(_KMV_SPACE) / F.col("theta") + F.lit(0.5))
+            .cast("bigint")
+            .alias("kmv_overlap_est"),
+            (F.floor(F.col("c").cast("double") * F.lit(1_000_000.0) / F.col("u") + F.lit(0.5)) / F.lit(1_000_000.0)).alias("kmv_jaccard_est"),
+        )
+    )
