@@ -1306,3 +1306,83 @@ def part_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lcc"),
         )
     )
+
+
+@query(
+    "concurrent_session_pairs",
+    oracle=f"""
+WITH s AS ({_SESSIONS_SQL})
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       greatest(a.session_start, b.session_start) AS overlap_start,
+       least(a.session_end, b.session_end) AS overlap_end,
+       CAST((epoch_us(least(a.session_end, b.session_end))
+             - epoch_us(greatest(a.session_start, b.session_start))) // 1000000 AS BIGINT)
+         AS overlap_seconds
+FROM s a JOIN s b
+  ON a.user_id < b.user_id
+ AND a.session_start <= b.session_end
+ AND b.session_start <= a.session_end
+""",
+)
+def concurrent_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP JOIN, scalably: every cross-user pair of
+    concurrent sessions with its exact overlap window — the generic
+    range-join shape behind co-presence, ad-attribution windows, and
+    conflict detection (sweep-line session_concurrency gives per-hour
+    COUNTS; this gives the PAIRS).
+
+    Scale plan: the naive formulation is an inequality-only self-join —
+    O(n²) comparisons and, in Spark, a nested-loop join. Instead each
+    session explodes into the hour buckets it spans (bounded fan-out:
+    gap-based sessions are short relative to buckets) and the self-join
+    runs as an EQUI-join on the bucket, with the true overlap predicate
+    re-checked and multi-bucket duplicates removed by DISTINCT on the
+    output tuple (exact: a user's sessions are disjoint, so distinct
+    session pairs always produce distinct overlap windows). The DuckDB
+    oracle runs the naive inequality join (its IEJoin handles fixture
+    scale), so the bucketed rewrite is value-checked pair-for-pair.
+    Overlap seconds are integer epoch arithmetic — exact cross-engine."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    sessions = (
+        e.withColumn("new_s", F.when(prev.isNull() | ((us - prev) > 1_800_000_000), 1).otherwise(0))
+        .withColumn("sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    bucketed = sessions.select(
+        "user_id",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s_start"),
+                F.date_trunc("hour", "s_end"),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("bucket"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.user_id") < F.col("b.user_id"))
+        & (F.col("a.s_start") <= F.col("b.s_end"))
+        & (F.col("b.s_start") <= F.col("a.s_end")),
+    ).select(
+        F.col("a.user_id").alias("user_a"),
+        F.col("b.user_id").alias("user_b"),
+        F.greatest("a.s_start", "b.s_start").alias("overlap_start"),
+        F.least("a.s_end", "b.s_end").alias("overlap_end"),
+    ).distinct()
+    return pairs.select(
+        "user_a",
+        "user_b",
+        "overlap_start",
+        "overlap_end",
+        F.expr("(unix_micros(overlap_end) - unix_micros(overlap_start)) div 1000000")
+        .cast("bigint")
+        .alias("overlap_seconds"),
+    )

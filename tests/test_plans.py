@@ -388,3 +388,13 @@ def test_clustering_coefficients_reuse_cached_oriented_edges(spark):
     # InMemoryTableScan reprints its cached child plan, parquet scan
     # included, so the string contains one scan per cache REFERENCE.)
     assert plan.count("InMemoryTableScan") >= 4, plan
+
+
+def test_interval_join_is_bucketed_equi_join(spark):
+    """The session-overlap self-join must run as an EQUI join on the hour
+    bucket (the inequality predicates ride along as join filters) — a
+    plain inequality join would plan as a broadcast nested loop, O(n^2)
+    comparisons at scale."""
+    plan = plan_of(spark, "concurrent_session_pairs")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert "bucket" in plan
