@@ -1386,3 +1386,41 @@ def concurrent_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("overlap_seconds"),
     )
+
+
+_RCTE_SQL = f"""
+WITH RECURSIVE
+e AS ({_EDGES_SQL}),
+sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+seeds AS (SELECT p_partkey AS node FROM part WHERE p_brand = 'Brand#1'),
+reach(node, dist) AS (
+  SELECT node, 0 FROM seeds
+  UNION ALL
+  SELECT s.dst, r.dist + 1
+  FROM reach r JOIN sym s ON s.src = r.node
+  WHERE r.dist < 3
+)
+SELECT node, CAST(min(dist) AS INT) AS dist
+FROM reach GROUP BY node
+"""
+
+
+@query("sql_recursive_reachability", oracle=_RCTE_SQL)
+def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.1 `WITH RECURSIVE`) on the SQL surface:
+    3-hop reachability with min hop distance over the co-purchase graph —
+    the SAME ANSI text runs on Spark SQL and on the DuckDB oracle
+    verbatim, proving the declarative recursive surface beside the
+    DataFrame-loop equivalent (operators/graph.bfs_khop, part_bfs_2hop).
+
+    Scale notes: the UNION ALL recursion enumerates bounded-depth PATHS
+    (the dist < 3 guard terminates cycles), then reduces to min-dist per
+    node — path-explosion-prone on dense graphs, which is exactly why
+    the operator library's frontier BFS (left-anti against settled
+    nodes, work bounded by NEW adjacency per hop) is the 100 TB path;
+    keeping both surfaces value-locked to each other is the point of
+    this query. The support>=2 edge derivation keeps the fixture graph
+    sparse enough for the declarative form."""
+    for t in ("lineitem", "part"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_RCTE_SQL)

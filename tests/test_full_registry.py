@@ -36,7 +36,7 @@ def test_every_registered_query_matches_its_oracle(spark):
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    assert len(qs) >= 204, "registry shrank — queries lost their registration"
+    assert len(qs) >= 213, "registry shrank — queries lost their registration"
     con = cq.duck_con(SF_DIR)
     failures = []
     for name, fn in qs.items():
