@@ -1231,6 +1231,7 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "part_clustering_coefficients",
+    bench=True,
     oracle=f"""
 WITH e AS ({_EDGES_SQL}),
 deg AS (SELECT v, count(*) AS d FROM
@@ -1310,6 +1311,7 @@ def part_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "concurrent_session_pairs",
+    bench=True,
     oracle=f"""
 WITH s AS ({_SESSIONS_SQL})
 SELECT a.user_id AS user_a, b.user_id AS user_b,
