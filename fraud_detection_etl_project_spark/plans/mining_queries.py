@@ -2089,3 +2089,52 @@ def kmv_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("c").cast("double") * F.lit(1_000_000.0) / F.col("u") + F.lit(0.5)) / F.lit(1_000_000.0)).alias("kmv_jaccard_est"),
         )
     )
+
+
+@query(
+    "order_price_twophase_bins",
+    oracle="""
+WITH cuts AS (SELECT quantile_cont(o_totalprice, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS cs
+              FROM orders),
+b AS (SELECT o_totalprice,
+             1 + len(list_filter(cuts.cs, c -> o_totalprice > c)) AS bucket
+      FROM orders, cuts)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       floor(min(o_totalprice) * 100.0 + 0.5) / 100.0 AS lo,
+       floor(max(o_totalprice) * 100.0 + 0.5) / 100.0 AS hi
+FROM b GROUP BY bucket
+""",
+)
+def order_price_twophase_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth binning the way it survives 100 TB — the TWO-PHASE
+    substitute order_price_equidepth's docstring promises: phase one
+    computes the 8 cut points with ONE aggregation (exact interpolated
+    percentiles, already cross-engine-parity-proven by
+    quantity_percentiles); phase two assigns each row its bucket with a
+    row-local comparison against the broadcast cut array. No global
+    sort, no single-partition ntile window — the only full-data pass is
+    narrow and shuffle-free, then one grouped count. Bucket membership
+    (strictly-greater-than cuts) and per-bucket extrema are value-checked
+    against DuckDB's quantile_cont on the same boundaries. At true 100 TB
+    the exact percentile agg swaps for approx_percentile with the same
+    assignment phase (error bounds, not values, are then the contract —
+    see approx_event_stats)."""
+    o = _t(spark, sf_dir, "orders").select("o_totalprice")
+    cuts = o.agg(
+        F.expr(
+            "percentile(o_totalprice, array(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875))"
+        ).alias("cs")
+    )
+    binned = o.crossJoin(F.broadcast(cuts)).select(
+        "o_totalprice",
+        (
+            F.lit(1)
+            + F.size(F.filter("cs", lambda c: F.col("o_totalprice") > c))
+        ).cast("int").alias("bucket"),
+    )
+    return binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        (F.floor(F.min("o_totalprice") * 100.0 + 0.5) / 100.0).alias("lo"),
+        (F.floor(F.max("o_totalprice") * 100.0 + 0.5) / 100.0).alias("hi"),
+    )
