@@ -1,0 +1,650 @@
+"""Decision-analytics shapes widening the round-3 surface: forensic
+digit auditing (Benford), customer scoring (RFM), experiment readouts
+(Welch's t), sequential change detection (CUSUM over per-key ordered
+state), gap-and-island activity runs, Pareto-frontier (skyline) extraction,
+collocation mining (bigram lift), and iterative k-core graph peeling.
+
+Every query keeps the repo's contract: a Spark plan built from JVM-side
+operators wherever the semantics allow (the one pandas hop, CUSUM, is the
+textbook per-key-sequential case), and a DuckDB value oracle that computes
+the same integers/quantized doubles bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fraud_detection_etl_project_spark.functions.rounding import fxr
+from fraud_detection_etl_project_spark.functions.text import tokens
+from fraud_detection_etl_project_spark.plans.llm_queries import TOKS_SQL
+from fraud_detection_etl_project_spark.plans.advanced_queries import (
+    _EDGES_SQL,
+    _copurchase_edges,
+)
+from fraud_detection_etl_project_spark.plans.registry import query
+from fraud_detection_etl_project_spark.sources.parquet import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (fraud forensics)
+# ---------------------------------------------------------------------------
+
+@query(
+    "benford_digit_audit",
+    oracle="""
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents FROM orders
+),
+d AS (
+  SELECT CAST(floor(cents / pow(10, length(CAST(cents AS VARCHAR)) - 1)) AS INT) AS digit
+  FROM c
+),
+g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+SELECT g.digit, g.n,
+       floor(g.n * 1000000.0 / t.total + 0.5) / 1000000.0 AS obs_share
+FROM g, t
+""",
+    bench=False,
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    forensic-accounting screen the reference's fraud domain implies:
+    tally leading digits of every amount and report each digit's observed
+    share (an auditor compares the shares against log10(1+1/d); amounts
+    invented by humans over-represent mid digits).
+
+    The leading digit is derived in exact integer space (cents -> digit
+    via the decimal string length), never via ``log10`` — libm log at
+    exact powers of ten is the one place two engines can disagree by an
+    ulp and flip ``floor``.
+
+    Scale: one narrow projection plus a 9-group count — fully map-side
+    combined, the shuffle carries nine rows per partition. The share
+    division joins a broadcast 1-row total."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint").alias("cents")
+    )
+    d = o.select(
+        F.floor(
+            F.col("cents") / F.pow(F.lit(10.0), F.length(F.col("cents").cast("string")) - 1)
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    g = d.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    t = g.agg(F.sum("n").cast("bigint").alias("total"))
+    return g.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        (F.floor(F.col("n") * 1_000_000.0 / F.col("total") + 0.5) / 1_000_000.0).alias(
+            "obs_share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer scoring
+# ---------------------------------------------------------------------------
+
+@query(
+    "rfm_customer_scores",
+    oracle="""
+WITH per AS (
+  SELECT o_custkey,
+         max(CAST(o_orderdate AS DATE)) AS last_day,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders GROUP BY 1
+),
+anchored AS (
+  SELECT p.*, CAST(datediff('day', p.last_day, t.anchor) AS BIGINT) AS recency_days
+  FROM per p, (SELECT max(CAST(o_orderdate AS DATE)) AS anchor FROM orders) t
+),
+scored AS (
+  SELECT o_custkey, recency_days, frequency, monetary_cents,
+         ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_score,
+         ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+         ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey ASC) AS m_score
+  FROM anchored
+)
+SELECT o_custkey, recency_days, frequency, monetary_cents / 100.0 AS monetary,
+       CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm_code
+FROM scored
+""",
+    bench=False,
+)
+def rfm_customer_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile scoring — the
+    workhorse customer-segmentation readout of a commerce/fraud stack:
+    per customer, days since last order (vs the corpus max date),
+    order count, lifetime spend, and an ``r*100+f*10+m`` segment code
+    from per-metric ``ntile(5)`` quintiles (deterministic via the
+    custkey tiebreak; both engines fill early buckets first).
+
+    Scale: the per-customer aggregate is one map-side-combined shuffle on
+    ``o_custkey`` over the fact; the quintile windows then run over the
+    customer-cardinality frame, three orders of magnitude smaller. The
+    unpartitioned ``ntile`` is a single-partition sort of that reduced
+    frame — the documented 100-TB swap is broadcast quantile cutpoints
+    (``percentile_approx`` of each metric -> ``width_bucket``), which
+    this layout makes a drop-in replacement since the scores are already
+    computed after the reduction."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint").alias("cents"),
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.max("d").alias("last_day"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum("cents").cast("bigint").alias("monetary_cents"),
+    )
+    anchor = o.agg(F.max("d").alias("anchor"))
+    a = per.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days", F.datediff(F.col("anchor"), F.col("last_day")).cast("bigint")
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    m_w = Window.orderBy(F.col("monetary_cents").desc(), F.col("o_custkey").asc())
+    scored = a.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5).over(r_w).cast("int").alias("r_score"),
+        F.ntile(5).over(f_w).cast("int").alias("f_score"),
+        F.ntile(5).over(m_w).cast("int").alias("m_score"),
+    )
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        (F.col("monetary_cents") / 100.0).alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("int")
+        .alias("rfm_code"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test A/B readout
+# ---------------------------------------------------------------------------
+
+@query(
+    "welch_ab_value_test",
+    oracle="""
+WITH raw AS (
+  SELECT event_type,
+         CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n_a,
+         CAST(count(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS n_b,
+         floor(avg(value) FILTER (WHERE user_id % 2 = 0) * 1000000.0 + 0.5)
+           / 1000000.0 AS mean_a,
+         floor(avg(value) FILTER (WHERE user_id % 2 = 1) * 1000000.0 + 0.5)
+           / 1000000.0 AS mean_b,
+         floor(var_samp(value) FILTER (WHERE user_id % 2 = 0) * 1000000.0 + 0.5)
+           / 1000000.0 AS var_a,
+         floor(var_samp(value) FILTER (WHERE user_id % 2 = 1) * 1000000.0 + 0.5)
+           / 1000000.0 AS var_b
+  FROM events GROUP BY 1
+)
+SELECT event_type, n_a, n_b, mean_a, mean_b,
+       floor((mean_a - mean_b)
+             / sqrt(var_a / n_a + var_b / n_b) * 1000000.0 + 0.5) / 1000000.0
+         AS t_stat,
+       floor((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
+             / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                + (var_b / n_b) * (var_b / n_b) / (n_b - 1))
+             * 1000000.0 + 0.5) / 1000000.0 AS welch_df
+FROM raw
+""",
+    bench=False,
+)
+def welch_ab_value_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test per event type — the A/B experiment
+    readout (cohorts by user-id parity, the deterministic stand-in for an
+    assignment column): t statistic and Welch–Satterthwaite degrees of
+    freedom from one conditional-aggregation pass.
+
+    Parity: means and sample variances are quantized at 1e-6 FIRST, then
+    both engines compute t and df from those identical doubles with the
+    same expression — so the final quantization never sits on a
+    different input.
+
+    Scale: a single scan with FILTER-style conditional aggregates — both
+    cohorts come out of one map-side-combined shuffle on the 5-value
+    event-type key; no self-join of cohort A against cohort B (the naive
+    two-scan formulation doubles the read and shuffles twice)."""
+    e = _t(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    a_side = F.col("user_id") % 2 == 0
+    raw = e.groupBy("event_type").agg(
+        F.count(F.when(a_side, 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(~a_side, 1)).cast("bigint").alias("n_b"),
+        fxr(F.avg(F.when(a_side, F.col("value"))), 6).alias("mean_a"),
+        fxr(F.avg(F.when(~a_side, F.col("value"))), 6).alias("mean_b"),
+        fxr(F.var_samp(F.when(a_side, F.col("value"))), 6).alias("var_a"),
+        fxr(F.var_samp(F.when(~a_side, F.col("value"))), 6).alias("var_b"),
+    )
+    se2 = F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    df_num = se2 * se2
+    df_den = (F.col("var_a") / F.col("n_a")) * (F.col("var_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    ) + (F.col("var_b") / F.col("n_b")) * (F.col("var_b") / F.col("n_b")) / (F.col("n_b") - 1)
+    return raw.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        fxr((F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2), 6).alias("t_stat"),
+        fxr(df_num / df_den, 6).alias("welch_df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM sequential change detection (per-key ordered state)
+# ---------------------------------------------------------------------------
+
+_CUSUM_H = 10_000  # alert threshold, integer cents
+
+
+@query(
+    "user_cusum_alerts",
+    oracle=f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+mu AS (SELECT user_id, sum(cents) // count(*) AS mean_c FROM seq GROUP BY 1),
+walk AS (
+  SELECT s.user_id, s.i, GREATEST(CAST(0 AS BIGINT), s.cents - m.mean_c) AS s_val
+  FROM seq s JOIN mu m ON s.user_id = m.user_id WHERE s.i = 1
+  UNION ALL
+  SELECT s.user_id, s.i, GREATEST(CAST(0 AS BIGINT), w.s_val + s.cents - m.mean_c)
+  FROM walk w
+  JOIN seq s ON s.user_id = w.user_id AND s.i = w.i + 1
+  JOIN mu m ON s.user_id = m.user_id
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(s_val) AS BIGINT) AS max_cusum,
+       CAST(count(*) FILTER (WHERE s_val > {_CUSUM_H}) AS BIGINT) AS n_alerts,
+       CAST(min(i) FILTER (WHERE s_val > {_CUSUM_H}) AS BIGINT) AS first_alert_step
+FROM walk GROUP BY 1
+""",
+    bench=False,
+)
+def user_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detection over each user's purchase stream:
+    ``S_i = max(0, S_(i-1) + x_i - mean)`` in exact integer cents, alert
+    when S crosses a fixed threshold — the sequential spend-shift monitor
+    a fraud stack runs beside the per-row rule filters. Reports per user
+    the peak CUSUM, alert count, and first alert step.
+
+    The recurrence's running max makes it inherently sequential per key —
+    not a prefix sum a window frame can express — so this is the
+    documented grouped-map escape hatch (``applyInPandas``): one shuffle
+    on ``user_id``, each user's ordered history scanned once in an Arrow
+    batch with pure int64 arithmetic (bit-identical to the oracle's
+    unrolled recursive CTE; mean is integer floor-division so no float
+    ever enters the state).
+
+    Scale: state is O(1) per key and each group streams through a single
+    pandas frame; per-user event history is the only memory bound (the
+    same bound sessionization and every grouped-map op carries). The
+    shuffle moves (user_id, ts, cents) — 24 bytes/event, not the row."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("cents"),
+        )
+    )
+
+    h = _CUSUM_H
+
+    def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        cents = pdf["cents"].to_numpy()
+        mean_c = int(cents.sum()) // len(cents)
+        s = 0
+        max_s = 0
+        n_alerts = 0
+        first_alert = None
+        for i, x in enumerate(cents, start=1):
+            s = max(0, s + int(x) - mean_c)
+            if s > max_s:
+                max_s = s
+            if s > h:
+                n_alerts += 1
+                if first_alert is None:
+                    first_alert = i
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(cents)],
+                "max_cusum": [max_s],
+                "n_alerts": [n_alerts],
+                "first_alert_step": pd.array([first_alert], dtype="Int64"),
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        cusum,
+        schema=(
+            "user_id long, n_events long, max_cusum long, n_alerts long, "
+            "first_alert_step long"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap-and-island activity runs
+# ---------------------------------------------------------------------------
+
+@query(
+    "user_activity_islands",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+tagged AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS grp
+  FROM days
+)
+SELECT user_id, min(day) AS island_start, max(day) AS island_end,
+       CAST(count(*) AS BIGINT) AS n_days
+FROM tagged GROUP BY user_id, grp
+""",
+    bench=False,
+)
+def user_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-and-island detection: collapse each user's active days into
+    maximal runs of consecutive dates (start, end, length) — the streak /
+    churn-gap primitive behind retention features, computed with the
+    classic ``day - row_number()`` constant-per-island key (no
+    self-join, no recursion).
+
+    Scale: one distinct on (user, day) — map-side combined, output is
+    bounded by users x days not raw events — then a per-user window sort
+    and a re-aggregation on the derived island key. Both shuffles hash
+    on ``user_id`` so AQE coalesces them into the same exchange
+    partitioning; nothing touches the raw event payload after the first
+    projection."""
+    days = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    tagged = days.withColumn(
+        "grp", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    return tagged.groupBy("user_id", "grp").agg(
+        F.min("day").alias("island_start"),
+        F.max("day").alias("island_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    ).select("user_id", "island_start", "island_end", "n_days")
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline)
+# ---------------------------------------------------------------------------
+
+@query(
+    "urgent_price_skyline",
+    oracle="""
+WITH u AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS day,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+SELECT p.o_orderkey, p.day AS order_day, p.cents / 100.0 AS o_totalprice
+FROM u p
+WHERE NOT EXISTS (
+  SELECT 1 FROM u q
+  WHERE q.day <= p.day AND q.cents >= p.cents
+    AND (q.day < p.day OR q.cents > p.cents)
+)
+""",
+    bench=False,
+)
+def urgent_price_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of urgent orders: minimize order date,
+    maximize price — every order not dominated by an earlier-or-same-day
+    order of greater-or-equal price (strict in at least one dimension).
+    The multi-objective "best tradeoffs" operator of decision analytics.
+
+    Scale: dominance is decomposable, so the plan never self-joins the
+    fact (the oracle's NOT EXISTS is O(n^2); this plan is O(n log n)):
+    (1) per-day max price — a map-side-combined aggregate, since only a
+    day's max can survive same-day dominance; (2) a running strict-max
+    filter over the *distinct-day* frame, date-cardinality not
+    order-cardinality, so the unpartitioned window sorts thousands of
+    rows regardless of fact size (at 100 TB: local per-range skylines
+    then merge survivors — skyline-merge is associative); (3) a semi
+    join back on (day, cents) to recover ties that share the frontier
+    point. Spark's range frame needs a numeric key, hence the epoch-day
+    column."""
+    u = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint").alias("cents"),
+        )
+    )
+    per_day = u.groupBy("day").agg(F.max("cents").alias("cents"))
+    # strict running max over earlier days: numeric range frame on epoch day
+    per_day = per_day.withColumn("dnum", F.datediff(F.col("day"), F.lit("1970-01-01")))
+    w_prev = (
+        Window.orderBy("dnum").rangeBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        per_day.withColumn("prev_max", F.max("cents").over(w_prev))
+        .filter(F.col("prev_max").isNull() | (F.col("prev_max") < F.col("cents")))
+        .select("day", "cents")
+    )
+    return (
+        u.join(frontier, ["day", "cents"], "leftsemi")
+        .select(
+            "o_orderkey",
+            F.col("day").alias("order_day"),
+            (F.col("cents") / 100.0).alias("o_totalprice"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram collocation lift (PMI without the log)
+# ---------------------------------------------------------------------------
+
+@query(
+    "bigram_collocation_lift",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+big AS (
+  SELECT t.toks[u.i] AS w1, t.toks[u.i + 1] AS w2
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(t.toks) - 1)) AS i) u
+),
+uni AS (
+  SELECT u.tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(toks) AS tok FROM t) u GROUP BY 1
+),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_big FROM big GROUP BY 1, 2),
+tot AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM big) AS n_big,
+         (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n_uni
+)
+SELECT b.w1, b.w2, b.c_big,
+       floor(CAST(b.c_big AS DOUBLE) * t.n_uni * t.n_uni
+             / (CAST(t.n_big AS DOUBLE) * u1.c * u2.c) * 10000.0 + 0.5) / 10000.0
+         AS lift
+FROM bc b
+JOIN uni u1 ON b.w1 = u1.tok
+JOIN uni u2 ON b.w2 = u2.tok
+CROSS JOIN tot t
+WHERE b.c_big >= 3
+""",
+    bench=False,
+)
+def bigram_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: adjacent-token bigrams scored by lift —
+    p(w1,w2) / (p(w1)p(w2)), the exponential of PMI — keeping pairs seen
+    at least 3 times. Lift is computed as a single ratio of exact int64
+    counts (products stay far below 2^63) then quantized, so no libm
+    ``log`` enters the comparison: PMI's monotone transform adds only a
+    cross-engine ulp risk, not information.
+
+    Scale: bigrams come from ``zip_with`` over two ``slice``s of the
+    token array — a JVM-side Generate, no Python, no positional
+    self-join of the exploded tokens (the naive pos/pos+1 join shuffles
+    the entire exploded corpus; the zip never leaves the row). Unigram
+    and bigram counts are map-side-combined aggregates; the scoring
+    joins hash on single token keys, and the two grand totals ride in as
+    a broadcast 1-row frame."""
+    t = _t(spark, sf_dir, "documents").select("doc_id", tokens(F.col("text")).alias("toks"))
+    big = t.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)), "
+                "slice(toks, 2, greatest(size(toks) - 1, 0)), "
+                "(a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    uni = (
+        t.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c_big"))
+    tot = big.agg(F.count(F.lit(1)).cast("bigint").alias("n_big")).crossJoin(
+        uni.agg(F.sum("c").cast("bigint").alias("n_uni"))
+    )
+    scored = (
+        bc.filter(F.col("c_big") >= 3)
+        .join(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    return scored.select(
+        "w1",
+        "w2",
+        "c_big",
+        (
+            F.floor(
+                F.col("c_big").cast("double")
+                * F.col("n_uni")
+                * F.col("n_uni")
+                / (F.col("n_big").cast("double") * F.col("c1") * F.col("c2"))
+                * 10_000.0
+                + 0.5
+            )
+            / 10_000.0
+        ).alias("lift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling (iterative graph decomposition)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peeling rounds as a chain of CTEs (degree -> filter ->
+    induced subgraph), mirroring the Spark loop exactly."""
+    parts = [f"WITH e0 AS ({_EDGES_SQL})"]
+    prev = "e0"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f""",
+d{r} AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT src AS v FROM {prev} UNION ALL SELECT dst FROM {prev}
+  ) GROUP BY 1
+),
+k{r} AS (SELECT v FROM d{r} WHERE deg >= {_KCORE_K}),
+e{r} AS (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN k{r} a ON e.src = a.v JOIN k{r} b ON e.dst = b.v
+)"""
+        )
+        prev = f"e{r}"
+    parts.append(
+        f"""
+SELECT v AS part, CAST(count(*) AS BIGINT) AS degree FROM (
+  SELECT src AS v FROM {prev} UNION ALL SELECT dst FROM {prev}
+) GROUP BY 1"""
+    )
+    return "".join(parts)
+
+
+@query("part_kcore_3round", oracle=_kcore_oracle(), bench=False)
+def part_kcore_3round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by iterative peeling (k=2, three rounds) on
+    the co-purchase graph: repeatedly drop vertices of degree < k and
+    the edges they carry, reporting each survivor's degree in the
+    remaining subgraph — the standard dense-substructure filter run
+    before community detection or fraud-ring mining (peripheral
+    one-off pairs peel away; rings survive).
+
+    Scale: each round is one map-side-combined degree aggregate plus two
+    left-semi joins (edge list against the surviving-vertex set) — all
+    hash-partitioned on vertex ids, shuffling only (src, dst) pairs.
+    The edge frame is persisted per round and the previous round
+    unpersisted, so lineage stays O(1) per round exactly like the
+    connected-components loop (``operators/graph.py``); a fixpoint run
+    replaces the fixed range with a convergence check on the dropped
+    count, same plan per iteration."""
+    edges = _copurchase_edges(spark, sf_dir)
+    prev = None
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("src").alias("v"))
+            .unionAll(edges.select(F.col("dst").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("v")
+        nxt = (
+            edges.join(keep.withColumnRenamed("v", "src"), "src", "leftsemi")
+            .join(keep.withColumnRenamed("v", "dst"), "dst", "leftsemi")
+            .select("src", "dst")
+            .persist()
+        )
+        nxt.count()  # materialize before unpersisting the parent
+        if prev is not None:
+            prev.unpersist()
+        prev = nxt
+        edges = nxt
+    return (
+        edges.select(F.col("src").alias("part"))
+        .unionAll(edges.select(F.col("dst").alias("part")))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )

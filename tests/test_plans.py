@@ -398,3 +398,57 @@ def test_interval_join_is_bucketed_equi_join(spark):
     plan = plan_of(spark, "concurrent_session_pairs")
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
     assert "bucket" in plan
+
+
+def test_benford_audit_combines_mapside(spark):
+    """The 9-group digit tally must partial-aggregate before its exchange,
+    and the grand total must ride in as a broadcast, not a sort-merge."""
+    plan = plan_of(spark, "benford_digit_audit")
+    assert "partial_count" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_welch_test_single_scan(spark):
+    """Both A/B cohorts must come out of ONE conditional-aggregation pass
+    over events — a per-cohort scan doubles the 100 TB read."""
+    plan = plan_of(spark, "welch_ab_value_test")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "partial_count" in plan or "partial_avg" in plan, plan
+
+
+def test_cusum_is_single_grouped_map_shuffle(spark):
+    """CUSUM's per-key sequential recurrence is the documented pandas
+    escape hatch: exactly one FlatMapGroupsInPandas over one exchange,
+    with the event-type filter pushed to the scan."""
+    plan = plan_of(spark, "user_cusum_alerts")
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "PushedFilters" in plan and "purchase" in plan, plan
+
+
+def test_skyline_never_self_joins_the_fact(spark):
+    """The skyline plan must be the decomposed per-day-max -> running-max
+    -> semi-join shape: no nested-loop/cartesian dominance join, and the
+    per-day max must map-side combine."""
+    plan = plan_of(spark, "urgent_price_skyline")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert "partial_max" in plan, plan
+    assert "LeftSemi" in plan, plan
+
+
+def test_bigram_lift_zips_in_row_no_python(spark):
+    """Bigrams must come from zip_with over array slices (JVM Generate),
+    never a positional self-join of exploded tokens or a Python UDF."""
+    plan = plan_of(spark, "bigram_collocation_lift")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "Generate explode" in plan, plan
+    # unigram & bigram joins on token keys may broadcast; the corpus-total
+    # frame must broadcast (1 row)
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_kcore_rounds_read_persisted_edges(spark):
+    """Each peeling round must read the persisted previous-round edge
+    frame, not replay the lineitem pair join per round."""
+    plan = plan_of(spark, "part_kcore_3round")
+    assert "InMemoryTableScan" in plan, plan
