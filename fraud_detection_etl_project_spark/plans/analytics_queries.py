@@ -648,3 +648,242 @@ def part_kcore_3round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series seasonal decomposition
+# ---------------------------------------------------------------------------
+
+@query(
+    "daily_value_seasonal_decomp",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+tr AS (
+  SELECT day, cents,
+         floor(avg(cents) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) * 1000000.0 + 0.5)
+           / 1000000.0 AS trend
+  FROM daily
+),
+se AS (
+  SELECT tr.*, dayofweek(day) AS dow,
+         floor(avg(cents - trend) OVER (PARTITION BY dayofweek(day))
+               * 1000000.0 + 0.5) / 1000000.0 AS seasonal
+  FROM tr
+)
+SELECT day, CAST(dow AS INT) AS dow, cents, trend, seasonal,
+       floor((cents - trend - seasonal) * 1000000.0 + 0.5) / 1000000.0 AS residual
+FROM se
+""",
+    bench=False,
+)
+def daily_value_seasonal_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily value series:
+    trend = centered 7-day moving average, seasonal = day-of-week mean
+    of the detrended series, residual = the rest — the classical
+    decomposition an anomaly monitor subtracts before thresholding
+    (a Monday spike is seasonality, not fraud).
+
+    Parity: daily totals are exact int64 cents; the 7-row window mean
+    divides an exact integer sum; trend and seasonal are quantized at
+    1e-6 before the residual subtraction, so both engines subtract
+    identical doubles. Day-of-week is aligned to DuckDB's 0=Sunday
+    convention (Spark's dayofweek is 1-based).
+
+    Scale: the fact collapses to one row per day FIRST (map-side
+    combined), so every window below runs on the calendar-cardinality
+    frame — the unpartitioned moving-average sort touches thousands of
+    rows at any fact size; the seasonal window hashes on the 7-value
+    dow key. (At 100 TB the daily rollup is the stored artifact —
+    multires_event_rollup — and this decomposition is its consumer.)"""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("ts").cast("date").alias("day"),
+            F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    w_tr = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.withColumn("trend", fxr(F.avg("cents").over(w_tr), 6))
+    se = tr.withColumn("dow", (F.dayofweek("day") - 1).cast("int"))
+    w_dow = Window.partitionBy("dow")
+    se = se.withColumn("seasonal", fxr(F.avg(F.col("cents") - F.col("trend")).over(w_dow), 6))
+    return se.select(
+        "day",
+        "dow",
+        "cents",
+        "trend",
+        "seasonal",
+        fxr(F.col("cents") - F.col("trend") - F.col("seasonal"), 6).alias("residual"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding
+# ---------------------------------------------------------------------------
+
+@query(
+    "segment_target_encoding",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM customer
+),
+g AS (
+  SELECT c_mktsegment, CAST(sum(cents) AS BIGINT) AS seg_sum,
+         CAST(count(*) AS BIGINT) AS seg_n
+  FROM c GROUP BY 1
+)
+SELECT c.c_custkey, c.c_mktsegment,
+       floor((g.seg_sum - c.cents) * 1000000.0 / (100.0 * (g.seg_n - 1)) + 0.5)
+         / 1000000.0 AS loo_mean_acctbal
+FROM c JOIN g USING (c_mktsegment)
+""",
+    bench=False,
+)
+def segment_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of the market segment against account
+    balance: each row's category feature is the mean target of its
+    category EXCLUDING the row itself, (sum - x)/(n-1) — the standard
+    high-cardinality categorical encoder that avoids self-leakage in
+    training pipelines.
+
+    Scale: the naive formulation is a window over the category partition
+    — a 5-key partitioning whose hot categories serialize on single
+    reducers. Here category totals come from a map-side-combined
+    aggregate (category-cardinality rows) broadcast back onto the scan,
+    so the per-row encode is embarrassingly parallel whatever the
+    category skew. Arithmetic is exact int64 sums; one quantized
+    division at the end."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("bigint").alias("cents"),
+    )
+    g = c.groupBy("c_mktsegment").agg(
+        F.sum("cents").cast("bigint").alias("seg_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("seg_n"),
+    )
+    return c.join(F.broadcast(g), "c_mktsegment").select(
+        "c_custkey",
+        "c_mktsegment",
+        (
+            F.floor(
+                (F.col("seg_sum") - F.col("cents"))
+                * 1_000_000.0
+                / (100.0 * (F.col("seg_n") - 1))
+                + 0.5
+            )
+            / 1_000_000.0
+        ).alias("loo_mean_acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (feature-store) join against the SCD2 dimension
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_pit_customer_version",
+    oracle="""
+WITH v AS (
+  SELECT o_custkey, o_orderkey AS version_key,
+         o_orderdate AS valid_from,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS valid_to
+  FROM orders
+)
+SELECT e.event_id, e.user_id, e.ts, v.version_key, v.valid_from
+FROM events e
+JOIN v ON e.user_id = v.o_custkey
+      AND v.valid_from <= e.ts
+      AND (v.valid_to IS NULL OR e.ts < v.valid_to)
+""",
+    bench=False,
+)
+def events_pit_customer_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each event picks up the customer dimension
+    version (SCD2 ranges built by customer_order_scd2) that was valid AT
+    the event's timestamp — the feature-store lookup that prevents
+    training-serving skew (a feature computed today must not leak into
+    yesterday's training row). Half-open [valid_from, valid_to)
+    intervals make the match unique per event by construction.
+
+    Scale: this is an EQUI hash join on the entity key — the interval
+    predicates ride along as join filters, so no nested-loop plan and no
+    interval explosion; each entity's version chain co-locates with its
+    events in one shuffle. Version chains are bounded per key (the
+    as-of join, operators/relational.py, is the alternative when they
+    are not)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    v = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderkey").alias("version_key"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    cond = (
+        (e["user_id"] == v["o_custkey"])
+        & (v["valid_from"] <= e["ts"])
+        & (v["valid_to"].isNull() | (e["ts"] < v["valid_to"]))
+    )
+    return e.join(v, cond).select("event_id", "user_id", "ts", "version_key", "valid_from")
+
+
+# ---------------------------------------------------------------------------
+# Distribution-position windows (percent_rank / cume_dist)
+# ---------------------------------------------------------------------------
+
+@query(
+    "order_percentile_positions",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderkey, o_orderpriority, cents / 100.0 AS o_totalprice,
+       floor(percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY cents)
+             * 1000000.0 + 0.5) / 1000000.0 AS price_pct_rank,
+       floor(cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY cents)
+             * 1000000.0 + 0.5) / 1000000.0 AS price_cume_dist
+FROM o
+""",
+    bench=False,
+)
+def order_percentile_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank and cume_dist — the §2.5 ranking family's relative-
+    position members: where each order's price sits within its priority
+    class as a [0,1] fraction (percentile position and inclusive
+    cumulative share). Ordering on exact integer cents makes tie groups
+    identical in both engines; both functions are exact integer ratios
+    ((rank-1)/(n-1), peers/n) on those tie groups, quantized at 1e-6
+    only to absorb the division.
+
+    Scale: one shuffle on the priority key; both functions share the
+    same window sort. Like every ranking query here, the full-partition
+    sort is the point (relative position needs the whole class) — the
+    5-way key is explicitly acceptable because each class still fans
+    out over the cents sort; for unbounded-cardinality keys this shape
+    degrades gracefully (more, smaller partitions)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("cents")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("cents") / 100.0).alias("o_totalprice"),
+        fxr(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+        fxr(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+    )

@@ -452,3 +452,27 @@ def test_kcore_rounds_read_persisted_edges(spark):
     frame, not replay the lineitem pair join per round."""
     plan = plan_of(spark, "part_kcore_3round")
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_seasonal_decomp_reduces_before_windows(spark):
+    """The fact must collapse to per-day rows (map-side-combined partial
+    sum) before any window runs; no Python anywhere."""
+    plan = plan_of(spark, "daily_value_seasonal_decomp")
+    assert "partial_sum" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_target_encoding_broadcasts_group_totals(spark):
+    """LOO encoding must be aggregate+broadcast-join, never a window over
+    the 5-key category partitioning (hot categories would serialize)."""
+    plan = plan_of(spark, "segment_target_encoding")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_pit_join_is_equi_hash_join(spark):
+    """The point-in-time lookup must hash-join on the entity key with the
+    interval predicates as residual filters — no nested loop."""
+    plan = plan_of(spark, "events_pit_customer_version")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert "Join" in plan, plan
