@@ -887,3 +887,308 @@ def order_percentile_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         fxr(F.percent_rank().over(w), 6).alias("price_pct_rank"),
         fxr(F.cume_dist().over(w), 6).alias("price_cume_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and vector search
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+
+
+def _rrf_oracle() -> str:
+    from fraud_detection_etl_project_spark.plans.llm_queries import (
+        _BM25_ORACLE,
+        _KNN_ORACLE,
+    )
+
+    return f"""
+WITH lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS lex_rank
+  FROM ({_BM25_ORACLE})
+),
+sem AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS sem_rank
+  FROM ({_KNN_ORACLE})
+),
+f AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank,
+         COALESCE(CAST(floor(1000000.0 / ({_RRF_K} + l.lex_rank)) AS BIGINT), 0)
+         + COALESCE(CAST(floor(1000000.0 / ({_RRF_K} + s.sem_rank)) AS BIGINT), 0)
+           AS rrf_micro
+  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf_micro / 1000000.0 AS rrf_score
+FROM f ORDER BY rrf_micro DESC, doc_id ASC LIMIT 10
+"""
+
+
+@query("hybrid_search_rrf", oracle=_rrf_oracle())
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: the BM25 top-20
+    (lexical) and the cosine-kNN top-10 (semantic, vec_id 0's embedding
+    — fixture embeddings are doc-aligned) merge by
+    sum(1/(60+rank)), the standard RAG two-tower fusion that needs no
+    score calibration between incomparable scales. RRF contributions are
+    floored to int64 micro-units so the fused ordering is engine-exact;
+    a document missing from one list simply contributes nothing.
+
+    Scale: each retriever is its own distributed pass ending in a
+    TakeOrderedAndProject (see bm25_search_top20 / knn_cosine_top10);
+    fusion then runs on two parameter-sized top-k frames — the ranks,
+    the full-outer join, and the final top-10 all cost k rows no matter
+    the corpus size. This is the composition argument for keeping every
+    retriever's output a bounded top-k."""
+    from fraud_detection_etl_project_spark.plans.llm_queries import (
+        bm25_search_top20,
+        knn_cosine_top10,
+    )
+
+    lex = bm25_search_top20(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .cast("bigint")
+        .alias("lex_rank"),
+    )
+    sem = knn_cosine_top10(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()))
+        .cast("bigint")
+        .alias("sem_rank"),
+    )
+    f = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        (
+            F.coalesce(
+                F.floor(1_000_000.0 / (_RRF_K + F.col("lex_rank"))).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            )
+            + F.coalesce(
+                F.floor(1_000_000.0 / (_RRF_K + F.col("sem_rank"))).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            )
+        ).alias("rrf_micro"),
+    )
+    return (
+        f.orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            (F.col("rrf_micro") / 1_000_000.0).alias("rrf_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# OLS trend fit (regr_* aggregate family)
+# ---------------------------------------------------------------------------
+
+@query(
+    "priority_price_trend_ols",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       floor(regr_slope(o_totalprice, datediff('day', DATE '1970-01-01',
+                                               CAST(o_orderdate AS DATE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS slope_per_day,
+       floor(regr_intercept(o_totalprice, datediff('day', DATE '1970-01-01',
+                                                   CAST(o_orderdate AS DATE)))
+             * 100.0 + 0.5) / 100.0 AS intercept,
+       floor(regr_r2(o_totalprice, datediff('day', DATE '1970-01-01',
+                                            CAST(o_orderdate AS DATE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS r2
+FROM orders GROUP BY 1
+""",
+)
+def priority_price_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS trend per priority class — the ``regr_*`` linear-
+    regression aggregate family (§2.4's statistical members): slope of
+    order price against epoch day, intercept, and R² in one grouped
+    pass. The one-feature least-squares fit every metric dashboard runs
+    ("is this segment's spend drifting?"), no iterative solver involved.
+
+    Parity: both engines compute the same co-moment reductions on
+    identical (double, int-day) pairs; slope/R² are quantized at 1e-6,
+    the dollar intercept at cents (boundary distances dwarf the ~1e-12
+    relative reduction noise).
+
+    Scale: regr_slope/intercept/r2 are algebraic aggregates — partial
+    co-moments combine associatively, so the plan is the same
+    partial/final two-phase as any sum (map-side combined, 5-row
+    output)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("y"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .cast("double")
+        .alias("x"),
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        fxr(F.regr_slope("y", "x"), 6).alias("slope_per_day"),
+        fxr(F.regr_intercept("y", "x"), 2).alias("intercept"),
+        fxr(F.regr_r2("y", "x"), 6).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence audit
+# ---------------------------------------------------------------------------
+
+@query(
+    "event_dow_chi2",
+    oracle="""
+WITH obs AS (
+  SELECT event_type, CAST(dayofweek(CAST(ts AS DATE)) AS INT) AS dow,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT o.*,
+         CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS row_n,
+         CAST(sum(n) OVER (PARTITION BY dow) AS BIGINT) AS col_n,
+         CAST(sum(n) OVER () AS BIGINT) AS total_n
+  FROM obs o
+)
+SELECT event_type, dow, n,
+       floor(CAST(row_n AS DOUBLE) * col_n / total_n * 1000000.0 + 0.5)
+         / 1000000.0 AS expected,
+       floor((n - CAST(row_n AS DOUBLE) * col_n / total_n)
+             * (n - CAST(row_n AS DOUBLE) * col_n / total_n)
+             / (CAST(row_n AS DOUBLE) * col_n / total_n) * 1000000.0 + 0.5)
+         / 1000000.0 AS chi2_contrib
+FROM m
+""",
+)
+def event_dow_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit of event type × day-of-week: each
+    contingency cell's observed count, expected count under independence
+    (row_total × col_total / N), and its χ² contribution — the
+    behavioral-drift screen ("do errors cluster on Sundays?"); the
+    summed contributions against a χ² table is the test.
+
+    Every input to the arithmetic is an exact int64 count, so both
+    engines derive expected/χ² from identical doubles (one quantized
+    division each). Day-of-week uses DuckDB's 0=Sunday convention
+    (Spark's is 1-based).
+
+    Scale: one map-side-combined count to a 35-cell frame; the row/col/
+    grand totals are windows OVER that parameter-sized frame, not extra
+    passes over the fact (same single-scan discipline as
+    markov_event_transitions, plan-tested there)."""
+    obs = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (F.dayofweek(F.col("ts").cast("date")) - 1).cast("int").alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    m = (
+        obs.withColumn("row_n", F.sum("n").over(Window.partitionBy("event_type")).cast("bigint"))
+        .withColumn("col_n", F.sum("n").over(Window.partitionBy("dow")).cast("bigint"))
+        .withColumn("total_n", F.sum("n").over(Window.partitionBy()).cast("bigint"))
+    )
+    exp = F.col("row_n").cast("double") * F.col("col_n") / F.col("total_n")
+    return m.select(
+        "event_type",
+        "dow",
+        "n",
+        fxr(exp, 6).alias("expected"),
+        fxr((F.col("n") - exp) * (F.col("n") - exp) / exp, 6).alias("chi2_contrib"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random walks (graph-embedding corpus generation)
+# ---------------------------------------------------------------------------
+
+_WALK_STEPS = 3
+
+
+def _walk_u28_sql(start_expr: str, step: int) -> str:
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5({start_expr} || ':{step}'), {k + 1}, 1)) - 1)"
+        f" * {16 ** (6 - k)}"
+        for k in range(7)
+    )
+
+
+def _walks_oracle() -> str:
+    sql = f"""
+WITH e0 AS ({_EDGES_SQL}),
+und AS (SELECT src AS v, dst AS nbr FROM e0 UNION ALL SELECT dst, src FROM e0),
+adj AS (SELECT v, list_sort(list(nbr)) AS nbrs FROM und GROUP BY v),
+w0 AS (SELECT v AS start, v AS cur FROM adj)"""
+    prev = "w0"
+    for t in range(1, _WALK_STEPS + 1):
+        u28 = _walk_u28_sql("CAST(w.start AS VARCHAR)", t)
+        sql += f""",
+w{t} AS (
+  SELECT w.start, a.nbrs[1 + CAST(({u28}) % len(a.nbrs) AS INT)] AS cur
+  FROM {prev} w JOIN adj a ON a.v = w.cur
+)"""
+        prev = f"w{t}"
+    hops = ", ".join(f"w{t}.cur AS n{t}" for t in range(1, _WALK_STEPS + 1))
+    joins = "".join(
+        f" JOIN w{t} ON w{t}.start = w0.start" for t in range(1, _WALK_STEPS + 1)
+    )
+    sql += f"""
+SELECT w0.start, {hops} FROM w0{joins}"""
+    return sql
+
+
+@query("part_random_walks", oracle=_walks_oracle())
+def part_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic "random" walks on the co-purchase graph — the
+    DeepWalk/node2vec corpus-generation step (uniform transition,
+    p=q=1): one 3-step walk per start node, the next hop drawn from the
+    sorted neighbor list by a replayable md5 coin on (start, step).
+    Hash-coins instead of RNG state mean the walk corpus is reproducible
+    shard-independently and value-checkable (same idiom as
+    weighted_doc_sample).
+
+    Scale: the adjacency list is built once (sorted neighbor arrays; at
+    web scale a degree cap / neighbor sample bounds hub arrays, the
+    standard node2vec mitigation) and each step is ONE equi join of the
+    walk frontier against it, hash-partitioned on the current node —
+    steps × one-shuffle, the same iteration shape as BFS
+    (operators/graph.py). Walk state is (start, cur): 16 bytes/walk
+    regardless of path length since hops project out as columns."""
+    e0 = _copurchase_edges(spark, sf_dir)
+    und = e0.select(F.col("src").alias("v"), F.col("dst").alias("nbr")).unionAll(
+        e0.select(F.col("dst").alias("v"), F.col("src").alias("nbr"))
+    )
+    adj = und.groupBy("v").agg(F.sort_array(F.collect_list("nbr")).alias("nbrs")).persist()
+    walks = adj.select(F.col("v").alias("start"), F.col("v").alias("cur"))
+    hop_cols = []
+    for t in range(1, _WALK_STEPS + 1):
+        u28 = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("start").cast("string"), F.lit(f":{t}"))), 1, 7
+            ),
+            16,
+            10,
+        ).cast("long")
+        walks = (
+            walks.join(adj, walks["cur"] == adj["v"])
+            .select(
+                "start",
+                *hop_cols,
+                F.element_at(
+                    F.col("nbrs"), (u28 % F.size("nbrs")).cast("int") + 1
+                ).alias(f"n{t}"),
+            )
+        )
+        hop_cols.append(f"n{t}")
+        walks = walks.withColumn("cur", F.col(f"n{t}"))
+    return walks.select("start", *hop_cols)

@@ -476,3 +476,26 @@ def test_pit_join_is_equi_hash_join(spark):
     plan = plan_of(spark, "events_pit_customer_version")
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
     assert "Join" in plan, plan
+
+
+def test_ols_trend_is_partial_final_aggregate(spark):
+    """regr_* are algebraic aggregates: the plan must show map-side
+    partial co-moments before the exchange, like any sum."""
+    plan = plan_of(spark, "priority_price_trend_ols")
+    assert "partial_regr_slope" in plan or "partial" in plan.lower(), plan
+    assert "Exchange" in plan, plan
+
+
+def test_chi2_totals_are_windows_over_cells(spark):
+    """Row/col/grand totals must be windows over the 35-cell frame — one
+    scan of events, not one scan per margin."""
+    plan = plan_of(spark, "event_dow_chi2")
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_random_walks_join_persisted_adjacency(spark):
+    """Every hop must probe the persisted adjacency frame; the pair-join
+    edge derivation must not replay per step."""
+    plan = plan_of(spark, "part_random_walks")
+    assert "InMemoryTableScan" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
