@@ -42,6 +42,17 @@ from fraud_detection_etl_project_spark.plans import analytics_queries  # noqa: F
 # partition pruning family) and semdedup_cluster_stats (semantic-dedup
 # family) so the driver's prefix sample sees the round-2 marquee
 # families. Every query red in CORRECTNESS_r01 keeps its prefix slot.
+# Round-3 swaps: four marquee round-3 families enter the prefix by
+# displacing second representatives of already-covered families —
+# event_value_deltas -> urgent_price_skyline (windows keep
+# top_customers_per_nation + running-total coverage via q-queries),
+# running_user_totals -> user_cusum_alerts (sequential per-key state,
+# the new grouped-map family), balanced_event_sample ->
+# part_random_walks (stratified_event_sample still covers sampling;
+# walks add the graph-corpus family), curated_documents ->
+# hybrid_search_rrf (doc_stats still covers text; RRF adds retrieval
+# fusion). All displaced queries remain registered right after the
+# prefix and stay judge-verified.
 FAMILY_PREFIX = [
     "flagship_inconsistent_orders",
     "fraud_valid_txns",
@@ -74,10 +85,10 @@ FAMILY_PREFIX = [
     "q18_large_volume_orders",
     "top_customers_per_nation",
     "dq_constraint_audit",
-    "event_value_deltas",
-    "running_user_totals",
+    "urgent_price_skyline",
+    "user_cusum_alerts",
     "markov_event_transitions",
-    "balanced_event_sample",
+    "part_random_walks",
     "all_parties_union",
     "copurchase_triangle_count",
     "orders_cdc_applied",
@@ -92,7 +103,7 @@ FAMILY_PREFIX = [
     "neardup_dedup_kept",
     "ivf_ann_top10",
     "multimodal_features",
-    "curated_documents",
+    "hybrid_search_rrf",
 ]
 
 _ordered = {n: REGISTRY[n] for n in FAMILY_PREFIX if n in REGISTRY}

@@ -287,7 +287,7 @@ SELECT user_id,
        CAST(min(i) FILTER (WHERE s_val > {_CUSUM_H}) AS BIGINT) AS first_alert_step
 FROM walk GROUP BY 1
 """,
-    bench=False,
+    bench=True,
 )
 def user_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM change detection over each user's purchase stream:
@@ -427,7 +427,7 @@ WHERE NOT EXISTS (
     AND (q.day < p.day OR q.cents > p.cents)
 )
 """,
-    bench=False,
+    bench=True,
 )
 def urgent_price_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline (Pareto frontier) of urgent orders: minimize order date,
@@ -1147,7 +1147,7 @@ SELECT w0.start, {hops} FROM w0{joins}"""
     return sql
 
 
-@query("part_random_walks", oracle=_walks_oracle())
+@query("part_random_walks", oracle=_walks_oracle(), bench=True)
 def part_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic "random" walks on the co-purchase graph — the
     DeepWalk/node2vec corpus-generation step (uniform transition,
