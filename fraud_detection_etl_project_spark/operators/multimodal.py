@@ -84,10 +84,12 @@ def decode_real(payload: bytes, media_type: str):
         return decode_ppm(payload)
     if media_type == "image" and payload[:2] == b"BM":
         return decode_bmp(payload)
+    if media_type == "image" and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
     if media_type == "audio" and payload[:4] == b"RIFF":
         return decode_wav(payload)
     raise NotImplementedError(
-        "media decode beyond PPM/BMP/WAV requires codec libraries "
+        "media decode beyond PPM/BMP/PNG/WAV requires codec libraries "
         "(PIL/ffmpeg); wire them here — the mapInPandas plumbing in "
         "extract_features is already batch-shaped for it"
     )
@@ -453,3 +455,166 @@ def extract_features(media: DataFrame, batch_decoder=decode_stub) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# PNG (real decode: stdlib zlib inflate + full filter reconstruction)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(w: int, h: int, rgb: bytes, row_filters: list[int] | None = None) -> bytes:
+    """Minimal PNG encoder for fixture generation: 8-bit RGB (color type
+    2), no interlace, one IDAT. ``row_filters`` picks the filter type per
+    scanline (default Sub for even rows, Up for odd) so the decoder's
+    reconstruction paths — not just the trivial None filter — are what the
+    oracle ends up checking. Pure stdlib (zlib for deflate + crc32)."""
+    import struct
+    import zlib
+
+    if row_filters is None:
+        row_filters = [1 if (y % 2 == 0) else 2 for y in range(h)]
+    stride = w * 3
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        row = rgb[y * stride : (y + 1) * stride]
+        ft = row_filters[y]
+        raw.append(ft)
+        if ft == 0:  # None
+            raw += row
+        elif ft == 1:  # Sub
+            raw += bytes((row[i] - (row[i - 3] if i >= 3 else 0)) % 256 for i in range(stride))
+        elif ft == 2:  # Up
+            raw += bytes((row[i] - prev[i]) % 256 for i in range(stride))
+        else:
+            raise ValueError(f"encoder supports filters 0-2, got {ft}")
+        prev = row
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        import zlib as _z
+
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Pure-Python PNG decoder (stdlib zlib): signature check, chunk walk
+    with CRC32 verification, IHDR validation (8-bit RGB, color type 2,
+    no interlace), multi-IDAT concatenation, inflate, and full scanline
+    reconstruction for all five filter types (None/Sub/Up/Average/Paeth).
+    Returns (width, height, rgb) like decode_ppm/decode_bmp."""
+    import struct
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    w = h = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError(f"truncated {tag!r} chunk")
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {tag!r} chunk")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or ctype != 2:
+                raise ValueError(f"only 8-bit RGB supported (depth={depth}, color={ctype})")
+            if comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError("unsupported compression/filter/interlace method")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("missing IHDR or IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError(f"bad inflated size: want {h * (stride + 1)}, have {len(raw)}")
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for i in range(stride):
+                line[i] = (line[i] + (line[i - 3] if i >= 3 else 0)) % 256
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) % 256
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - 3] if i >= 3 else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) % 256
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - 3] if i >= 3 else 0
+                c = prev[i - 3] if i >= 3 else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) % 256
+        else:
+            raise ValueError(f"unknown filter type {ft}")
+        out += line
+        prev = bytes(line)
+    return w, h, bytes(out)
+
+
+def png_pixel_features(payload: bytes) -> dict:
+    """Decode a PNG and compute the same per-channel pixel stats as
+    ppm_pixel_features (identical output contract across containers)."""
+    w, h, rgb = decode_png(payload)
+    n = w * h
+    chans = [rgb[c::3] for c in range(3)]
+    return {
+        "width": w,
+        "height": h,
+        "n_pixels": n,
+        "mean_r": sum(chans[0]) / n,
+        "mean_g": sum(chans[1]) / n,
+        "mean_b": sum(chans[2]) / n,
+        "max_byte": max(rgb),
+        "min_byte": min(rgb),
+    }
+
+
+def extract_png_features(media: DataFrame) -> DataFrame:
+    """Real-decode feature extraction for PNG payloads — same Arrow batch
+    shape and output schema as the PPM/BMP extractors."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [png_pixel_features(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.mapInPandas(run, schema=PPM_FEATURES_SCHEMA)

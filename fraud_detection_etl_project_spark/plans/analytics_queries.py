@@ -1192,3 +1192,68 @@ def part_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         hop_cols.append(f"n{t}")
         walks = walks.withColumn("cur", F.col(f"n{t}"))
     return walks.select("start", *hop_cols)
+
+
+# ---------------------------------------------------------------------------
+# PNG real decode (zlib inflate + filter reconstruction, value-oracle'd)
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_png_stats",
+    oracle="""
+WITH t AS (SELECT doc_id, md5(text) || substring(md5(text || 'x'), 1, 16) AS hx
+           FROM documents),
+b AS (SELECT doc_id,
+             list_transform(range(0, 24), i -> CAST(('0x' || substring(hx, 2*i + 1, 2)) AS INT)) AS bs
+      FROM t)
+SELECT doc_id AS media_id,
+       CAST(4 AS BIGINT) AS width,
+       CAST(2 AS BIGINT) AS height,
+       CAST(8 AS BIGINT) AS n_pixels,
+       CAST(list_sum(list_transform(range(0, 8), j -> bs[3*j + 1])) AS DOUBLE) / 8.0 AS mean_r,
+       CAST(list_sum(list_transform(range(0, 8), j -> bs[3*j + 2])) AS DOUBLE) / 8.0 AS mean_g,
+       CAST(list_sum(list_transform(range(0, 8), j -> bs[3*j + 3])) AS DOUBLE) / 8.0 AS mean_b,
+       CAST(list_max(bs) AS BIGINT) AS max_byte,
+       CAST(list_min(bs) AS BIGINT) AS min_byte
+FROM b
+""",
+)
+def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth REAL media decode (beside PPM/BMP/WAV): each document
+    rendered as a 4×2 8-bit-RGB PNG — proper signature, CRC-checked
+    chunks, zlib-DEFLATEd IDAT, and non-trivial scanline filters (Sub on
+    row 0, Up on row 1) — then decoded by the pure-Python PNG parser
+    (operators/multimodal.decode_png: chunk walk + CRC verify + inflate
+    + full None/Sub/Up/Average/Paeth reconstruction). Pixels are the
+    same md5-derived bytes as multimodal_features, so the oracle
+    re-derives the stats from hex in SQL; any error in filter math,
+    chunk framing, or the deflate round-trip is a value mismatch.
+
+    Unlike the PPM/BMP fixtures (byte-packed JVM-side), the PNG payload
+    is built in an Arrow-batched pandas stage: DEFLATE is not
+    expressible as a SQL expression — which is exactly what makes PNG a
+    real-decode test rather than byte shuffling. Decode itself stays in
+    the standard mapInPandas extractor, identical batch shape to a
+    PIL/ffmpeg deployment; at 100 TB both stages are narrow per-row
+    transforms, no shuffle."""
+    import hashlib
+
+    from pyspark.sql.types import BinaryType
+
+    from fraud_detection_etl_project_spark.operators import multimodal as M
+
+    @F.pandas_udf(BinaryType())
+    def make_png(texts: pd.Series) -> pd.Series:
+        out = []
+        for txt in texts:
+            hx = (
+                hashlib.md5(txt.encode()).hexdigest()
+                + hashlib.md5((txt + "x").encode()).hexdigest()[:16]
+            )
+            rgb = bytes.fromhex(hx)
+            out.append(M.encode_png(4, 2, rgb, row_filters=[1, 2]))
+        return pd.Series(out)
+
+    d = _t(spark, sf_dir, "documents").withColumn("payload", make_png(F.col("text")))
+    media = M.to_media_table(d, "doc_id", "payload", "image")
+    return M.extract_png_features(media)

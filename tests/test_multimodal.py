@@ -232,3 +232,101 @@ def test_sample_frames_fanout(media):
     assert sorted(r["frame_idx"] for r in by_media[1]) == [0, 1, 2]
     assert all(r["n_bytes"] <= 4 for r in frames)
     assert 3 not in by_media
+
+
+def test_decode_png_all_filters_roundtrip():
+    """encode(Sub/Up) and hand-encoded Average/Paeth scanlines all
+    reconstruct to the original pixels; multi-IDAT split also decodes."""
+    import struct
+    import zlib
+
+    from fraud_detection_etl_project_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rgb = bytes((i * 37 + 11) % 256 for i in range(24))  # 4x2 RGB
+    assert decode_png(encode_png(4, 2, rgb)) == (4, 2, rgb)
+    assert decode_png(encode_png(4, 2, rgb, row_filters=[0, 0])) == (4, 2, rgb)
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    # Average (3) on row 0, Paeth (4) on row 1, hand-filtered
+    stride = 12
+    prev = bytes(stride)
+    raw = bytearray()
+    row0 = rgb[:stride]
+    raw.append(3)
+    raw += bytes(
+        (row0[i] - ((row0[i - 3] if i >= 3 else 0) + prev[i]) // 2) % 256
+        for i in range(stride)
+    )
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    row1 = rgb[stride:]
+    raw.append(4)
+    raw += bytes(
+        (row1[i] - paeth(row1[i - 3] if i >= 3 else 0, row0[i], row0[i - 3] if i >= 3 else 0))
+        % 256
+        for i in range(stride)
+    )
+    comp = zlib.compress(bytes(raw))
+    ihdr = struct.pack(">IIBBBBB", 4, 2, 8, 2, 0, 0, 0)
+    sig = b"\x89PNG\r\n\x1a\n"
+    # split the deflate stream across two IDAT chunks: must concatenate
+    png = (
+        sig
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", comp[:5])
+        + chunk(b"IDAT", comp[5:])
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(png) == (4, 2, rgb)
+
+
+def test_decode_png_rejects():
+    import struct
+    import zlib
+
+    import pytest
+
+    from fraud_detection_etl_project_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rgb = bytes(range(24))
+    good = encode_png(4, 2, rgb)
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JFIF" + good)
+    # corrupt one IDAT byte -> CRC mismatch must be caught, not garbage pixels
+    idat_pos = good.index(b"IDAT") + 4
+    bad = bytearray(good)
+    bad[idat_pos + 2] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(bad))
+    # 16-bit depth rejected explicitly
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr16 = struct.pack(">IIBBBBB", 4, 2, 16, 2, 0, 0, 0)
+    with pytest.raises(ValueError, match="only 8-bit RGB"):
+        decode_png(sig + chunk(b"IHDR", ihdr16) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="missing IHDR or IDAT"):
+        decode_png(sig + chunk(b"IEND", b""))
