@@ -1257,3 +1257,120 @@ def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").withColumn("payload", make_png(F.col("text")))
     media = M.to_media_table(d, "doc_id", "payload", "image")
     return M.extract_png_features(media)
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified reranking (greedy top-k over a bounded candidate set)
+# ---------------------------------------------------------------------------
+
+_MMR_K = 5
+_MMR_CAND = 10
+
+
+def _mmr_oracle() -> str:
+    from fraud_detection_etl_project_spark.plans.llm_queries import (
+        _DOT_Q_SQL,
+        _SQNORM,
+    )
+
+    pair_dot = (
+        "list_sum(list_transform(range(1, len(a.embedding) + 1), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    )
+    sql = f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id,
+         CAST(floor(({_DOT_Q_SQL} / (sqrt({_SQNORM('e')}) * sqrt({_SQNORM('q')})))
+                    * 10000.0 + 0.5) AS BIGINT) AS simq
+  FROM embeddings e, q
+  ORDER BY simq DESC, e.vec_id ASC LIMIT {_MMR_CAND}
+),
+ce AS (SELECT c.vec_id, c.simq, e.embedding
+       FROM cand c JOIN embeddings e USING (vec_id)),
+pair AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(floor(({pair_dot} / (sqrt({_SQNORM('a')}) * sqrt({_SQNORM('b')})))
+                    * 10000.0 + 0.5) AS BIGINT) AS sim
+  FROM ce a JOIN ce b ON a.vec_id != b.vec_id
+),
+s1 AS (SELECT vec_id, simq AS score FROM cand ORDER BY simq DESC, vec_id ASC LIMIT 1)"""
+    for k in range(2, _MMR_K + 1):
+        sel = " UNION ALL ".join(f"SELECT vec_id FROM s{i}" for i in range(1, k))
+        sql += f""",
+s{k} AS (
+  SELECT c.vec_id,
+         c.simq - (SELECT max(p.sim) FROM pair p
+                   WHERE p.va = c.vec_id AND p.vb IN ({sel})) AS score
+  FROM cand c WHERE c.vec_id NOT IN ({sel})
+  ORDER BY score DESC, c.vec_id ASC LIMIT 1
+)"""
+    unions = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS rank, vec_id, score / 10000.0 AS mmr_score FROM s{k}"
+        for k in range(1, _MMR_K + 1)
+    )
+    return sql + "\n" + unions
+
+
+@query("mmr_diversified_top5", oracle=_mmr_oracle())
+def mmr_diversified_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance reranking: from the cosine top-10
+    candidates for the query vector, greedily select 5 results maximizing
+    ``relevance − max-similarity-to-already-selected`` (λ=1/2, scores in
+    exact 1e-4-scaled int64 so the greedy argmax — ties broken on vec_id
+    — is engine-deterministic). The diversified-retrieval step a RAG
+    stack runs after ANN so the context window isn't five paraphrases of
+    the same document.
+
+    Scale: candidate generation is the distributed pass (brute/ANN top-k
+    ending in TakeOrderedAndProject); the k×k candidate-pair cosine
+    matrix (≤90 rows here) is computed in Spark then collected as a
+    PARAMETER — the greedy loop is O(k²) driver arithmetic, the same
+    in-memory rerank every production retrieval service does. Nothing
+    about the corpus size reaches the loop; doubling k quadruples a
+    100-row frame. The oracle unrolls the identical greedy selection as
+    five chained argmax CTEs."""
+    from fraud_detection_etl_project_spark.functions.vectors import cosine
+    from fraud_detection_etl_project_spark.operators import similarity as S
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    cand = S.knn_brute(e.select("vec_id", "embedding"), qvec, k=_MMR_CAND).select(
+        "vec_id", F.floor(F.col("cos_sim") * 10_000.0 + 0.5).cast("bigint").alias("simq")
+    )
+    ce = cand.join(e.select("vec_id", "embedding"), "vec_id")
+    a = ce.select(
+        F.col("vec_id").alias("va"), F.col("simq"), F.col("embedding").alias("ea")
+    )
+    b = ce.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("va") != F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            F.floor(cosine(F.col("ea"), F.col("eb")) * 10_000.0 + 0.5)
+            .cast("bigint")
+            .alias("sim"),
+        )
+    )
+    simq = {r["vec_id"]: r["simq"] for r in cand.collect()}  # k candidates: parameters
+    psim: dict[tuple[int, int], int] = {
+        (r["va"], r["vb"]): r["sim"] for r in pairs.collect()
+    }  # k*(k-1) pairs: parameters
+    selected: list[tuple[int, int, int]] = []  # (rank, vec_id, score_int)
+    chosen: list[int] = []
+    for rank in range(1, _MMR_K + 1):
+        best = None
+        for v, sq in simq.items():
+            if v in chosen:
+                continue
+            score = sq if not chosen else sq - max(psim[(v, s)] for s in chosen)
+            key = (-score, v)
+            if best is None or key < best[0]:
+                best = (key, v, score)
+        chosen.append(best[1])
+        selected.append((rank, best[1], best[2]))
+    return spark.createDataFrame(
+        [(r, v, s / 10_000.0) for r, v, s in selected],
+        schema="rank int, vec_id bigint, mmr_score double",
+    )
