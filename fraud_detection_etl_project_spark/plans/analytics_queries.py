@@ -1374,3 +1374,204 @@ def mmr_diversified_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r, v, s / 10_000.0) for r, v, s in selected],
         schema="rank int, vec_id bigint, mmr_score double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood entity resolution
+# ---------------------------------------------------------------------------
+
+_SN_WINDOW = 2          # neighbors compared per record (lead 1..w)
+_SN_MAX_DIFF = 100      # candidate threshold: |acctbal diff| <= 100 cents
+
+
+@query(
+    "er_sorted_neighborhood",
+    oracle=f"""
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM customer
+),
+s AS (
+  SELECT c_custkey, c_nationkey, cents,
+         lead(c_custkey, 1) OVER w AS nk1, lead(cents, 1) OVER w AS nc1,
+         lead(c_custkey, 2) OVER w AS nk2, lead(cents, 2) OVER w AS nc2
+  FROM c
+  WINDOW w AS (PARTITION BY c_nationkey ORDER BY cents, c_custkey)
+)
+SELECT c_custkey AS a_key, nk1 AS b_key, CAST(c_nationkey AS INT) AS nation,
+       CAST(abs(nc1 - cents) AS BIGINT) AS diff_cents
+FROM s WHERE nk1 IS NOT NULL AND abs(nc1 - cents) <= {_SN_MAX_DIFF}
+UNION ALL
+SELECT c_custkey, nk2, CAST(c_nationkey AS INT), CAST(abs(nc2 - cents) AS BIGINT)
+FROM s WHERE nk2 IS NOT NULL AND abs(nc2 - cents) <= {_SN_MAX_DIFF}
+""",
+)
+def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity resolution — the OTHER classic blocking
+    strategy beside hash blocking (customer_er_matches) and LSH banding:
+    sort records on a fuzzy key (account balance in cents), slide a
+    window of size w, and emit candidate pairs only among neighbors
+    (here per nation — the standard multi-pass SN that composes a cheap
+    hash block with the sort). Near-duplicate records land adjacent
+    after sorting even when they hash apart, which is why real MDM
+    stacks run both passes and union the candidates.
+
+    Scale: candidates come from ``lead()`` over the partitioned sort —
+    O(n·w) pairs instead of the blocked join's per-block quadratic; the
+    sort is one shuffle on (nation, cents). On an unpartitioned key the
+    cluster version is a range-partitioned sort with w-row boundary
+    overlap between adjacent ranges — same results, no global sort
+    bottleneck."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
+    s = c.select(
+        "c_custkey",
+        "c_nationkey",
+        "cents",
+        F.lead("c_custkey", 1).over(w).alias("nk1"),
+        F.lead("cents", 1).over(w).alias("nc1"),
+        F.lead("c_custkey", 2).over(w).alias("nk2"),
+        F.lead("cents", 2).over(w).alias("nc2"),
+    )
+    out = []
+    for i in (1, 2):
+        out.append(
+            s.filter(
+                F.col(f"nk{i}").isNotNull()
+                & (F.abs(F.col(f"nc{i}") - F.col("cents")) <= _SN_MAX_DIFF)
+            ).select(
+                F.col("c_custkey").alias("a_key"),
+                F.col(f"nk{i}").alias("b_key"),
+                F.col("c_nationkey").cast("int").alias("nation"),
+                F.abs(F.col(f"nc{i}") - F.col("cents")).cast("bigint").alias("diff_cents"),
+            )
+        )
+    return out[0].unionAll(out[1])
+
+
+# ---------------------------------------------------------------------------
+# Position-based multi-touch attribution
+# ---------------------------------------------------------------------------
+
+@query(
+    "purchase_touch_attribution",
+    oracle="""
+WITH lastp AS (
+  SELECT user_id, max(ts) AS purchase_ts
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+touches AS (
+  SELECT e.user_id, e.event_id, e.event_type,
+         row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS pos,
+         count(*) OVER (PARTITION BY e.user_id) AS n
+  FROM events e JOIN lastp p
+    ON e.user_id = p.user_id AND e.ts < p.purchase_ts
+ WHERE e.event_type <> 'purchase'
+)
+SELECT user_id, event_id, event_type,
+       CAST(CASE
+         WHEN n = 1 THEN 1000000
+         WHEN n = 2 THEN 500000
+         WHEN pos = 1 OR pos = n THEN 400000
+         ELSE 200000 // (n - 2)
+       END AS BIGINT) AS credit_micro
+FROM touches
+""",
+)
+def purchase_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution: the
+    non-purchase touches preceding each user's last purchase share the
+    conversion credit — 40% to the first touch, 40% to the last, the
+    middle 20% split evenly — the standard marketing/fraud pathway
+    credit model. Credit is exact integer micro-units (floor division
+    for the middle split), so shares are engine-identical; a consumer
+    re-normalizes per user if the floor remainder matters.
+
+    Scale: the last-purchase frame is a map-side-combined aggregate
+    joined back on the user key (co-partitioned with the touch window's
+    shuffle); position and count come from one window pass. Nothing
+    exceeds per-user cardinality."""
+    e = _t(spark, sf_dir, "events")
+    lastp = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("purchase_ts"))
+    )
+    touches = (
+        e.join(lastp, "user_id")
+        .filter((F.col("ts") < F.col("purchase_ts")) & (F.col("event_type") != "purchase"))
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    t = touches.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1_000_000))
+        .when(F.col("n") == 2, F.lit(500_000))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), F.lit(400_000))
+        .otherwise(F.floor(F.lit(200_000) / (F.col("n") - 2)))
+    )
+    return t.select(
+        "user_id", "event_id", "event_type", credit.cast("bigint").alias("credit_micro")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exponential time-decay popularity (exact integer halving)
+# ---------------------------------------------------------------------------
+
+@query(
+    "event_type_decayed_counts",
+    oracle="""
+WITH mx AS (SELECT max(CAST(ts AS DATE)) AS anchor FROM events),
+aged AS (
+  SELECT event_type,
+         least(datediff('day', CAST(ts AS DATE), mx.anchor), 30) AS age
+  FROM events, mx
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(1000000 // (CAST(1 AS BIGINT) << age)) AS BIGINT) AS decayed_micro,
+       sum(1000000 // (CAST(1 AS BIGINT) << age)) / 1000000.0 AS decayed_count
+FROM aged GROUP BY 1
+""",
+)
+def event_type_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed popularity per event type (half-life =
+    1 day against the corpus max date) — the freshness-weighted count
+    behind trending/decay rankers. The decay weight is EXACT integer
+    arithmetic: floor(1e6 / 2^age) via a bit shift (age capped at 30;
+    weights vanish past age 19 anyway), so no pow()/libm enters the
+    cross-engine comparison and partial sums are order-free int64.
+
+    Scale: one scan, map-side-combined grouped sum to an
+    |event_types|-row output; the anchor date rides in as a broadcast
+    scalar. Decay-by-snapshot like this recomputes from the stored daily
+    rollup at 100 TB — or equivalently multiplies yesterday's decayed
+    total by 1/2 and adds today's count (the mergeable-decay identity),
+    which is the streaming-friendly form."""
+    e = _t(spark, sf_dir, "events").select(F.col("event_type"), F.col("ts").cast("date").alias("day"))
+    mx = e.agg(F.max("day").alias("anchor"))
+    aged = e.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        F.least(F.datediff(F.col("anchor"), F.col("day")), F.lit(30)).alias("age"),
+    )
+    weight = F.floor(
+        F.lit(1_000_000) / F.expr("shiftleft(cast(1 as bigint), cast(age as int))")
+    ).cast("bigint")
+    return aged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(weight).cast("bigint").alias("decayed_micro"),
+        (F.sum(weight) / 1_000_000.0).alias("decayed_count"),
+    )
