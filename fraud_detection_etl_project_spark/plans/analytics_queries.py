@@ -1575,3 +1575,211 @@ def event_type_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(weight).cast("bigint").alias("decayed_micro"),
         (F.sum(weight) / 1_000_000.0).alias("decayed_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust statistics
+# ---------------------------------------------------------------------------
+
+@query(
+    "winsorized_value_stats",
+    oracle="""
+WITH cuts AS (
+  SELECT event_type,
+         floor(quantile_cont(value, 0.05) * 1000000.0 + 0.5) / 1000000.0 AS p05,
+         floor(quantile_cont(value, 0.95) * 1000000.0 + 0.5) / 1000000.0 AS p95
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT e.event_type,
+         CASE WHEN e.value < c.p05 THEN c.p05
+              WHEN e.value > c.p95 THEN c.p95
+              ELSE e.value END AS wv,
+         CAST(e.value < c.p05 OR e.value > c.p95 AS INT) AS clamped
+  FROM events e JOIN cuts c USING (event_type)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(clamped) AS BIGINT) AS n_clamped,
+       floor(avg(wv) * 1000000.0 + 0.5) / 1000000.0 AS winsorized_mean
+FROM w GROUP BY 1
+""",
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type: clamp values to the exact
+    [P5, P95] band, then average — the robust-location estimator that,
+    unlike trimming, keeps sample size (and unlike the raw mean, ignores
+    tail spikes). Complements the MAD screen (order_price_outliers) and
+    the trimmed mean (grouped_agg_trimmed_mean) to complete the
+    robust-statistics family.
+
+    Parity: cutpoints are exact interpolated percentiles quantized at
+    1e-6 FIRST; clamping then compares identical doubles, so both
+    engines clamp the identical row set (n_clamped is value-checked
+    too); the final mean quantizes once more after division.
+
+    Scale: two grouped passes (percentile, then clamped mean) on the
+    |event_types| key, the second with the 5-row cutpoint frame
+    broadcast onto the scan — percentile_approx swaps in when exact
+    cutpoints stop mattering at 100 TB."""
+    e = _t(spark, sf_dir, "events").select("event_type", "value")
+    cuts = e.groupBy("event_type").agg(
+        fxr(F.expr("percentile(value, 0.05)"), 6).alias("p05"),
+        fxr(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )
+    w = e.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        F.when(F.col("value") < F.col("p05"), F.col("p05"))
+        .when(F.col("value") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("value"))
+        .alias("wv"),
+        ((F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95")))
+        .cast("int")
+        .alias("clamped"),
+    )
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("clamped").cast("bigint").alias("n_clamped"),
+        fxr(F.avg("wv"), 6).alias("winsorized_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation (AR signal screen)
+# ---------------------------------------------------------------------------
+
+@query(
+    "user_value_autocorr",
+    oracle="""
+WITH s AS (
+  SELECT user_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       floor(corr(value, prev) * 1000000.0 + 0.5) / 1000000.0 AS lag1_autocorr
+FROM s WHERE prev IS NOT NULL
+GROUP BY 1
+HAVING count(*) >= 10
+""",
+)
+def user_value_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each user's purchase amounts — the serial-
+    dependence screen (near zero = independent spending; positive =
+    momentum/installments; negative = alternation, a structuring tell in
+    fraud contexts). Window ``lag`` pairs consecutive values, ``corr``
+    reduces the pairs; users with <10 pairs are dropped as too short to
+    score.
+
+    Scale: one user-keyed window shuffle, then the corr aggregate reuses
+    the same hash partitioning (no second exchange under AQE); corr is
+    algebraic (co-moment partials), so the reduction is map-side
+    combined. Per-user state never exceeds one (value, prev) row
+    stream."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "value", "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select("user_id", "value", F.lag("value").over(w).alias("prev")).filter(
+        F.col("prev").isNotNull()
+    )
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            fxr(F.corr("value", "prev"), 6).alias("lag1_autocorr"),
+        )
+        .filter(F.col("n_pairs") >= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-residual anomaly scores (decomposition consumer)
+# ---------------------------------------------------------------------------
+
+@query(
+    "daily_anomaly_scores",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+tr AS (
+  SELECT day, cents,
+         floor(avg(cents) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) * 1000000.0 + 0.5)
+           / 1000000.0 AS trend
+  FROM daily
+),
+se AS (
+  SELECT tr.*,
+         floor(avg(cents - trend) OVER (PARTITION BY dayofweek(day))
+               * 1000000.0 + 0.5) / 1000000.0 AS seasonal
+  FROM tr
+),
+res AS (
+  SELECT day, cents,
+         floor((cents - trend - seasonal) * 1000000.0 + 0.5) / 1000000.0 AS residual
+  FROM se
+),
+mad AS (
+  SELECT floor(quantile_cont(abs(residual), 0.5) * 1000000.0 + 0.5) / 1000000.0
+           AS mad_resid
+  FROM res
+)
+SELECT r.day, r.cents, r.residual,
+       floor(abs(r.residual) / m.mad_resid * 1000000.0 + 0.5) / 1000000.0
+         AS mad_multiples
+FROM res r, mad m
+WHERE abs(r.residual) > 2.0 * m.mad_resid
+""",
+)
+def daily_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection — the consumer of
+    daily_value_seasonal_decomp: flag days whose decomposition residual
+    exceeds 2× the median absolute residual (MAD, the robust scale that
+    the anomalies themselves can't poison), reporting how many MADs out
+    each flagged day sits. This is the screen that doesn't page you
+    every Monday: the day-of-week component is already subtracted
+    before thresholding.
+
+    Parity: residuals are the decomposition's quantized doubles; the MAD
+    is an exact interpolated median quantized at 1e-6; the 2×MAD
+    threshold both engines compare against is therefore the identical
+    double.
+
+    Scale: identical to the decomposition (fact reduces to calendar
+    cardinality first) plus one exact-median pass over the daily frame
+    and a broadcast 1-row threshold join."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("ts").cast("date").alias("day"),
+            F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    w_tr = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.withColumn("trend", fxr(F.avg("cents").over(w_tr), 6))
+    se = tr.withColumn("dow", (F.dayofweek("day") - 1).cast("int")).withColumn(
+        "seasonal", fxr(F.avg(F.col("cents") - F.col("trend")).over(Window.partitionBy("dow")), 6)
+    )
+    res = se.select(
+        "day", "cents", fxr(F.col("cents") - F.col("trend") - F.col("seasonal"), 6).alias("residual")
+    )
+    mad = res.agg(fxr(F.expr("percentile(abs(residual), 0.5)"), 6).alias("mad_resid"))
+    return (
+        res.crossJoin(F.broadcast(mad))
+        .filter(F.abs(F.col("residual")) > 2.0 * F.col("mad_resid"))
+        .select(
+            "day",
+            "cents",
+            "residual",
+            fxr(F.abs(F.col("residual")) / F.col("mad_resid"), 6).alias("mad_multiples"),
+        )
+    )
