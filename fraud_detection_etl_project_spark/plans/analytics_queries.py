@@ -1783,3 +1783,174 @@ def daily_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             fxr(F.abs(F.col("residual")) / F.col("mad_resid"), 6).alias("mad_multiples"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map Arrow surface (applyInArrow, §2.10)
+# ---------------------------------------------------------------------------
+
+@query(
+    "arrow_grouped_price_spread",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS min_cents,
+       CAST(max(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents,
+       CAST(max(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+            - min(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS spread_cents
+FROM orders GROUP BY 1
+""",
+)
+def arrow_grouped_price_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map over raw Arrow tables (§2.10 ``applyInArrow`` — the
+    Spark 4 grouped complement to ``mapInArrow``): per-priority price
+    spread computed with pyarrow.compute kernels, no pandas
+    materialization. This is the zero-copy escape hatch for grouped
+    logic that wants columnar kernels (or a C++/Rust extension) rather
+    than a pandas frame; the aggregation itself is SQL-expressible by
+    design, giving the Arrow path a full value oracle like the pandas
+    grouped-map (grouped_minmax_normalized).
+
+    Scale: one shuffle on the grouping key; whole groups must fit in
+    executor memory (grouped-map's standing constraint — use built-in
+    aggregates when they can express the logic, as every other query
+    here does). Arithmetic is exact int64 cents."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint").alias("cents"),
+    )
+
+    def spread(t: pa.Table) -> pa.Table:
+        cents = t["cents"]
+        mn = pc.min(cents).as_py()
+        mx = pc.max(cents).as_py()
+        return pa.table(
+            {
+                "o_orderpriority": pa.array([t["o_orderpriority"][0].as_py()], pa.string()),
+                "n": pa.array([t.num_rows], pa.int64()),
+                "min_cents": pa.array([mn], pa.int64()),
+                "max_cents": pa.array([mx], pa.int64()),
+                "spread_cents": pa.array([mx - mn], pa.int64()),
+            }
+        )
+
+    return o.groupBy("o_orderpriority").applyInArrow(
+        spread,
+        schema=(
+            "o_orderpriority string, n long, min_cents long, max_cents long, "
+            "spread_cents long"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curated training corpus (composition of the curation DAG)
+# ---------------------------------------------------------------------------
+
+def _e2e_oracle() -> str:
+    from fraud_detection_etl_project_spark.plans.curation_queries import (
+        PACK_TOKENS,
+        SPLIT_TRAIN_PCT,
+        _PACK_SHARD_SQL,
+    )
+    from fraud_detection_etl_project_spark.plans.llm_queries import NORM_SQL, TOKS_SQL
+
+    return f"""
+WITH q AS (
+  SELECT doc_id, md5({NORM_SQL}) AS fp, len({TOKS_SQL}) AS n_toks,
+         CAST(len(list_distinct({TOKS_SQL})) AS DOUBLE) / len({TOKS_SQL}) AS uniq,
+         {_PACK_SHARD_SQL} AS shard,
+         CAST(('0x' || substring(md5('split1|' || CAST(doc_id AS VARCHAR)), 1, 6)) AS INT)
+           % 100 AS bucket
+  FROM documents
+  WHERE len({TOKS_SQL}) BETWEEN 20 AND 10000
+),
+cur AS (SELECT * FROM q WHERE uniq >= 0.3),
+ded AS (
+  SELECT * FROM (
+    SELECT cur.*, min(doc_id) OVER (PARTITION BY fp) AS canon FROM cur
+  ) WHERE doc_id = canon
+),
+train AS (SELECT * FROM ded WHERE bucket < {SPLIT_TRAIN_PCT})
+SELECT CAST(shard AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       CAST((sum(n_toks) - 1) // {PACK_TOKENS} + 1 AS BIGINT) AS n_sequences
+FROM train GROUP BY 1
+"""
+
+
+@query("e2e_training_corpus", oracle=_e2e_oracle())
+def e2e_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation DAG composed end-to-end, the way a user actually
+    runs it: quality gate (length band + vocabulary diversity, as
+    curated_documents) → exact dedup (md5 fingerprint, keep-min-id, as
+    dedup_exact_groups) → deterministic 80/20 train split (hash-bucket,
+    as doc_train_test_split) → per-shard packing summary (docs, tokens,
+    and the ceil(tokens/{{PACK}}) sequence count the packer will emit).
+    One registered query proving the stages COMPOSE — same hash salts,
+    same thresholds, stage-for-stage — rather than only existing as
+    isolated verified parts.
+
+    Scale: the gates and hash assignments are row-local on one narrow
+    scan; dedup is the only data shuffle (16-byte fingerprint key, never
+    text); the final rollup is a map-side-combined 16-row aggregate.
+    Swapping the summary for the full packing output (doc_sequence_
+    packing's explode) changes nothing upstream — the composition is a
+    narrow pipeline end to end."""
+    from fraud_detection_etl_project_spark.functions import text as T
+    from fraud_detection_etl_project_spark.plans.curation_queries import (
+        PACK_SHARDS,
+        PACK_TOKENS,
+        SPLIT_TRAIN_PCT,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(T.normalized(F.col("text")), " ")
+    q = d.select(
+        "doc_id",
+        F.md5(T.normalized(F.col("text")).cast("binary")).alias("fp"),
+        F.size(toks).cast("long").alias("n_toks"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("uniq"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("pack|"), F.col("doc_id").cast("string")).cast("binary")),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % PACK_SHARDS
+        )
+        .cast("int")
+        .alias("shard"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("split1|"), F.col("doc_id").cast("string")).cast("binary")
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        ).alias("bucket"),
+    ).filter(F.col("n_toks").between(20, 10000))
+    cur = q.filter(F.col("uniq") >= 0.3)
+    ded = cur.withColumn("canon", F.min("doc_id").over(Window.partitionBy("fp"))).filter(
+        F.col("doc_id") == F.col("canon")
+    )
+    train = ded.filter(F.col("bucket") < SPLIT_TRAIN_PCT)
+    return train.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        (F.floor((F.sum("n_toks") - 1) / PACK_TOKENS) + 1).cast("bigint").alias("n_sequences"),
+    )
