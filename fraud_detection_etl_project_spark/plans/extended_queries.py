@@ -1016,6 +1016,78 @@ def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_wav_features(media)
 
 
+_DFT_COS = [1000, 707, 0, -707, -1000, -707, 0, 707]  # round(1000*cos(2*pi*m/8))
+_DFT_SIN = [0, 707, 1000, 707, 0, -707, -1000, -707]  # round(1000*sin(2*pi*m/8))
+
+_SPECTRAL_ORACLE = f"""
+WITH t AS (SELECT doc_id, md5(text) AS hx FROM documents),
+b AS (SELECT doc_id,
+             list_transform(range(0, 16), i -> CAST(('0x' || substring(hx, 2*i + 1, 2)) AS INT)) AS bs
+      FROM t),
+s AS (SELECT doc_id,
+             list_transform(range(0, 8), j ->
+               CAST(CASE WHEN bs[2*j + 1] + 256 * bs[2*j + 2] >= 32768
+                    THEN bs[2*j + 1] + 256 * bs[2*j + 2] - 65536
+                    ELSE bs[2*j + 1] + 256 * bs[2*j + 2] END AS BIGINT)) AS sm
+      FROM b),
+tw AS (SELECT CAST({_DFT_COS} AS BIGINT[]) AS cc, CAST({_DFT_SIN} AS BIGINT[]) AS ss),
+d AS (SELECT doc_id, k,
+             list_sum(list_transform(range(0, 8), j -> sm[j + 1] * cc[((k * j) % 8) + 1])) AS re,
+             -list_sum(list_transform(range(0, 8), j -> sm[j + 1] * ss[((k * j) % 8) + 1])) AS im
+      FROM s, tw, UNNEST([1, 2, 3]) AS u(k))
+SELECT doc_id AS media_id, CAST(k AS BIGINT) AS bin,
+       CAST(re AS BIGINT) AS re_q, CAST(im AS BIGINT) AS im_q,
+       CAST(re * re + im * im AS BIGINT) AS power
+FROM d
+"""
+
+
+@query("wav_spectral_features", oracle=_SPECTRAL_ORACLE)
+def wav_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio FEATURE EXTRACTION (beyond sample stats): decode each
+    8-sample PCM16 WAV with the pure-Python RIFF walker, then compute a
+    3-bin discrete Fourier transform JVM-side — zip_with/aggregate over
+    the sample array against integer twiddle tables (cos/sin scaled by
+    1000), so re/im/power are exact int64 arithmetic and the oracle
+    re-derives them bit-for-bit from the md5 bytes. This is the
+    spectral-fingerprint primitive of audio curation (voice/music/silence
+    screens) built the scale-correct way: Python touches bytes once
+    (extract_wav_samples); the O(bins x N) multiply-accumulate stays in
+    whole-stage codegen. power = re^2 + im^2 stays well inside int64
+    (|re| <= 8 * 32768 * 1000)."""
+    d = _t(spark, sf_dir, "documents")
+    payload = F.concat(F.lit(_wav_header_8s()), F.unhex(F.md5(F.col("text").cast("binary"))))
+    media = M.to_media_table(d.withColumn("payload", payload), "doc_id", "payload", "audio")
+    sm = M.extract_wav_samples(media)
+
+    def dft_bin(k: int):
+        cosk = F.array(*[F.lit(_DFT_COS[(k * j) % 8]).cast("long") for j in range(8)])
+        sink = F.array(*[F.lit(_DFT_SIN[(k * j) % 8]).cast("long") for j in range(8)])
+        re = F.aggregate(
+            F.zip_with("samples", cosk, lambda s, c: s.cast("long") * c),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        im = -F.aggregate(
+            F.zip_with("samples", sink, lambda s, c: s.cast("long") * c),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return F.struct(
+            F.lit(k).cast("long").alias("bin"), re.alias("re_q"), im.alias("im_q")
+        )
+
+    return sm.select(
+        "media_id", F.explode(F.array(dft_bin(1), dft_bin(2), dft_bin(3))).alias("d")
+    ).select(
+        "media_id",
+        F.col("d.bin").alias("bin"),
+        F.col("d.re_q").alias("re_q"),
+        F.col("d.im_q").alias("im_q"),
+        (F.col("d.re_q") * F.col("d.re_q") + F.col("d.im_q") * F.col("d.im_q")).alias("power"),
+    )
+
+
 @query(
     "multimodal_frame_sample",
     oracle="""
