@@ -1954,3 +1954,94 @@ def e2e_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_toks").cast("bigint").alias("n_tokens"),
         (F.floor((F.sum("n_toks") - 1) / PACK_TOKENS) + 1).cast("bigint").alias("n_sequences"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear (double exponential) smoothing, exact integer fixed-point
+# ---------------------------------------------------------------------------
+
+_HOLT_ORACLE = """
+WITH RECURSIVE d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS yc,
+         row_number() OVER (PARTITION BY event_type ORDER BY CAST(ts AS DATE)) AS rn
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, day, rn, yc, yc AS l, CAST(0 AS BIGINT) AS b
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.event_type, d.day, d.rn, d.yc,
+         CAST(floor((d.yc + r.l + r.b) / 2.0) AS BIGINT) AS l,
+         CAST(floor((CAST(floor((d.yc + r.l + r.b) / 2.0) AS BIGINT) - r.l + r.b) / 2.0) AS BIGINT) AS b
+  FROM r JOIN d ON d.event_type = r.event_type AND d.rn = r.rn + 1
+)
+SELECT event_type, day, yc / 100.0 AS actual,
+       l / 100.0 AS level, b / 100.0 AS trend, (l + b) / 100.0 AS forecast_next
+FROM r
+"""
+
+
+@query("holt_daily_value_forecast", oracle=_HOLT_ORACLE, bench=False)
+def holt_daily_value_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend (double exponential) smoothing over each event
+    type's daily value series, alpha = beta = 1/2 in EXACT integer-cents
+    fixed point: l_t = floor((y_t + l + b)/2), b_t = floor((l_t - l + b)/2)
+    — the classic short-horizon forecaster (level + trend), every state
+    transition a floor of a sum of int64s, so the walk is bit-identical
+    to the oracle's recursive CTE with no float drift anywhere.
+
+    Like CUSUM, the recurrence is inherently sequential per series, so it
+    takes the documented grouped-map hatch: the daily rollup happens
+    JVM-side FIRST (partial-agg shuffle collapses events to one row per
+    (type, day)), and only the tiny per-series day table crosses into
+    applyInPandas. State is O(1) per key; the pandas hop touches
+    series-length rows, never raw events.
+
+    Scale: the heavy cardinality (events) is reduced before the Python
+    boundary; series count is the bounded event-type domain. Forecast for
+    day t+1 = l_t + b_t rides along per row."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("yc"))
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        yc = pdf["yc"].to_numpy()
+        ls, bs = [], []
+        l = int(yc[0])
+        b = 0
+        ls.append(l)
+        bs.append(b)
+        for t in range(1, len(yc)):
+            prev_l, prev_b = l, b
+            # Python // floors toward -inf, matching the oracle's floor(x/2.0)
+            l = (int(yc[t]) + prev_l + prev_b) // 2
+            b = (l - prev_l + prev_b) // 2
+            ls.append(l)
+            bs.append(b)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "day": pdf["day"],
+                "actual": yc / 100.0,
+                "level": [x / 100.0 for x in ls],
+                "trend": [x / 100.0 for x in bs],
+                "forecast_next": [(x + y) / 100.0 for x, y in zip(ls, bs)],
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        holt,
+        schema=(
+            "event_type string, day date, actual double, level double, "
+            "trend double, forecast_next double"
+        ),
+    )

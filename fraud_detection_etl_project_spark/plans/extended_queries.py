@@ -2290,6 +2290,54 @@ def stream_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "stream_click_attribution_full",
+    oracle="""
+WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+wm AS (SELECT least((SELECT max(ts) FROM e WHERE event_type = 'click'),
+                    (SELECT max(ts) FROM e WHERE event_type = 'purchase'))
+              - INTERVAL 2 HOUR AS t),
+m AS (SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+             c.user_id, p.value AS purchase_value
+      FROM e c JOIN e p ON c.user_id = p.user_id
+      WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+SELECT click_id, purchase_id, user_id, purchase_value FROM m
+UNION ALL
+SELECT c.event_id, CAST(NULL AS BIGINT), c.user_id, CAST(NULL AS DOUBLE)
+FROM e c, wm
+WHERE c.event_type = 'click'
+  AND c.event_id NOT IN (SELECT click_id FROM m)
+  AND c.ts + INTERVAL 1 HOUR < wm.t
+UNION ALL
+SELECT CAST(NULL AS BIGINT), p.event_id, p.user_id, p.value
+FROM e p, wm
+WHERE p.event_type = 'purchase'
+  AND p.event_id NOT IN (SELECT purchase_id FROM m)
+  AND p.ts < wm.t
+""",
+)
+def stream_click_attribution_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream join — completes the §2.9 join matrix
+    (inner / left outer / full outer): matched click→purchase pairs emit
+    as they join, unconverted clicks null-flush once the global watermark
+    passes click_ts + horizon (no future purchase can match), and
+    orphaned purchases null-flush once the watermark passes purchase_ts
+    itself (the condition p_ts >= c_ts means any future click is too
+    late the moment the watermark passes the purchase). The oracle
+    encodes BOTH eviction boundaries exactly — asymmetric on purpose,
+    because the range condition is asymmetric — so the driver
+    value-checks Spark's actual outer-emission semantics, not just the
+    matched core.
+
+    Scale: same bounded state as the inner variant; each side's rows are
+    droppable at its derived state watermark, outer emission rides the
+    eviction pass and adds no state of its own."""
+    from fraud_detection_etl_project_spark.streaming.windows import clicks_purchase_attribution
+
+    return clicks_purchase_attribution(spark, sf_dir, join_type="full_outer")
+
+
+@query(
     "udtf_polymorphic_top_tokens",
     oracle=f"""
 WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents)

@@ -431,3 +431,103 @@ def vocab_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("oov_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding second-moment PCA via fixed-point power iteration
+# ---------------------------------------------------------------------------
+
+_PCA_D = 64          # embedding dimensionality (fixture schema)
+_PCA_Q = 1e6         # element quantization scale
+_PCA_DOWN = 1048576.0  # 2^20 block-floating-point rescale between iterations
+
+_PCA_ORACLE = f"""
+WITH q AS (SELECT list_transform(embedding,
+                    x -> CAST(floor({_PCA_Q} * CAST(x AS DOUBLE) + 0.5) AS BIGINT)) AS e
+           FROM embeddings),
+s AS (SELECT i.i AS i, j.j AS j, CAST(sum(e[i.i + 1] * e[j.j + 1]) AS BIGINT) AS sij
+      FROM q, range({_PCA_D}) i(i), range({_PCA_D}) j(j)
+      GROUP BY 1, 2),
+v1 AS (SELECT i, CAST(sum(sij) AS BIGINT) AS v FROM s GROUP BY i),
+m1 AS (SELECT max(abs(v)) AS mx FROM v1),
+v1q AS (SELECT i, CAST(floor(1e6 * CAST(v AS DOUBLE) / mx + 0.5) AS BIGINT) AS vq
+        FROM v1, m1),
+v2 AS (SELECT s.i,
+              CAST(sum(CAST(floor(s.sij / {_PCA_DOWN}) AS BIGINT) * w.vq) AS BIGINT) AS v
+       FROM s JOIN v1q w ON w.i = s.j GROUP BY s.i),
+m2 AS (SELECT max(abs(v)) AS mx FROM v2)
+SELECT s.i AS dim, s.sij AS second_moment,
+       floor(1e6 * CAST(v2.v AS DOUBLE) / m2.mx + 0.5) / 1e6 AS pc1
+FROM s JOIN v2 ON v2.i = s.i, m2
+WHERE s.i = s.j
+"""
+
+
+@query("embedding_pca_power", oracle=_PCA_ORACLE, bench=False)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First principal direction of the embedding second-moment matrix by
+    TWO power iterations, entirely in exact fixed point — the
+    embedding-space diagnostic (dominant direction + per-dim energy)
+    that PCA-whitening and anisotropy checks in embedding pipelines need.
+
+    Scale design: the only data-sized work is the d x d second-moment
+    reduction — each row emits its quantized outer product (nested
+    transform + flatten, JVM-side) and a posexplode/groupBy collapses
+    n x d^2 terms with map-side partial aggregation down to d^2 = 4096
+    cells; everything after is joins over that 4096-row frame (never
+    collected). Power iteration stays integer-exact by construction:
+    elements quantized at 1e6, iteration-1 vector renormalized to 1e6,
+    and the matrix block-rescaled by 2^20 (an exact power-of-two floor)
+    before iteration 2, so every sum is an order-free int64 sum. int64
+    headroom: |S_ij| <= n * 1e12, safe to ~2M vectors per partition-sum;
+    larger corpora raise _PCA_DOWN / lower _PCA_Q (documented knob).
+
+    Sign/start convention: v0 = all-ones, so the reported direction is
+    deterministic (power iteration fixes sign by the start vector)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(F.lit(_PCA_Q) * x.cast("double") + F.lit(0.5)).cast("long"),
+        ).alias("e")
+    )
+    outer = q.select(
+        F.posexplode(
+            F.flatten(F.transform("e", lambda x: F.transform("e", lambda y: x * y)))
+        ).alias("pos", "val")
+    )
+    s = outer.groupBy("pos").agg(F.sum("val").alias("sij")).select(
+        (F.col("pos") / _PCA_D).cast("long").alias("i"),
+        (F.col("pos") % _PCA_D).cast("long").alias("j"),
+        "sij",
+    )
+    v1 = s.groupBy("i").agg(F.sum("sij").alias("v"))
+    m1 = v1.agg(F.max(F.abs(F.col("v"))).alias("mx"))
+    v1q = v1.crossJoin(F.broadcast(m1)).select(
+        "i",
+        F.floor(F.lit(1e6) * F.col("v").cast("double") / F.col("mx") + F.lit(0.5))
+        .cast("long")
+        .alias("vq"),
+    )
+    w = v1q.select(F.col("i").alias("wi"), "vq")
+    v2 = (
+        s.join(F.broadcast(w), F.col("j") == F.col("wi"))
+        .groupBy("i")
+        .agg(
+            F.sum(
+                F.floor(F.col("sij") / F.lit(_PCA_DOWN)).cast("long") * F.col("vq")
+            ).alias("v")
+        )
+    )
+    m2 = v2.agg(F.max(F.abs(F.col("v"))).alias("mx"))
+    diag = s.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("dim"), F.col("sij").alias("second_moment")
+    )
+    pc1 = v2.crossJoin(F.broadcast(m2)).select(
+        F.col("i").alias("dim"),
+        (
+            F.floor(F.lit(1e6) * F.col("v").cast("double") / F.col("mx") + F.lit(0.5))
+            / F.lit(1e6)
+        ).alias("pc1"),
+    )
+    return diag.join(pc1, "dim")

@@ -185,7 +185,9 @@ def clicks_purchase_attribution(
     ).select(
         F.col("click_id"),
         F.col("purchase_id"),
-        F.col("c_user").alias("user_id"),
+        # full_outer emits purchase-only rows whose click side is NULL —
+        # the user key must then come from the purchase side
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
         F.col("purchase_value"),
     )
     name = f"attribution_{uuid.uuid4().hex[:8]}"
