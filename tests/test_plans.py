@@ -416,13 +416,15 @@ def test_welch_test_single_scan(spark):
     assert "partial_count" in plan or "partial_avg" in plan, plan
 
 
-def test_cusum_is_single_grouped_map_shuffle(spark):
-    """CUSUM's per-key sequential recurrence is the documented pandas
-    escape hatch: exactly one FlatMapGroupsInPandas over one exchange,
-    with the event-type filter pushed to the scan."""
+def test_cusum_is_pure_window_scan(spark):
+    """CUSUM's recurrence has a prefix-scan closed form (drawdown
+    identity), so the plan must be pure JVM window passes: zero Python
+    nodes, exactly one user-keyed exchange shared by every window and
+    the final aggregation, event-type filter pushed to the scan."""
     plan = plan_of(spark, "user_cusum_alerts")
-    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan and "Python" not in plan, plan
     assert plan.count("Exchange") == 1, plan
+    assert "RunningWindowFunction" in plan or "Window" in plan, plan
     assert "PushedFilters" in plan and "purchase" in plan, plan
 
 
