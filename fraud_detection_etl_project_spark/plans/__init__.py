@@ -54,6 +54,18 @@ from fraud_detection_etl_project_spark.plans import ml_queries  # noqa: F401,E40
 # hybrid_search_rrf (doc_stats still covers text; RRF adds retrieval
 # fusion). All displaced queries remain registered right after the
 # prefix and stay judge-verified.
+# Round-3 swaps (2): four marquee late-round-3 families enter the prefix
+# by displacing second representatives of already-covered families —
+# q18_large_volume_orders -> embedding_pca_power (embedding-space
+# diagnostics; q5 + the full Q1-Q22 set keep TPC-H covered),
+# part_random_walks -> nb_lang_confusion (trained-classifier curation
+# family; pagerank + triangle count keep graph covered),
+# stream_click_attribution -> stream_click_attribution_full (the full
+# outer variant exercises the same stream-stream machinery PLUS both
+# eviction-boundary null flushes), multimodal_features ->
+# wav_spectral_features (audio real-decode + JVM DFT; bmp keeps image
+# decode covered). All displaced queries stay registered immediately
+# after the prefix and remain oracle-verified.
 FAMILY_PREFIX = [
     "flagship_inconsistent_orders",
     "fraud_valid_txns",
@@ -83,13 +95,13 @@ FAMILY_PREFIX = [
     "salted_user_event_join",
     "customers_with_urgent_orders",
     "q5_local_supplier_revenue",
-    "q18_large_volume_orders",
+    "embedding_pca_power",
     "top_customers_per_nation",
     "dq_constraint_audit",
     "urgent_price_skyline",
     "user_cusum_alerts",
     "markov_event_transitions",
-    "part_random_walks",
+    "nb_lang_confusion",
     "all_parties_union",
     "copurchase_triangle_count",
     "orders_cdc_applied",
@@ -98,12 +110,12 @@ FAMILY_PREFIX = [
     "stream_hourly_event_rollup",
     "stream_session_windows",
     "stream_user_running_profile",
-    "stream_click_attribution",
+    "stream_click_attribution_full",
     "udtf_sentence_split",
     "doc_stats",
     "neardup_dedup_kept",
     "ivf_ann_top10",
-    "multimodal_features",
+    "wav_spectral_features",
     "hybrid_search_rrf",
 ]
 
