@@ -246,17 +246,25 @@ def event_gini_stump_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     impurity - split cost in the same n-weighted scale."""
     ev = _t(spark, sf_dir, "events")
     pos = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    # ONE scan of events: each row fans out to its (feature, bin) pairs via
+    # an in-row explode instead of a per-feature union re-scan
     f = ev.select(
-        F.lit("value_bin").alias("feature"),
-        F.least(F.lit(19), F.greatest(F.lit(0), F.floor(F.col("value") / 5.0))).cast("long").alias("bin"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("value_bin").alias("feature"),
+                    F.least(F.lit(19), F.greatest(F.lit(0), F.floor(F.col("value") / 5.0)))
+                    .cast("long")
+                    .alias("bin"),
+                ),
+                F.struct(
+                    F.lit("hour").alias("feature"),
+                    F.hour("ts").cast("long").alias("bin"),
+                ),
+            )
+        ).alias("fb"),
         pos.alias("pos"),
-    ).unionAll(
-        ev.select(
-            F.lit("hour").alias("feature"),
-            F.hour("ts").cast("long").alias("bin"),
-            pos.alias("pos"),
-        )
-    )
+    ).select(F.col("fb.feature").alias("feature"), F.col("fb.bin").alias("bin"), "pos")
     g = f.groupBy("feature", "bin").agg(
         F.count(F.lit(1)).alias("n"), F.sum("pos").alias("p")
     )
@@ -496,10 +504,17 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.flatten(F.transform("e", lambda x: F.transform("e", lambda y: x * y)))
         ).alias("pos", "val")
     )
-    s = outer.groupBy("pos").agg(F.sum("val").alias("sij")).select(
-        (F.col("pos") / _PCA_D).cast("long").alias("i"),
-        (F.col("pos") % _PCA_D).cast("long").alias("j"),
-        "sij",
+    # persist the d^2-cell moment frame: it feeds v1, v2 AND the diagonal —
+    # without the cache each consumer would re-run the n x d^2 reduction
+    s = (
+        outer.groupBy("pos")
+        .agg(F.sum("val").alias("sij"))
+        .select(
+            (F.col("pos") / _PCA_D).cast("long").alias("i"),
+            (F.col("pos") % _PCA_D).cast("long").alias("j"),
+            "sij",
+        )
+        .persist()
     )
     v1 = s.groupBy("i").agg(F.sum("sij").alias("v"))
     m1 = v1.agg(F.max(F.abs(F.col("v"))).alias("mx"))
@@ -531,3 +546,188 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pc1"),
     )
     return diag.join(pc1, "dim")
+
+
+# ---------------------------------------------------------------------------
+# epsilon-neighborhood spatial self-join via grid-cell blocking
+# ---------------------------------------------------------------------------
+
+_GRID_EPS = 500  # integer micro-units; cell side == eps makes 3x3 complete
+
+_GRID_U28_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substring(md5(CAST(event_id AS VARCHAR)), {k + 1}, 1)) - 1)"
+    f" * {16 ** (6 - k)}"
+    for k in range(7)
+)
+
+_GRID_ORACLE = f"""
+WITH p AS (
+  SELECT event_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS xc,
+         CAST(({_GRID_U28_SQL}) % 10001 AS BIGINT) AS yc
+  FROM events WHERE event_type = 'purchase'
+),
+cells AS (
+  SELECT event_id, xc, yc,
+         (xc // {_GRID_EPS}) + dx.dx AS cx, (yc // {_GRID_EPS}) + dy.dy AS cy
+  FROM p, UNNEST([-1, 0, 1]) AS dx(dx), UNNEST([-1, 0, 1]) AS dy(dy)
+),
+home AS (SELECT event_id, xc, yc, xc // {_GRID_EPS} AS cx, yc // {_GRID_EPS} AS cy FROM p)
+SELECT a.event_id AS event_a, b.event_id AS event_b,
+       CAST((a.xc - b.xc) * (a.xc - b.xc) + (a.yc - b.yc) * (a.yc - b.yc) AS BIGINT) AS dist_sq
+FROM cells a JOIN home b ON a.cx = b.cx AND a.cy = b.cy AND a.event_id < b.event_id
+WHERE (a.xc - b.xc) * (a.xc - b.xc) + (a.yc - b.yc) * (a.yc - b.yc) <= {_GRID_EPS * _GRID_EPS}
+"""
+
+
+@query("purchase_eps_neighbor_pairs", oracle=_GRID_ORACLE, bench=False)
+def purchase_eps_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial epsilon-neighborhood SELF-JOIN via grid-cell blocking — the
+    scalable form of "find all point pairs within distance eps" (spatial
+    dedup, co-location mining, DBSCAN's neighbor step). Points are exact
+    integer coordinates (value in cents x an md5-coin y), the plane is
+    cut into eps-sized cells, each LEFT point explodes to its 3x3 cell
+    neighborhood, and candidates join on the RIGHT point's HOME cell —
+    with cell side == eps this is provably complete (two points within
+    eps differ by at most 1 cell index per axis), and each qualifying
+    pair emits exactly once: a point has ONE home cell, so (a, b) with
+    a < b is produced only where a's 9-cell explosion meets b's home
+    cell, and the reverse orientation fails the id< filter. The oracle
+    mirrors the blocking — the grid is an exact algorithm, not an
+    approximation, so mirroring is equivalence, like the LSH-constant
+    oracles.
+
+    Scale: never all-pairs — the join is hash-partitioned on cell id, 9x
+    replication of the left side only, and per-cell density bounds the
+    quadratic term (the documented skew remedy for a hot cell is the
+    same cap-and-salt used for LSH buckets). Distance math is all int64,
+    value-checked including dist_sq."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    u28 = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 7), 16, 10).cast("long")
+    p = ev.select(
+        "event_id",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("xc"),
+        (u28 % 10001).alias("yc"),
+    )
+    eps = _GRID_EPS
+    cells = (
+        p.withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            F.col("event_id").alias("ida"),
+            F.col("xc").alias("xa"),
+            F.col("yc").alias("ya"),
+            (F.floor(F.col("xc") / eps) + F.col("dx")).alias("cx"),
+            (F.floor(F.col("yc") / eps) + F.col("dy")).alias("cy"),
+        )
+    )
+    home = p.select(
+        F.col("event_id").alias("idb"),
+        F.col("xc").alias("xb"),
+        F.col("yc").alias("yb"),
+        F.floor(F.col("xc") / eps).alias("cx"),
+        F.floor(F.col("yc") / eps).alias("cy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        cells.join(home, ["cx", "cy"])
+        .filter((F.col("ida") < F.col("idb")) & (d2 <= F.lit(eps * eps)))
+        .select(
+            F.col("ida").alias("event_a"),
+            F.col("idb").alias("event_b"),
+            d2.cast("bigint").alias("dist_sq"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual-information feature screen (event_type vs candidate features)
+# ---------------------------------------------------------------------------
+
+_MI_ORACLE = """
+WITH f AS (
+  SELECT 'hour' AS feature, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x, event_type AS y
+  FROM events
+  UNION ALL
+  SELECT 'value_bin' AS feature,
+         least(19, greatest(0, CAST(floor(value / 5.0) AS BIGINT))) AS x, event_type AS y
+  FROM events
+),
+xy AS (SELECT feature, x, y, CAST(count(*) AS BIGINT) AS nxy FROM f GROUP BY 1, 2, 3),
+mx AS (SELECT feature, x, CAST(sum(nxy) AS BIGINT) AS nx FROM xy GROUP BY 1, 2),
+my AS (SELECT feature, y, CAST(sum(nxy) AS BIGINT) AS ny FROM xy GROUP BY 1, 2),
+nt AS (SELECT feature, CAST(sum(nxy) AS BIGINT) AS n FROM xy GROUP BY 1),
+terms AS (
+  SELECT xy.feature,
+         CAST(floor(1e9 * (CAST(xy.nxy AS DOUBLE) / nt.n)
+                        * ln(CAST(xy.nxy AS DOUBLE) * nt.n
+                             / (CAST(mx.nx AS DOUBLE) * my.ny)) + 0.5) AS BIGINT) AS tq
+  FROM xy
+  JOIN mx ON mx.feature = xy.feature AND mx.x = xy.x
+  JOIN my ON my.feature = xy.feature AND my.y = xy.y
+  JOIN nt ON nt.feature = xy.feature
+)
+SELECT feature, CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(tq) AS BIGINT) / 1e9 AS mutual_information
+FROM terms GROUP BY feature
+"""
+
+
+@query("event_feature_mutual_info", oracle=_MI_ORACLE, bench=False)
+def event_feature_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature screen: I(event_type; hour) and
+    I(event_type; value_bin) from one contingency pass each — the
+    information-theoretic complement to the Gini stump (MI ranks
+    features before any model is fit; the chi-square audit tests
+    independence, MI QUANTIFIES the dependence in nats).
+
+    Each (x, y) cell contributes (n_xy/N) * ln(n_xy*N / (n_x*n_y)),
+    floor-quantized at 1e-9 so the final figure is an exact int64 sum of
+    per-cell terms; the ln inputs are identical int64-product ratios in
+    both engines. Scale: the data-sized work is the (feature, x, y)
+    count — partial-agg'd map-side; marginals and totals derive from the
+    tiny contingency frame, never re-scanning events."""
+    ev = _t(spark, sf_dir, "events")
+    # ONE scan of events (in-row explode fans each row to both features)
+    f = ev.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("hour").alias("feature"),
+                    F.hour("ts").cast("long").alias("x"),
+                ),
+                F.struct(
+                    F.lit("value_bin").alias("feature"),
+                    F.least(F.lit(19), F.greatest(F.lit(0), F.floor(F.col("value") / 5.0)))
+                    .cast("long")
+                    .alias("x"),
+                ),
+            )
+        ).alias("fx"),
+        F.col("event_type").alias("y"),
+    ).select(F.col("fx.feature").alias("feature"), F.col("fx.x").alias("x"), "y")
+    xy = f.groupBy("feature", "x", "y").agg(F.count(F.lit(1)).alias("nxy"))
+    wx = Window.partitionBy("feature", "x")
+    wy = Window.partitionBy("feature", "y")
+    wn = Window.partitionBy("feature")
+    t = xy.select(
+        "feature",
+        F.floor(
+            F.lit(1e9)
+            * (F.col("nxy").cast("double") / F.sum("nxy").over(wn))
+            * F.log(
+                F.col("nxy").cast("double")
+                * F.sum("nxy").over(wn)
+                / (F.sum("nxy").over(wx).cast("double") * F.sum("nxy").over(wy))
+            )
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("tq"),
+    )
+    return t.groupBy("feature").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        (F.sum("tq").cast("bigint") / F.lit(1e9)).alias("mutual_information"),
+    )

@@ -501,3 +501,79 @@ def test_random_walks_join_persisted_adjacency(spark):
     plan = plan_of(spark, "part_random_walks")
     assert "InMemoryTableScan" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_nb_classifier_no_python_broadcast_dims(spark):
+    """The trained-NB score path must be entirely JVM-side (no Python
+    nodes), the class-level frames (priors / totals / vocab size) must
+    broadcast, and the token-keyed count join must not nested-loop."""
+    plan = plan_of(spark, "nb_lang_confusion")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "Broadcast" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_gini_stump_single_scan(spark):
+    """Both candidate features must come from ONE scan of events (in-row
+    explode), then histogram + prefix sums — never a per-feature or
+    per-threshold re-scan."""
+    plan = plan_of(spark, "event_gini_stump_splits")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_mutual_info_single_scan(spark):
+    """Same single-scan contract for the MI screen: one events scan
+    fans out to both features; margins are computed from the contingency
+    frame, not from re-reading events."""
+    plan = plan_of(spark, "event_feature_mutual_info")
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_grid_neighbor_join_is_hash_not_nested_loop(spark):
+    """The eps-neighborhood join must hash-partition on cell ids — a
+    nested-loop/cartesian pair enumeration is exactly what the grid
+    exists to avoid — and the purchase filter must reach the scan."""
+    plan = plan_of(spark, "purchase_eps_neighbor_pairs")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "purchase" in plan, plan
+
+
+def test_hard_negatives_broadcast_anchor_scan(spark):
+    """The anchor batch must broadcast (one corpus pass, no shuffle of
+    the corpus against anchors) and the per-side argmax must be a
+    map-side partial max of the (sim, -id) struct."""
+    plan = plan_of(spark, "hard_negative_pairs")
+    assert "Broadcast" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_max" in plan, plan
+
+
+def test_label_propagation_persists_undirected_edges(spark):
+    """All three LPA rounds must probe the persisted undirected edge
+    frame instead of replaying the co-purchase pair join per round."""
+    plan = plan_of(spark, "part_label_propagation")
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_pca_moment_frame_cached_once(spark):
+    """The d^2 second-moment reduction is the only data-sized stage; the
+    diagonal, iteration-1 and iteration-2 consumers must all read the
+    persisted cell frame (the n x d^2 explode must not replay)."""
+    plan = plan_of(spark, "embedding_pca_power")
+    assert "InMemoryTableScan" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_full_outer_stream_join_state_bounds(spark):
+    """The full-outer stream-stream join must carry watermarks on BOTH
+    sides (state eviction) — assert on the analyzed streaming plan via
+    the query's batch-visible invariants: the drained result exists and
+    the join produced both null-flush classes."""
+    import pyspark.sql.functions as F
+
+    df = REGISTRY["stream_click_attribution_full"].fn(spark, SF)
+    n_left_null = df.filter(F.col("click_id").isNull()).count()
+    n_right_null = df.filter(F.col("purchase_id").isNull()).count()
+    assert n_left_null > 0, "no orphaned purchases emitted"
+    assert n_right_null > 0, "no unconverted clicks emitted"
