@@ -77,7 +77,7 @@ GROUP BY 1, 2
 """
 
 
-@query("nb_lang_confusion", oracle=_NB_ORACLE, bench=False)
+@query("nb_lang_confusion", oracle=_NB_ORACLE, bench=True)
 def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial naive-Bayes language classifier, trained and scored
     entirely in DataFrame ops — the distributed analog of the
@@ -471,7 +471,7 @@ WHERE s.i = s.j
 """
 
 
-@query("embedding_pca_power", oracle=_PCA_ORACLE, bench=False)
+@query("embedding_pca_power", oracle=_PCA_ORACLE, bench=True)
 def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First principal direction of the embedding second-moment matrix by
     TWO power iterations, entirely in exact fixed point — the
@@ -580,7 +580,7 @@ WHERE (a.xc - b.xc) * (a.xc - b.xc) + (a.yc - b.yc) * (a.yc - b.yc) <= {_GRID_EP
 """
 
 
-@query("purchase_eps_neighbor_pairs", oracle=_GRID_ORACLE, bench=False)
+@query("purchase_eps_neighbor_pairs", oracle=_GRID_ORACLE, bench=True)
 def purchase_eps_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial epsilon-neighborhood SELF-JOIN via grid-cell blocking — the
     scalable form of "find all point pairs within distance eps" (spatial
@@ -730,4 +730,94 @@ def event_feature_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.groupBy("feature").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
         (F.sum("tq").cast("bigint") / F.lit(1e9)).alias("mutual_information"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+_TS_ORACLE = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS yc,
+         row_number() OVER (PARTITION BY event_type ORDER BY CAST(ts AS DATE)) AS i
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(floor(1000000.0 * CAST(b.yc - a.yc AS DOUBLE) / (b.i - a.i) + 0.5) AS BIGINT) AS sq,
+         a.i AS ia, b.i AS ib
+  FROM d a JOIN d b ON a.event_type = b.event_type AND a.i < b.i
+),
+ranked AS (
+  SELECT event_type, sq,
+         row_number() OVER (PARTITION BY event_type ORDER BY sq, ia, ib) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM pairs
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_pairs, sq / 1e6 / 100.0 AS theil_sen_slope
+FROM ranked WHERE rn = (n + 1) // 2
+"""
+
+
+@query("event_theil_sen_trend", oracle=_TS_ORACLE, bench=False)
+def event_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the LOWER MEDIAN of all
+    pairwise slopes of the daily-value series — the outlier-resistant
+    complement to the OLS trend fit (one wild day moves OLS, but not the
+    median of O(n^2) slopes; breakdown point 29%).
+
+    Exactness: daily values are integer cents, each pairwise slope is
+    floor-quantized at 1e-6 from an identical int/int double division,
+    and the median element is selected by rank with an (slope, i, j)
+    total order — no float comparisons, no interpolation.
+
+    Scale: slopes pair DAYS, not events — the fact table reduces to a
+    per-(type, day) frame first, so the quadratic term is (days choose
+    2) per series, a calendar-bounded constant; at decade scale the
+    standard remedy (windowed pair sampling) drops in without changing
+    the shape. Reported slope is cents/day -> value units/day."""
+    ev = _t(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("yc"))
+        .withColumn(
+            "i", F.row_number().over(Window.partitionBy("event_type").orderBy("day"))
+        )
+    )
+    a = d.select("event_type", F.col("i").alias("ia"), F.col("yc").alias("ya"))
+    b = d.select(
+        F.col("event_type").alias("et2"), F.col("i").alias("ib"), F.col("yc").alias("yb")
+    )
+    pairs = a.join(
+        b, (F.col("event_type") == F.col("et2")) & (F.col("ia") < F.col("ib"))
+    ).select(
+        "event_type",
+        F.floor(
+            F.lit(1e6) * (F.col("yb") - F.col("ya")).cast("double") / (F.col("ib") - F.col("ia"))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("sq"),
+        "ia",
+        "ib",
+    )
+    wrank = Window.partitionBy("event_type").orderBy("sq", "ia", "ib")
+    wall = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "sq",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    return ranked.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2)).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        (F.col("sq") / F.lit(1e6) / F.lit(100.0)).alias("theil_sen_slope"),
     )

@@ -387,3 +387,44 @@ def test_hits_star_digraph(spark):
     assert abs(sum(v[1] for v in r.values()) - 1.0) < 1e-9
     again = {row["node"]: (row["hub"], row["auth"]) for row in hits(nodes, edges).collect()}
     assert r == again
+
+
+def test_grid_neighbor_join_matches_brute_force(spark):
+    """The eps-grid blocking claims EXACT completeness (cell side == eps,
+    3x3 neighborhood). Prove it against an independent brute-force
+    cross-join on the sf0.001 purchases: identical pair sets, identical
+    distances."""
+    from pyspark.sql import functions as F
+
+    from fraud_detection_etl_project_spark.plans import REGISTRY
+    from fraud_detection_etl_project_spark.plans.ml_queries import _GRID_EPS
+    from fraud_detection_etl_project_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.event_a, r.event_b, r.dist_sq)
+        for r in REGISTRY["purchase_eps_neighbor_pairs"].fn(spark, sf).collect()
+    }
+
+    ev = load_table(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    u28 = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 7), 16, 10).cast(
+        "long"
+    )
+    p = ev.select(
+        "event_id",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("xc"),
+        (u28 % 10001).alias("yc"),
+    )
+    a = p.select(F.col("event_id").alias("ida"), F.col("xc").alias("xa"), F.col("yc").alias("ya"))
+    b = p.select(F.col("event_id").alias("idb"), F.col("xc").alias("xb"), F.col("yc").alias("yb"))
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    brute = {
+        (r.ida, r.idb, r.d2)
+        for r in a.crossJoin(b)
+        .filter((F.col("ida") < F.col("idb")) & (d2 <= F.lit(_GRID_EPS * _GRID_EPS)))
+        .select("ida", "idb", d2.cast("bigint").alias("d2"))
+        .collect()
+    }
+    assert got == brute and len(brute) > 0
