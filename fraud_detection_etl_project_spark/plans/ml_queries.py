@@ -552,7 +552,11 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 # epsilon-neighborhood spatial self-join via grid-cell blocking
 # ---------------------------------------------------------------------------
 
-_GRID_EPS = 500  # integer micro-units; cell side == eps makes 3x3 complete
+# integer micro-units; cell side == eps makes the 3x3 neighborhood complete.
+# eps sizes the quadratic output term (pairs ~ n^2 * eps^2 / area): 150 keeps
+# the 10x scaling-bench materialization ~1e7 pairs; raising eps is a
+# consumer knob, not a plan change.
+_GRID_EPS = 150
 
 _GRID_U28_SQL = " + ".join(
     f"(strpos('0123456789abcdef', substring(md5(CAST(event_id AS VARCHAR)), {k + 1}, 1)) - 1)"
@@ -820,4 +824,72 @@ def event_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n").cast("bigint").alias("n_pairs"),
         (F.col("sq") / F.lit(1e6) / F.lit(100.0)).alias("theil_sen_slope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact global median in two narrow passes (no total sort)
+# ---------------------------------------------------------------------------
+
+_MED_BUCKET = 64  # cents per histogram bucket (phase-1 granularity)
+
+_MED_ORACLE = f"""
+WITH c AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents, event_id FROM events),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n, (count(*) + 1) // 2 AS k FROM c),
+r AS (SELECT cents, row_number() OVER (ORDER BY cents, event_id) AS rn FROM c)
+SELECT n.n AS n_rows, CAST(n.k AS BIGINT) AS k, r.cents / 100.0 AS median_value
+FROM r, n WHERE r.rn = n.k
+"""
+
+
+@query("exact_median_twopass", oracle=_MED_ORACLE, bench=False)
+def exact_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median (lower median, deterministic (value, id)
+    order) without a total sort — the two-pass order-statistic selection
+    pattern: pass 1 builds a bounded bucket histogram (cents // 64) and
+    locates the bucket containing rank k via a cumulative sum over the
+    tiny histogram frame; pass 2 ranks ONLY inside that one bucket and
+    picks element k - rows_before. A total orderBy would range-shuffle
+    every row to order all of them; this shuffles a histogram plus one
+    bucket's rows. The target bucket is carried as a broadcast 1-row
+    frame — nothing is collected to the driver.
+
+    The oracle IS the total sort (row_number over everything) — the
+    plans differ by design, the selected element must be identical.
+
+    Scale: pass-1 histogram is map-side combined to <= value-range/64
+    cells; pass-2 touches ~n/buckets rows. Recursing the same split
+    inside a huge bucket (histogram-of-the-bucket) is the standard
+    extension; one level suffices for any realistic value skew here."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.select(
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"), "event_id"
+    )
+    h = c.groupBy((F.col("cents") / _MED_BUCKET).cast("long").alias("b")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    cum = h.select(
+        "b",
+        "cnt",
+        (F.sum("cnt").over(wcum) - F.col("cnt")).alias("before"),
+        F.sum("cnt").over(wcum).alias("through"),
+        F.sum("cnt").over(wall).alias("n"),
+    ).withColumn("k", F.floor((F.col("n") + 1) / 2).cast("long"))
+    target = cum.filter(
+        (F.col("before") < F.col("k")) & (F.col("k") <= F.col("through"))
+    ).select("b", "before", "n", "k")
+    inb = c.join(
+        F.broadcast(target), (F.col("cents") / _MED_BUCKET).cast("long") == F.col("b")
+    )
+    wrank = Window.partitionBy("b").orderBy("cents", "event_id")
+    return (
+        inb.withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") == F.col("k") - F.col("before"))
+        .select(
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.col("k").cast("bigint").alias("k"),
+            (F.col("cents") / F.lit(100.0)).alias("median_value"),
+        )
     )
