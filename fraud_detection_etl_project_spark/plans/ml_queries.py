@@ -48,7 +48,7 @@ def _qln(c, scale: float = 1e6):
 
 _NB_QLN = "CAST(floor(1000000.0 * ln({x}) + 0.5) AS BIGINT)"
 
-_NB_ORACLE = f"""
+_NB_SCORES_SQL = f"""
 WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
 test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
 tr_toks AS (SELECT lang, UNNEST({TOKS_SQL}) AS tok FROM train),
@@ -69,7 +69,9 @@ score AS (SELECT doc_id, lang, CAST(sum(lpq) AS BIGINT) AS s FROM lp GROUP BY 1,
 final AS (SELECT s.doc_id, s.lang, s.s + p.pq AS sc FROM score s JOIN prior p USING (lang)),
 pred AS (SELECT doc_id, lang,
                 row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, lang ASC) AS rn
-         FROM final)
+         FROM final)"""
+
+_NB_ORACLE = f"""{_NB_SCORES_SQL}
 SELECT t.lang AS actual, p.lang AS predicted, CAST(count(*) AS BIGINT) AS n_docs
 FROM pred p JOIN test t USING (doc_id)
 WHERE p.rn = 1
@@ -77,22 +79,10 @@ GROUP BY 1, 2
 """
 
 
-@query("nb_lang_confusion", oracle=_NB_ORACLE, bench=True)
-def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multinomial naive-Bayes language classifier, trained and scored
-    entirely in DataFrame ops — the distributed analog of the
-    fastText-style classifier every LLM curation pipeline runs for
-    quality/domain/language labeling. Docs with doc_id%5==0 are the test
-    split; the rest train per-class token counts with Laplace smoothing
-    (alpha=1); scores are integer sums of 1e-6-quantized log-probs
-    (exact, order-free); argmax ties break toward the smaller class name.
-    Output is the test-split confusion matrix.
-
-    Scale: the only large shuffles are token-keyed — the train-side
-    (class, token) count and the test-side score join; both combine
-    map-side. Class count is bounded (domain labels), so the test grid is
-    |test tokens| x C with C small, and the class-level frames (priors,
-    totals, vocab size) are broadcast. No Python anywhere."""
+def _nb_score_frames(spark: SparkSession, sf_dir: str):
+    """Shared NB machinery: returns (test_docs, per-(doc, class) score
+    frame with column sc = prior_q + sum of quantized token log-probs).
+    Consumed by the confusion-matrix query and the AUC metric."""
     d = _t(spark, sf_dir, "documents")
     train = d.filter(F.col("doc_id") % 5 != 0)
     test = d.filter(F.col("doc_id") % 5 == 0)
@@ -117,6 +107,26 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     score = lp.groupBy("doc_id", "lang").agg(F.sum("lpq").alias("s"))
     final = score.join(F.broadcast(prior), "lang").withColumn("sc", F.col("s") + F.col("pq"))
+    return test, final
+
+
+@query("nb_lang_confusion", oracle=_NB_ORACLE, bench=True)
+def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes language classifier, trained and scored
+    entirely in DataFrame ops — the distributed analog of the
+    fastText-style classifier every LLM curation pipeline runs for
+    quality/domain/language labeling. Docs with doc_id%5==0 are the test
+    split; the rest train per-class token counts with Laplace smoothing
+    (alpha=1); scores are integer sums of 1e-6-quantized log-probs
+    (exact, order-free); argmax ties break toward the smaller class name.
+    Output is the test-split confusion matrix.
+
+    Scale: the only large shuffles are token-keyed — the train-side
+    (class, token) count and the test-side score join; both combine
+    map-side. Class count is bounded (domain labels), so the test grid is
+    |test tokens| x C with C small, and the class-level frames (priors,
+    totals, vocab size) are broadcast. No Python anywhere."""
+    test, final = _nb_score_frames(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy(F.col("sc").desc(), F.col("lang").asc())
     pred = final.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return (
@@ -891,5 +901,168 @@ def exact_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n_rows"),
             F.col("k").cast("bigint").alias("k"),
             (F.col("cents") / F.lit(100.0)).alias("median_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROC-AUC of the NB 'en' score (tie-aware Mann-Whitney from a histogram)
+# ---------------------------------------------------------------------------
+
+_AUC_ORACLE = f"""{_NB_SCORES_SQL},
+en AS (SELECT f.doc_id, f.sc,
+              CASE WHEN t.lang = 'en' THEN 1 ELSE 0 END AS pos
+       FROM final f JOIN test t USING (doc_id) WHERE f.lang = 'en'),
+h AS (SELECT sc, CAST(sum(pos) AS BIGINT) AS npos,
+             CAST(count(*) - sum(pos) AS BIGINT) AS nneg
+      FROM en GROUP BY sc),
+cum AS (SELECT sc, npos, nneg,
+               CAST(COALESCE(sum(nneg) OVER (ORDER BY sc
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS nneg_below
+        FROM h),
+u AS (SELECT CAST(sum(npos * 2 * nneg_below + npos * nneg) AS BIGINT) AS u2,
+             CAST(sum(npos) AS BIGINT) AS np, CAST(sum(nneg) AS BIGINT) AS nn
+      FROM cum)
+SELECT np AS n_pos, nn AS n_neg,
+       floor(1e6 * CAST(u2 AS DOUBLE) / (2.0 * np * nn) + 0.5) / 1e6 AS auc
+FROM u
+"""
+
+
+@query("nb_en_score_auc", oracle=_AUC_ORACLE, bench=False)
+def nb_en_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the naive-Bayes 'en' one-vs-rest score on the test
+    split — the model-evaluation metric step of a curation-classifier
+    pipeline, computed the distributed way: tie-aware Mann-Whitney U
+    from a SCORE HISTOGRAM. AUC = P(s_pos > s_neg) + P(s_pos = s_neg)/2
+    = sum over distinct scores of npos*(negatives strictly below) +
+    npos*nneg/2, all integer (doubled to stay integral), one final
+    division quantized at 1e-6.
+
+    Scale: the rank statistic never sorts rows — scores group to a
+    histogram first (map-side combined), and the only ordered pass is a
+    window over DISTINCT score values. No per-row global row_number, no
+    driver collect; ties are handled exactly rather than broken
+    arbitrarily (rank-based AUC with deterministic tiebreaks would not
+    be AUC)."""
+    test, final = _nb_score_frames(spark, sf_dir)
+    en = (
+        final.filter(F.col("lang") == "en")
+        .join(test.select("doc_id", F.col("lang").alias("actual")), "doc_id")
+        .select("sc", F.when(F.col("actual") == "en", 1).otherwise(0).alias("pos"))
+    )
+    h = en.groupBy("sc").agg(
+        F.sum("pos").alias("npos"),
+        (F.count(F.lit(1)) - F.sum("pos")).alias("nneg"),
+    )
+    wbelow = Window.orderBy("sc").rowsBetween(Window.unboundedPreceding, -1)
+    cum = h.withColumn(
+        "nneg_below", F.coalesce(F.sum("nneg").over(wbelow), F.lit(0))
+    )
+    u = cum.agg(
+        F.sum(
+            F.col("npos") * F.lit(2) * F.col("nneg_below") + F.col("npos") * F.col("nneg")
+        ).alias("u2"),
+        F.sum("npos").alias("np"),
+        F.sum("nneg").alias("nn"),
+    )
+    return u.select(
+        F.col("np").cast("bigint").alias("n_pos"),
+        F.col("nn").cast("bigint").alias("n_neg"),
+        (
+            F.floor(
+                F.lit(1e6) * F.col("u2").cast("double") / (F.lit(2.0) * F.col("np") * F.col("nn"))
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-skew audit: key-distribution diagnostics before a big join
+# ---------------------------------------------------------------------------
+
+_SKEW_U8_SQL = (
+    "(strpos('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1)"
+)
+
+_SKEW_ORACLE = f"""
+WITH b AS (SELECT ({_SKEW_U8_SQL}) % 64 AS bucket, user_id FROM events),
+g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+      FROM b GROUP BY 1),
+hot AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+               row_number() OVER (ORDER BY count(*) DESC, user_id ASC) AS rn
+        FROM events GROUP BY 1)
+SELECT g.bucket, g.n, g.n_keys,
+       floor(1e6 * CAST(g.n AS DOUBLE) * 64 / t.total + 0.5) / 1e6 AS load_ratio,
+       h.user_id AS hottest_key, h.n_rows AS hottest_rows
+FROM g
+CROSS JOIN (SELECT CAST(sum(n) AS BIGINT) AS total FROM g) t
+LEFT JOIN (SELECT b2.bucket AS hb, hot.user_id, hot.n_rows,
+                  row_number() OVER (PARTITION BY b2.bucket
+                                     ORDER BY hot.n_rows DESC, hot.user_id ASC) AS brn
+           FROM hot
+           JOIN (SELECT DISTINCT ({_SKEW_U8_SQL}) % 64 AS bucket, user_id FROM events) b2
+             ON b2.user_id = hot.user_id) h
+  ON h.hb = g.bucket AND h.brn = 1
+"""
+
+
+@query("user_key_skew_audit", oracle=_SKEW_ORACLE, bench=False)
+def user_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnostics — the operational audit a 100 TB
+    pipeline runs BEFORE shuffling on a key: hash user_id into 64
+    buckets (md5 coin, engine-portable) and report each bucket's row
+    count, distinct-key count, load ratio vs the uniform share, and its
+    single hottest key with its row count. load_ratio >> 1 on a bucket
+    with few distinct keys is the signature that triggers the salted
+    join / AQE skew-split remedies (operators/skew.py).
+
+    Scale: two aggregations over the fact (bucket histogram + per-key
+    counts, both map-side combined) and a bucket-keyed argmax; the
+    audit's own shuffles carry keys and counts, never rows."""
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10).cast("long")
+        % 64
+    ).alias("bucket")
+    g = ev.select(bucket, "user_id").groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_keys")
+    )
+    total = g.agg(F.sum("n").alias("total"))
+    hot = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    hot_b = hot.select(
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10).cast("long")
+            % 64
+        ).alias("hb"),
+        "user_id",
+        "n_rows",
+    )
+    best = F.max(F.struct(F.col("n_rows"), (-F.col("user_id")).alias("nid"))).alias("m")
+    hottest = hot_b.groupBy("hb").agg(best).select(
+        "hb",
+        (-F.col("m.nid")).cast("bigint").alias("hottest_key"),
+        F.col("m.n_rows").cast("bigint").alias("hottest_rows"),
+    )
+    return (
+        g.crossJoin(F.broadcast(total))
+        .join(hottest, g["bucket"] == hottest["hb"], "left")
+        .select(
+            "bucket",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_keys").cast("bigint").alias("n_keys"),
+            (
+                F.floor(
+                    F.lit(1e6) * F.col("n").cast("double") * 64 / F.col("total") + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("load_ratio"),
+            "hottest_key",
+            "hottest_rows",
         )
     )
