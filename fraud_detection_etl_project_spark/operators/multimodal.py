@@ -6,10 +6,13 @@ resize / frame-sampling run as Arrow-batched Pandas functions via
 ``mapInPandas`` — the ONLY place Python touches the data, and it touches it
 in columnar batches, never row-at-a-time.
 
-Three containers decode FOR REAL with pure Python (no codec libraries in
+Five containers decode FOR REAL with pure Python (no codec libraries in
 this container — ``import PIL`` fails): binary PPM (P6), uncompressed
-24-bpp BMP (bottom-up rows, BGR, 4-byte row padding), and RIFF/WAVE PCM16
-(proper chunk walk, alignment, sign extension). Each has a registered
+24-bpp BMP (bottom-up rows, BGR, 4-byte row padding), PNG (CRC-checked
+chunk walk, zlib inflate, all 5 scanline filters), GIF (real LZW with
+code-width growth + 4-pass interlace, conformance-tested against
+javax.imageio ground truth), and RIFF/WAVE PCM16 (proper chunk walk,
+alignment, sign extension). Each has a registered
 query whose DuckDB oracle re-derives the decoded statistics from the same
 deterministic bytes, so the decoders are value-checked end-to-end.
 JPEG/PNG/MP4 stay behind ``decode_real``'s NotImplementedError seam;
@@ -86,10 +89,12 @@ def decode_real(payload: bytes, media_type: str):
         return decode_bmp(payload)
     if media_type == "image" and payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
+    if media_type == "image" and payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     if media_type == "audio" and payload[:4] == b"RIFF":
         return decode_wav(payload)
     raise NotImplementedError(
-        "media decode beyond PPM/BMP/PNG/WAV requires codec libraries "
+        "media decode beyond PPM/BMP/PNG/GIF/WAV requires codec libraries "
         "(PIL/ffmpeg); wire them here — the mapInPandas plumbing in "
         "extract_features is already batch-shaped for it"
     )
@@ -629,6 +634,228 @@ def extract_png_features(media: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [png_pixel_features(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.mapInPandas(run, schema=PPM_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# GIF (real decode: LZW with GIF code-width semantics, chunk/sub-block walk)
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, npix: int) -> list[int]:
+    """GIF-variant LZW decompression: LSB-first bit packing, clear/EOI
+    codes, dictionary rebuilt on clear, code width grows when the table
+    fills the current width (max 12 bits). Conformance-tested against
+    JVM javax.imageio-encoded GIFs (tests/test_multimodal.py), so the
+    width-growth timing here is validated against an independent
+    reference codec, not just our own encoder."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    bitpos = 0
+    nbits = len(data) * 8
+    out: list[int] = []
+    table: list[tuple[int, ...]] = []
+    prev: tuple[int, ...] | None = None
+    while len(out) < npix:
+        if bitpos + width > nbits:
+            break
+        code = 0
+        for i in range(width):
+            if data[(bitpos + i) >> 3] >> ((bitpos + i) & 7) & 1:
+                code |= 1 << i
+        bitpos += width
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]  # clear/eoi slots
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if not table:
+            raise ValueError("LZW stream did not start with a clear code")
+        if prev is None:
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+                table.append(prev + (entry[0],))
+            elif code == len(table):  # the KwKwK case
+                entry = prev + (prev[0],)
+                table.append(entry)
+            else:
+                raise ValueError(f"LZW code {code} beyond table size {len(table)}")
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        out.extend(entry)
+        prev = entry
+    return out[:npix]
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
+    """Pure-Python GIF87a/89a decoder for the first image: walks the
+    header, global/local color tables, extension blocks and data
+    sub-blocks, then LZW-decompresses the index stream and maps it
+    through the active palette. Returns (width, height, rgb bytes).
+    Handles the 4-pass interlace (javax.imageio's writer default)."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    pos = 13
+    gct = b""
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label byte then sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _, _, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
+            ipacked = payload[pos + 9]
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:  # local color table
+                n = 2 << (ipacked & 7)
+                pal = payload[pos : pos + 3 * n]
+                pos += 3 * n
+            interlaced = bool(ipacked & 0x40)
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _gif_lzw_decode(bytes(data), mcs, iw * ih)
+            if len(idx) < iw * ih:
+                raise ValueError("LZW stream ended before the raster filled")
+            if interlaced:
+                # GIF 4-pass interlace: stored row k belongs at display
+                # row pass1(0,8,16..), pass2(4,12..), pass3(2,6..), pass4(odd)
+                order = (
+                    list(range(0, ih, 8))
+                    + list(range(4, ih, 8))
+                    + list(range(2, ih, 4))
+                    + list(range(1, ih, 2))
+                )
+                deint = [0] * (iw * ih)
+                for stored, display in enumerate(order):
+                    deint[display * iw : (display + 1) * iw] = idx[
+                        stored * iw : (stored + 1) * iw
+                    ]
+                idx = deint
+            rgb = bytearray()
+            for i in idx:
+                rgb += pal[3 * i : 3 * i + 3]
+            return iw, ih, bytes(rgb)
+        elif b == 0x3B:
+            raise ValueError("GIF trailer reached without image data")
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("truncated GIF")
+
+
+def encode_gif(w: int, h: int, palette: bytes, indices: list[int]) -> bytes:
+    """Minimal GIF87a encoder for fixture generation: one image, global
+    color table, REAL LZW compression (dictionary growth + code-width
+    bumps, clear upfront, EOI at the end). Round-trips against
+    decode_gif, whose conventions are themselves conformance-tested
+    against javax.imageio output."""
+    import struct
+
+    n_colors = len(palette) // 3
+    exp = max(1, (n_colors - 1).bit_length())  # table size 2^exp entries
+    mcs = max(2, exp)
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+
+    bits: list[int] = []
+
+    def emit(code: int, width: int) -> None:
+        for i in range(width):
+            bits.append((code >> i) & 1)
+
+    width = mcs + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(1 << mcs)}
+    next_code = eoi + 1
+    emit(clear, width)
+    wseq: tuple[int, ...] = (indices[0],)
+    for k in indices[1:]:
+        wk = wseq + (k,)
+        if wk in table:
+            wseq = wk
+            continue
+        emit(table[wseq], width)
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        wseq = (k,)
+    emit(table[wseq], width)
+    emit(eoi, width)
+
+    raw = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, bit in enumerate(bits[i : i + 8]):
+            byte |= bit << j
+        raw.append(byte)
+
+    blocks = bytearray()
+    for i in range(0, len(raw), 255):
+        chunk = raw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+
+    full_pal = palette + b"\x00" * (3 * ((1 << exp) - n_colors))
+    return (
+        b"GIF87a"
+        + struct.pack("<HH", w, h)
+        + bytes([0x80 | ((exp - 1) & 7), 0, 0])
+        + full_pal
+        + b"\x2C"
+        + struct.pack("<HHHH", 0, 0, w, h)
+        + b"\x00"
+        + bytes([mcs])
+        + bytes(blocks)
+        + b"\x3B"
+    )
+
+
+def gif_pixel_features(payload: bytes) -> dict:
+    """Decode a GIF and compute exact per-channel integer statistics."""
+    w, h, rgb = decode_gif(payload)
+    n = w * h
+    return {
+        "width": w,
+        "height": h,
+        "n_pixels": n,
+        "mean_r": sum(rgb[0::3]) / n,
+        "mean_g": sum(rgb[1::3]) / n,
+        "mean_b": sum(rgb[2::3]) / n,
+        "max_byte": max(rgb),
+        "min_byte": min(rgb),
+    }
+
+
+def extract_gif_features(media: DataFrame) -> DataFrame:
+    """Real-decode feature extraction for GIF payloads (Arrow-batched
+    mapInPandas; Python touches payload bytes only)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [gif_pixel_features(bytes(p)) for p in pdf["payload"]]
             out = pd.DataFrame(feats)
             out.insert(0, "media_id", pdf["media_id"].values)
             yield out

@@ -16,6 +16,8 @@ reproduce the same integers / quantized doubles bit-for-bit.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1066,3 +1068,81 @@ def user_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hottest_rows",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF real decode (LZW + interlace-capable decoder, value-oracle'd)
+# ---------------------------------------------------------------------------
+
+# 8-color fixture palette (literal in BOTH engines)
+_GIF_PAL = [
+    (13, 209, 101), (37, 84, 178), (61, 250, 7), (85, 16, 222),
+    (109, 133, 55), (133, 61, 148), (157, 199, 233), (181, 28, 90),
+]
+
+_GIF_PR = "[" + ", ".join(str(r) for r, _, _ in _GIF_PAL) + "]"
+_GIF_PG = "[" + ", ".join(str(g) for _, g, _ in _GIF_PAL) + "]"
+_GIF_PB = "[" + ", ".join(str(b) for _, _, b in _GIF_PAL) + "]"
+
+_GIF_ORACLE = f"""
+WITH t AS (SELECT doc_id, md5(text) AS hx FROM documents),
+b AS (SELECT doc_id,
+             list_transform(range(0, 16),
+                            i -> CAST(('0x' || substring(hx, 2*i + 1, 2)) AS INT) % 8) AS ix
+      FROM t),
+p AS (SELECT doc_id,
+             list_transform(ix, i -> CAST({_GIF_PR} AS BIGINT[])[i + 1]) AS rs,
+             list_transform(ix, i -> CAST({_GIF_PG} AS BIGINT[])[i + 1]) AS gs,
+             list_transform(ix, i -> CAST({_GIF_PB} AS BIGINT[])[i + 1]) AS bs
+      FROM b)
+SELECT doc_id AS media_id,
+       CAST(4 AS BIGINT) AS width,
+       CAST(4 AS BIGINT) AS height,
+       CAST(16 AS BIGINT) AS n_pixels,
+       CAST(list_sum(rs) AS DOUBLE) / 16.0 AS mean_r,
+       CAST(list_sum(gs) AS DOUBLE) / 16.0 AS mean_g,
+       CAST(list_sum(bs) AS DOUBLE) / 16.0 AS mean_b,
+       CAST(greatest(list_max(rs), list_max(gs), list_max(bs)) AS BIGINT) AS max_byte,
+       CAST(least(list_min(rs), list_min(gs), list_min(bs)) AS BIGINT) AS min_byte
+FROM p
+"""
+
+
+@query("multimodal_gif_stats", oracle=_GIF_ORACLE, bench=False)
+def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth REAL media decode (beside PPM/BMP/WAV/PNG): each document
+    rendered as a 4x4 8-color GIF — header, global color table, REAL
+    LZW-compressed raster (dictionary growth, code-width bumps,
+    clear/EOI) — then decoded by the pure-Python GIF parser
+    (operators/multimodal.decode_gif). The decoder's LZW and interlace
+    conventions are CONFORMANCE-TESTED against ground-truth GIFs encoded
+    by the JVM's javax.imageio codec (tests/test_multimodal.py), so this
+    is a spec-validated codec, not a self-consistent pair. Pixel indices
+    are md5 bytes mod 8 through a literal palette; the oracle re-derives
+    every channel value from the hex in SQL — any error in LZW decode,
+    sub-block reassembly, palette mapping, or bit packing is a value
+    mismatch.
+
+    Like PNG, the payload is built in an Arrow-batched pandas stage (LZW
+    is not a SQL expression — that's what makes it a real-decode test);
+    both stages are narrow per-row transforms, no shuffle."""
+    import hashlib
+
+    from pyspark.sql.types import BinaryType
+
+    from fraud_detection_etl_project_spark.operators import multimodal as M
+
+    pal_bytes = bytes(c for rgb in _GIF_PAL for c in rgb)
+
+    @F.pandas_udf(BinaryType())
+    def make_gif(texts: pd.Series) -> pd.Series:
+        out = []
+        for txt in texts:
+            digest = hashlib.md5(txt.encode()).digest()
+            idx = [b % 8 for b in digest]
+            out.append(M.encode_gif(4, 4, pal_bytes, idx))
+        return pd.Series(out)
+
+    d = _t(spark, sf_dir, "documents").withColumn("payload", make_gif(F.col("text")))
+    media = M.to_media_table(d, "doc_id", "payload", "image")
+    return M.extract_gif_features(media)

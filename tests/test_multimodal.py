@@ -330,3 +330,76 @@ def test_decode_png_rejects():
         decode_png(sig + chunk(b"IHDR", ihdr16) + chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="missing IHDR or IDAT"):
         decode_png(sig + chunk(b"IEND", b""))
+
+
+# ---------------------------------------------------------------------------
+# GIF: LZW decode conformance vs javax.imageio ground truth + round-trip
+# ---------------------------------------------------------------------------
+
+
+def _imageio_gif(spark, w, h, pix):
+    """Encode (w, h, row-major (r,g,b) pixels) as GIF with the JVM's
+    javax.imageio codec — an independent reference implementation."""
+    jvm = spark._jvm
+    BI = jvm.java.awt.image.BufferedImage
+    bi = BI(w, h, BI.TYPE_INT_RGB)
+    for y in range(h):
+        for x in range(w):
+            r, g, b = pix[y * w + x]
+            bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(bi, "gif", baos)
+    return bytes(baos.toByteArray())
+
+
+def test_gif_decode_conformance_vs_imageio(spark):
+    """The pure-Python GIF decoder must exactly reproduce images encoded
+    by javax.imageio (which emits INTERLACED rasters with real LZW
+    streams crossing code-width boundaries) — this pins our LZW
+    width-growth timing and interlace pass order to the spec via an
+    independent codec, not a self-consistent encoder/decoder pair."""
+    import random
+
+    from fraud_detection_etl_project_spark.operators.multimodal import decode_gif
+
+    rng = random.Random(7)
+    for (w, h, ncol) in [(4, 2, 8), (16, 16, 4), (31, 7, 256), (1, 1, 1), (7, 13, 3)]:
+        colors = list(
+            dict.fromkeys(
+                (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+                for _ in range(ncol)
+            )
+        )
+        pix = [rng.choice(colors) for _ in range(w * h)]
+        dw, dh, rgb = decode_gif(_imageio_gif(spark, w, h, pix))
+        got = [(rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]) for i in range(dw * dh)]
+        assert (dw, dh) == (w, h) and got == pix, (w, h, ncol)
+
+
+def test_gif_encoder_roundtrip(spark):
+    """Our fixture encoder's LZW stream must decode bit-exactly through
+    the (conformance-validated) decoder, including dictionary growth
+    past the first code-width bump and multi-sub-block payloads."""
+    import random
+
+    from fraud_detection_etl_project_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = random.Random(11)
+    for (w, h, ncol) in [(4, 4, 8), (40, 30, 8), (13, 11, 4), (80, 60, 8)]:
+        pal = bytes([(i * 37) % 256 for i in range(ncol * 3)])
+        idx = [rng.randrange(ncol) for _ in range(w * h)]
+        dw, dh, rgb = decode_gif(encode_gif(w, h, pal, idx))
+        exp = b"".join(pal[3 * i : 3 * i + 3] for i in idx)
+        assert (dw, dh) == (w, h) and rgb == exp
+
+
+def test_gif_decoder_reject_paths():
+    from fraud_detection_etl_project_spark.operators.multimodal import decode_gif
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"PNG9aXXXX")
+    with pytest.raises(ValueError, match="truncated|trailer|unknown"):
+        decode_gif(b"GIF87a" + b"\x04\x00\x02\x00\x00\x00\x00" + b"\x3b")
