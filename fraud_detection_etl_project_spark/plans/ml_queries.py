@@ -1146,3 +1146,109 @@ def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").withColumn("payload", make_gif(F.col("text")))
     media = M.to_media_table(d, "doc_id", "payload", "image")
     return M.extract_gif_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM (stateful, event-time-ordered replay)
+# ---------------------------------------------------------------------------
+
+_SCUSUM_ORACLE = """
+WITH c AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, event_id,
+         row_number() OVER w AS i,
+         sum(cents - 5000) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS rsum
+  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, i,
+         rsum - least(CAST(0 AS BIGINT),
+                      min(rsum) OVER (PARTITION BY user_id ORDER BY i
+                                      ROWS UNBOUNDED PRECEDING)) AS sv
+  FROM r
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(sv) AS BIGINT) AS max_cusum,
+       CAST(count(*) FILTER (WHERE sv > 10000) AS BIGINT) AS n_alerts,
+       CAST(min(i) FILTER (WHERE sv > 10000) AS BIGINT) AS first_alert_step
+FROM s GROUP BY 1
+"""
+
+
+@query("stream_user_cusum_alerts", oracle=_SCUSUM_ORACLE, bench=False)
+def stream_user_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CUSUM — the batch drift monitor as an
+    ``applyInPandasWithState`` operator with order-exact sequential
+    state: per-user S_i = max(0, S_(i-1) + x_i - target) against a fixed
+    reference level, carried ACROSS micro-batches as O(1) int64 state
+    (last running sum, clamped running min, peak, alert count/step).
+
+    Sequential state needs ordered replay, so the fixture stages
+    purchases into 8 event-time octile files with ascending mtimes (the
+    file source admits oldest-first, maxFilesPerTrigger=1 → one octile
+    per micro-batch) and the operator sorts within each batch — together
+    that reproduces the exact global (ts, event_id) order, which the
+    batch-SQL oracle value-checks per user. On a live stream the same
+    operator runs behind a watermark-ordered upstream (or tolerates
+    bounded disorder by buffering a watermark's worth of rows in state —
+    the standard hardening, out of fixture scope).
+
+    Scale: one shuffle per micro-batch on user_id into the state store;
+    per-key state is 6 ints regardless of history length; the staged
+    replay is the S3-backlog drain pattern (bounded batches through
+    admission control), and alerts stream out in update mode instead of
+    waiting for a terminal batch job."""
+    import os
+    import tempfile
+
+    from fraud_detection_etl_project_spark.plans.mining_queries import _fixture_tag
+    from fraud_detection_etl_project_spark.streaming.stateful import user_cusum_stream
+
+    tag = _fixture_tag(sf_dir, "events")
+    d = os.path.join(tempfile.gettempdir(), f"cusum_octiles_{tag}")
+    done = os.path.join(d, "_STAGED")
+    if not os.path.exists(done):
+        os.makedirs(d, exist_ok=True)
+        base = (
+            _t(spark, sf_dir, "events")
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                "user_id",
+                "ts",
+                "event_id",
+                F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+            )
+            .withColumn(
+                "octile",
+                F.ntile(8).over(Window.orderBy("ts", "event_id")),
+            )
+        )
+        # fixture staging: 8 sequential single-file writes with ascending
+        # mtimes — the event-time-ordered landing sequence a real stream
+        # would deliver (global ntile is staging-only, not operator code)
+        for k in range(1, 9):
+            sub = os.path.join(d, f"_build_{k}")
+            (
+                base.filter(F.col("octile") == k)
+                .drop("octile")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(sub)
+            )
+            part = next(
+                f for f in sorted(os.listdir(sub)) if f.endswith(".parquet")
+            )
+            os.replace(os.path.join(sub, part), os.path.join(d, f"octile_{k}.parquet"))
+            os.utime(os.path.join(d, f"octile_{k}.parquet"), (k * 1000, k * 1000))
+            import shutil
+
+            shutil.rmtree(sub, ignore_errors=True)
+        with open(done, "w") as f:
+            f.write("ok")
+    return user_cusum_stream(spark, d)

@@ -82,3 +82,106 @@ def user_running_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM vs a fixed target (order-exact sequential state)
+# ---------------------------------------------------------------------------
+
+CUSUM_TARGET_C = 5_000  # reference level, integer cents
+CUSUM_H = 10_000  # alert threshold, integer cents
+CUSUM_OUT = (
+    "user_id bigint, n_events bigint, max_cusum bigint, n_alerts bigint, "
+    "first_alert_step bigint"
+)
+CUSUM_STATE = "r bigint, minr bigint, smax bigint, nal bigint, first bigint, n bigint"
+
+
+def _update_user_cusum(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user CUSUM state transition over one micro-batch: rows are
+    sorted by (ts, event_id) inside the batch, and the drawdown identity
+    S_i = R_i - min(0, min_prefix(R)) turns the sequential recurrence
+    into two vectorized scans (cumsum + cummin) with O(1) carried state:
+    (last R, running min R incl. the 0 clamp, max S, alert count, first
+    alert step, row count). All int64 — bit-exact vs the batch oracle."""
+    import numpy as np
+
+    r0, minr0, smax, nal, first, n = (
+        state.get if state.exists else (0, 0, 0, 0, -1, 0)
+    )
+    chunks = [pdf for pdf in pdfs]
+    pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+    d = pdf["cents"].to_numpy(dtype="int64") - CUSUM_TARGET_C
+    r = r0 + np.cumsum(d)
+    minr = np.minimum.accumulate(np.minimum(r, minr0))
+    s = r - minr
+    hits = np.flatnonzero(s > CUSUM_H)
+    if first < 0 and len(hits):
+        first = n + int(hits[0]) + 1
+    nal += int(len(hits))
+    smax = max(int(smax), int(s.max()))
+    n += len(pdf)
+    state.update((int(r[-1]), int(minr[-1]), int(smax), int(nal), int(first), int(n)))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "max_cusum": [smax],
+            "n_alerts": [nal],
+            "first_alert_step": [first],
+        }
+    )
+
+
+def user_cusum_stream(spark: SparkSession, staged_dir: str) -> DataFrame:
+    """Drain an event-time-ordered staged parquet stream through the
+    stateful CUSUM operator (one file per micro-batch) and return each
+    user's final state. Sequential state is only meaningful if batches
+    replay in event-time order — the staging contract (files are time
+    octiles with ascending mtimes) plus the in-batch sort supply exactly
+    that; the value oracle would catch any ordering violation."""
+    import uuid as _uuid
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_id long, cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged_dir)
+    )
+    walked = stream.groupBy("user_id").applyInPandasWithState(
+        _update_user_cusum,
+        outputStructType=CUSUM_OUT,
+        stateStructType=CUSUM_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"cusum_stream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        walked.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .select(
+            "user_id",
+            "n_events",
+            "max_cusum",
+            "n_alerts",
+            F.when(F.col("first_alert_step") < 0, F.lit(None))
+            .otherwise(F.col("first_alert_step"))
+            .cast("bigint")
+            .alias("first_alert_step"),
+        )
+    )
