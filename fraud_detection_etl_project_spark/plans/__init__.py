@@ -66,6 +66,10 @@ from fraud_detection_etl_project_spark.plans import ml_queries  # noqa: F401,E40
 # wav_spectral_features (audio real-decode + JVM DFT; bmp keeps image
 # decode covered). All displaced queries stay registered immediately
 # after the prefix and remain oracle-verified.
+# Round-3 swaps (3): multimodal_bmp_stats -> multimodal_gif_stats in the
+# image-decode slot (GIF exercises LZW + interlace and is conformance-
+# tested against javax.imageio; BMP stays registered right after the
+# prefix and oracle-verified).
 FAMILY_PREFIX = [
     "flagship_inconsistent_orders",
     "fraud_valid_txns",
@@ -84,7 +88,7 @@ FAMILY_PREFIX = [
     "nation_trade_pagerank",
     "region_customer_rollup",
     "order_fill_left_join",
-    "multimodal_bmp_stats",
+    "multimodal_gif_stats",
     "neardup_pairs_salted",
     "customers_with_big_orders",
     "orders_without_lineitems",

@@ -151,3 +151,21 @@ def test_salted_lsh_pairs_property_parity(spark_session, texts):
         for r in neardup_pairs_minhash_salted(docs, bucket_cap=2, salt_groups=3).collect()
     }
     assert salted == plain
+
+
+@given(st.lists(st.integers(min_value=-10_000, max_value=10_000), min_size=1, max_size=200))
+def test_cusum_drawdown_identity(deltas):
+    """The window rewrite of user_cusum_alerts rests on the identity
+    S_i = R_i - min(0, min_prefix(R)); prove it against the direct
+    recurrence S_i = max(0, S_(i-1) + d_i) for arbitrary int deltas."""
+    s_direct = []
+    s = 0
+    for d in deltas:
+        s = max(0, s + d)
+        s_direct.append(s)
+    r, rmin, s_ident = 0, 0, []
+    for d in deltas:
+        r += d
+        rmin = min(rmin, r)
+        s_ident.append(r - min(0, rmin))
+    assert s_direct == s_ident
