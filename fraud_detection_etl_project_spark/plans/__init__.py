@@ -85,6 +85,7 @@ FAMILY_PREFIX = [
     "rollup_flag_status",
     "doc_sequence_packing",
     "xml_source_rollup",
+    "avro_source_rollup",
     "nation_trade_pagerank",
     "region_customer_rollup",
     "order_fill_left_join",

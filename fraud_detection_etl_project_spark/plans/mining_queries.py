@@ -530,6 +530,92 @@ def orc_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "avro_source_rollup",
+    oracle=f"""
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+       {cents_sum_sql('o_totalprice')} AS total_price,
+       CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_clerk
+FROM orders WHERE o_orderkey <= 30000 GROUP BY 1
+""",
+)
+def avro_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro source (§2.1 format surface): pyspark ships WITHOUT the
+    spark-avro connector module, so `sources/avro.py` implements the
+    public Avro 1.12 Object Container File spec from scratch — pure-
+    Python zigzag-varint/deflate codec exposed as a Spark 4 Python
+    DataSource (``format("pyavro")``) whose partition planning splits at
+    the spec's own sync-marker block boundaries. Conformance is pinned
+    BOTH directions against the JVM's org.apache.avro implementation
+    (avro-1.12.1.jar on Spark's classpath) in tests/test_avro.py — the
+    same independent-reference-codec bar the GIF LZW decoder meets.
+
+    This query stages a deflate-compressed multi-block OCF derived from
+    orders (clerk NULL on every 7th key exercises the ["null", string]
+    union branch), reads it back through the DataSource, and rolls it up;
+    the oracle recomputes from parquet, so writer drift, reader drift,
+    union mis-branching, or block-split row loss all surface as value
+    mismatches.
+
+    Scale: blocks are the unit of parallelism (the format's design
+    intent) — a 100 TB Avro lake splits at sync markers with O(#blocks)
+    driver-side planning and zero data reads before the scan. The Python
+    decode path is the interchange ramp, not the analytics fast lane;
+    first touch should land it in parquet (this rollup's read is exactly
+    that shape)."""
+    from fraud_detection_etl_project_spark.sources import avro as avro_ocf
+
+    tag = _fixture_tag(sf_dir, "orders")
+    d = os.path.join(tempfile.gettempdir(), f"avro_stage_{tag}")
+    path = os.path.join(d, "orders.avro")
+    done = os.path.join(d, "_STAGED")
+    if not os.path.exists(done):
+        os.makedirs(d, exist_ok=True)
+        rows = (
+            _t(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") <= 30000)
+            .select("o_orderkey", "o_totalprice", "o_orderstatus", "o_custkey")
+            .sort("o_orderkey")
+            .collect()  # capped fixture staging, not the operator
+        )
+        schema = {
+            "type": "record",
+            "name": "order",
+            "fields": [
+                {"name": "o_orderkey", "type": "long"},
+                {"name": "o_totalprice", "type": "double"},
+                {"name": "o_orderstatus", "type": "string"},
+                {"name": "o_clerk", "type": ["null", "string"]},
+            ],
+        }
+        avro_ocf.write_ocf(
+            path,
+            schema,
+            (
+                (
+                    int(r["o_orderkey"]),
+                    float(r["o_totalprice"]),
+                    r["o_orderstatus"],
+                    None if r["o_orderkey"] % 7 == 0 else f"clerk#{int(r['o_custkey'])}",
+                )
+                for r in rows
+            ),
+            codec="deflate",
+            block_records=500,
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    avro_ocf.register(spark)
+    df = spark.read.format("pyavro").option("path", path).option("parts", 8).load()
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        cents_sum("o_totalprice").alias("total_price"),
+        F.sum(F.when(F.col("o_clerk").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_clerk"),
+    )
+
+
+@query(
     "binaryfile_blob_stats",
     oracle="""
 SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS checksum
