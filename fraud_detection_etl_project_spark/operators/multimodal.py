@@ -6,19 +6,23 @@ resize / frame-sampling run as Arrow-batched Pandas functions via
 ``mapInPandas`` — the ONLY place Python touches the data, and it touches it
 in columnar batches, never row-at-a-time.
 
-Five containers decode FOR REAL with pure Python (no codec libraries in
+Six containers decode FOR REAL with pure Python (no codec libraries in
 this container — ``import PIL`` fails): binary PPM (P6), uncompressed
 24-bpp BMP (bottom-up rows, BGR, 4-byte row padding), PNG (CRC-checked
 chunk walk, zlib inflate, all 5 scanline filters), GIF (real LZW with
 code-width growth + 4-pass interlace, conformance-tested against
-javax.imageio ground truth), and RIFF/WAVE PCM16 (proper chunk walk,
-alignment, sign extension). Each has a registered
-query whose DuckDB oracle re-derives the decoded statistics from the same
-deterministic bytes, so the decoders are value-checked end-to-end.
-JPEG/PNG/MP4 stay behind ``decode_real``'s NotImplementedError seam;
-``decode_stub`` provides a deterministic fake for plumbing tests. The
-Spark-side plumbing — schema, batch iteration, partitioning — is real and
-tested (tests/test_multimodal.py).
+javax.imageio ground truth), baseline JPEG (operators/jpeg.py — the
+full T.81 Huffman + dequantize + IDCT + chroma-upsample pipeline,
+conformance-tested BOTH directions against javax.imageio), and
+RIFF/WAVE PCM16 (proper chunk walk, alignment, sign extension). Each
+has a registered query whose DuckDB oracle re-derives the decoded
+statistics from the same deterministic bytes, so the decoders are
+value-checked end-to-end (JPEG via closed-form DC-only fixtures — see
+plans/ml_queries.multimodal_jpeg_stats).
+Video containers (MP4) stay behind ``decode_real``'s
+NotImplementedError seam; ``decode_stub`` provides a deterministic fake
+for plumbing tests. The Spark-side plumbing — schema, batch iteration,
+partitioning — is real and tested (tests/test_multimodal.py).
 """
 
 from __future__ import annotations
@@ -91,12 +95,17 @@ def decode_real(payload: bytes, media_type: str):
         return decode_png(payload)
     if media_type == "image" and payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
+    if media_type == "image" and payload[:2] == b"\xff\xd8":
+        from fraud_detection_etl_project_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if media_type == "audio" and payload[:4] == b"RIFF":
         return decode_wav(payload)
     raise NotImplementedError(
-        "media decode beyond PPM/BMP/PNG/GIF/WAV requires codec libraries "
-        "(PIL/ffmpeg); wire them here — the mapInPandas plumbing in "
-        "extract_features is already batch-shaped for it"
+        "media decode beyond PPM/BMP/PNG/GIF/JPEG/WAV requires codec "
+        "libraries (ffmpeg for audio/video containers); wire them here — "
+        "the mapInPandas plumbing in extract_features is already "
+        "batch-shaped for it"
     )
 
 
@@ -856,6 +865,40 @@ def extract_gif_features(media: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [gif_pixel_features(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.mapInPandas(run, schema=PPM_FEATURES_SCHEMA)
+
+
+def jpeg_pixel_features(payload: bytes) -> dict:
+    """Decode a baseline JPEG (operators/jpeg.py — full Huffman + IDCT
+    pipeline) and compute the standard per-channel pixel statistics."""
+    from fraud_detection_etl_project_spark.operators.jpeg import decode_jpeg
+
+    w, h, rgb = decode_jpeg(payload)
+    n = w * h
+    chans = [rgb[c::3] for c in range(3)]
+    return {
+        "width": w,
+        "height": h,
+        "n_pixels": n,
+        "mean_r": sum(chans[0]) / n,
+        "mean_g": sum(chans[1]) / n,
+        "mean_b": sum(chans[2]) / n,
+        "max_byte": max(rgb),
+        "min_byte": min(rgb),
+    }
+
+
+def extract_jpeg_features(media: DataFrame) -> DataFrame:
+    """Real-decode feature extraction for JPEG payloads (Arrow-batched
+    mapInPandas; Python touches payload bytes only)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [jpeg_pixel_features(bytes(p)) for p in pdf["payload"]]
             out = pd.DataFrame(feats)
             out.insert(0, "media_id", pdf["media_id"].values)
             yield out

@@ -70,6 +70,13 @@ from fraud_detection_etl_project_spark.plans import ml_queries  # noqa: F401,E40
 # image-decode slot (GIF exercises LZW + interlace and is conformance-
 # tested against javax.imageio; BMP stays registered right after the
 # prefix and oracle-verified).
+# Round-3 swaps (4): multimodal_gif_stats -> multimodal_jpeg_stats in
+# the image-decode slot (JPEG is the first LOSSY codec: full T.81
+# Huffman+IDCT pipeline, conformance-tested both directions against
+# javax.imageio, with a closed-form DC-only SQL oracle; GIF/BMP stay
+# registered right after the prefix). avro_source_rollup added to the
+# format-source block (pure-Python Avro OCF spec codec as a Python
+# DataSource, JVM-conformance-tested).
 FAMILY_PREFIX = [
     "flagship_inconsistent_orders",
     "fraud_valid_txns",
@@ -89,7 +96,7 @@ FAMILY_PREFIX = [
     "nation_trade_pagerank",
     "region_customer_rollup",
     "order_fill_left_join",
-    "multimodal_gif_stats",
+    "multimodal_jpeg_stats",
     "neardup_pairs_salted",
     "customers_with_big_orders",
     "orders_without_lineitems",

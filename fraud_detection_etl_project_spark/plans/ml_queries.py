@@ -1149,6 +1149,90 @@ def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# JPEG real decode (baseline T.81 Huffman+IDCT codec, value-oracle'd)
+# ---------------------------------------------------------------------------
+
+# Round-trip of a solid 8x8 tile with gray v and flat quant q=16:
+# DC = 8*(v-128); DCq = round-half-away(DC/16); recon = clamp(2*DCq+128).
+_JPEG_RECON = (
+    "LEAST(255, GREATEST(0, 128 + 2 * CAST(CASE WHEN v >= 128 "
+    "THEN floor((v - 128) / 2.0 + 0.5) "
+    "ELSE -floor((128 - v) / 2.0 + 0.5) END AS INT)))"
+)
+
+_JPEG_ORACLE = f"""
+WITH t AS (SELECT doc_id, md5(text) AS hx FROM documents),
+g AS (SELECT doc_id,
+             list_transform(range(0, 4),
+                            i -> CAST(('0x' || substring(hx, 2*i + 1, 2)) AS INT)) AS vs
+      FROM t),
+r AS (SELECT doc_id,
+             list_transform(vs, v -> {_JPEG_RECON}) AS rec
+      FROM g)
+SELECT doc_id AS media_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(256 AS BIGINT) AS n_pixels,
+       CAST(list_sum(rec) AS DOUBLE) / 4.0 AS mean_r,
+       CAST(list_sum(rec) AS DOUBLE) / 4.0 AS mean_g,
+       CAST(list_sum(rec) AS DOUBLE) / 4.0 AS mean_b,
+       CAST(list_max(rec) AS BIGINT) AS max_byte,
+       CAST(list_min(rec) AS BIGINT) AS min_byte
+FROM r
+"""
+
+
+@query("multimodal_jpeg_stats", oracle=_JPEG_ORACLE, bench=False)
+def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sixth REAL media decode — and the first LOSSY one: each document
+    rendered as a 16x16 grayscale baseline JPEG (2x2 luma blocks, REAL
+    Huffman entropy coding with DC-difference prediction across blocks,
+    FDCT + quantization) by the pure-Python T.81 codec
+    (operators/jpeg.py), then decoded back through the full
+    marker-parse → Huffman → dequantize → IDCT → color-convert pipeline
+    inside Arrow-batched mapInPandas.
+
+    Lossy codecs normally defeat value oracles, but DC-only blocks with
+    flat quant tables collapse to closed-form integer arithmetic
+    (DC = 8·(v-128), round-half-away quantize, reconstruct 2·DCq+128) —
+    so the oracle re-derives every decoded pixel value IN SQL from the
+    md5 hex, including the DC prediction chain: any error in Huffman
+    tables, bit packing, byte stuffing, dezigzag, or the IDCT's DC path
+    is a value mismatch. The full AC/subsampling surface is separately
+    CONFORMANCE-tested both directions against javax.imageio
+    (tests/test_jpeg.py) within the spec's IDCT accuracy envelope —
+    together: spec-validated codec + bit-exact oracle.
+
+    Scale: both stages are narrow per-row Arrow-batched transforms, no
+    shuffle; Python touches payload bytes only (the multimodal seam's
+    contract)."""
+    import hashlib
+
+    from pyspark.sql.types import BinaryType
+
+    from fraud_detection_etl_project_spark.operators import multimodal as M
+    from fraud_detection_etl_project_spark.operators.jpeg import encode_jpeg
+
+    @F.pandas_udf(BinaryType())
+    def make_jpeg(texts: pd.Series) -> pd.Series:
+        out = []
+        for txt in texts:
+            vs = hashlib.md5(txt.encode()).digest()[:4]
+            # 16x16 gray: quadrant (by, bx) is a solid 8x8 tile of vs[2*by+bx]
+            rows = bytearray()
+            for y in range(16):
+                for x in range(16):
+                    v = vs[2 * (y // 8) + (x // 8)]
+                    rows += bytes((v, v, v))
+            out.append(encode_jpeg(16, 16, bytes(rows), quant=16))
+        return pd.Series(out)
+
+    d = _t(spark, sf_dir, "documents").withColumn("payload", make_jpeg(F.col("text")))
+    media = M.to_media_table(d, "doc_id", "payload", "image")
+    return M.extract_jpeg_features(media)
+
+
+# ---------------------------------------------------------------------------
 # Streaming CUSUM (stateful, event-time-ordered replay)
 # ---------------------------------------------------------------------------
 

@@ -46,7 +46,9 @@ def test_extract_features_deterministic(media):
 
 
 def test_decode_real_is_explicit_stub_beyond_builtin_codecs():
-    with pytest.raises(NotImplementedError):
+    # JPEG now dispatches to the REAL T.81 decoder, which rejects
+    # truncated/garbage entropy data rather than NotImplementedError
+    with pytest.raises(ValueError):
         decode_real(b"\xff\xd8 jpeg bytes", "image")
     with pytest.raises(NotImplementedError):
         decode_real(b"ID3 mp3 bytes", "audio")
