@@ -123,6 +123,7 @@ FAMILY_PREFIX = [
     "stream_session_windows",
     "stream_user_running_profile",
     "stream_click_attribution_full",
+    "stream_attribution_hourly_chain",
     "udtf_sentence_split",
     "doc_stats",
     "neardup_dedup_kept",

@@ -1180,6 +1180,38 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_attribution_hourly_chain",
+    oracle="""
+WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+wm AS (SELECT least(max(ts) FILTER (WHERE event_type = 'click'),
+               max(ts) FILTER (WHERE event_type = 'purchase')) - INTERVAL 2 HOUR AS t
+       FROM e)
+SELECT date_trunc('hour', p.ts) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(floor(sum(p.value) * 100.0 + 0.5) AS BIGINT) AS attributed_cents
+FROM e c JOIN e p ON c.user_id = p.user_id, wm
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+GROUP BY 1, wm.t
+HAVING date_trunc('hour', min(p.ts)) + INTERVAL 1 HOUR <= wm.t
+""",
+)
+def stream_attribution_hourly_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators (§2.9): stream-stream range join →
+    tumbling window aggregation in ONE append-mode streaming query — the
+    multiple-stateful-operator pipeline Spark rejected before 3.5 and
+    now supports via operator-level watermark propagation
+    (streaming/windows.py attribution_hourly_chain has the semantics and
+    scale story). The oracle is the batch join + hourly rollup, emission-
+    bounded at window_end ≤ global watermark = min(max click_ts, max
+    purchase_ts) − delay — the exact flush boundary of the bounded
+    drain's final batch."""
+    from fraud_detection_etl_project_spark.streaming.windows import attribution_hourly_chain
+
+    return attribution_hourly_chain(spark, sf_dir)
+
+
+@query(
     "stream_static_weighted_rollup",
     oracle="""
 SELECT event_type,

@@ -202,6 +202,77 @@ def clicks_purchase_attribution(
     return spark.table(name)
 
 
+def attribution_hourly_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in ONE streaming query (Spark 3.5+/4
+    capability, historically rejected as "multiple stateful operations"):
+    a watermarked stream-stream range join (purchases attributed to
+    same-user clicks within the preceding hour) feeding a tumbling
+    event-time window aggregation, both stateful, in a single append-mode
+    pipeline.
+
+    Correct chaining requires operator-level watermark propagation: the
+    join's OUTPUT carries the purchase-side event-time column, and the
+    downstream window closes only when the GLOBAL watermark — min of the
+    click-side and purchase-side input watermarks — passes its end. On a
+    bounded availableNow drain the final flush batch emits every window
+    whose end ≤ min(max click_ts, max purchase_ts) − delay; later windows
+    stay open (their join state could still match), which the batch-SQL
+    oracle mirrors exactly (`stream_attribution_hourly_chain`).
+
+    Scale: join state is GC'd by the range condition (a click is held at
+    most horizon + delay), window state by the watermark — both bounded,
+    so the chain runs indefinitely on an unbounded stream; one shuffle
+    per stateful operator, same as running them as two queries, minus an
+    intermediate sink and its replay cost.
+    """
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    agg = (
+        joined.groupBy(F.window("purchase_ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.floor(F.sum("purchase_value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("attributed_cents"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_pairs", "attributed_cents")
+    )
+    name = f"chain_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def stream_static_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched against a static
     in-memory dimension (event-type weights), then rolled up.
