@@ -35,6 +35,13 @@ def main() -> None:
     spark.range(1000).count()
     for spec in specs.values():
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # The iterated operators (pagerank, LCC, PCA, LSH-CC ...) persist()
+    # loop-invariant frames; those blocks rightly outlive the query that
+    # returned them (the result is lazy) but must not tax the NEXT
+    # query's execution memory — in r3 the accumulated blocks from the
+    # warmup sweep inflated later shuffle-heavy queries up to 2x
+    # (tfidf_top_terms 0.85s -> 1.6s). Isolation = clear between queries.
+    spark.catalog.clearCache()
 
     def timed(fn) -> float:
         """Min of 3 passes. The minimum is the standard steady-state
@@ -48,6 +55,7 @@ def main() -> None:
             t0 = time.perf_counter()
             fn()
             samples.append(time.perf_counter() - t0)
+        spark.catalog.clearCache()  # this query's persists: not the next one's tax
         return round(min(samples), 3)
 
     timings: dict[str, float] = {}
@@ -135,6 +143,7 @@ def main() -> None:
                     scaled[name] = round(time.perf_counter() - t0, 3)
                 except Exception as e:  # isolate: one query's failure is itself signal
                     errors[name] = str(e)[:200]
+                spark.catalog.clearCache()  # same isolation as the base phase
             result["scaling"] = {
                 "sf": result["sf"] * 10,
                 "data_x": 10,

@@ -130,6 +130,11 @@ FAMILY_PREFIX = [
     "ivf_ann_top10",
     "wav_spectral_features",
     "hybrid_search_rrf",
+    # beyond the driver's 50-query sample window: new round-3 families,
+    # covered by tests/test_full_registry.py on every pytest run
+    "perceptron_purchase_model",
+    "purchase_dbscan_labels",
+    "copurchase_recommendations",
 ]
 
 _ordered = {n: REGISTRY[n] for n in FAMILY_PREFIX if n in REGISTRY}

@@ -1149,6 +1149,301 @@ def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DBSCAN cluster labeling over the grid-blocked eps-neighbor graph
+# ---------------------------------------------------------------------------
+
+_DBSCAN_ORACLE_TMPL = """
+WITH RECURSIVE p AS (
+  SELECT event_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS xc,
+         CAST(({U28}) % 10001 AS BIGINT) AS yc
+  FROM events WHERE event_type = 'purchase'
+),
+cells AS (
+  SELECT event_id, xc, yc,
+         (xc // {EPS}) + dx.dx AS cx, (yc // {EPS}) + dy.dy AS cy
+  FROM p, UNNEST([-1, 0, 1]) AS dx(dx), UNNEST([-1, 0, 1]) AS dy(dy)
+),
+home AS (SELECT event_id, xc, yc, xc // {EPS} AS cx, yc // {EPS} AS cy FROM p),
+pairs AS (
+  SELECT a.event_id AS ea, b.event_id AS eb
+  FROM cells a JOIN home b ON a.cx = b.cx AND a.cy = b.cy AND a.event_id < b.event_id
+  WHERE (a.xc - b.xc) * (a.xc - b.xc) + (a.yc - b.yc) * (a.yc - b.yc) <= {EPS2}
+),
+und AS (SELECT ea AS u, eb AS v FROM pairs UNION ALL SELECT eb, ea FROM pairs),
+deg AS (SELECT u, count(*) AS n FROM und GROUP BY 1),
+core AS (SELECT u FROM deg WHERE n >= 2),
+ce AS (SELECT und.u AS cu, und.v AS cv FROM und
+       JOIN core ca ON und.u = ca.u JOIN core cb ON und.v = cb.u),
+reach AS (
+  SELECT u AS node, u AS r FROM core
+  UNION
+  SELECT e.cu AS node, reach.r AS r FROM ce e JOIN reach ON reach.node = e.cv
+),
+lab AS (SELECT node, min(r) AS comp FROM reach GROUP BY 1),
+border AS (
+  SELECT und.u AS node, min(lab.comp) AS comp
+  FROM und JOIN core ON und.v = core.u JOIN lab ON lab.node = und.v
+  WHERE und.u NOT IN (SELECT u FROM core)
+  GROUP BY 1
+)
+SELECT p.event_id,
+       CASE WHEN l.node IS NOT NULL THEN 'core'
+            WHEN b.node IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS kind,
+       CAST(COALESCE(l.comp, b.comp, -1) AS BIGINT) AS cluster
+FROM p
+LEFT JOIN lab l ON l.node = p.event_id
+LEFT JOIN border b ON b.node = p.event_id
+"""
+
+
+@query(
+    "purchase_dbscan_labels",
+    oracle=_DBSCAN_ORACLE_TMPL.format(
+        U28=_GRID_U28_SQL, EPS=_GRID_EPS, EPS2=_GRID_EPS * _GRID_EPS
+    ),
+    bench=False,
+)
+def purchase_dbscan_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL DBSCAN over the grid-blocked eps-neighbor graph
+    (`purchase_eps_neighbor_pairs` is the neighbor step): core points
+    (≥ minPts−1 = 2 eps-neighbors), clusters = connected components of
+    the core-core subgraph (labels = min core id, via the iterated
+    small-star CC operator, operators/graph.py), border points adopt the
+    MIN neighboring core's cluster (canonical DBSCAN is arrival-order-
+    dependent there; min-label makes it deterministic and oracle-
+    checkable), everything else is noise (cluster −1). The oracle
+    re-derives the entire labeling in SQL — grid join, degrees,
+    recursive-CTE components, border adoption.
+
+    Scale: the neighbor step is the documented grid-blocked join (never
+    all-pairs); degrees and core filtering are map-side-combined aggs;
+    CC touches only core-core edges (iterations shuffle (node, label)
+    pairs, lineage cut via checkpointed iteration); border adoption is
+    one more join on the undirected edge list. This is exactly how
+    DBSCAN distributes: the sequential seed-expansion of the textbook
+    algorithm is replaced by blocked neighbor enumeration + parallel
+    CC — same output, no sequential frontier."""
+    from fraud_detection_etl_project_spark.operators.graph import connected_components
+
+    pairs = purchase_eps_neighbor_pairs(spark, sf_dir).select(
+        F.col("event_a").alias("ea"), F.col("event_b").alias("eb")
+    )
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    points = ev.select("event_id")
+    und = pairs.select(F.col("ea").alias("u"), F.col("eb").alias("v")).unionAll(
+        pairs.select(F.col("eb").alias("u"), F.col("ea").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("n"))
+    core = deg.filter(F.col("n") >= 2).select("u")
+    ce = (
+        und.join(core.withColumnRenamed("u", "cu"), und["u"] == F.col("cu"))
+        .join(core.withColumnRenamed("u", "cv"), und["v"] == F.col("cv"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    lab = connected_components(
+        core.select(F.col("u").alias("node")), ce, node_col="node"
+    ).select("node", "comp")
+    border = (
+        und.join(core.withColumnRenamed("u", "cv2"), und["v"] == F.col("cv2"))
+        .join(lab, und["v"] == lab["node"])
+        .join(core, und["u"] == core["u"], "left_anti")
+        .groupBy(und["u"].alias("bnode"))
+        .agg(F.min("comp").alias("bcomp"))
+    )
+    return (
+        points.join(lab, points["event_id"] == lab["node"], "left")
+        .join(border, points["event_id"] == F.col("bnode"), "left")
+        .select(
+            "event_id",
+            F.when(F.col("node").isNotNull(), "core")
+            .when(F.col("bnode").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("kind"),
+            F.coalesce(F.col("comp"), F.col("bcomp"), F.lit(-1))
+            .cast("bigint")
+            .alias("cluster"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative filtering (co-occurrence cosine, top-k per item)
+# ---------------------------------------------------------------------------
+
+_RECO_ORACLE = """
+WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+n AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_orders FROM b GROUP BY 1),
+co AS (SELECT a.pk AS src, c.pk AS dst, CAST(count(*) AS BIGINT) AS cooc
+       FROM b a JOIN b c ON a.ok = c.ok AND a.pk <> c.pk
+       GROUP BY 1, 2 HAVING count(*) >= 2),
+sc AS (SELECT co.src, co.dst, co.cooc,
+              CAST(floor(1000000000000.0 * co.cooc * co.cooc
+                         / (na.n_orders * nb.n_orders)) AS BIGINT) AS score_q
+       FROM co JOIN n na ON na.pk = co.src JOIN n nb ON nb.pk = co.dst),
+r AS (SELECT *, row_number() OVER (PARTITION BY src
+                                   ORDER BY score_q DESC, dst ASC) AS rn
+      FROM sc)
+SELECT src, dst, cooc, score_q, CAST(rn AS INT) AS rn
+FROM r WHERE rn <= 3
+"""
+
+
+@query("copurchase_recommendations", oracle=_RECO_ORACLE, bench=False)
+def copurchase_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering — the classic co-occurrence
+    recommender ("customers who bought X also bought Y"): cosine
+    similarity between items' order-membership vectors, top-3 partners
+    per item. Binary baskets make cosine = cooc/√(n_a·n_b); squaring it
+    turns the score into EXACT integer arithmetic
+    (⌊1e12·cooc²/(n_a·n_b)⌋ — same ranking, no cross-engine float), with
+    a min-support floor of 2 to suppress singleton noise.
+
+    Scale: pair generation joins baskets on the order key, so fan-out is
+    bounded by basket size squared (TPC-H baskets ≤ 7 lines), NEVER
+    all-pairs over the catalog — the same blocking discipline as the LSH
+    dedup stack; the top-k per item is a rank-1..3 window that Spark
+    executes with WindowGroupLimit partial pushdown (no full sort of the
+    pair list). Per-item degree n_a is one map-side-combined agg. For
+    web-scale baskets (power-law carts) the pre-join skew audit +
+    salting remedies apply (`user_key_skew_audit`,
+    operators/skew.py)."""
+    b = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n = b.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    a, c = b.alias("a"), b.alias("c")
+    co = (
+        a.join(c, (F.col("a.ok") == F.col("c.ok")) & (F.col("a.pk") != F.col("c.pk")))
+        .groupBy(F.col("a.pk").alias("src"), F.col("c.pk").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cooc"))
+        .filter(F.col("cooc") >= 2)
+    )
+    sc = (
+        co.join(n.withColumnRenamed("pk", "src").withColumnRenamed("n_orders", "na"), "src")
+        .join(n.withColumnRenamed("pk", "dst").withColumnRenamed("n_orders", "nb"), "dst")
+        .select(
+            "src",
+            "dst",
+            "cooc",
+            F.floor(
+                F.lit(1e12) * F.col("cooc") * F.col("cooc") / (F.col("na") * F.col("nb"))
+            )
+            .cast("bigint")
+            .alias("score_q"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("score_q").desc(), F.col("dst").asc())
+    return (
+        sc.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("src", "dst", "cooc", "score_q", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch perceptron: distributed full-batch training, exact int64 updates
+# ---------------------------------------------------------------------------
+
+_PERC_FEATS = """
+SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS y,
+       CAST(1 AS BIGINT) AS x0,
+       CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x1,
+       CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x2,
+       CAST(extract(dow FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS x3
+FROM events
+"""
+
+_PERC_ORACLE = f"""
+WITH f AS ({_PERC_FEATS}),
+-- epoch 1 from w=0: every margin is 0 <= 0, so ALL rows update
+w1 AS (SELECT sum(y*x0) AS w0, sum(y*x1) AS w1, sum(y*x2) AS w2, sum(y*x3) AS w3,
+              CAST(count(*) AS BIGINT) AS miss1
+       FROM f),
+s2 AS (SELECT f.*, f.y * (f.x0*w1.w0 + f.x1*w1.w1 + f.x2*w1.w2 + f.x3*w1.w3) AS m
+       FROM f, w1),
+u2 AS (SELECT sum(CASE WHEN m <= 0 THEN y*x0 ELSE 0 END) AS d0,
+              sum(CASE WHEN m <= 0 THEN y*x1 ELSE 0 END) AS d1,
+              sum(CASE WHEN m <= 0 THEN y*x2 ELSE 0 END) AS d2,
+              sum(CASE WHEN m <= 0 THEN y*x3 ELSE 0 END) AS d3,
+              CAST(count(*) FILTER (WHERE m <= 0) AS BIGINT) AS miss2
+       FROM s2),
+w2 AS (SELECT w1.w0 + u2.d0 AS w0, w1.w1 + u2.d1 AS w1, w1.w2 + u2.d2 AS w2,
+              w1.w3 + u2.d3 AS w3, w1.miss1, u2.miss2
+       FROM w1, u2),
+acc AS (SELECT CAST(count(*) FILTER (
+                 WHERE f.y * (f.x0*w2.w0 + f.x1*w2.w1 + f.x2*w2.w2 + f.x3*w2.w3) > 0)
+               AS BIGINT) AS n_correct,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM f, w2)
+SELECT w2.w0, w2.w1, w2.w2, w2.w3, w2.miss1 AS miss_epoch1, w2.miss2 AS miss_epoch2,
+       acc.n_correct, acc.n_rows
+FROM w2, acc
+"""
+
+
+@query("perceptron_purchase_model", oracle=_PERC_ORACLE, bench=False)
+def perceptron_purchase_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed full-batch perceptron training (2 epochs) — a TRAINED
+    linear classifier whose every update is exact int64 arithmetic, so
+    the final weight vector is value-oracle-checkable (the unrolled CTE
+    chain re-derives both epochs in SQL). Features are integer-quantized
+    (bias, value cents, hour, day-of-week); label is purchase vs rest.
+    The batch perceptron update w += Σ_misclassified y·x is a pure
+    aggregation, so each epoch is ONE map-side-combined pass over the
+    fact — the textbook shape of distributed full-batch training (same
+    skeleton as a logistic-regression GD step; the perceptron's
+    subgradient keeps it integer-exact across engines where a sigmoid
+    would not be).
+
+    Scale: per epoch one narrow scan + 4-column sum aggregation (no
+    shuffle of rows, only partial sums); weights are k=4 PARAMETERS
+    broadcast into the next epoch's closure — the model, not data, moves
+    between iterations. Epochs are sequential by nature; each is
+    embarrassingly parallel."""
+    ev = _t(spark, sf_dir, "events")
+    f = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(-1).alias("y"),
+        F.lit(1).cast("bigint").alias("x0"),
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("bigint").alias("x1"),
+        F.hour("ts").cast("bigint").alias("x2"),
+        (F.dayofweek("ts") - F.lit(1)).cast("bigint").alias("x3"),
+    )
+    xs = ["x0", "x1", "x2", "x3"]
+
+    def epoch(weights: list[int] | None):
+        """One full-batch pass: returns (new_weights, n_misclassified)."""
+        if weights is None:
+            margin = F.lit(0)
+        else:
+            margin = F.col("y") * sum(F.col(c) * F.lit(w) for c, w in zip(xs, weights))
+        upd = f.select(
+            *[
+                F.sum(F.when(margin <= 0, F.col("y") * F.col(c)).otherwise(0)).alias(c)
+                for c in xs
+            ],
+            F.count(F.when(margin <= 0, 1)).cast("bigint").alias("miss"),
+        ).first()  # k+1 aggregate values: model parameters, not data
+        delta = [int(upd[c]) for c in xs]
+        new = delta if weights is None else [w + d for w, d in zip(weights, delta)]
+        return new, int(upd["miss"])
+
+    w1, miss1 = epoch(None)
+    w2, miss2 = epoch(w1)
+    final_margin = F.col("y") * sum(F.col(c) * F.lit(w) for c, w in zip(xs, w2))
+    acc = f.agg(
+        F.count(F.when(final_margin > 0, 1)).cast("bigint").alias("n_correct"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    row = spark.createDataFrame(
+        [tuple(w2) + (miss1, miss2)],
+        "w0 bigint, w1 bigint, w2 bigint, w3 bigint, miss_epoch1 bigint, miss_epoch2 bigint",
+    )
+    return row.crossJoin(acc)
+
+
+# ---------------------------------------------------------------------------
 # JPEG real decode (baseline T.81 Huffman+IDCT codec, value-oracle'd)
 # ---------------------------------------------------------------------------
 
