@@ -93,6 +93,7 @@ FAMILY_PREFIX = [
     "doc_sequence_packing",
     "xml_source_rollup",
     "avro_source_rollup",
+    "avro_sink_roundtrip",
     "nation_trade_pagerank",
     "region_customer_rollup",
     "order_fill_left_join",

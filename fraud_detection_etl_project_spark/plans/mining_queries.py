@@ -616,6 +616,57 @@ def avro_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "avro_sink_roundtrip",
+    oracle=f"""
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+       {cents_sum_sql('c_acctbal')} AS total_balance,
+       CAST(sum(CASE WHEN c_custkey % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_phone
+FROM customer GROUP BY 1
+""",
+)
+def avro_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro SINK (completing the source added in `avro_source_rollup`):
+    ``df.write.format("pyavro")`` — the Spark 4 Python DataSource WRITER
+    surface. Each task streams its partition through the pure-Python OCF
+    encoder into a staged temp file; the driver-side commit atomically
+    publishes part files + _SUCCESS (stage-then-swap, the same atomic-
+    sink discipline as sinks.jdbc_atomic_append), so failed/retried
+    tasks never leave half-visible data. Customers (with a CASE-nulled
+    phone exercising the ["null",string] union on the WRITE path) go
+    Spark → Avro → Spark → rollup; the oracle recomputes from parquet,
+    catching writer drift, union mis-encoding, or commit-protocol row
+    loss/duplication.
+
+    Scale: writes are partition-parallel (one OCF per task, blocks
+    within it), commit is O(#tasks) renames on the driver — the same
+    cost model as Hadoop commit protocols; reads split at block
+    boundaries across all part files."""
+    from fraud_detection_etl_project_spark.sources import avro as avro_ocf
+
+    avro_ocf.register(spark)
+    d = os.path.join(
+        tempfile.gettempdir(), f"avro_sink_{_fixture_tag(sf_dir, 'customer')}"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 11 == 0, None)
+        .otherwise(F.col("c_name"))
+        .alias("phone"),
+    )
+    c.write.format("pyavro").option("path", d).mode("overwrite").save()
+    back = spark.read.format("pyavro").option("path", d).option("parts", 8).load()
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        cents_sum("c_acctbal").alias("total_balance"),
+        F.sum(F.when(F.col("phone").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_phone"),
+    )
+
+
+@query(
     "binaryfile_blob_stats",
     oracle="""
 SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS checksum

@@ -41,7 +41,13 @@ import os
 import struct
 import zlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import (
     BinaryType,
     BooleanType,
@@ -375,6 +381,18 @@ def read_ocf(path: str) -> tuple[dict, list[tuple]]:
 # ---------------------------------------------------------------------------
 
 
+def _data_files(path: str) -> list[str]:
+    """A bare .avro file, or every part file of a directory written by the
+    sink (sorted for determinism)."""
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".avro") and not f.startswith("_")
+        )
+    return [path]
+
+
 class BlockRangePartition(InputPartition):
     def __init__(self, path: str, offsets: list[int]):
         self.path = path
@@ -388,30 +406,134 @@ class AvroOCFReader(DataSourceReader):
         self.spark_schema = spark_schema
 
     def partitions(self):
-        schema, codec, blocks = scan_blocks(self.path)
-        self._avro_schema, self._codec = schema, codec
-        if not blocks:
+        # every (file, block) is an independent split; group into
+        # ~equal-BYTE partitions (record counts can be uneven across
+        # blocks; bytes are the cost driver)
+        splits: list[tuple[str, int, int]] = []  # (file, offset, size)
+        for f in _data_files(self.path):
+            _schema, _codec, blocks = scan_blocks(f)
+            splits.extend((f, off, sz) for off, _n, sz in blocks)
+        if not splits:
             return [BlockRangePartition(self.path, [])]
-        # group blocks into ~equal-BYTE partitions (record counts can be
-        # uneven across blocks; bytes are the cost driver)
-        total = sum(sz for _o, _n, sz in blocks)
+        total = sum(sz for _f, _o, sz in splits)
         target = max(1, -(-total // self.parts))
-        groups, cur, cur_sz = [], [], 0
-        for off, _n, sz in blocks:
-            cur.append(off)
+        groups: list[dict[str, list[int]]] = []
+        cur: dict[str, list[int]] = {}
+        cur_sz = 0
+        for f, off, sz in splits:
+            cur.setdefault(f, []).append(off)
             cur_sz += sz
             if cur_sz >= target and len(groups) < self.parts - 1:
                 groups.append(cur)
-                cur, cur_sz = [], 0
+                cur, cur_sz = {}, 0
         if cur:
             groups.append(cur)
-        return [BlockRangePartition(self.path, g) for g in groups]
+        out = []
+        for g in groups:
+            for f, offs in g.items():
+                out.append(BlockRangePartition(f, offs))
+        return out
 
     def read(self, partition: BlockRangePartition):
+        if not partition.offsets:
+            return
         schema, codec, _sync, _pos = read_header(partition.path)
         codecs = _row_codecs(schema)
         for off in partition.offsets:
             yield from read_block(partition.path, off, codec, codecs)
+
+
+# ---------------------------------------------------------------------------
+# Sink: Spark -> OCF part files with task-staged atomic commit
+# ---------------------------------------------------------------------------
+
+_AVRO_NAMES = {
+    "long": "long",
+    "integer": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "binary": "bytes",
+    "boolean": "boolean",
+}
+
+
+def spark_to_avro_schema(schema: StructType, name: str = "row") -> dict:
+    """Reverse of schema_to_spark: flat Spark schemas over the primitive
+    set, nullable fields as ``["null", T]`` unions."""
+    fields = []
+    for f in schema.fields:
+        t = f.dataType.typeName()
+        if t not in _AVRO_NAMES:
+            raise ValueError(
+                f"unsupported Spark type for the Avro sink: {t} (field {f.name})"
+            )
+        avro_t = _AVRO_NAMES[t]
+        fields.append(
+            {"name": f.name, "type": ["null", avro_t] if f.nullable else avro_t}
+        )
+    return {"type": "record", "name": name, "fields": fields}
+
+
+class AvroCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str, n_records: int):
+        self.tmp_path = tmp_path
+        self.n_records = n_records
+
+
+class AvroOCFWriter(DataSourceWriter):
+    """Each task writes a temp OCF; the driver-side commit atomically
+    publishes temps as part-N files and drops a _SUCCESS marker — the
+    stage-then-swap discipline of the repo's atomic sinks (sinks.py), so
+    a failed/retried task never leaves a half-visible file and a reader
+    sees either the old listing or the complete new one."""
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        self.path = options["path"]
+        self.codec = options.get("codec", "deflate")
+        self.block_records = int(options.get("block_records", 1000))
+        self.avro_schema = spark_to_avro_schema(schema)
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp_{_uuid.uuid4().hex}.avro")
+        n = 0
+
+        def rows():
+            nonlocal n
+            for r in iterator:
+                n += 1
+                yield tuple(r)
+
+        write_ocf(
+            tmp,
+            self.avro_schema,
+            rows(),
+            codec=self.codec,
+            block_records=self.block_records,
+        )
+        return AvroCommit(tmp, n)
+
+    def commit(self, messages):
+        if self.overwrite:
+            for f in _data_files(self.path):
+                os.remove(f)
+            succ = os.path.join(self.path, "_SUCCESS")
+            if os.path.exists(succ):
+                os.remove(succ)
+        for i, m in enumerate(messages):
+            if m is not None:
+                os.replace(m.tmp_path, os.path.join(self.path, f"part-{i:05d}.avro"))
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write("")
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
 
 
 class AvroOCFDataSource(DataSource):
@@ -424,11 +546,15 @@ class AvroOCFDataSource(DataSource):
         return "pyavro"
 
     def schema(self):
-        avro_schema, _codec, _sync, _pos = read_header(self.options["path"])
+        first = _data_files(self.options["path"])[0]
+        avro_schema, _codec, _sync, _pos = read_header(first)
         return schema_to_spark(avro_schema)
 
     def reader(self, schema: StructType):
         return AvroOCFReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return AvroOCFWriter(self.options, schema, overwrite)
 
 
 def register(spark) -> None:

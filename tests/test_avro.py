@@ -196,6 +196,41 @@ def test_our_reader_reads_jvm_files(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_spark_datasource_sink_roundtrip_and_overwrite(spark):
+    """df.write.format("pyavro"): one OCF part file per task, staged as
+    temps and atomically published with _SUCCESS on commit; overwrite
+    drops prior parts. Round-trip through the reader must be exact,
+    including nullable-union columns."""
+    import pyspark.sql.functions as F
+
+    A.register(spark)
+    d = os.path.join(tempfile.mkdtemp(), "out")
+    df = spark.range(0, 3000, 1, 5).select(
+        "id",
+        (F.col("id") * 1.5).alias("x"),
+        F.when(F.col("id") % 5 == 0, None)
+        .otherwise(F.concat(F.lit("n"), F.col("id")))
+        .alias("opt"),
+        (F.col("id") % 2 == 0).alias("b"),
+    )
+    df.write.format("pyavro").option("path", d).mode("overwrite").save()
+    names = sorted(os.listdir(d))
+    assert "_SUCCESS" in names and sum(n.endswith(".avro") for n in names) == 5
+    assert not any(n.startswith("_tmp_") for n in names)
+    back = spark.read.format("pyavro").option("path", d).load()
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # overwrite publishes a complete new listing, old parts gone
+    df.limit(70).write.format("pyavro").option("path", d).mode("overwrite").save()
+    assert spark.read.format("pyavro").option("path", d).load().count() == 70
+
+
+def test_sink_rejects_unsupported_types(spark):
+    from pyspark.sql.types import StructField, StructType, TimestampType
+
+    with pytest.raises(ValueError, match="unsupported Spark type"):
+        A.spark_to_avro_schema(StructType([StructField("ts", TimestampType())]))
+
+
 def test_spark_datasource_reads_blocks_in_parallel(spark):
     rows = _rows(3000)
     p = _tmp()
