@@ -1180,6 +1180,35 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_converted_clicks_semi",
+    oracle="""
+WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events)
+SELECT DISTINCT c.event_id AS click_id, c.user_id
+FROM e c JOIN e p ON c.user_id = p.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+""",
+)
+def stream_converted_clicks_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI stream-stream join — the last §2.9 join-matrix entry
+    beside inner/left/full: clicks that CONVERTED (≥1 same-user purchase
+    within the following hour), emitting each click at most once with no
+    purchase columns. Semi joins emit a left row eagerly on its first
+    match (inner-like latency — no watermark wait), suppress re-emission
+    on later matches, and drop unmatched rows at state eviction; the
+    batch oracle is therefore the DISTINCT matched-click set with no
+    emission-boundary clause. State bounds are the inner join's: a
+    buffered click is droppable once the purchase watermark passes
+    click_ts + horizon."""
+    from fraud_detection_etl_project_spark.streaming.windows import (
+        clicks_purchase_attribution,
+    )
+
+    out = clicks_purchase_attribution(spark, sf_dir, join_type="left_semi")
+    return out.select(F.col("click_id"), F.col("user_id"))
+
+
+@query(
     "stream_attribution_hourly_chain",
     oracle="""
 WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),

@@ -182,14 +182,19 @@ def clicks_purchase_attribution(
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
         join_type,
-    ).select(
-        F.col("click_id"),
-        F.col("purchase_id"),
-        # full_outer emits purchase-only rows whose click side is NULL —
-        # the user key must then come from the purchase side
-        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
-        F.col("purchase_value"),
     )
+    if join_type == "left_semi":
+        # semi output carries LEFT columns only (existence, not pairing)
+        joined = joined.select(F.col("click_id"), F.col("c_user").alias("user_id"))
+    else:
+        joined = joined.select(
+            F.col("click_id"),
+            F.col("purchase_id"),
+            # full_outer emits purchase-only rows whose click side is NULL —
+            # the user key must then come from the purchase side
+            F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+            F.col("purchase_value"),
+        )
     name = f"attribution_{uuid.uuid4().hex[:8]}"
     q = (
         joined.writeStream.format("memory")
