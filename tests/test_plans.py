@@ -577,3 +577,62 @@ def test_full_outer_stream_join_state_bounds(spark):
     n_right_null = df.filter(F.col("purchase_id").isNull()).count()
     assert n_left_null > 0, "no orphaned purchases emitted"
     assert n_right_null > 0, "no unconverted clicks emitted"
+
+
+def test_recommender_topk_uses_window_group_limit(spark):
+    """The per-item top-3 must take the WindowGroupLimit path (partial
+    rank pushdown before the window sort), and the basket pair join must
+    be a hash join on the order key — never a cartesian pair
+    enumeration over the catalog."""
+    plan = plan_of(spark, "copurchase_recommendations")
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_perceptron_epoch_is_partial_final_aggregate(spark):
+    """Each training epoch must be one map-side-combined aggregation
+    over the fact (partial sums of y*x per feature) with zero Python in
+    the plan — the distributed-training shape the docstring claims."""
+    plan = plan_of(spark, "perceptron_purchase_model")
+    assert "partial_" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_dbscan_core_filter_before_cc(spark):
+    """DBSCAN's component step must run on the core-core subgraph only:
+    the degree aggregation feeds a core filter BEFORE any CC machinery,
+    and the neighbor join stays hash-based (grid cells)."""
+    plan = plan_of(spark, "purchase_dbscan_labels")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    # border adoption does a left-anti against the core set
+    assert "LeftAnti" in plan, plan
+
+
+def test_avro_reader_plans_block_partitions():
+    """The pyavro reader's partition planner must split a multi-block
+    file into the requested number of ~equal-byte groups covering every
+    block exactly once (driver-side planning reads only block headers)."""
+    import os
+    import tempfile
+
+    from fraud_detection_etl_project_spark.sources import avro as A
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "id", "type": "long"}],
+    }
+    fd, p = tempfile.mkstemp(suffix=".avro")
+    os.close(fd)
+    try:
+        A.write_ocf(p, schema, [(i,) for i in range(5000)], block_records=250)
+        reader = A.AvroOCFReader({"path": p, "parts": 6}, A.schema_to_spark(schema))
+        parts = reader.partitions()
+        # ceil-target byte grouping may land just under the ask; what
+        # matters is real parallelism with no lost/duplicated block
+        assert 4 <= len(parts) <= 6, len(parts)
+        covered = sorted(o for part in parts for o in part.offsets)
+        assert covered == sorted(o for o, _n, _s in A.scan_blocks(p)[2])
+        assert len(covered) == 20  # 5000 / 250
+    finally:
+        os.remove(p)
