@@ -136,6 +136,7 @@ FAMILY_PREFIX = [
     "perceptron_purchase_model",
     "purchase_dbscan_labels",
     "copurchase_recommendations",
+    "als_user_factors",
 ]
 
 _ordered = {n: REGISTRY[n] for n in FAMILY_PREFIX if n in REGISTRY}

@@ -1149,6 +1149,101 @@ def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ALS user-factor half-iteration (rank 2, exact closed-form normal solve)
+# ---------------------------------------------------------------------------
+
+# deterministic item-factor init: two md5 nibble-pairs mapped to [-8, 8]
+_ALS_Q1 = "CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 2)) AS INT) % 17 - 8"
+_ALS_Q2 = "CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 3, 2)) AS INT) % 17 - 8"
+_ALS_LAMBDA = 10
+
+_ALS_ORACLE = f"""
+WITH r AS (
+  SELECT o.o_custkey AS u, l.l_partkey,
+         CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS rating
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+q AS (
+  SELECT u, rating,
+         CAST({_ALS_Q1} AS BIGINT) AS q1,
+         CAST({_ALS_Q2} AS BIGINT) AS q2
+  FROM r
+),
+n AS (
+  SELECT u,
+         sum(q1 * q1) + {_ALS_LAMBDA} AS a11,
+         sum(q1 * q2) AS a12,
+         sum(q2 * q2) + {_ALS_LAMBDA} AS a22,
+         sum(rating * q1) AS b1,
+         sum(rating * q2) AS b2,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM q GROUP BY 1
+)
+SELECT u AS custkey, n_items,
+       CAST(floor(1000000.0 * (a22 * b1 - a12 * b2) / (a11 * a22 - a12 * a12))
+            AS BIGINT) AS u1_q,
+       CAST(floor(1000000.0 * (a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12))
+            AS BIGINT) AS u2_q
+FROM n
+"""
+
+
+@query("als_user_factors", oracle=_ALS_ORACLE, bench=False)
+def als_user_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact ALS half-iteration (rank 2) — the workhorse update of
+    matrix-factorization recommenders: holding item factors fixed, each
+    user's factor vector solves the regularized normal equations
+    u = (Σ qqᵀ + λI)⁻¹ Σ r·q over that user's rated items. At rank 2
+    the solve is closed-form (adjugate / determinant), and with integer
+    item factors (md5-derived init in [−8,8]) and integer ratings
+    (summed quantities) every Gram entry and right-hand side is an EXACT
+    int64 sum — so the solved factors (quantized ⌊1e6·num/det⌋) are
+    bit-identical across engines and partitionings, which is what makes
+    a TRAINED ALS step value-oracle-checkable at all.
+
+    Scale: this is exactly how distributed ALS works (Spark MLlib's own
+    layout): ratings join the (broadcastable-per-block) item factors on
+    the item key, then ONE user-keyed aggregation builds each user's
+    2x2 Gram + rhs with map-side partials — per-user state is k(k+1)/2
+    + k numbers regardless of how many items they rated. The item
+    half-iteration is the mirror image on the item key. Rank k
+    generalizes the closed form to a per-user k×k solve inside a pandas
+    UDF; rank 2 keeps the whole path JVM-side and exact."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    r = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("o_custkey").alias("u"), "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("rating"))
+    )
+    pk_hex = F.md5(F.col("l_partkey").cast("string"))
+    q1 = (F.conv(F.substring(pk_hex, 1, 2), 16, 10).cast("long") % 17 - 8).alias("q1")
+    q2 = (F.conv(F.substring(pk_hex, 3, 2), 16, 10).cast("long") % 17 - 8).alias("q2")
+    qr = r.select("u", "rating", q1, q2)
+    lam = F.lit(_ALS_LAMBDA)
+    n = qr.groupBy("u").agg(
+        (F.sum(F.col("q1") * F.col("q1")) + lam).alias("a11"),
+        F.sum(F.col("q1") * F.col("q2")).alias("a12"),
+        (F.sum(F.col("q2") * F.col("q2")) + lam).alias("a22"),
+        F.sum(F.col("rating") * F.col("q1")).alias("b1"),
+        F.sum(F.col("rating") * F.col("q2")).alias("b2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
+    det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    return n.select(
+        F.col("u").alias("custkey"),
+        "n_items",
+        F.floor(F.lit(1e6) * (F.col("a22") * F.col("b1") - F.col("a12") * F.col("b2")) / det)
+        .cast("bigint")
+        .alias("u1_q"),
+        F.floor(F.lit(1e6) * (F.col("a11") * F.col("b2") - F.col("a12") * F.col("b1")) / det)
+        .cast("bigint")
+        .alias("u2_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # DBSCAN cluster labeling over the grid-blocked eps-neighbor graph
 # ---------------------------------------------------------------------------
 
