@@ -1,0 +1,383 @@
+"""Data-governance and statistical-inference shapes, round 3 (cont.):
+privacy auditing (k-anonymity / l-diversity over quasi-identifier
+groups), differential-privacy preprocessing (per-user contribution
+bounding + bounded additive noise with non-negativity post-processing),
+survival analysis (Kaplan-Meier retention over censored user lifetimes),
+and resampling inference (deterministic Poisson-bootstrap confidence
+interval for a mean, computed in ONE scan with zero row expansion).
+
+Reference parity: savitaj-Fraud-detection-ETL has no governance or
+inference surface (lambda_function_aws.py:1-113 is a two-filter pandas
+pipeline); these are north-star gap families from SURVEY.md §2 — the
+privacy/bounding steps are what a large-scale training-data pipeline
+runs before releasing aggregate statistics, and the survival/bootstrap
+shapes are the standard readouts over user-event telemetry.
+
+Every query keeps the repo contract: JVM-side plans (no Python anywhere),
+portable md5-derived determinism for anything pseudo-random, and DuckDB
+value oracles reproducing the same integers / quantized doubles
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fraud_detection_etl_project_spark.plans.registry import query
+from fraud_detection_etl_project_spark.sources.parquet import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _md5_mod(salt: str, key_col, mod: int):
+    """Portable deterministic bucket: first 24 bits of md5(salt|key) mod
+    ``mod``. Same idiom as the split/stratified-sampling queries
+    (curation_queries.py) — reproducible across engines, runs, and
+    partitionings because it depends only on row values."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), key_col.cast("string")).cast("binary")), 1, 6),
+            16,
+            10,
+        ).cast("bigint")
+        % F.lit(mod)
+    )
+
+
+def _md5_mod_sql(salt: str, key_expr: str, mod: int) -> str:
+    return (
+        f"CAST(('0x' || substring(md5('{salt}' || CAST({key_expr} AS VARCHAR)), 1, 6)) AS BIGINT) % {mod}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity audit over quasi-identifier groups
+# ---------------------------------------------------------------------------
+
+_KA_K = 5  # minimum group size for k-anonymity
+_KA_L = 3  # minimum distinct sensitive values for l-diversity
+
+_K_ANON_ORACLE = f"""
+WITH qi AS (
+  SELECT c_custkey, c_nationkey,
+         c_mktsegment AS segment,
+         CAST(CASE WHEN c_acctbal < -1000.0 THEN 0
+                   WHEN c_acctbal >= 10000.0 THEN 12
+                   ELSE CAST(floor((c_acctbal - (-1000.0)) / 1000.0) AS BIGINT) + 1
+              END AS BIGINT) AS bal_band
+  FROM customer),
+grp AS (
+  SELECT c_nationkey, segment, bal_band, CAST(count(*) AS BIGINT) AS k_size
+  FROM qi GROUP BY 1, 2, 3),
+sens AS (
+  SELECT q.c_nationkey, q.segment, q.bal_band,
+         CAST(count(DISTINCT o.o_orderpriority) AS BIGINT) AS l_distinct
+  FROM qi q JOIN orders o ON o.o_custkey = q.c_custkey
+  GROUP BY 1, 2, 3)
+SELECT g.c_nationkey AS nationkey, g.segment, g.bal_band, g.k_size,
+       COALESCE(s.l_distinct, CAST(0 AS BIGINT)) AS l_distinct,
+       g.k_size >= {_KA_K} AS k_anonymous,
+       COALESCE(s.l_distinct, CAST(0 AS BIGINT)) >= {_KA_L} AS l_diverse
+FROM grp g LEFT JOIN sens s
+  ON g.c_nationkey = s.c_nationkey AND g.segment = s.segment AND g.bal_band = s.bal_band
+"""
+
+
+@query("k_anonymity_audit", oracle=_K_ANON_ORACLE)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit before releasing a quasi-identified extract: for each
+    quasi-identifier group (nation, market segment, account-balance band)
+    report its k-anonymity group size and the l-diversity (distinct
+    sensitive values — the customer's order priorities) and flag groups
+    below k={k}/l={l}. The release gate a training-data pipeline runs
+    before shipping user-keyed aggregates.
+
+    Scale: two grouped aggregations over narrow integer/dict-encoded
+    keys (map-side partial combine on both), joined group-to-group — the
+    joined frames are |QI-groups|-sized, thousands at most, never
+    row-level. The orders join ships only (custkey, priority).
+    """.format(k=_KA_K, l=_KA_L)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    qi = c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.width_bucket(F.col("c_acctbal"), F.lit(-1000.0), F.lit(10000.0), F.lit(11))
+        .cast("bigint")
+        .alias("bal_band"),
+    )
+    grp = qi.groupBy("c_nationkey", "segment", "bal_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_size")
+    )
+    sens = (
+        qi.join(o, qi.c_custkey == o.o_custkey)
+        .groupBy("c_nationkey", "segment", "bal_band")
+        .agg(F.count_distinct("o_orderpriority").cast("bigint").alias("l_distinct"))
+    )
+    return (
+        grp.join(sens, ["c_nationkey", "segment", "bal_band"], "left")
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            "segment",
+            "bal_band",
+            "k_size",
+            F.coalesce(F.col("l_distinct"), F.lit(0).cast("bigint")).alias("l_distinct"),
+            (F.col("k_size") >= _KA_K).alias("k_anonymous"),
+            (F.coalesce(F.col("l_distinct"), F.lit(0).cast("bigint")) >= _KA_L).alias("l_diverse"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differential-privacy preprocessing: contribution bounding + noised counts
+# ---------------------------------------------------------------------------
+
+_DP_CAP = 10  # max events one user may contribute per event type
+_DP_NOISE_MOD = 201  # noise uniform in [-100, 100]
+
+_DP_ORACLE = f"""
+WITH per_user AS (
+  SELECT event_type, user_id,
+         CAST(least(count(*), {_DP_CAP}) AS BIGINT) AS capped
+  FROM events GROUP BY 1, 2),
+agg AS (
+  SELECT event_type, CAST(sum(capped) AS BIGINT) AS bounded_count
+  FROM per_user GROUP BY 1)
+SELECT event_type, bounded_count,
+       {_md5_mod_sql("dp1|", "event_type", _DP_NOISE_MOD)} - 100 AS noise,
+       greatest(CAST(0 AS BIGINT),
+                bounded_count + {_md5_mod_sql("dp1|", "event_type", _DP_NOISE_MOD)} - 100) AS noised_count
+FROM agg
+"""
+
+
+@query("dp_noised_type_counts", oracle=_DP_ORACLE)
+def dp_noised_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private-style count release: bound each user's
+    contribution per event type at C={cap} (the sensitivity clamp every
+    user-level DP mechanism needs), add bounded additive noise, and
+    post-process with a non-negativity clamp.
+
+    The noise here is a DETERMINISTIC md5-derived stand-in (uniform in
+    [-100, 100]) so the value oracle can check the full mechanism
+    bit-for-bit; a production release would swap in a calibrated Laplace
+    sampler at the one clearly-marked expression below — the
+    contribution-bounding and post-processing stages, which are where the
+    distributed work is, are the real mechanism.
+
+    Scale: the (type, user) pre-aggregation is the whole cost — partial
+    map-side combine, then a per-type rollup over an already-tiny frame.
+    Nothing row-level crosses the second shuffle.
+    """.format(cap=_DP_CAP)
+    e = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.least(F.count(F.lit(1)), F.lit(_DP_CAP)).cast("bigint").alias("capped")
+    )
+    agg = per_user.groupBy("event_type").agg(F.sum("capped").cast("bigint").alias("bounded_count"))
+    # swap this expression for a Laplace(1/eps) sampler in production:
+    noise = _md5_mod("dp1|", F.col("event_type"), _DP_NOISE_MOD) - F.lit(100)
+    return agg.select(
+        "event_type",
+        "bounded_count",
+        noise.alias("noise"),
+        F.greatest(F.lit(0).cast("bigint"), F.col("bounded_count") + noise).alias("noised_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier retention curve over censored user lifetimes
+# ---------------------------------------------------------------------------
+
+_KM_CENSOR_DAYS = 7  # active within the last week of data => right-censored
+_KM_SCALE = 1_000_000
+
+_KM_ORACLE = f"""
+WITH bounds AS (SELECT max(ts) AS max_ts FROM events),
+lifetimes AS (
+  SELECT user_id, date_diff('day', min(ts), max(ts)) AS dur,
+         CASE WHEN max(ts) < (SELECT max_ts FROM bounds) - INTERVAL {_KM_CENSOR_DAYS} DAY
+              THEN 1 ELSE 0 END AS churned
+  FROM events GROUP BY user_id),
+days AS (
+  SELECT dur, CAST(count(*) AS BIGINT) AS m, CAST(sum(churned) AS BIGINT) AS d
+  FROM lifetimes GROUP BY dur),
+risk AS (
+  SELECT dur, m, d,
+         CAST(sum(m) OVER (ORDER BY dur DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+  FROM days),
+terms AS (
+  SELECT dur, n_risk, d,
+         CASE WHEN d > 0 AND d < n_risk
+              THEN CAST(floor({_KM_SCALE}.0 * ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)) + 0.5) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS qterm
+  FROM risk WHERE d < n_risk)
+SELECT dur AS dur_days, n_risk, d AS n_churned,
+       CAST(sum(qterm) OVER (ORDER BY dur
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS qlog_survival
+FROM terms
+"""
+
+
+@query("kaplan_meier_retention", oracle=_KM_ORACLE)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of user retention: lifetime = days
+    between a user's first and last event; users still active within
+    {cd} days of the dataset's end are right-censored (they contribute to
+    risk sets but not to churn events). Emits, per distinct lifetime, the
+    risk-set size, churn count, and the running log-survival
+    sum(ln(1 - d_i/n_i)) quantized to 1e-6 ln-units — the log-domain form
+    keeps the cumulative product as an EXACT integer sum (same ln-quant
+    idiom as the LM-perplexity oracles). Rows stop at the last positive
+    survival point, as KM plots conventionally do.
+
+    Scale: one per-user aggregation over events (map-side combine on
+    user_id), then everything downstream operates on the distinct-
+    lifetime frame — bounded by the calendar span in days, a few hundred
+    rows no matter how many users — so the unpartitioned windows are
+    deliberate and safe. The dataset-max timestamp joins in as a 1-row
+    broadcast, never a collect.
+    """.format(cd=_KM_CENSOR_DAYS)
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    bounds = e.agg(F.max("ts").alias("max_ts"))
+    life = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .join(F.broadcast(bounds))
+        .select(
+            F.datediff(F.col("last_ts"), F.col("first_ts")).alias("dur"),
+            F.when(
+                F.col("last_ts") < F.col("max_ts") - F.expr(f"INTERVAL {_KM_CENSOR_DAYS} DAYS"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("churned"),
+        )
+    )
+    days = life.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"), F.sum("churned").cast("bigint").alias("d")
+    )
+    w_desc = Window.orderBy(F.col("dur").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    risk = days.withColumn("n_risk", F.sum("m").over(w_desc).cast("bigint")).filter(
+        F.col("d") < F.col("n_risk")
+    )
+    qterm = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.floor(
+            F.lit(float(_KM_SCALE))
+            * F.log((F.col("n_risk") - F.col("d")).cast("double") / F.col("n_risk").cast("double"))
+            + F.lit(0.5)
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    w_asc = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    return risk.select(
+        F.col("dur").alias("dur_days"),
+        "n_risk",
+        F.col("d").alias("n_churned"),
+        F.sum(qterm).over(w_asc).cast("bigint").alias("qlog_survival"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson-bootstrap CI for the mean purchase value
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32  # bootstrap replicates
+_BOOT_MEAN_SCALE = 10_000
+
+
+def _boot_w_sql(b: int) -> str:
+    """Truncated-Poisson(1) multiplicity for replicate ``b`` from the
+    portable md5 bucket: P(0)=.368, P(1)=.368, P(2)=.184, P(3)=.080."""
+    h = _md5_mod_sql(f"boot1|{b}|", "event_id", 1000)
+    return (
+        f"CASE WHEN {h} < 368 THEN 0 WHEN {h} < 736 THEN 1 "
+        f"WHEN {h} < 920 THEN 2 ELSE 3 END"
+    )
+
+
+def _bootstrap_oracle() -> str:
+    reps = ",\n    ".join(
+        f"CAST(sum({_boot_w_sql(b)} * qv) AS BIGINT) AS s{b}, "
+        f"CAST(sum({_boot_w_sql(b)}) AS BIGINT) AS c{b}"
+        for b in range(_BOOT_B)
+    )
+    rows = ",".join(f"(CAST({b} AS BIGINT), s{b}, c{b})" for b in range(_BOOT_B))
+    return f"""
+WITH src AS (
+  SELECT event_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS qv
+  FROM events WHERE event_type = 'purchase'),
+onerow AS (SELECT
+    {reps}
+  FROM src),
+reps AS (
+  SELECT r.b, CAST(floor({_BOOT_MEAN_SCALE}.0 * (CAST(r.s AS DOUBLE) / CAST(r.c AS DOUBLE)) + 0.5) AS BIGINT) AS qmean
+  FROM onerow, LATERAL (SELECT * FROM (VALUES {rows}) AS v(b, s, c)) r),
+ranked AS (
+  SELECT qmean, row_number() OVER (ORDER BY qmean, 1) AS rn FROM reps)
+SELECT CAST({_BOOT_B} AS BIGINT) AS n_replicates,
+       CAST(min(CASE WHEN rn = 2 THEN qmean END) AS BIGINT) AS q_lo,
+       CAST(min(CASE WHEN rn = {_BOOT_B - 1} THEN qmean END) AS BIGINT) AS q_hi,
+       CAST(sum(qmean) AS BIGINT) AS q_mean_sum
+FROM ranked
+"""
+
+
+@query("bootstrap_value_ci", oracle=_bootstrap_oracle())
+def bootstrap_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 93.75% CI for the mean purchase value: each of
+    B={b} replicates resamples every row with an independent
+    truncated-Poisson(1) multiplicity derived from md5(replicate|row) —
+    the classic one-pass bootstrap for data too large to index-resample
+    (Chamandy et al., "Estimating Uncertainty for Massive Data Streams").
+    The CI endpoints are the 2nd / {b1}st order statistics of the
+    replicate means, quantized to 1e-4.
+
+    Scale: ZERO row expansion — all {b} replicates are computed as 2·B
+    conditional-sum aggregates in ONE scan (a single partial-aggregated
+    reduce of 64 numbers per partition), not an explode-by-B. The 1-row
+    result is then unpivoted driver-side-free via stack() into the B-row
+    frame the order statistics need.
+    """.format(b=_BOOT_B, b1=_BOOT_B - 1)
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    src = e.select(
+        "event_id", F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint").alias("qv")
+    )
+
+    def w(b: int):
+        h = _md5_mod(f"boot1|{b}|", F.col("event_id"), 1000)
+        return (
+            F.when(h < 368, F.lit(0))
+            .when(h < 736, F.lit(1))
+            .when(h < 920, F.lit(2))
+            .otherwise(F.lit(3))
+        )
+
+    aggs = []
+    for b in range(_BOOT_B):
+        aggs.append(F.sum(w(b) * F.col("qv")).cast("bigint").alias(f"s{b}"))
+        aggs.append(F.sum(w(b)).cast("bigint").alias(f"c{b}"))
+    onerow = src.agg(*aggs)
+    stack_args = ", ".join(f"CAST({b} AS BIGINT), s{b}, c{b}" for b in range(_BOOT_B))
+    reps = onerow.select(
+        F.expr(f"stack({_BOOT_B}, {stack_args}) AS (b, s, c)")
+    ).select(
+        "b",
+        F.floor(
+            F.lit(float(_BOOT_MEAN_SCALE)) * (F.col("s").cast("double") / F.col("c").cast("double"))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("qmean"),
+    )
+    ranked = reps.withColumn("rn", F.row_number().over(Window.orderBy("qmean")))
+    return ranked.agg(
+        F.lit(_BOOT_B).cast("bigint").alias("n_replicates"),
+        F.min(F.when(F.col("rn") == 2, F.col("qmean"))).cast("bigint").alias("q_lo"),
+        F.min(F.when(F.col("rn") == _BOOT_B - 1, F.col("qmean"))).cast("bigint").alias("q_hi"),
+        F.sum("qmean").cast("bigint").alias("q_mean_sum"),
+    )

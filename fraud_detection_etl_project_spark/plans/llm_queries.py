@@ -1102,3 +1102,81 @@ def bm25_search_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", (F.col("score_q").cast("double") / F.lit(1e6)).alias("bm25"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash Hamming-distance pairs via pigeonhole band blocking
+# ---------------------------------------------------------------------------
+
+_SH_BANDS = 4  # 64 bits -> 4 bands of 16; d <= 3 guarantees >= 1 equal band
+_SH_MAX_D = 3
+
+
+def _simhash_pairs_oracle() -> str:
+    return f"""
+WITH sig AS ({_simhash_oracle()}),
+bands AS (
+  SELECT doc_id, g.i AS band_idx, substring(simhash, g.i * 16 + 1, 16) AS band
+  FROM sig, (SELECT UNNEST(range({_SH_BANDS})) AS i) g),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_filter(range(1, 65),
+                            i -> substring(sa.simhash, i, 1) <> substring(sb.simhash, i, 1))) AS BIGINT) AS hamming
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+WHERE len(list_filter(range(1, 65),
+                      i -> substring(sa.simhash, i, 1) <> substring(sb.simhash, i, 1))) <= {_SH_MAX_D}
+"""
+
+
+@query("simhash_hamming_pairs", oracle=_simhash_pairs_oracle())
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs within SimHash Hamming distance {d}: the
+    sub-quadratic near-dup candidate path over the SimHash family
+    (Manku/Jain/Sarma's pigeonhole trick, WWW'07). Split each 64-bit
+    signature into {b} 16-bit bands; any pair at distance <= {d} must
+    agree EXACTLY on at least one band, so an equi-join per band finds
+    every qualifying pair with zero false negatives, and the exact
+    Hamming check then discards band-collision false positives. The
+    result is therefore exactly the distance-<= {d} pair set.
+
+    Scale: the band self-join shuffles (band_idx, 16-bit band) keys —
+    never text — and candidate fan-out is bounded by band-bucket sizes
+    (hot buckets would take the same cap-and-salt remedy as the MinHash
+    LSH path, operators/dedup.py). Signatures re-join by id only for the
+    surviving candidates; the distance check is a JVM-side
+    sequence/filter expression, no Python.
+    """.format(d=_SH_MAX_D, b=_SH_BANDS)
+    sig = D.simhash64(_t(spark, sf_dir, "documents"))
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.substring(F.col("simhash"), i * 16 + 1, 16) for i in range(_SH_BANDS)])
+        ).alias("band_idx", "band"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    hamming = F.expr(
+        "size(filter(sequence(1, 64), i -> substring(sa, i, 1) != substring(sb, i, 1)))"
+    ).cast("bigint")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _SH_MAX_D)
+    )
