@@ -2883,3 +2883,104 @@ def nation_trade_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.join(n, scores.node == n.n_nationkey).select(
         "n_name", F.col("hub").alias("hub_score"), F.col("auth").alias("auth_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve clustering key (space-filling layout beside Z-order)
+# ---------------------------------------------------------------------------
+
+_HC_N = 256  # 8-bit grid per dimension
+_HC_CELL_SHIFT = 8  # cells of 256 consecutive curve positions (256 cells)
+
+
+def _hilbert_level_exprs(s: int, k: int) -> tuple[str, str, str, str, str]:
+    """One unrolled level of the canonical xy2d Hilbert walk (s = bit
+    being consumed). Returns (rx, ry, d', x', y') SQL texts valid in BOTH
+    engines (CASE/arith/& only — DuckDB has no ^, Spark SQL's dialect
+    differs on xor, so the quadrant (3*rx) XOR ry is written as the
+    rx-conditional 3-ry). Flips use the n-1 complement form of the
+    n-based rot(), which stays correct for coordinates that keep their
+    already-consumed high bits."""
+    rx = f"CASE WHEN (x{k} & {s}) > 0 THEN 1 ELSE 0 END"
+    ry = f"CASE WHEN (y{k} & {s}) > 0 THEN 1 ELSE 0 END"
+    d_next = f"d{k} + {s * s} * (CASE WHEN rx{k} = 0 THEN ry{k} ELSE 3 - ry{k} END)"
+    x_next = (
+        f"CASE WHEN ry{k} = 1 THEN x{k} WHEN rx{k} = 1 THEN {_HC_N - 1} - y{k} ELSE y{k} END"
+    )
+    y_next = (
+        f"CASE WHEN ry{k} = 1 THEN y{k} WHEN rx{k} = 1 THEN {_HC_N - 1} - x{k} ELSE x{k} END"
+    )
+    return rx, ry, d_next, x_next, y_next
+
+
+def _hilbert_oracle() -> str:
+    ctes = [
+        f"h0 AS (SELECT CAST(user_id % {_HC_N} AS BIGINT) AS da,"
+        f" CAST(least(floor(value), {_HC_N - 1}) AS BIGINT) AS db,"
+        " CAST(user_id % 256 AS BIGINT) AS x0,"
+        f" CAST(least(floor(value), {_HC_N - 1}) AS BIGINT) AS y0,"
+        " CAST(0 AS BIGINT) AS d0 FROM events)"
+    ]
+    k = 0
+    s = _HC_N // 2
+    while s > 0:
+        rx, ry, dn, xn, yn = _hilbert_level_exprs(s, k)
+        ctes.append(
+            f"r{k} AS (SELECT da, db, x{k}, y{k}, d{k}, {rx} AS rx{k}, {ry} AS ry{k} FROM h{k})"
+        )
+        ctes.append(
+            f"h{k + 1} AS (SELECT da, db, {xn} AS x{k + 1}, {yn} AS y{k + 1}, {dn} AS d{k + 1} FROM r{k})"
+        )
+        k += 1
+        s //= 2
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(d{k} >> {_HC_CELL_SHIFT} AS BIGINT) AS h_cell,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(da) AS BIGINT) AS min_user_bucket, CAST(max(da) AS BIGINT) AS max_user_bucket,
+       CAST(min(db) AS BIGINT) AS min_value_bucket, CAST(max(db) AS BIGINT) AS max_value_bucket
+FROM h{k} GROUP BY 1
+"""
+    )
+
+
+@query("events_hilbert_cells", oracle=_hilbert_oracle())
+def events_hilbert_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering keys with the same per-cell bounding-box
+    audit as ``events_zorder_cells``: the Hilbert walk never jumps across
+    the grid (consecutive curve positions are always grid-adjacent), so
+    its cells bound both dimensions TIGHTER than Morton cells — which is
+    why modern table formats (e.g. Delta Lake's Liquid-style clustering)
+    prefer Hilbert ordering for multi-dimensional file pruning. The
+    8-level xy2d recurrence is fully unrolled into JVM-side CASE/arith
+    columns (one projection chain, collapsed by Catalyst), and the oracle
+    replays the literally identical per-level expressions as a CTE chain.
+
+    Scale: row-local integer arithmetic inside codegen plus one hash
+    aggregation on the cell id — identical cost profile to the Z-order
+    audit; to materialize the layout, feed the curve position to
+    ``sinks.write_range_sorted`` as the sort key."""
+    e = _t(spark, sf_dir, "events")
+    df = e.select(
+        (F.col("user_id") % _HC_N).cast("bigint").alias("da"),
+        F.least(F.floor(F.col("value")), F.lit(_HC_N - 1)).cast("bigint").alias("db"),
+    ).selectExpr("da", "db", "da AS x0", "db AS y0", "CAST(0 AS BIGINT) AS d0")
+    k = 0
+    s = _HC_N // 2
+    while s > 0:
+        rx, ry, dn, xn, yn = _hilbert_level_exprs(s, k)
+        df = df.selectExpr("da", "db", f"x{k}", f"y{k}", f"d{k}", f"{rx} AS rx{k}", f"{ry} AS ry{k}")
+        df = df.selectExpr("da", "db", f"{xn} AS x{k + 1}", f"{yn} AS y{k + 1}", f"{dn} AS d{k + 1}")
+        k += 1
+        s //= 2
+    return df.groupBy(
+        F.shiftright(F.col(f"d{k}"), _HC_CELL_SHIFT).cast("bigint").alias("h_cell")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("da").cast("bigint").alias("min_user_bucket"),
+        F.max("da").cast("bigint").alias("max_user_bucket"),
+        F.min("db").cast("bigint").alias("min_value_bucket"),
+        F.max("db").cast("bigint").alias("max_value_bucket"),
+    )

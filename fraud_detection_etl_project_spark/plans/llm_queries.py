@@ -1180,3 +1180,120 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= _SH_MAX_D)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-rule training (byte-pair encoding, R greedy merge rounds)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+_BPE_SEP = "\x1f"  # symbol separator inside the fold accumulator
+
+
+def _bpe_merge_case(a_ref: str, b_ref: str) -> str:
+    """Greedy left-to-right BPE merge as a fold step, valid in BOTH
+    engines' lambda syntax: the accumulator is the symbol sequence joined
+    by the \\x1f separator; merging appends the right symbol WITHOUT a
+    separator (the merged symbol is the concatenation), which also makes
+    the merged symbol ineligible to re-match as a bare left symbol —
+    exactly the textbook greedy scan."""
+    # the char class is built with chr(31) concat (constant-folded by both
+    # engines) because Spark SQL string literals would swallow a '\x1f'
+    # escape into the three chars 'x1f'
+    return (
+        "CASE WHEN regexp_extract(acc, '[^' || chr(31) || ']*$', 0) = {a} AND x = {b} "
+        "THEN acc || x ELSE acc || chr(31) || x END"
+    ).format(a=a_ref, b=b_ref)
+
+
+def _bpe_oracle() -> str:
+    parts = [
+        f"""
+WITH words AS (
+  SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT UNNEST({TOKS_SQL}) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY 1),
+s0 AS (SELECT freq, string_split(word, '') AS syms FROM words)"""
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        parts.append(f"""
+p{r} AS (SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM s{r - 1}, UNNEST(range(1, len(syms))) t(i) GROUP BY 1, 2),
+t{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+s{r} AS (SELECT freq,
+               string_split(list_reduce(syms, (acc, x) -> {_bpe_merge_case(f"t{r}.a", f"t{r}.b")}),
+                            chr(31)) AS syms
+        FROM s{r - 1}, t{r})""")
+    selects = [
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, a AS left_sym, b AS right_sym, cnt AS pair_count FROM t{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    ]
+    return ",".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@query("bpe_merge_training", oracle=_bpe_oracle())
+def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016): learn
+    the first {r} merge rules over the corpus. Each round counts adjacent
+    symbol pairs weighted by word frequency, picks the most frequent pair
+    (count desc, then lexicographic — fully deterministic), and applies it
+    with the greedy left-to-right scan every BPE implementation uses
+    (expressed as a JVM-side ``aggregate`` fold over the symbol array; see
+    ``_bpe_merge_case``). Emits the learned merge table.
+
+    Scale: the corpus collapses to the (word, freq) VOCABULARY in one
+    pass — every subsequent round scans only the vocab (millions of rows
+    at web scale, not the corpus), pair counts are map-side combined, and
+    the winning pair reaches the merge step as a one-row broadcast. This
+    is exactly how distributed BPE trainers (e.g. the Hugging Face
+    tokenizers map-reduce recipe) shard the problem.
+    """.format(r=_BPE_ROUNDS)
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    syms = words.select("freq", F.split("word", "").alias("syms"))
+    merge_rows = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            syms.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"
+                    )
+                ).alias("p"),
+            )
+            .select("freq", "p.a", "p.b")
+        )
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+        )
+        merge_rows.append(
+            top.select(
+                F.lit(r).cast("bigint").alias("merge_round"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        merged = F.expr(
+            "aggregate(slice(syms, 2, size(syms)), get(syms, 0),"
+            f" (acc, x) -> {_bpe_merge_case('a', 'b')})"
+        )
+        syms = (
+            syms.crossJoin(F.broadcast(top.select("a", "b")))
+            .select("freq", F.split(merged, _BPE_SEP).alias("syms"))
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out

@@ -1726,3 +1726,171 @@ def stream_user_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(done, "w") as f:
             f.write("ok")
     return user_cusum_stream(spark, d)
+
+
+# ---------------------------------------------------------------------------
+# Ridge regression via distributed Gram-matrix aggregation (closed form)
+# ---------------------------------------------------------------------------
+
+_RIDGE_LAMBDA = 100
+_RIDGE_SCALE = 1_000_000
+
+# shared between the Spark selectExpr and the DuckDB oracle so both engines
+# evaluate the IDENTICAL expression tree: integer Gram sums are exact, the
+# double-domain cofactor products/divisions are IEEE-deterministic given the
+# same parenthesization
+_RIDGE_A = {
+    "a00": f"CAST(n + {_RIDGE_LAMBDA} AS DOUBLE)",
+    "a01": "CAST(sx1 AS DOUBLE)",
+    "a02": "CAST(sx2 AS DOUBLE)",
+    "a11": f"CAST(s11 + {_RIDGE_LAMBDA} AS DOUBLE)",
+    "a12": "CAST(s12 AS DOUBLE)",
+    "a22": f"CAST(s22 + {_RIDGE_LAMBDA} AS DOUBLE)",
+}
+
+
+def _ridge_exprs() -> list[str]:
+    a = _RIDGE_A
+    det = (
+        f"({a['a00']} * (({a['a11']} * {a['a22']}) - ({a['a12']} * {a['a12']}))"
+        f" - {a['a01']} * (({a['a01']} * {a['a22']}) - ({a['a12']} * {a['a02']}))"
+        f" + {a['a02']} * (({a['a01']} * {a['a12']}) - ({a['a11']} * {a['a02']})))"
+    )
+    adj = {
+        "adj00": f"(({a['a11']} * {a['a22']}) - ({a['a12']} * {a['a12']}))",
+        "adj01": f"(({a['a02']} * {a['a12']}) - ({a['a01']} * {a['a22']}))",
+        "adj02": f"(({a['a01']} * {a['a12']}) - ({a['a02']} * {a['a11']}))",
+        "adj11": f"(({a['a00']} * {a['a22']}) - ({a['a02']} * {a['a02']}))",
+        "adj12": f"(({a['a01']} * {a['a02']}) - ({a['a00']} * {a['a12']}))",
+        "adj22": f"(({a['a00']} * {a['a11']}) - ({a['a01']} * {a['a01']}))",
+    }
+    b = ["CAST(b0 AS DOUBLE)", "CAST(b1 AS DOUBLE)", "CAST(b2 AS DOUBLE)"]
+    rows = [
+        ("qb_intercept", "adj00", "adj01", "adj02"),
+        ("qb_x1_hour", "adj01", "adj11", "adj12"),
+        ("qb_x2_dom7", "adj02", "adj12", "adj22"),
+    ]
+    out = ["CAST(n AS BIGINT) AS n"]
+    for name, c0, c1, c2 in rows:
+        num = f"((({adj[c0]} * {b[0]}) + ({adj[c1]} * {b[1]})) + ({adj[c2]} * {b[2]}))"
+        out.append(
+            f"CAST(floor({_RIDGE_SCALE}.0 * ({num} / {det}) + 0.5) AS BIGINT) AS {name}"
+        )
+    return out
+
+
+_RIDGE_GRAM_SQL = """
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
+         CAST(sum(x1 * x1) AS BIGINT) AS s11, CAST(sum(x1 * x2) AS BIGINT) AS s12,
+         CAST(sum(x2 * x2) AS BIGINT) AS s22,
+         CAST(sum(qy) AS BIGINT) AS b0, CAST(sum(x1 * qy) AS BIGINT) AS b1,
+         CAST(sum(x2 * qy) AS BIGINT) AS b2
+  FROM feats
+"""
+
+
+def _ridge_oracle() -> str:
+    return f"""
+WITH feats AS (
+  SELECT CAST(hour(ts) AS BIGINT) AS x1,
+         CAST(day(ts) % 7 AS BIGINT) AS x2,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS qy
+  FROM events WHERE event_type = 'purchase'),
+gram AS ({_RIDGE_GRAM_SQL})
+SELECT {", ".join(_ridge_exprs())} FROM gram
+"""
+
+
+@query("ridge_purchase_value", oracle=_ridge_oracle())
+def ridge_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge regression of purchase value on (hour-of-day,
+    day-of-month mod 7) with an intercept: accumulate the 3x3 Gram matrix
+    and moment vector as EXACT integer sums in one distributed scan, then
+    solve (X'X + lambda*I) beta = X'y on the 1-row result by adjugate /
+    determinant — the distributed normal-equations pattern every
+    closed-form linear model uses at scale (the ALS half-iteration next
+    door solves the same shape per-key; this is the global variant).
+
+    Determinism: the Gram sums are order-independent exact integers; the
+    cofactor arithmetic is double-domain but both engines evaluate the
+    LITERALLY SAME expression string (``_ridge_exprs``) with fixed
+    parenthesization, so every IEEE rounding step coincides bit-for-bit.
+
+    Scale: one scan, map-side partial aggregation to 9 numbers per
+    partition; the solve is O(1) on a 1-row frame. Adding features means
+    growing the aggregate list quadratically — fine through tens of
+    features; past that you'd switch to L-BFGS-style iterative passes.
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    feats = e.select(
+        F.hour("ts").cast("bigint").alias("x1"),
+        (F.dayofmonth("ts") % 7).cast("bigint").alias("x2"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint").alias("qy"),
+    )
+    gram = feats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("sx1"),
+        F.sum("x2").cast("bigint").alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("s22"),
+        F.sum("qy").cast("bigint").alias("b0"),
+        F.sum(F.col("x1") * F.col("qy")).cast("bigint").alias("b1"),
+        F.sum(F.col("x2") * F.col("qy")).cast("bigint").alias("b2"),
+    )
+    return gram.selectExpr(*_ridge_exprs())
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick feature vectors (signed feature hashing over tokens)
+# ---------------------------------------------------------------------------
+
+_FH_DIMS = 64
+
+_FH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({TOKS_SQL}) AS tok FROM documents),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5('fh1|' || tok), 1, 6)) AS BIGINT) % {_FH_DIMS} AS feature_idx,
+         CASE WHEN CAST(('0x' || substring(md5('fh2|' || tok), 1, 6)) AS BIGINT) % 2 = 1
+              THEN 1 ELSE -1 END AS sgn
+  FROM toks WHERE tok <> '')
+SELECT doc_id, CAST(feature_idx AS BIGINT) AS feature_idx,
+       CAST(sum(sgn) AS BIGINT) AS val
+FROM hashed GROUP BY 1, 2 HAVING sum(sgn) <> 0
+"""
+
+
+@query("feature_hashed_docs", oracle=_FH_ORACLE)
+def feature_hashed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature hashing (Weinberger et al. 2009, the 'hashing
+    trick'): project each document's token counts into a fixed
+    {d}-dimensional space with bucket = md5(tok) mod {d} and a second
+    md5-derived sign bit that makes collisions cancel in expectation —
+    the unbounded-vocabulary-to-fixed-width step in front of any linear
+    model over text. Emits the sparse (doc, feature_idx, val) triples.
+
+    Scale: no vocabulary state at all (that is the point of the trick) —
+    one explode and one (doc, bucket) aggregation with map-side combine;
+    output is bounded by {d} entries per document. The md5 buckets are the
+    same portable-hash idiom as the split/sampling family.
+    """.format(d=_FH_DIMS)
+    from fraud_detection_etl_project_spark.plans.governance_queries import _md5_mod
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(normalized(F.col("text")), " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    sgn = F.when(_md5_mod("fh2|", F.col("tok"), 2) == 1, F.lit(1)).otherwise(F.lit(-1))
+    hashed = toks.select(
+        "doc_id",
+        _md5_mod("fh1|", F.col("tok"), _FH_DIMS).cast("bigint").alias("feature_idx"),
+        sgn.alias("sgn"),
+    )
+    return (
+        hashed.groupBy("doc_id", "feature_idx")
+        .agg(F.sum("sgn").cast("bigint").alias("val"))
+        .filter(F.col("val") != 0)
+    )
