@@ -1151,7 +1151,11 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving candidates; the distance check is a JVM-side
     sequence/filter expression, no Python.
     """.format(d=_SH_MAX_D, b=_SH_BANDS)
-    sig = D.simhash64(_t(spark, sf_dir, "documents"))
+    # the signature frame is referenced three times (band explode + both
+    # sides of the candidate re-join); persist so the 64-agg signature
+    # build runs once, not three times (same policy as the LSH band path,
+    # operators/dedup.py — the harnesses clear caches between queries)
+    sig = D.simhash64(_t(spark, sf_dir, "documents")).persist()
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -1182,8 +1186,9 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 # ---------------------------------------------------------------------------
-# BPE merge-rule training (byte-pair encoding, R greedy merge rounds)
+# BPE merge-rule training + tokenizer application (byte-pair encoding)
 # ---------------------------------------------------------------------------
 
 _BPE_ROUNDS = 3
@@ -1196,58 +1201,53 @@ def _bpe_merge_case(a_ref: str, b_ref: str) -> str:
     by the \\x1f separator; merging appends the right symbol WITHOUT a
     separator (the merged symbol is the concatenation), which also makes
     the merged symbol ineligible to re-match as a bare left symbol —
-    exactly the textbook greedy scan."""
-    # the char class is built with chr(31) concat (constant-folded by both
-    # engines) because Spark SQL string literals would swallow a '\x1f'
-    # escape into the three chars 'x1f'
+    exactly the textbook greedy scan. The char class is built with
+    chr(31) concat (constant-folded by both engines) because Spark SQL
+    string literals would swallow a '\\x1f' escape into the three chars
+    'x1f'."""
     return (
         "CASE WHEN regexp_extract(acc, '[^' || chr(31) || ']*$', 0) = {a} AND x = {b} "
         "THEN acc || x ELSE acc || chr(31) || x END"
     ).format(a=a_ref, b=b_ref)
 
 
-def _bpe_oracle() -> str:
+def _bpe_ctes() -> str:
+    """The shared vocab -> R merge rounds CTE chain (word identity kept
+    through every round so the apply query can join the corpus back)."""
     parts = [
         f"""
-WITH words AS (
+words AS (
   SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
   FROM (SELECT UNNEST({TOKS_SQL}) AS tok FROM documents)
   WHERE tok <> '' GROUP BY 1),
-s0 AS (SELECT freq, string_split(word, '') AS syms FROM words)"""
+s0 AS (SELECT word, freq, string_split(word, '') AS syms FROM words)"""
     ]
     for r in range(1, _BPE_ROUNDS + 1):
         parts.append(f"""
 p{r} AS (SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
         FROM s{r - 1}, UNNEST(range(1, len(syms))) t(i) GROUP BY 1, 2),
 t{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
-s{r} AS (SELECT freq,
+s{r} AS (SELECT word, freq,
                string_split(list_reduce(syms, (acc, x) -> {_bpe_merge_case(f"t{r}.a", f"t{r}.b")}),
                             chr(31)) AS syms
         FROM s{r - 1}, t{r})""")
+    return ",".join(parts)
+
+
+def _bpe_oracle() -> str:
     selects = [
         f"SELECT CAST({r} AS BIGINT) AS merge_round, a AS left_sym, b AS right_sym, cnt AS pair_count FROM t{r}"
         for r in range(1, _BPE_ROUNDS + 1)
     ]
-    return ",".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+    return "WITH " + _bpe_ctes() + "\n" + "\nUNION ALL ".join(selects)
 
 
-@query("bpe_merge_training", oracle=_bpe_oracle())
-def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016): learn
-    the first {r} merge rules over the corpus. Each round counts adjacent
-    symbol pairs weighted by word frequency, picks the most frequent pair
-    (count desc, then lexicographic — fully deterministic), and applies it
-    with the greedy left-to-right scan every BPE implementation uses
-    (expressed as a JVM-side ``aggregate`` fold over the symbol array; see
-    ``_bpe_merge_case``). Emits the learned merge table.
-
-    Scale: the corpus collapses to the (word, freq) VOCABULARY in one
-    pass — every subsequent round scans only the vocab (millions of rows
-    at web scale, not the corpus), pair counts are map-side combined, and
-    the winning pair reaches the merge step as a one-row broadcast. This
-    is exactly how distributed BPE trainers (e.g. the Hugging Face
-    tokenizers map-reduce recipe) shard the problem.
-    """.format(r=_BPE_ROUNDS)
+def _bpe_learn(spark: SparkSession, sf_dir: str):
+    """Run the R greedy merge rounds on Spark. Returns (merge_rows list of
+    1-row frames, final per-word symbol frame (word, freq, syms)). The
+    vocab and each round's merged frame persist because every round plus
+    both consumers re-reference them (harnesses clear caches between
+    queries)."""
     d = _t(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(T.tokens(F.col("text"))).alias("word"))
@@ -1255,7 +1255,7 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
-    syms = words.select("freq", F.split("word", "").alias("syms"))
+    syms = words.select("word", "freq", F.split("word", "").alias("syms")).persist()
     merge_rows = []
     for r in range(1, _BPE_ROUNDS + 1):
         pairs = (
@@ -1291,9 +1291,262 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         syms = (
             syms.crossJoin(F.broadcast(top.select("a", "b")))
-            .select("freq", F.split(merged, _BPE_SEP).alias("syms"))
+            .select("word", "freq", F.split(merged, _BPE_SEP).alias("syms"))
+            .persist()
         )
+    return merge_rows, syms
+
+
+@query("bpe_merge_training", oracle=_bpe_oracle())
+def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016): learn
+    the first {r} merge rules over the corpus. Each round counts adjacent
+    symbol pairs weighted by word frequency, picks the most frequent pair
+    (count desc, then lexicographic — fully deterministic), and applies it
+    with the greedy left-to-right scan every BPE implementation uses
+    (expressed as a JVM-side ``aggregate`` fold over the symbol array; see
+    ``_bpe_merge_case``). Emits the learned merge table.
+
+    Scale: the corpus collapses to the (word, freq) VOCABULARY in one
+    pass — every subsequent round scans only the vocab (millions of rows
+    at web scale, not the corpus), pair counts are map-side combined, and
+    the winning pair reaches the merge step as a one-row broadcast. This
+    is exactly how distributed BPE trainers (e.g. the Hugging Face
+    tokenizers map-reduce recipe) shard the problem.
+    """.format(r=_BPE_ROUNDS)
+    merge_rows, _ = _bpe_learn(spark, sf_dir)
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionByName(m)
     return out
+
+
+_BPE_APPLY_ORACLE = f"""
+WITH {_bpe_ctes()},
+dtoks AS (
+  SELECT doc_id, tok FROM (SELECT doc_id, UNNEST({TOKS_SQL}) AS tok FROM documents)
+  WHERE tok <> ''),
+j AS (SELECT d.doc_id, CAST(len(s.syms) AS BIGINT) AS nsym
+      FROM dtoks d JOIN s{_BPE_ROUNDS} s ON d.tok = s.word)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ws_tokens,
+       CAST(sum(nsym) AS BIGINT) AS n_bpe_symbols
+FROM j GROUP BY 1
+"""
+
+
+@query("bpe_tokenize_apply", oracle=_BPE_APPLY_ORACLE)
+def bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges back to the corpus: per document, the
+    whitespace token count and the BPE symbol count after the {r} trained
+    merges — the train->tokenize round trip every tokenizer pipeline
+    ships, and the `tokens per document` statistic that drives context-
+    window packing budgets.
+
+    Scale: tokenization-by-vocabulary is a JOIN, not a re-fold — the
+    corpus explodes to (doc, word) and equi-joins the trained per-word
+    symbol table (vocab-sized; Catalyst broadcasts it when small, shuffles
+    on the word key otherwise). No text re-processing happens per
+    occurrence; each distinct word was folded exactly once at train time.
+    """.format(r=_BPE_ROUNDS)
+    _, vocab = _bpe_learn(spark, sf_dir)
+    sizes = vocab.select("word", F.size("syms").cast("bigint").alias("nsym"))
+    d = _t(spark, sf_dir, "documents")
+    dtoks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("word")).filter(
+        F.col("word") != ""
+    )
+    return (
+        dtoks.join(sizes, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ws_tokens"),
+            F.sum("nsym").cast("bigint").alias("n_bpe_symbols"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixture (UNIMAX/mT5-style alpha sampling)
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA = 0.3
+_MIX_SCALE = 1_000_000
+_MIX_BUDGET = 1_000_000  # tokens per training epoch to allocate
+
+_MIX_ORACLE = f"""
+WITH tc AS (
+  SELECT source, CAST(sum(len({TOKS_SQL})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+pw AS (
+  SELECT source, n_tokens,
+         CAST(floor({_MIX_SCALE}.0 * exp({_MIX_ALPHA!r} * ln(CAST(n_tokens AS DOUBLE))) + 0.5) AS BIGINT) AS qpow
+  FROM tc),
+tot AS (SELECT CAST(sum(qpow) AS BIGINT) AS tq FROM pw)
+SELECT source, n_tokens,
+       CAST(floor({_MIX_SCALE}.0 * (CAST(qpow AS DOUBLE) / CAST(tq AS DOUBLE)) + 0.5) AS BIGINT) AS q_weight,
+       CAST(floor({_MIX_BUDGET}.0 * (CAST(qpow AS DOUBLE) / CAST(tq AS DOUBLE)) + 0.5) AS BIGINT) AS epoch_tokens
+FROM pw, tot
+"""
+
+
+@query("temperature_mix_allocation", oracle=_MIX_ORACLE)
+def temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled training-mixture allocation (the mT5/UNIMAX
+    alpha-sampling recipe, alpha={a}): per corpus source, sampling weight
+    proportional to n_tokens^alpha and the resulting token budget for a
+    {b}-token epoch — upweights scarce sources without letting any
+    source's share collapse. Complements ``lang_mix_weights`` (uniform
+    target) with the power-law target production mixtures actually use.
+
+    Determinism: n^alpha is computed per SOURCE (5 rows), quantized to
+    int BEFORE the normalizing sum, so the sum is exact integer math and
+    the final ratios are IEEE-deterministic single divisions.
+
+    Scale: one map-side-combined token-count aggregation over the corpus;
+    everything after runs on the source-cardinality parameter frame.
+    """.format(a=_MIX_ALPHA, b=_MIX_BUDGET)
+    d = _t(spark, sf_dir, "documents")
+    tc = d.groupBy("source").agg(
+        F.sum(F.size(T.tokens(F.col("text")))).cast("bigint").alias("n_tokens")
+    )
+    qpow = F.floor(
+        F.lit(float(_MIX_SCALE)) * F.exp(F.lit(_MIX_ALPHA) * F.log(F.col("n_tokens").cast("double")))
+        + F.lit(0.5)
+    ).cast("bigint")
+    pw = tc.select("source", "n_tokens", qpow.alias("qpow"))
+    tot = pw.agg(F.sum("qpow").cast("bigint").alias("tq"))
+    ratio = F.col("qpow").cast("double") / F.col("tq").cast("double")
+    return pw.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.floor(F.lit(float(_MIX_SCALE)) * ratio + F.lit(0.5)).cast("bigint").alias("q_weight"),
+        F.floor(F.lit(float(_MIX_BUDGET)) * ratio + F.lit(0.5)).cast("bigint").alias("epoch_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic token-dropout augmentation
+# ---------------------------------------------------------------------------
+
+_AUG_DROP_MOD = 10  # drop ~1/10 tokens
+
+_AUG_ORACLE = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+kept AS (
+  SELECT doc_id, len(toks) AS n_orig,
+         list_filter(toks, (x, i) ->
+            CAST(('0x' || substring(md5('aug1|' || CAST(doc_id AS VARCHAR) || '|' || CAST(i AS VARCHAR) || '|' || x), 1, 6)) AS BIGINT)
+              % {_AUG_DROP_MOD} <> 0) AS ktoks
+  FROM t)
+SELECT doc_id, CAST(n_orig AS BIGINT) AS n_orig,
+       CAST(len(ktoks) AS BIGINT) AS n_kept,
+       array_to_string(ktoks, ' ') AS aug_text
+FROM kept
+"""
+
+
+@query("token_dropout_augmentation", oracle=_AUG_ORACLE)
+def token_dropout_augmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data augmentation by token dropout: rebuild each document with
+    ~1/{m} of tokens deleted, the cheap text-perturbation used to grow
+    robust training sets. The drop decision is the repo's portable
+    md5(salt|doc|position|token) gate, so the augmented corpus is
+    REPRODUCIBLE — rerunning the pipeline (or re-partitioning the input)
+    regenerates byte-identical augmentations, which is what makes
+    augmented data cacheable and diffable at 100 TB.
+
+    Scale: fully row-local (one higher-order filter inside codegen, no
+    shuffle at all); both engines index tokens with the lambda's (value,
+    index) form.
+    """.format(m=_AUG_DROP_MOD)
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    kept = t.select(
+        "doc_id",
+        F.size("toks").alias("n_orig"),
+        F.expr(
+            "filter(toks, (x, i) -> CAST(conv(substring(md5(CAST("
+            # Spark's lambda index is 0-based, DuckDB's is 1-based — align on 1-based
+            f"concat('aug1|', CAST(doc_id AS STRING), '|', CAST(i + 1 AS STRING), '|', x)"
+            f" AS BINARY)), 1, 6), 16, 10) AS BIGINT) % {_AUG_DROP_MOD} != 0)"
+        ).alias("ktoks"),
+    )
+    return kept.select(
+        "doc_id",
+        F.col("n_orig").cast("bigint").alias("n_orig"),
+        F.size("ktoks").cast("bigint").alias("n_kept"),
+        F.array_join("ktoks", " ").alias("aug_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit over the token distribution
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 1000
+_ZIPF_SCALE = 1_000_000
+
+_ZIPF_ORACLE = f"""
+WITH tf AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT UNNEST({TOKS_SQL}) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY 1),
+ranked AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, tok ASC) AS rnk FROM tf),
+pts AS (
+  SELECT CAST(floor({_ZIPF_SCALE}.0 * ln(CAST(rnk AS DOUBLE)) + 0.5) AS BIGINT) AS qx,
+         CAST(floor({_ZIPF_SCALE}.0 * ln(CAST(freq AS DOUBLE)) + 0.5) AS BIGINT) AS qy
+  FROM ranked WHERE rnk <= {_ZIPF_TOP}),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(qx) AS BIGINT) AS sx,
+         CAST(sum(qy) AS BIGINT) AS sy, CAST(sum(qx * qx) AS BIGINT) AS sxx,
+         CAST(sum(qx * qy) AS BIGINT) AS sxy
+  FROM pts)
+SELECT n AS n_ranks,
+       CAST(floor({_ZIPF_SCALE}.0 * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) + 0.5) AS BIGINT) AS q_slope
+FROM m
+"""
+
+
+@query("zipf_token_fit", oracle=_ZIPF_ORACLE)
+def zipf_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the token distribution: OLS slope of ln(freq) on
+    ln(rank) over the top {k} token ranks — the corpus-health diagnostic
+    (natural text sits near slope -1; heavily duplicated or synthetic
+    corpora drift away). Log points are quantized to 1e-6 integers before
+    the moment sums, so the regression inputs are exact; the one
+    closed-form division is IEEE-deterministic with the same
+    parenthesization on both engines.
+
+    Scale: one map-side-combined token count; the rank window runs on the
+    vocabulary (not the corpus) and the top-{k} cut bounds the regression
+    frame to a constant.
+    """.format(k=_ZIPF_TOP)
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    ranked = tf.select(
+        "freq", F.row_number().over(Window.orderBy(F.col("freq").desc(), F.col("tok").asc())).alias("rnk")
+    ).filter(F.col("rnk") <= _ZIPF_TOP)
+    qln = lambda c: F.floor(F.lit(float(_ZIPF_SCALE)) * F.log(c.cast("double")) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    pts = ranked.select(qln(F.col("rnk")).alias("qx"), qln(F.col("freq")).alias("qy"))
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("qx").cast("bigint").alias("sx"),
+        F.sum("qy").cast("bigint").alias("sy"),
+        F.sum(F.col("qx") * F.col("qx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("qx") * F.col("qy")).cast("bigint").alias("sxy"),
+    )
+    return m.selectExpr(
+        "n AS n_ranks",
+        f"CAST(floor({_ZIPF_SCALE}.0 * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))"
+        f" / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) + 0.5) AS BIGINT) AS q_slope",
+    )
