@@ -381,3 +381,103 @@ def bootstrap_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("rn") == _BOOT_B - 1, F.col("qmean"))).cast("bigint").alias("q_hi"),
         F.sum("qmean").cast("bigint").alias("q_mean_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SPRT sequential A/B test over daily analysis points
+# ---------------------------------------------------------------------------
+
+# Wald SPRT for a conversion rate, H0: p=0.20 vs H1: p=0.25, error bounds
+# alpha=beta=0.05 -> thresholds ln(19)/ln(1/19). The per-observation
+# log-likelihood-ratio increments and the thresholds are quantized to 1e-6
+# ln-units IN PYTHON and embedded as integer literals, so the running LLR is
+# an exact integer sum on both engines (no transcendental evaluated in SQL).
+_SPRT_QA = 223144  # floor(1e6*ln(0.25/0.20)+0.5), per success
+_SPRT_QB = -64539  # floor(1e6*ln(0.75/0.80)+0.5), per failure
+_SPRT_QU = 2944439  # floor(1e6*ln(19)+0.5), accept H1 at/above
+_SPRT_QL = -2944439  # accept H0 at/below
+
+_SPRT_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS variant, CAST(ts AS DATE) AS day,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS s,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS BIGINT) AS f
+  FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT variant, day,
+         CAST(sum(s * {_SPRT_QA} + f * {_SPRT_QB})
+              OVER (PARTITION BY variant ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS qllr,
+         row_number() OVER (PARTITION BY variant ORDER BY day) AS dn
+  FROM daily),
+crossing AS (
+  SELECT variant, min(dn) AS dec_dn
+  FROM cum WHERE qllr >= {_SPRT_QU} OR qllr <= {_SPRT_QL} GROUP BY 1),
+finals AS (
+  SELECT variant, max(dn) AS last_dn FROM cum GROUP BY 1)
+SELECT f.variant,
+       CASE WHEN c.dec_dn IS NULL THEN 'continue'
+            WHEN d.qllr >= {_SPRT_QU} THEN 'accept_h1' ELSE 'accept_h0' END AS decision,
+       CAST(COALESCE(c.dec_dn, f.last_dn) AS BIGINT) AS n_days_observed,
+       CAST(COALESCE(d.qllr, e.qllr) AS BIGINT) AS q_llr
+FROM finals f
+LEFT JOIN crossing c ON c.variant = f.variant
+LEFT JOIN cum d ON d.variant = f.variant AND d.dn = c.dec_dn
+LEFT JOIN cum e ON e.variant = f.variant AND e.dn = f.last_dn
+"""
+
+
+@query("sprt_ab_daily", oracle=_SPRT_ORACLE)
+def sprt_ab_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT sequential A/B readout at daily analysis points: per
+    variant (user_id parity), accumulate the conversion-rate
+    log-likelihood ratio (H0 p=0.20 vs H1 p=0.25) day by day and stop at
+    the first ln(19) boundary crossing — the early-stopping discipline
+    that replaces fixed-horizon peeking. Emits per variant the decision,
+    the day count to decision, and the LLR at that point.
+
+    Scale: the event stream collapses to per-(variant, day) success /
+    failure counts in ONE map-side-combined aggregation — the sequential
+    scan then runs over the tiny day-level frame (the partitioned window
+    is calendar-bounded), never over raw events. Evaluating the test at
+    day boundaries is what makes a sequential test distributable; the
+    within-day ordering a per-event SPRT needs does not exist at 100 TB
+    ingestion anyway.
+    """
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        (F.col("user_id") % 2).cast("bigint").alias("variant"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).cast("bigint").alias("s"),
+        F.sum(F.when(F.col("event_type") == "purchase", 0).otherwise(1)).cast("bigint").alias("f"),
+    )
+    w = Window.partitionBy("variant").orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.partitionBy("variant").orderBy("day")
+    cum = daily.select(
+        "variant",
+        F.sum(F.col("s") * _SPRT_QA + F.col("f") * _SPRT_QB).over(w).cast("bigint").alias("qllr"),
+        F.row_number().over(wn).alias("dn"),
+    ).persist()
+    crossing = (
+        cum.filter((F.col("qllr") >= _SPRT_QU) | (F.col("qllr") <= _SPRT_QL))
+        .groupBy("variant")
+        .agg(F.min("dn").alias("dec_dn"))
+    )
+    finals = cum.groupBy("variant").agg(F.max("dn").alias("last_dn"))
+    d = cum.select(F.col("variant").alias("dv"), F.col("dn").alias("ddn"), F.col("qllr").alias("dq"))
+    ee = cum.select(F.col("variant").alias("ev"), F.col("dn").alias("edn"), F.col("qllr").alias("eq"))
+    out = (
+        finals.join(crossing, "variant", "left")
+        .join(d, (F.col("dv") == F.col("variant")) & (F.col("ddn") == F.col("dec_dn")), "left")
+        .join(ee, (F.col("ev") == F.col("variant")) & (F.col("edn") == F.col("last_dn")), "left")
+    )
+    return out.select(
+        "variant",
+        F.when(F.col("dec_dn").isNull(), F.lit("continue"))
+        .when(F.col("dq") >= _SPRT_QU, F.lit("accept_h1"))
+        .otherwise(F.lit("accept_h0"))
+        .alias("decision"),
+        F.coalesce(F.col("dec_dn"), F.col("last_dn")).cast("bigint").alias("n_days_observed"),
+        F.coalesce(F.col("dq"), F.col("eq")).cast("bigint").alias("q_llr"),
+    )

@@ -1550,3 +1550,163 @@ def zipf_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(floor({_ZIPF_SCALE}.0 * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))"
         f" / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) + 0.5) AS BIGINT) AS q_slope",
     )
+
+
+# ---------------------------------------------------------------------------
+# Flesch readability scoring
+# ---------------------------------------------------------------------------
+
+_FLESCH_SCALE = 10_000
+
+_FLESCH_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+         CAST(list_sum(list_transform(toks,
+              w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))) AS BIGINT) AS n_syllables
+  FROM t)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CAST(floor({_FLESCH_SCALE}.0 * (206.835
+              - (1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)))
+              - (84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))) + 0.5) AS BIGINT) AS q_flesch
+FROM m
+"""
+
+
+@query("doc_readability_scores", oracle=_FLESCH_ORACLE)
+def doc_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability screen
+    in text-curation stacks (e.g. alongside length/stopword quality
+    gates): 206.835 - 1.015·(words/sentences) - 84.6·(syllables/word),
+    with syllables approximated by vowel-group runs (min 1 per word) and
+    sentences by terminal-punctuation runs (min 1) — the standard
+    dictionary-free approximation. The three counts are exact integers;
+    the score is one fixed-parenthesization double expression quantized
+    at 1e-4, so both engines agree bit-for-bit.
+
+    Scale: fully row-local (regexp counts + one higher-order sum inside
+    codegen), no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("bigint").alias("n_words"),
+        F.greatest(F.regexp_count(F.col("text"), F.lit("[.!?]+")), F.lit(1))
+        .cast("bigint")
+        .alias("n_sentences"),
+        F.expr(
+            "aggregate(transform(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' '),"
+            " w -> greatest(regexp_count(w, '[aeiouy]+'), 1)), 0L, (a, x) -> a + CAST(x AS BIGINT))"
+        ).alias("n_syllables"),
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.floor(
+            F.lit(float(_FLESCH_SCALE))
+            * (
+                F.lit(206.835)
+                - (F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double")))
+                - (F.lit(84.6) * (F.col("n_syllables").cast("double") / F.col("n_words").cast("double")))
+            )
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("q_flesch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skip-gram co-occurrence + PMI (embedding-training pair extraction)
+# ---------------------------------------------------------------------------
+
+_SG_WINDOW = 2
+_SG_MIN_COUNT = 5
+_SG_TOP = 50
+_SG_SCALE = 1_000_000
+
+_SG_ORACLE = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+pairs AS (
+  SELECT toks[i] AS w, toks[i + o] AS c
+  FROM t, UNNEST(range(1, len(toks) + 1)) p(i), UNNEST(range(1, {_SG_WINDOW} + 1)) q(o)
+  WHERE i + o <= len(toks) AND toks[i] <> '' AND toks[i + o] <> ''),
+cxy AS (SELECT w, c, CAST(count(*) AS BIGINT) AS n_pairs FROM pairs GROUP BY 1, 2),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS tp FROM pairs),
+uni AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS n FROM
+          (SELECT UNNEST({TOKS_SQL}) AS tok FROM documents) WHERE tok <> '' GROUP BY 1),
+utot AS (SELECT CAST(sum(n) AS BIGINT) AS u FROM uni),
+pmi AS (
+  SELECT x.w, x.c, x.n_pairs,
+         CAST(floor({_SG_SCALE}.0 * ln((CAST(x.n_pairs AS DOUBLE) * (CAST(ut.u AS DOUBLE) * CAST(ut.u AS DOUBLE)))
+                    / (CAST(t2.tp AS DOUBLE) * (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)))) + 0.5) AS BIGINT) AS q_pmi
+  FROM cxy x JOIN uni a ON a.w = x.w JOIN uni b ON b.w = x.c, tot t2, utot ut
+  WHERE x.n_pairs >= {_SG_MIN_COUNT})
+SELECT w, c, n_pairs, q_pmi FROM pmi
+ORDER BY q_pmi DESC, w ASC, c ASC LIMIT {_SG_TOP}
+"""
+
+
+@query("skipgram_pmi_pairs", oracle=_SG_ORACLE)
+def skipgram_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) pair extraction with PMI scoring — the
+    pair-counting pass at the bottom of word2vec/GloVe-style embedding
+    training: forward context window of {w} tokens, pair and unigram
+    counts, PMI = ln(P(x,y) / (P(x)P(y))) on the counts, top {k} pairs
+    above the min-count floor (PMI without a floor just surfaces rare
+    noise). The ln runs once per surviving pair on exact-integer inputs
+    with fixed parenthesization — bit-stable across engines.
+
+    Scale: pair generation is a row-local higher-order expansion (window
+    size × tokens, linear — never a positions self-join), counts are
+    map-side combined on (w, c), and the corpus totals ride along as
+    1-row broadcasts. The top-{k} is TakeOrderedAndProject-sized.
+    """.format(w=_SG_WINDOW, k=_SG_TOP)
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(T.tokens(F.col("text")).alias("toks"))
+    pairs = t.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(toks)),"
+                f" i -> filter(transform(sequence(1, {_SG_WINDOW}),"
+                " o -> IF(i + o <= size(toks) AND element_at(toks, i) != ''"
+                " AND element_at(toks, i + o) != '',"
+                " struct(element_at(toks, i) AS w, element_at(toks, i + o) AS c), NULL)),"
+                " s -> s IS NOT NULL)))"
+            )
+        ).alias("p")
+    ).select("p.w", "p.c").persist()
+    cxy = pairs.groupBy("w", "c").agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    tot = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("tp"))
+    uni = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy(F.col("tok").alias("uw"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .persist()
+    )
+    utot = uni.agg(F.sum("n").cast("bigint").alias("u"))
+    joined = (
+        cxy.filter(F.col("n_pairs") >= _SG_MIN_COUNT)
+        .join(uni.select(F.col("uw").alias("w"), F.col("n").alias("na")), "w")
+        .join(uni.select(F.col("uw").alias("c"), F.col("n").alias("nb")), "c")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(utot))
+    )
+    q_pmi = F.floor(
+        F.lit(float(_SG_SCALE))
+        * F.log(
+            (F.col("n_pairs").cast("double") * (F.col("u").cast("double") * F.col("u").cast("double")))
+            / (F.col("tp").cast("double") * (F.col("na").cast("double") * F.col("nb").cast("double")))
+        )
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        joined.select("w", "c", "n_pairs", q_pmi.alias("q_pmi"))
+        .orderBy(F.col("q_pmi").desc(), F.col("w").asc(), F.col("c").asc())
+        .limit(_SG_TOP)
+    )
