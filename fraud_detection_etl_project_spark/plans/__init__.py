@@ -71,6 +71,13 @@ from fraud_detection_etl_project_spark.plans import governance_queries  # noqa: 
 # image-decode slot (GIF exercises LZW + interlace and is conformance-
 # tested against javax.imageio; BMP stays registered right after the
 # prefix and oracle-verified).
+# Round-3 swaps (5): markov_event_transitions -> bpe_merge_training
+# (tokenizer-TRAINING family — the greedy merge-learning loop; sequential
+# behavior stays covered by user_cusum_alerts) and
+# stream_attribution_hourly_chain -> k_anonymity_audit (privacy-governance
+# family; the chained query's two constituents — stream-stream join and
+# windowed rollup — each keep their own prefix slot). Both displaced
+# queries stay registered immediately after the prefix, oracle-verified.
 # Round-3 swaps (4): multimodal_gif_stats -> multimodal_jpeg_stats in
 # the image-decode slot (JPEG is the first LOSSY codec: full T.81
 # Huffman+IDCT pipeline, conformance-tested both directions against
@@ -114,7 +121,7 @@ FAMILY_PREFIX = [
     "dq_constraint_audit",
     "urgent_price_skyline",
     "user_cusum_alerts",
-    "markov_event_transitions",
+    "bpe_merge_training",
     "nb_lang_confusion",
     "all_parties_union",
     "copurchase_triangle_count",
@@ -125,7 +132,7 @@ FAMILY_PREFIX = [
     "stream_session_windows",
     "stream_user_running_profile",
     "stream_click_attribution_full",
-    "stream_attribution_hourly_chain",
+    "k_anonymity_audit",
     "udtf_sentence_split",
     "doc_stats",
     "neardup_dedup_kept",
@@ -138,6 +145,8 @@ FAMILY_PREFIX = [
     "purchase_dbscan_labels",
     "copurchase_recommendations",
     "als_user_factors",
+    "markov_event_transitions",
+    "stream_attribution_hourly_chain",
 ]
 
 _ordered = {n: REGISTRY[n] for n in FAMILY_PREFIX if n in REGISTRY}
