@@ -636,3 +636,87 @@ def test_avro_reader_plans_block_partitions():
         assert len(covered) == 20  # 5000 / 250
     finally:
         os.remove(p)
+
+
+# --- round-3 session-2 additions ------------------------------------------
+
+
+def test_bootstrap_ci_zero_row_expansion(spark):
+    """All 32 bootstrap replicates must come from ONE aggregate over the
+    source scan (conditional sums), never an explode-by-B: the plan has
+    no Generate/Explode and exactly one scan of events."""
+    plan = plan_of(spark, "bootstrap_value_ci")
+    # the one Generate is the stack() unpivot of the 1-ROW aggregate
+    # result (it prints ABOVE the aggregate/scan in the top-down plan);
+    # nothing generates below the aggregate, so the scan is never expanded
+    assert plan.count("Generate") == 1
+    assert plan.index("Generate") < plan.index("FileScan parquet")
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_sum" in plan  # replicate sums map-side combine
+
+
+def test_hilbert_recurrence_stays_in_codegen(spark):
+    """The unrolled 8-level Hilbert walk must collapse into whole-stage
+    codegen projections with a single aggregation exchange — no Python,
+    no extra shuffles from the projection chain."""
+    plan = plan_of(spark, "events_hilbert_cells")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 2  # one agg exchange (+AQE read)
+    assert "partial_count" in plan  # cell stats map-side combine
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_feature_hashing_partial_aggregates(spark):
+    plan = plan_of(spark, "feature_hashed_docs")
+    assert "partial_sum" in plan  # (doc, bucket) map-side combine
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_simhash_pairs_band_join_not_nested_loop(spark):
+    """Candidate generation must be an equi-join on the band keys —
+    never a nested-loop over signature pairs."""
+    plan = plan_of(spark, "simhash_hamming_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    try:
+        REGISTRY["simhash_hamming_pairs"].fn(spark, SF).unpersist()
+    except Exception:
+        pass
+    spark.catalog.clearCache()
+
+
+def test_ridge_gram_single_scan_partial_final(spark):
+    """The 3x3 Gram accumulates in one scan with map-side partials; the
+    adjugate solve adds no further exchange."""
+    plan = plan_of(spark, "ridge_purchase_value")
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_apriori_triples_prune_is_semi_join(spark):
+    """The third-face monotonicity prune must execute as a (left-semi)
+    hash join on the frequent-pair frame, not a nested-loop EXISTS."""
+    plan = plan_of(spark, "frequent_part_triples")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    spark.catalog.clearCache()
+
+
+def test_sprt_walks_day_frame_not_events(spark):
+    """The sequential boundary walk must run AFTER the (variant, day)
+    aggregation: the window's input is the day-level exchange, and the
+    day aggregation map-side combines."""
+    plan = plan_of(spark, "sprt_ab_daily")
+    assert "partial_sum" in plan
+    # the day-level cum frame persists and all four consumers (crossing,
+    # finals, decision row, final row) read the cache — the plan string
+    # repeats the cached lineage under each InMemoryTableScan, so the
+    # cache-reuse property is the table-scan count, not the file scans
+    assert plan.count("InMemoryTableScan") >= 4
+    spark.catalog.clearCache()
+
+
+def test_kanonymity_group_to_group_join(spark):
+    """The k x l audit joins two aggregated group frames — both sides of
+    the join must sit above hash aggregates (no row-level k x l join)."""
+    plan = plan_of(spark, "k_anonymity_audit")
+    assert plan.count("HashAggregate") >= 4  # partial+final on both sides
