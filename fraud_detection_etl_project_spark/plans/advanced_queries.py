@@ -1435,3 +1435,88 @@ def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "part"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_RCTE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Markov next-event prediction accuracy (temporal hold-out eval)
+# ---------------------------------------------------------------------------
+
+_MK_SPLIT = "2024-01-22"
+_MK_SCALE = 1_000_000
+
+
+_MK_EVAL_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_type, ts,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt_ts
+  FROM events),
+pairs AS (SELECT event_type AS prev, nxt, nxt_ts FROM seq WHERE nxt IS NOT NULL),
+train AS (
+  SELECT prev, nxt, CAST(count(*) AS BIGINT) AS cnt
+  FROM pairs WHERE nxt_ts < TIMESTAMP '{_MK_SPLIT} 00:00:00' GROUP BY 1, 2),
+pred AS (
+  SELECT prev, nxt AS predicted FROM (
+    SELECT prev, nxt, row_number() OVER (PARTITION BY prev ORDER BY cnt DESC, nxt ASC) AS rn
+    FROM train) WHERE rn = 1),
+test AS (SELECT prev, nxt FROM pairs WHERE nxt_ts >= TIMESTAMP '{_MK_SPLIT} 00:00:00'),
+ev AS (SELECT t.prev, t.nxt, p.predicted FROM test t JOIN pred p ON p.prev = t.prev)
+SELECT CAST(count(*) AS BIGINT) AS n_test_transitions,
+       CAST(sum(CASE WHEN nxt = predicted THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(floor({_MK_SCALE}.0 * (CAST(sum(CASE WHEN nxt = predicted THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE)) + 0.5) AS BIGINT) AS q_accuracy
+FROM ev
+"""
+
+
+@query("markov_prediction_accuracy", oracle=_MK_EVAL_ORACLE)
+def markov_prediction_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal hold-out evaluation of the first-order Markov model
+    (``markov_event_transitions``): train per-state argmax next-event
+    predictions on transitions completing before {d}, then measure top-1
+    accuracy on transitions completing after — the eval loop that turns
+    the transition matrix from a descriptive artifact into a validated
+    predictor, with the same leakage-safe time split as the recommender
+    eval.
+
+    Scale: one lag window per user (single shuffle on user_id — the same
+    pass the transition matrix already needs) feeds BOTH splits; the
+    trained argmax table is |event_types| rows and broadcasts onto the
+    test transitions. Accuracy is a two-counter final aggregate.
+    """.format(d=_MK_SPLIT)
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("prev"),
+        F.lead("event_type").over(w).alias("nxt"),
+        F.lead("ts").over(w).alias("nxt_ts"),
+    ).filter(F.col("nxt").isNotNull()).persist()
+    split = F.lit(_MK_SPLIT).cast("timestamp")
+    train = (
+        seq.filter(F.col("nxt_ts") < split)
+        .groupBy("prev", "nxt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    wr = Window.partitionBy("prev").orderBy(F.col("cnt").desc(), F.col("nxt").asc())
+    pred = (
+        train.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("prev", F.col("nxt").alias("predicted"))
+    )
+    test = seq.filter(F.col("nxt_ts") >= split).select("prev", "nxt")
+    ev = test.join(F.broadcast(pred), "prev")
+    correct = F.sum(F.when(F.col("nxt") == F.col("predicted"), 1).otherwise(0)).cast("bigint")
+    return ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test_transitions"),
+        correct.alias("n_correct"),
+        F.floor(
+            F.lit(float(_MK_SCALE))
+            * (
+                F.sum(F.when(F.col("nxt") == F.col("predicted"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            )
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("q_accuracy"),
+    )

@@ -1710,3 +1710,184 @@ def skipgram_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("q_pmi").desc(), F.col("w").asc(), F.col("c").asc())
         .limit(_SG_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Word-trigram novelty (corpus-uniqueness screen)
+# ---------------------------------------------------------------------------
+
+_NOV_SCALE = 1_000_000
+
+_NOVELTY_ORACLE = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+tri AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS tg
+  FROM t, UNNEST(range(1, len(toks) - 1)) p(i)),
+dfq AS (SELECT tg, CAST(count(*) AS BIGINT) AS df FROM tri GROUP BY 1)
+SELECT tri.doc_id,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(sum(CASE WHEN dfq.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(floor({_NOV_SCALE}.0 * (CAST(sum(CASE WHEN dfq.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE)) + 0.5) AS BIGINT) AS q_novelty
+FROM tri JOIN dfq USING (tg)
+GROUP BY 1
+"""
+
+
+@query("doc_trigram_novelty", oracle=_NOVELTY_ORACLE)
+def doc_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the share of a document's distinct word
+    trigrams that appear in NO other document — the corpus-uniqueness
+    screen that separates boilerplate/template pages (novelty ~ 0) from
+    original text, used alongside dedup when deciding what to keep. A
+    trigram with document frequency 1 is novel by definition, so the
+    metric needs no similarity threshold.
+
+    Scale: distinct (doc, trigram) pairs are one row-local higher-order
+    expansion + combine-aggregated distinct; the df table aggregates on
+    the trigram key and joins back on that same key (both sides already
+    partitioned by it — single shuffle chain, no text re-movement: the
+    trigram string is the join key and never fans out)."""
+    d = _t(spark, sf_dir, "documents")
+    tri = (
+        d.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(toks) - 2, 0)),"
+                    " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"
+                )
+            ).alias("tg"),
+        )
+        .distinct()
+        .persist()
+    )
+    dfq = tri.groupBy("tg").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    novel = F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("bigint")
+    return (
+        tri.join(dfq, "tg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+            novel.alias("n_novel"),
+            F.floor(
+                F.lit(float(_NOV_SCALE))
+                * (
+                    F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                )
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("q_novelty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF cosine document pairs via capped posting lists
+# ---------------------------------------------------------------------------
+
+_TC_DF_CAP = 50  # terms in more than this many docs are stopped out
+_TC_IDF_SCALE = 1_000  # idf quantization (kept small: contributions stay in int64)
+_TC_MIN_COS2 = 250_000_000_000  # 1e12 * 0.25 -> cosine >= 0.5
+
+
+def _tc_oracle() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, UNNEST({TOKS_SQL}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM t WHERE tok <> '' GROUP BY 1, 2),
+dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+w AS (SELECT tf.doc_id, tf.tok, tf.c,
+             CAST(floor({_TC_IDF_SCALE}.0 * ln((nd + 1.0) / (df + 1.0)) + 0.5) AS BIGINT) AS qidf
+      FROM tf JOIN dfq USING (tok) CROSS JOIN nn
+      WHERE dfq.df BETWEEN 2 AND {_TC_DF_CAP}),
+norms AS (SELECT doc_id, CAST(sum(c * c * qidf * qidf) AS BIGINT) AS nrm FROM w GROUP BY 1),
+num AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(sum(a.c * b.c * a.qidf * a.qidf) AS BIGINT) AS num
+        FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+sc AS (SELECT n.doc_a, n.doc_b,
+              CAST(floor(1000000000000.0 * ((CAST(n.num AS DOUBLE) * CAST(n.num AS DOUBLE))
+                         / (CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)))) AS BIGINT) AS q_cos2
+       FROM num n JOIN norms na ON na.doc_id = n.doc_a JOIN norms nb ON nb.doc_id = n.doc_b)
+SELECT doc_a, doc_b, q_cos2 FROM sc WHERE q_cos2 >= {_TC_MIN_COS2}
+"""
+
+
+@query("tfidf_cosine_pairs", oracle=_tc_oracle())
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs with TF-IDF cosine >= 0.5, computed the
+    inverted-index way: per-term posting lists joined term-by-term, with
+    terms appearing in more than {cap} documents STOPPED OUT — the
+    common-term cutoff that bounds every posting list (and with it the
+    candidate-pair fan-out) while barely moving the score, the standard
+    trick in index-based similarity joins (the vector is defined over
+    the surviving discriminative terms; norms use the same terms so the
+    cosine stays a true cosine). Scores are squared into exact-integer
+    numerators over exact-integer norms (the recommender's cosine² idiom)
+    so ranking and thresholding are bit-stable.
+
+    Scale: the posting join shuffles (term, doc, count) triples with
+    per-term fan-out <= {cap}² — never all-pairs; the df filter is the
+    A-Priori-style candidate bound. Norms are one combine-aggregated
+    pass over the same weighted postings.
+    """.format(cap=_TC_DF_CAP)
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    tf = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    dfq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    nn = d.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    w = (
+        tf.join(dfq, "tok")
+        .filter((F.col("df") >= 2) & (F.col("df") <= _TC_DF_CAP))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "tok",
+            "c",
+            F.floor(
+                F.lit(float(_TC_IDF_SCALE))
+                * F.log((F.col("nd") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("qidf"),
+        )
+        .persist()
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("c") * F.col("c") * F.col("qidf") * F.col("qidf")).cast("bigint").alias("nrm")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    num = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.sum(F.col("a.c") * F.col("b.c") * F.col("a.qidf") * F.col("a.qidf"))
+            .cast("bigint")
+            .alias("num")
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        num.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(
+                F.lit(1e12)
+                * ((F.col("num").cast("double") * F.col("num").cast("double"))
+                   / (F.col("na").cast("double") * F.col("nb").cast("double")))
+            )
+            .cast("bigint")
+            .alias("q_cos2"),
+        )
+        .filter(F.col("q_cos2") >= _TC_MIN_COS2)
+    )
