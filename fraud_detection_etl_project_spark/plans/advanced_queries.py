@@ -1520,3 +1520,93 @@ def markov_prediction_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("q_accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-truss edge peeling over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_KT_K = 3  # 3-truss: every surviving edge sits in >= 1 triangle (the sf-fixture
+# co-purchase graph tops out at support 2, so higher trusses are empty there;
+# raise K on denser production graphs — the peel loop is K-agnostic)
+_KT_ROUNDS = 2
+
+
+def _kt_support_sql(e: str) -> str:
+    """Per-edge triangle support over canonical (src < dst) edges: every
+    triangle a<b<c contributes to its three edges."""
+    return f"""(
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS support FROM (
+    SELECT t.a AS src, t.b AS dst FROM (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM {e} e1 JOIN {e} e2 ON e1.src = e2.src AND e1.dst < e2.dst
+      JOIN {e} e3 ON e3.src = e1.dst AND e3.dst = e2.dst) t
+    UNION ALL
+    SELECT t.a, t.c FROM (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM {e} e1 JOIN {e} e2 ON e1.src = e2.src AND e1.dst < e2.dst
+      JOIN {e} e3 ON e3.src = e1.dst AND e3.dst = e2.dst) t
+    UNION ALL
+    SELECT t.b, t.c FROM (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM {e} e1 JOIN {e} e2 ON e1.src = e2.src AND e1.dst < e2.dst
+      JOIN {e} e3 ON e3.src = e1.dst AND e3.dst = e2.dst) t)
+  GROUP BY 1, 2)"""
+
+
+def _ktruss_oracle() -> str:
+    parts = [f"e0 AS ({_EDGES_SQL})"]
+    for r in range(1, _KT_ROUNDS + 1):
+        parts.append(
+            f"s{r} AS (SELECT * FROM {_kt_support_sql(f'e{r - 1}')} WHERE support >= {_KT_K - 2})"
+        )
+        parts.append(f"e{r} AS (SELECT src, dst FROM s{r})")
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT src, dst, support FROM s{_KT_ROUNDS}"
+    )
+
+
+def _edge_support(e: DataFrame) -> DataFrame:
+    """Triangle support per canonical edge: enumerate a<b<c triangles
+    with the wedge-close join, then count each triangle into its three
+    edges. ``e`` must be persisted by the caller (it is referenced three
+    times in the join chain)."""
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, (F.col("e1.src") == F.col("e2.src")) & (F.col("e1.dst") < F.col("e2.dst")))
+        .join(e3, (F.col("e3.src") == F.col("e1.dst")) & (F.col("e3.dst") == F.col("e2.dst")))
+        .select(F.col("e1.src").alias("a"), F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c"))
+    )
+    sides = (
+        tri.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(tri.select(F.col("a").alias("src"), F.col("c").alias("dst")))
+        .unionAll(tri.select(F.col("b").alias("src"), F.col("c").alias("dst")))
+    )
+    return sides.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+
+
+@query("copurchase_ktruss_edges", oracle=_ktruss_oracle())
+def copurchase_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-truss cohesive-subgraph extraction: iteratively peel
+    co-purchase edges supported by fewer than {k}-2 triangles ({r}
+    rounds) — the standard community-core refinement one level stronger
+    than k-core (a k-core bounds degrees; a k-truss bounds TRIANGLE
+    support, so bridges and hub spokes peel away while genuinely
+    clustered product groups survive). Emits the surviving edges with
+    their final-round support.
+
+    Scale: each round is one wedge-close triangle enumeration over the
+    CURRENT (already-peeled, persisted) edge frame — monotonically
+    shrinking work — followed by a 3-way unionAll projection and one
+    combine-aggregated count; everything joins on 2-int edge keys. The
+    wedge fan-out takes the same degree-orientation bound as the
+    triangle counter when graphs are power-law (orient_by_degree)."""
+    e = _copurchase_edges(spark, sf_dir).persist()
+    sup = None
+    for _ in range(_KT_ROUNDS):
+        sup = _edge_support(e).filter(F.col("support") >= _KT_K - 2).persist()
+        e = sup.select("src", "dst").persist()
+    return sup
+
+
+copurchase_ktruss_edges.__doc__ = copurchase_ktruss_edges.__doc__.format(k=_KT_K, r=_KT_ROUNDS)

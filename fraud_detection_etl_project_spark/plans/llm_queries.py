@@ -1891,3 +1891,88 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("q_cos2") >= _TC_MIN_COS2)
     )
+
+
+# ---------------------------------------------------------------------------
+# FastSS edit-distance vocabulary pairs (deletion-neighborhood blocking)
+# ---------------------------------------------------------------------------
+
+_ED_MIN_LEN = 4
+_ED_MIN_FREQ = 2
+_ED_MAX_D = 2  # report pairs at Levenshtein distance <= 2
+
+# all strings obtainable by deleting 0, 1, or 2 positions — FastSS's U_2
+# neighborhood: ed(a, b) <= 2 implies the neighborhoods intersect (delete
+# the edited positions from each side), so the variant equi-join has zero
+# false negatives and the exact levenshtein re-check removes collisions
+_ED_VARS_DUCK = """
+list_concat(list_concat([word],
+  list_transform(range(1, length(word) + 1),
+                 i -> left(word, i - 1) || substring(word, i + 1, 1000))),
+  flatten(list_transform(range(1, length(word) + 1),
+    i -> list_transform(range(i + 1, length(word) + 1),
+      j -> left(word, i - 1) || substring(word, i + 1, j - i - 1) || substring(word, j + 1, 1000)))))
+"""
+
+_ED_VARS_SPARK = """
+concat(concat(array(word),
+  transform(sequence(1, length(word)),
+            i -> concat(left(word, i - 1), substring(word, i + 1, 1000)))),
+  flatten(transform(sequence(1, length(word)),
+    i -> transform(sequence(i + 1, length(word)),
+      j -> concat(left(word, i - 1), substring(word, i + 1, j - i - 1), substring(word, j + 1, 1000))))))
+"""
+
+_ED_ORACLE = f"""
+WITH vocab AS (
+  SELECT tok AS word FROM (SELECT UNNEST({TOKS_SQL}) AS tok FROM documents)
+  WHERE length(tok) >= {_ED_MIN_LEN} GROUP BY 1 HAVING count(*) >= {_ED_MIN_FREQ}),
+vars AS (
+  SELECT DISTINCT word, v FROM vocab, UNNEST({_ED_VARS_DUCK}) t(v)),
+cand AS (
+  SELECT DISTINCT a.word AS word_a, b.word AS word_b
+  FROM vars a JOIN vars b ON a.v = b.v AND a.word < b.word)
+SELECT word_a, word_b, CAST(levenshtein(word_a, word_b) AS BIGINT) AS dist
+FROM cand WHERE levenshtein(word_a, word_b) <= {_ED_MAX_D}
+"""
+
+
+@query("vocab_edit_distance_pairs", oracle=_ED_ORACLE)
+def vocab_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All vocabulary word pairs at Levenshtein distance <= {d}, found
+    with FastSS deletion-neighborhood blocking (Bocek et al. 2007): index
+    each word under every string reachable by deleting up to {d}
+    positions; any pair within distance {d} MUST share an index key
+    (delete the edited positions from both sides of the alignment), so
+    the variant equi-join finds every pair with zero false negatives and
+    the exact levenshtein check discards hash-free collisions. The
+    typo-clustering / spell-normalization step of vocabulary cleanup,
+    done without any all-pairs distance matrix.
+
+    Scale: the variant index is O(|word|^{d}) short strings per vocab
+    entry (row-local transform, deduped per word); the self-join
+    shuffles variant-keyed rows with bucket sizes bounded by how many
+    words share a deletion — the same blocking discipline as the
+    LSH/band joins — and the quadratic verify runs only on candidate
+    pairs. The length >= {l}, freq >= {f} floors keep noise tokens out
+    of the index.
+    """.format(d=_ED_MAX_D, l=_ED_MIN_LEN, f=_ED_MIN_FREQ)
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("word"))
+        .filter(F.length("word") >= _ED_MIN_LEN)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= _ED_MIN_FREQ)
+        .select("word")
+    )
+    vars_ = vocab.select("word", F.explode(F.expr(_ED_VARS_SPARK)).alias("v")).distinct()
+    a, b = vars_.alias("a"), vars_.alias("b")
+    cand = (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.word") < F.col("b.word")))
+        .select(F.col("a.word").alias("word_a"), F.col("b.word").alias("word_b"))
+        .distinct()
+    )
+    return cand.select(
+        "word_a", "word_b", F.levenshtein("word_a", "word_b").cast("bigint").alias("dist")
+    ).filter(F.col("dist") <= _ED_MAX_D)
