@@ -2042,3 +2042,173 @@ def holt_daily_value_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trend double, forecast_next double"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing (weekly season, exact fixed point)
+# ---------------------------------------------------------------------------
+
+_HW_M = 7  # weekly additive season
+
+
+def _hw_oracle() -> str:
+    sp = "CASE (d.rn - 1) % 7 WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END"
+    nl = f"CAST(floor((d.yc - ({sp}) + r.l + r.b) / 2.0) AS BIGINT)"
+    nb = f"CAST(floor(({nl} - r.l + r.b) / 2.0) AS BIGINT)"
+    ns = f"CAST(floor((d.yc - {nl} + ({sp})) / 2.0) AS BIGINT)"
+    s_updates = ",\n         ".join(
+        f"CASE WHEN (d.rn - 1) % 7 = {k} THEN {ns} ELSE r.s{k} END AS s{k}" for k in range(7)
+    )
+    fc_season = "CASE rn % 7 WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 WHEN 3 THEN s3 WHEN 4 THEN s4 WHEN 5 THEN s5 ELSE s6 END"
+    zeros = ", ".join(f"CAST(0 AS BIGINT) AS s{k}" for k in range(7))
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS yc,
+         row_number() OVER (PARTITION BY event_type ORDER BY CAST(ts AS DATE)) AS rn
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, day, rn, yc, yc AS l, CAST(0 AS BIGINT) AS b, {zeros}
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.event_type, d.day, d.rn, d.yc,
+         {nl} AS l,
+         {nb} AS b,
+         {s_updates}
+  FROM r JOIN d ON d.event_type = r.event_type AND d.rn = r.rn + 1
+)
+SELECT event_type, day, yc / 100.0 AS actual, l / 100.0 AS level, b / 100.0 AS trend,
+       ({fc_season}) / 100.0 AS season,
+       (l + b + ({fc_season})) / 100.0 AS forecast_next
+FROM r
+"""
+
+
+@query("holt_winters_daily_forecast", oracle=_hw_oracle())
+def holt_winters_daily_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing (weekly season, m=7) over
+    each event type's daily value series, alpha = beta = gamma = 1/2 in
+    exact integer-cents fixed point: l' = floor((y - s_prev + l + b)/2),
+    b' = floor((l' - l + b)/2), s' = floor((y - l' + s_prev)/2) — the
+    level+trend+season forecaster one rung above the repo's Holt linear
+    model, with every state transition an integer floor so the whole walk
+    is bit-identical to the oracle's recursive CTE (which carries the
+    7-slot season vector as columns s0..s6).
+
+    Like Holt/CUSUM, the recurrence is sequential per series: events
+    collapse JVM-side to one row per (type, day) first (partial-agg
+    shuffle), and only the bounded day table crosses into applyInPandas —
+    O(series length) Python rows, O(m) state per key, never raw events.
+
+    Forecast for day t+1 = l + b + s[(t) mod 7] (next season slot, post
+    update) rides along per row."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("yc"))
+    )
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        yc = pdf["yc"].to_numpy()
+        m = _HW_M
+        l = int(yc[0])
+        b = 0
+        s = [0] * m
+        ls, bs, seas, fc = [l], [b], [], []
+        seas.append(s[1 % m])  # season slot for the NEXT day after t=1
+        fc.append(l + b + s[1 % m])
+        for t in range(1, len(yc)):
+            j = t % m  # 0-based index of day t+1 is t; season slot (rn-1)%m with rn=t+1
+            sp = s[j]
+            prev_l, prev_b = l, b
+            l = (int(yc[t]) - sp + prev_l + prev_b) // 2
+            b = (l - prev_l + prev_b) // 2
+            s[j] = (int(yc[t]) - l + sp) // 2
+            nxt = (t + 1) % m
+            ls.append(l)
+            bs.append(b)
+            seas.append(s[nxt])
+            fc.append(l + b + s[nxt])
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "day": pdf["day"],
+                "actual": yc / 100.0,
+                "level": [x / 100.0 for x in ls],
+                "trend": [x / 100.0 for x in bs],
+                "season": [x / 100.0 for x in seas],
+                "forecast_next": [x / 100.0 for x in fc],
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        hw,
+        schema=(
+            "event_type string, day date, actual double, level double, "
+            "trend double, season double, forecast_next double"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable bottom-k hash-sample quantile sketch
+# ---------------------------------------------------------------------------
+
+_QS_K = 1024
+_QS_HASH_MOD = 1_000_000_000
+
+
+_QS_ORACLE = f"""
+WITH h AS (
+  SELECT event_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+         CAST(('0x' || substring(md5('qs1|' || CAST(event_id AS VARCHAR)), 1, 6)) AS BIGINT) % {_QS_HASH_MOD} AS pri
+  FROM events),
+bk AS (SELECT cents FROM h ORDER BY pri ASC, event_id ASC LIMIT {_QS_K}),
+rk AS (SELECT cents, row_number() OVER (ORDER BY cents ASC) AS rn FROM bk)
+SELECT CAST({_QS_K} AS BIGINT) AS k,
+       CAST(min(CASE WHEN rn = {_QS_K // 2} THEN cents END) AS BIGINT) AS q50_cents,
+       CAST(min(CASE WHEN rn = {_QS_K * 9 // 10} THEN cents END) AS BIGINT) AS q90_cents,
+       CAST(min(CASE WHEN rn = {_QS_K * 99 // 100} THEN cents END) AS BIGINT) AS q99_cents
+FROM rk
+"""
+
+
+@query("value_bottomk_quantile_sketch", oracle=_QS_ORACLE)
+def value_bottomk_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a bottom-k HASH sample: keep the {k} rows
+    with the smallest md5 priorities (a deterministic uniform sample of
+    the stream) and read p50/p90/p99 off the sorted sample — the
+    KMV-style MERGEABLE alternative to a full sort: bottom-k sets union
+    (take the bottom k of the union) exactly like HLL partials, so
+    per-partition / per-day sketches combine without revisiting data,
+    and the same fixed hash makes the sketch — and therefore this
+    query's VALUES — reproducible across engines, runs, and
+    partitionings (an approx_percentile call is not cross-engine
+    checkable; this is).
+
+    Scale: the bottom-k is TakeOrderedAndProject (per-partition top-k
+    then a k-row merge on one reducer — no global sort); everything
+    after runs on the {k}-row sample."""
+    e = _t(spark, sf_dir, "events")
+    from fraud_detection_etl_project_spark.plans.governance_queries import _md5_mod
+
+    h = e.select(
+        "event_id",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("cents"),
+        _md5_mod("qs1|", F.col("event_id"), _QS_HASH_MOD).alias("pri"),
+    )
+    bk = h.orderBy(F.col("pri").asc(), F.col("event_id").asc()).limit(_QS_K).select("cents")
+    rk = bk.withColumn("rn", F.row_number().over(Window.orderBy(F.col("cents").asc())))
+    return rk.agg(
+        F.lit(_QS_K).cast("bigint").alias("k"),
+        F.min(F.when(F.col("rn") == _QS_K // 2, F.col("cents"))).cast("bigint").alias("q50_cents"),
+        F.min(F.when(F.col("rn") == _QS_K * 9 // 10, F.col("cents"))).cast("bigint").alias("q90_cents"),
+        F.min(F.when(F.col("rn") == _QS_K * 99 // 100, F.col("cents"))).cast("bigint").alias("q99_cents"),
+    )
