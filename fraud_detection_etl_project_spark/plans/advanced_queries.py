@@ -1610,3 +1610,105 @@ def copurchase_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 copurchase_ktruss_edges.__doc__ = copurchase_ktruss_edges.__doc__.format(k=_KT_K, r=_KT_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Luby maximal-independent-set rounds over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_MIS_ROUNDS = 2
+_MIS_PRI_MOD = 1_000_000_000
+_MIS_PRI_SQL = (
+    f"CAST(('0x' || substring(md5('mis1|' || CAST({{v}} AS VARCHAR)), 1, 6)) AS BIGINT) % {_MIS_PRI_MOD}"
+)
+
+
+def _mis_oracle() -> str:
+    parts = [
+        f"e1 AS ({_EDGES_SQL})",
+        """n1 AS (SELECT src AS v FROM e1 UNION SELECT dst FROM e1)""",
+    ]
+    sel = []
+    for r in range(1, _MIS_ROUNDS + 1):
+        pri_v = _MIS_PRI_SQL.format(v="n.v")
+        pri_u = _MIS_PRI_SQL.format(v="x.u")
+        parts.append(f"""
+adj{r} AS (SELECT src AS v, dst AS u FROM e{r} UNION ALL SELECT dst, src FROM e{r}),
+mn{r} AS (SELECT x.v, min(({pri_u}) * {_MIS_PRI_MOD} + x.u) AS mnp
+         FROM adj{r} x GROUP BY 1),
+sel{r} AS (SELECT n.v FROM n{r} n LEFT JOIN mn{r} m ON m.v = n.v
+          WHERE m.v IS NULL OR ({pri_v}) * {_MIS_PRI_MOD} + n.v < m.mnp),
+rem{r} AS (SELECT v FROM sel{r} UNION SELECT x.u FROM adj{r} x JOIN sel{r} s ON s.v = x.v),
+e{r + 1} AS (SELECT e.src, e.dst FROM e{r} e
+            WHERE NOT EXISTS (SELECT 1 FROM rem{r} d WHERE d.v = e.src)
+              AND NOT EXISTS (SELECT 1 FROM rem{r} d WHERE d.v = e.dst)),
+n{r + 1} AS (SELECT n.v FROM n{r} n WHERE NOT EXISTS (SELECT 1 FROM rem{r} d WHERE d.v = n.v))""")
+        sel.append(f"SELECT v AS part, CAST({r} AS BIGINT) AS round_selected FROM sel{r}")
+    return "WITH " + ",".join(parts) + "\n" + "\nUNION ALL ".join(sel)
+
+
+@query("copurchase_luby_mis", oracle=_mis_oracle())
+def copurchase_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby's parallel maximal-independent-set algorithm ({r} rounds) over
+    the co-purchase graph: give every node a deterministic md5 priority;
+    select every node whose (priority, id) beats ALL of its neighbors
+    (isolated nodes select vacuously), remove winners plus their
+    neighborhoods, repeat — the foundational symmetry-breaking primitive
+    behind parallel graph coloring / scheduling, converging in O(log n)
+    rounds w.h.p.; each round's selection here is value-oracle-checked.
+
+    Scale: each round is one adjacency expansion (unionAll of both edge
+    directions), one min-aggregation on the node key (map-side combined),
+    a node-vs-min comparison, and two anti-joins to shrink the graph —
+    all hash-partitioned on int node keys, with the frame monotonically
+    shrinking per round (each round removes winners AND their entire
+    neighborhoods). The md5 priorities make every round reproducible
+    across engines and partitionings.
+    """.format(r=_MIS_ROUNDS)
+    e = _copurchase_edges(spark, sf_dir).persist()
+    nodes = e.select(F.col("src").alias("v")).union(e.select(F.col("dst").alias("v"))).distinct()
+
+    def pri(col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("mis1|"), col.cast("string")).cast("binary")), 1, 6
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _MIS_PRI_MOD
+        )
+
+    out = None
+    for r in range(1, _MIS_ROUNDS + 1):
+        adj = e.select(F.col("src").alias("v"), F.col("dst").alias("u")).unionAll(
+            e.select(F.col("dst").alias("v"), F.col("src").alias("u"))
+        )
+        mn = adj.groupBy("v").agg(
+            F.min(pri(F.col("u")) * _MIS_PRI_MOD + F.col("u")).alias("mnp")
+        )
+        sel = (
+            nodes.join(mn, "v", "left")
+            .filter(
+                F.col("mnp").isNull()
+                | ((pri(F.col("v")) * _MIS_PRI_MOD + F.col("v")) < F.col("mnp"))
+            )
+            .select("v")
+            .persist()
+        )
+        rnd = sel.select(
+            F.col("v").alias("part"), F.lit(r).cast("bigint").alias("round_selected")
+        )
+        out = rnd if out is None else out.unionByName(rnd)
+        removed = sel.union(
+            adj.join(sel, adj.v == sel.v, "left_semi").select(F.col("u").alias("v"))
+        ).distinct()
+        e = (
+            e.join(removed.withColumnRenamed("v", "src"), "src", "left_anti")
+            .join(removed.withColumnRenamed("v", "dst"), "dst", "left_anti")
+            .select("src", "dst")
+            .persist()
+        )
+        nodes = nodes.join(removed, "v", "left_anti").persist()
+    return out

@@ -615,3 +615,163 @@ def balanced_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= BALANCE_K)
         .select("event_id", "event_type", F.col("rk").cast("long").alias("rk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# A-Res weighted reservoir sampling (Efraimidis-Spirakis, exact top-k keys)
+# ---------------------------------------------------------------------------
+
+_ARES_K = 100
+_ARES_MOD = 16_777_216  # 2^24: full entropy of the 6-hex md5 bucket
+_ARES_SCALE = 1_000_000_000_000
+
+
+_ARES_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         CAST(floor({_ARES_SCALE}.0 * (-ln((CAST(('0x' || substring(md5('ares1|' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) + 1.0) / {_ARES_MOD}.0))
+                    / CAST(n_chars AS DOUBLE) + 0.5) AS BIGINT) AS qkey
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, w, qkey FROM keyed ORDER BY qkey ASC, doc_id ASC LIMIT {_ARES_K}
+"""
+
+
+@query("weighted_reservoir_ares", oracle=_ARES_ORACLE)
+def weighted_reservoir_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis-Spirakis
+    A-Res keys: each document draws u = md5-uniform(0, 1] and the k
+    smallest -ln(u)/w keys form an exact weighted-without-replacement
+    sample (complementing ``weighted_doc_sample``'s Poisson
+    with-replacement design). The md5 priority makes the 'random' draw
+    reproducible — the sample is a pure function of the data, so
+    backfills and re-runs pick identical rows.
+
+    Scale: key assignment is row-local; selection is
+    TakeOrderedAndProject (per-partition bottom-k, k-row merge — no
+    global sort). Bottom-k key sets are mergeable across shards, which
+    is exactly how the distributed reservoir unions.
+    """
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ares1|"), F.col("doc_id").cast("string")).cast("binary")), 1, 6),
+            16,
+            10,
+        ).cast("bigint")
+    )
+    qkey = F.floor(
+        F.lit(float(_ARES_SCALE))
+        * (-F.log((h + F.lit(1.0)) / F.lit(float(_ARES_MOD))))
+        / F.col("n_chars").cast("double")
+        + F.lit(0.5)
+    ).cast("bigint")
+    keyed = d.select("doc_id", F.col("n_chars").cast("bigint").alias("w"), qkey.alias("qkey"))
+    return keyed.orderBy(F.col("qkey").asc(), F.col("doc_id").asc()).limit(_ARES_K)
+
+
+# ---------------------------------------------------------------------------
+# Consistent-hash shard assignment (ring with virtual nodes)
+# ---------------------------------------------------------------------------
+
+_CH_SHARDS = 8
+_CH_VNODES = 32  # virtual nodes per shard
+_CH_RING_MOD = 1_000_000_007
+
+
+def _ch_ring_rows() -> str:
+    return ", ".join(f"({s}, {v})" for s in range(_CH_SHARDS) for v in range(_CH_VNODES))
+
+
+_CH_ORACLE = f"""
+WITH ring AS (
+  SELECT shard,
+         CAST(('0x' || substring(md5('ring1|' || CAST(shard AS VARCHAR) || '|' || CAST(vn AS VARCHAR)), 1, 6)) AS BIGINT) % {_CH_RING_MOD} AS pos
+  FROM (VALUES {_ch_ring_rows()}) t(shard, vn)),
+wrap AS (SELECT shard FROM ring ORDER BY pos ASC, shard ASC LIMIT 1),
+docs AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5('dkey1|' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % {_CH_RING_MOD} AS pos
+  FROM documents),
+succ AS (
+  SELECT d.doc_id,
+         min(CASE WHEN r.pos >= d.pos THEN r.pos * 10 + r.shard END) AS packed
+  FROM docs d CROSS JOIN ring r GROUP BY 1),
+asg AS (
+  SELECT s.doc_id,
+         CAST(COALESCE(s.packed % 10, (SELECT shard FROM wrap)) AS BIGINT) AS shard
+  FROM succ s)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs
+FROM asg GROUP BY 1
+"""
+
+
+@query("doc_shard_assignment_consistent", oracle=_CH_ORACLE)
+def doc_shard_assignment_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash shard assignment with {v} virtual nodes per shard:
+    each document lands on the first ring position clockwise of its hash
+    — the placement scheme whose defining property is MINIMAL MOVEMENT
+    (adding/removing a shard relocates only ~1/{s} of documents, vs
+    rehash-everything for modulo sharding), the right way to spread a
+    100 TB corpus over mutable storage/training shards. Emits per-shard
+    load counts; virtual nodes are what tighten the load spread.
+
+    Scale: the ring is a PARAMETER table ({s}x{v} rows) broadcast to
+    every task — the successor search is a broadcast aggregation per
+    row, never a shuffle; the only exchange is the final shard-count
+    combine. The min(pos*10+shard) packing resolves position ties
+    deterministically on both engines.
+    """.format(v=_CH_VNODES, s=_CH_SHARDS)
+    spark_ring = [(s, v) for s in range(_CH_SHARDS) for v in range(_CH_VNODES)]
+    ring = spark.createDataFrame(spark_ring, "shard int, vn int").select(
+        "shard",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("ring1|"),
+                            F.col("shard").cast("string"),
+                            F.lit("|"),
+                            F.col("vn").cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _CH_RING_MOD
+        ).alias("pos"),
+    )
+    wrap = ring.orderBy(F.col("pos").asc(), F.col("shard").asc()).limit(1).select(
+        F.col("shard").alias("wrap_shard")
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("dkey1|"), F.col("doc_id").cast("string")).cast("binary")),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _CH_RING_MOD
+        ).alias("pos"),
+    )
+    succ = (
+        d.crossJoin(F.broadcast(ring.withColumnRenamed("pos", "rpos")))
+        .groupBy("doc_id")
+        .agg(
+            F.min(
+                F.when(F.col("rpos") >= F.col("pos"), F.col("rpos") * 10 + F.col("shard"))
+            ).alias("packed")
+        )
+    )
+    asg = succ.crossJoin(F.broadcast(wrap)).select(
+        F.coalesce(F.col("packed") % 10, F.col("wrap_shard")).cast("bigint").alias("shard")
+    )
+    return asg.groupBy("shard").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
