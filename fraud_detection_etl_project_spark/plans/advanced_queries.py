@@ -1585,7 +1585,7 @@ def _edge_support(e: DataFrame) -> DataFrame:
     return sides.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("bigint").alias("support"))
 
 
-@query("copurchase_ktruss_edges", oracle=_ktruss_oracle())
+@query("copurchase_ktruss_edges", oracle=_ktruss_oracle(), bench=True)
 def copurchase_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{k}-truss cohesive-subgraph extraction: iteratively peel
     co-purchase edges supported by fewer than {k}-2 triangles ({r}

@@ -1133,7 +1133,7 @@ WHERE len(list_filter(range(1, 65),
 """
 
 
-@query("simhash_hamming_pairs", oracle=_simhash_pairs_oracle())
+@query("simhash_hamming_pairs", oracle=_simhash_pairs_oracle(), bench=True)
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All document pairs within SimHash Hamming distance {d}: the
     sub-quadratic near-dup candidate path over the SimHash family
@@ -1297,7 +1297,7 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
     return merge_rows, syms
 
 
-@query("bpe_merge_training", oracle=_bpe_oracle())
+@query("bpe_merge_training", oracle=_bpe_oracle(), bench=True)
 def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016): learn
     the first {r} merge rules over the corpus. Each round counts adjacent
@@ -1817,7 +1817,7 @@ SELECT doc_a, doc_b, q_cos2 FROM sc WHERE q_cos2 >= {_TC_MIN_COS2}
 """
 
 
-@query("tfidf_cosine_pairs", oracle=_tc_oracle())
+@query("tfidf_cosine_pairs", oracle=_tc_oracle(), bench=True)
 def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document pairs with TF-IDF cosine >= 0.5, computed the
     inverted-index way: per-term posting lists joined term-by-term, with
