@@ -481,3 +481,88 @@ def sprt_ab_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("dec_dn"), F.col("last_dn")).cast("bigint").alias("n_days_observed"),
         F.coalesce(F.col("dq"), F.col("eq")).cast("bigint").alias("q_llr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Orderless dataset content fingerprints (data-versioning primitive)
+# ---------------------------------------------------------------------------
+
+_FP_HEX_LEN = 15  # 60-bit row hashes stay comfortably in int64
+
+
+def _fp_row_sql(table: str, cols_sql: str) -> str:
+    return f"""
+SELECT '{table}' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(CAST(('0x' || substring(md5({cols_sql}), 1, {_FP_HEX_LEN})) AS BIGINT)) AS BIGINT) AS xor_fp
+FROM {table}"""
+
+
+_FP_CUSTOMER_COLS = (
+    "CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' || CAST(c_nationkey AS VARCHAR)"
+    " || '|' || c_mktsegment || '|' || CAST(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS VARCHAR)"
+)
+_FP_ORDERS_COLS = (
+    "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus"
+    " || '|' || o_orderpriority || '|' || CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR)"
+    " || '|' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR)"
+)
+_FP_NATION_COLS = "CAST(n_nationkey AS VARCHAR) || '|' || n_name || '|' || CAST(n_regionkey AS VARCHAR)"
+
+_FP_ORACLE = (
+    _fp_row_sql("customer", _FP_CUSTOMER_COLS)
+    + "\nUNION ALL"
+    + _fp_row_sql("orders", _FP_ORDERS_COLS)
+    + "\nUNION ALL"
+    + _fp_row_sql("nation", _FP_NATION_COLS)
+)
+
+
+@query("table_content_fingerprints", oracle=_FP_ORACLE)
+def table_content_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orderless content fingerprint per table: XOR of 60-bit md5 row
+    hashes plus the row count — the dataset-versioning primitive that
+    lets a pipeline prove two snapshots identical (or detect silent
+    mutation) WITHOUT sorting or moving rows: XOR is commutative,
+    associative, and self-inverse, so the fingerprint is independent of
+    partitioning and row order, mergeable across shards, and
+    incrementally maintainable (XOR the hashes of inserted and deleted
+    rows onto the old fingerprint). Doubles enter the hash as exact
+    cents and dates as ISO strings so both engines hash identical bytes.
+
+    Scale: one combine-aggregated scan per table (bit_xor has a partial
+    aggregate); no shuffle wider than one row per partition.
+    """
+    frames = []
+    specs = {
+        "customer": (
+            "customer",
+            "CAST(c_custkey AS STRING) || '|' || c_name || '|' || CAST(c_nationkey AS STRING)"
+            " || '|' || c_mktsegment || '|' || CAST(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS STRING)",
+        ),
+        "orders": (
+            "orders",
+            "CAST(o_orderkey AS STRING) || '|' || CAST(o_custkey AS STRING) || '|' || o_orderstatus"
+            " || '|' || o_orderpriority || '|' || CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS STRING)"
+            " || '|' || CAST(CAST(o_orderdate AS DATE) AS STRING)",
+        ),
+        "nation": (
+            "nation",
+            "CAST(n_nationkey AS STRING) || '|' || n_name || '|' || CAST(n_regionkey AS STRING)",
+        ),
+    }
+    for name, (tbl, cols) in specs.items():
+        t = _t(spark, sf_dir, tbl)
+        row_fp = F.expr(
+            f"CAST(conv(substring(md5(CAST({cols} AS BINARY)), 1, {_FP_HEX_LEN}), 16, 10) AS BIGINT)"
+        )
+        frames.append(
+            t.agg(
+                F.lit(name).alias("table_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.bit_xor(row_fp).cast("bigint").alias("xor_fp"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out

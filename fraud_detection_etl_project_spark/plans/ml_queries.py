@@ -2086,3 +2086,119 @@ def frequent_part_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= _AP3_MIN_SUPPORT)
     )
     return tri
+
+
+# ---------------------------------------------------------------------------
+# k-fold cross-validation of the ridge model (leave-fold-out Gram algebra)
+# ---------------------------------------------------------------------------
+
+_CV_FOLDS = 4
+_CV_MAE_SCALE = 10_000
+
+_CV_GRAM_COLS = ["n", "sx1", "sx2", "s11", "s12", "s22", "b0", "b1", "b2"]
+
+
+def _cv_oracle() -> str:
+    per_fold = """
+  SELECT CAST(('0x' || substring(md5('cv1|' || CAST(event_id AS VARCHAR)), 1, 6)) AS BIGINT) % {k} AS fold,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
+         CAST(sum(x1 * x1) AS BIGINT) AS s11, CAST(sum(x1 * x2) AS BIGINT) AS s12,
+         CAST(sum(x2 * x2) AS BIGINT) AS s22,
+         CAST(sum(qy) AS BIGINT) AS b0, CAST(sum(x1 * qy) AS BIGINT) AS b1,
+         CAST(sum(x2 * qy) AS BIGINT) AS b2
+  FROM feats GROUP BY 1""".format(k=_CV_FOLDS)
+    tot_minus = ", ".join(f"t.{c} - f.{c} AS {c}" for c in _CV_GRAM_COLS)
+    tot_sums = ", ".join(f"CAST(sum({c}) AS BIGINT) AS {c}" for c in _CV_GRAM_COLS)
+    return f"""
+WITH feats AS (
+  SELECT event_id, CAST(hour(ts) AS BIGINT) AS x1,
+         CAST(day(ts) % 7 AS BIGINT) AS x2,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS qy
+  FROM events WHERE event_type = 'purchase'),
+fg AS ({per_fold}),
+tot AS (SELECT {tot_sums} FROM fg),
+train AS (SELECT f.fold, {tot_minus} FROM fg f CROSS JOIN tot t),
+betas AS (SELECT fold, {", ".join(_ridge_exprs())} FROM train),
+test AS (
+  SELECT CAST(('0x' || substring(md5('cv1|' || CAST(event_id AS VARCHAR)), 1, 6)) AS BIGINT) % {_CV_FOLDS} AS fold,
+         x1, x2, qy FROM feats),
+resid AS (
+  SELECT t.fold,
+         CAST(floor(abs(1000000 * t.qy - (b.qb_intercept + b.qb_x1_hour * t.x1 + b.qb_x2_dom7 * t.x2)) / 1000000.0) AS BIGINT) AS ae_cents
+  FROM test t JOIN betas b ON b.fold = t.fold)
+SELECT fold, CAST(count(*) AS BIGINT) AS n_test,
+       CAST(floor({_CV_MAE_SCALE}.0 * (CAST(sum(ae_cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)) + 0.5) AS BIGINT) AS q_mae
+FROM resid GROUP BY 1
+"""
+
+
+@query("ridge_cv_mae", oracle=_cv_oracle())
+def ridge_cv_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-fold cross-validation of the closed-form ridge model with
+    LEAVE-FOLD-OUT GRAM ALGEBRA: one scan accumulates the 9 Gram/moment
+    sums PER FOLD; each fold's training matrix is then total-minus-fold —
+    exact integer subtraction, no second pass over the data — and the
+    same shared solve expressions (``_ridge_exprs``) produce each fold's
+    coefficients. Held-out mean absolute error per fold comes from one
+    more scan joined against the 4-row beta table. This is how k-fold CV
+    of any moment-based model should run at 100 TB: two scans total,
+    never k re-trainings.
+
+    Determinism: fold assignment is the portable md5 gate; Gram algebra
+    is exact-int; the solve and the per-row residual quantization follow
+    the repo's fixed-parenthesization double idiom.
+    """.format(k=_CV_FOLDS)
+    from fraud_detection_etl_project_spark.plans.governance_queries import _md5_mod
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    feats = e.select(
+        "event_id",
+        F.hour("ts").cast("bigint").alias("x1"),
+        (F.dayofmonth("ts") % 7).cast("bigint").alias("x2"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint").alias("qy"),
+    ).withColumn("fold", _md5_mod("cv1|", F.col("event_id"), _CV_FOLDS).cast("bigint")).persist()
+    fg = feats.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("sx1"),
+        F.sum("x2").cast("bigint").alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("s22"),
+        F.sum("qy").cast("bigint").alias("b0"),
+        F.sum(F.col("x1") * F.col("qy")).cast("bigint").alias("b1"),
+        F.sum(F.col("x2") * F.col("qy")).cast("bigint").alias("b2"),
+    )
+    tot = fg.agg(*[F.sum(c).cast("bigint").alias(c) for c in _CV_GRAM_COLS])
+    train = fg.select(
+        "fold", *[F.col(c).alias(f"f_{c}") for c in _CV_GRAM_COLS]
+    ).crossJoin(F.broadcast(tot)).select(
+        "fold", *[(F.col(c) - F.col(f"f_{c}")).alias(c) for c in _CV_GRAM_COLS]
+    )
+    betas = train.selectExpr("fold", *_ridge_exprs())
+    resid = feats.join(F.broadcast(betas), "fold").select(
+        "fold",
+        F.floor(
+            F.abs(
+                F.lit(1000000) * F.col("qy")
+                - (
+                    F.col("qb_intercept")
+                    + F.col("qb_x1_hour") * F.col("x1")
+                    + F.col("qb_x2_dom7") * F.col("x2")
+                )
+            )
+            / F.lit(1000000.0)
+        )
+        .cast("bigint")
+        .alias("ae_cents"),
+    )
+    return resid.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.floor(
+            F.lit(float(_CV_MAE_SCALE))
+            * (F.sum("ae_cents").cast("double") / F.count(F.lit(1)).cast("double"))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("q_mae"),
+    )
