@@ -2212,3 +2212,164 @@ def value_bottomk_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min(F.when(F.col("rn") == _QS_K * 9 // 10, F.col("cents"))).cast("bigint").alias("q90_cents"),
         F.min(F.when(F.col("rn") == _QS_K * 99 // 100, F.col("cents"))).cast("bigint").alias("q99_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# UCB1 bandit replay over daily arms (policy evaluation on logged data)
+# ---------------------------------------------------------------------------
+
+_UCB_ARMS = ["click", "error", "purchase", "signup", "view"]  # alpha order
+_UCB_CAP = 20_000  # reward = capped day-mean cents, normalized by this
+_UCB_SCALE = 1_000_000
+
+
+def _ucb_score_sql(s: str, n: str, t: str) -> str:
+    return (
+        f"CAST(floor({_UCB_SCALE}.0 * (CAST({s} AS DOUBLE) / ({_UCB_CAP}.0 * CAST({n} AS DOUBLE))"
+        f" + sqrt(2.0 * ln(CAST({t} AS DOUBLE)) / CAST({n} AS DOUBLE))) + 0.5) AS BIGINT)"
+    )
+
+
+def _ucb_oracle() -> str:
+    arms = _UCB_ARMS
+    a0 = arms[0]
+    zeros_n = ", ".join(
+        f"CAST({1 if a == a0 else 0} AS BIGINT) AS n_{a}" for a in arms
+    )
+    zeros_s = ", ".join(
+        f"CAST(CASE WHEN '{a}' = '{a0}' THEN COALESCE(r.r, 0) ELSE 0 END AS BIGINT) AS s_{a}"
+        for a in arms
+    )
+    init_arm_case = " ".join(
+        f"WHEN x.nt = {i + 1} THEN '{arms[i]}'" for i in range(len(arms))
+    )
+    scores = {a: _ucb_score_sql(f"x.s_{a}", f"x.n_{a}", "x.nt") for a in arms}
+    qscores = {a: _ucb_score_sql(f"q.s_{a}", f"q.n_{a}", "q.nt") for a in arms}
+    qmx = f"greatest({', '.join(qscores.values())})"
+    q_argmax_case = " ".join(f"WHEN {qscores[a]} = {qmx} THEN '{a}'" for a in arms)
+    init_arm_case_q = init_arm_case.replace("x.nt", "q.nt")
+    chosen = f"CASE {init_arm_case_q} ELSE (CASE {q_argmax_case} END) END"
+    qscore_out = (
+        "CASE WHEN x.nt <= "
+        + str(len(arms))
+        + " THEN CAST(0 AS BIGINT) ELSE (CASE "
+        + " ".join(f"WHEN x.ch = '{a}' THEN {scores[a]}" for a in arms)
+        + " END) END"
+    )
+    n_updates = ", ".join(
+        f"x.n_{a} + CASE WHEN x.ch = '{a}' THEN 1 ELSE 0 END AS n_{a}" for a in arms
+    )
+    s_updates = ", ".join(
+        f"x.s_{a} + CASE WHEN x.ch = '{a}' THEN COALESCE(r.r, 0) ELSE 0 END AS s_{a}" for a in arms
+    )
+    return f"""
+WITH RECURSIVE days AS (
+  SELECT day, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+  FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)),
+rw AS (
+  SELECT d.t, e.event_type, CAST(least(e.sc // e.n, {_UCB_CAP}) AS BIGINT) AS r
+  FROM (SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sc,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2) e
+  JOIN days d ON d.day = e.day),
+rec AS (
+  SELECT d.t, d.day, '{a0}' AS chosen_arm, CAST(0 AS BIGINT) AS q_score,
+         CAST(COALESCE(r.r, 0) AS BIGINT) AS reward,
+         CAST(COALESCE(r.r, 0) AS BIGINT) AS cum_reward,
+         {zeros_n}, {zeros_s}
+  FROM days d LEFT JOIN rw r ON r.t = d.t AND r.event_type = '{a0}'
+  WHERE d.t = 1
+  UNION ALL
+  SELECT x.nt AS t, x.day2 AS day, x.ch AS chosen_arm,
+         {qscore_out} AS q_score,
+         CAST(COALESCE(r.r, 0) AS BIGINT) AS reward,
+         x.cum_reward + COALESCE(r.r, 0) AS cum_reward,
+         {n_updates},
+         {s_updates}
+  FROM (
+    SELECT q.*, ({chosen}) AS ch
+    FROM (SELECT rec.*, rec.t + 1 AS nt, d2.day AS day2
+          FROM rec JOIN days d2 ON d2.t = rec.t + 1) q
+  ) x
+  LEFT JOIN rw r ON r.t = x.nt AND r.event_type = x.ch
+)
+SELECT t, day, chosen_arm, q_score, reward, cum_reward FROM rec
+"""
+
+
+@query("ucb1_bandit_replay", oracle=_ucb_oracle())
+def ucb1_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 bandit policy replayed over logged daily rewards: arms are
+    the event types, a day's reward for an arm is its capped mean value
+    in cents, the first |arms| days initialize each arm once, and every
+    later day plays argmax of mean/{cap} + sqrt(2 ln t / n) — the
+    offline policy-evaluation loop (Li et al.'s replay methodology) that
+    tells you what a bandit WOULD have earned on your logs before you
+    ship it. Scores quantize at 1e-6 with the repo's
+    fixed-parenthesization idiom, so every pull matches the oracle's
+    recursive CTE (which carries the per-arm (n, s) state as columns).
+
+    Like CUSUM/Holt, the decision walk is inherently sequential, so it
+    takes the grouped-map hatch AFTER the heavy reduction: events
+    collapse JVM-side to the (day, arm) reward grid (combine-aggregated,
+    calendar x |arms| rows), and only that parameter-sized frame crosses
+    into the single-group pandas walk — O(days x arms) Python rows,
+    never raw events.
+    """.format(cap=_UCB_CAP)
+    import math
+
+    ev = _t(spark, sf_dir, "events")
+    grid = (
+        ev.select(
+            F.col("ts").cast("date").alias("day"),
+            F.col("event_type"),
+            F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("cents"),
+        )
+        .groupBy("day", "event_type")
+        .agg(
+            F.least(
+                F.expr("sum(cents) div count(*)"), F.lit(_UCB_CAP).cast("bigint")
+            ).alias("r")
+        )
+    )
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        days = sorted(pdf["day"].unique())
+        rmap = {(row.day, row.event_type): int(row.r) for row in pdf.itertuples()}
+        arms = _UCB_ARMS
+        n = {a: 0 for a in arms}
+        s = {a: 0 for a in arms}
+        out = []
+        cum = 0
+        for t, day in enumerate(days, start=1):
+            if t <= len(arms):
+                ch, q = arms[t - 1], 0
+            else:
+                qs = {
+                    a: math.floor(
+                        _UCB_SCALE
+                        * (s[a] / (float(_UCB_CAP) * n[a]) + math.sqrt(2.0 * math.log(t) / n[a]))
+                        + 0.5
+                    )
+                    for a in arms
+                }
+                mx = max(qs.values())
+                ch = next(a for a in arms if qs[a] == mx)
+                q = qs[ch]
+            r = rmap.get((day, ch), 0)
+            n[ch] += 1
+            s[ch] += r
+            cum += r
+            out.append((t, day, ch, q, r, cum))
+        return pd.DataFrame(
+            out, columns=["t", "day", "chosen_arm", "q_score", "reward", "cum_reward"]
+        )
+
+    return grid.groupBy().applyInPandas(
+        replay,
+        schema=(
+            "t bigint, day date, chosen_arm string, q_score bigint, "
+            "reward bigint, cum_reward bigint"
+        ),
+    )
