@@ -2984,3 +2984,44 @@ def events_hilbert_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("db").cast("bigint").alias("min_value_bucket"),
         F.max("db").cast("bigint").alias("max_value_bucket"),
     )
+
+
+@query(
+    "stream_session_timeout_closed",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+agg AS (SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events, CAST(sum(cents) AS BIGINT) AS value_cents
+        FROM s GROUP BY 1, 2),
+last AS (SELECT user_id, max(sid) AS last_sid FROM agg GROUP BY 1)
+SELECT a.user_id, a.session_start, a.session_end, a.n_events, a.value_cents
+FROM agg a JOIN last l ON l.user_id = a.user_id AND a.sid < l.last_sid
+""",
+)
+def stream_session_timeout_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionizer with EVENT-TIME STATE TIMEOUT
+    (streaming/stateful.user_closed_sessions) — the state-hygiene surface
+    ``applyInPandasWithState`` adds over the built-in session_window:
+    sessions close IN-BAND when a later event for the key arrives past
+    the 30-min gap (event time decides, so output is identical however
+    the source splits into micro-batches), while each key's open tail
+    session carries a registered event-time timeout that drops its state
+    when the watermark passes — idle keys cannot accrete state forever
+    on an unbounded stream. The batch oracle re-derives the in-band
+    sessions as lag/cumsum sessionization minus each user's final
+    (still-open-at-EOS) session.
+
+    Scale: one shuffle per micro-batch on user_id into the state store;
+    per-key state is one open session (4 ints); timeouts bound total
+    state by ACTIVE keys, not ever-seen keys."""
+    from fraud_detection_etl_project_spark.streaming.stateful import user_closed_sessions
+
+    return user_closed_sessions(spark, sf_dir)

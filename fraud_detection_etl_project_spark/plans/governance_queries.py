@@ -566,3 +566,141 @@ def table_content_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift monitors: PSI and exact two-sample KS
+# ---------------------------------------------------------------------------
+
+_DRIFT_SPLIT = "2024-01-16"  # window A = first half of the fixture month
+_PSI_BINS = 10
+_PSI_HI = 400.0  # fixture values sit in ~[0, 330]
+_PSI_SCALE = 1_000_000_000
+
+_PSI_BUCKET_SQL = (
+    f"CAST(CASE WHEN value < 0.0 THEN 0 WHEN value >= {_PSI_HI} THEN {_PSI_BINS + 1} "
+    f"ELSE CAST(floor(value / {_PSI_HI / _PSI_BINS}) AS BIGINT) + 1 END AS BIGINT)"
+)
+
+_PSI_ORACLE = f"""
+WITH b AS (
+  SELECT event_type, {_PSI_BUCKET_SQL} AS bucket,
+         CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT} 00:00:00' THEN 1 ELSE 0 END AS in_a
+  FROM events),
+g AS (
+  SELECT event_type, bucket,
+         CAST(sum(in_a) + 1 AS BIGINT) AS na, CAST(sum(1 - in_a) + 1 AS BIGINT) AS nb
+  FROM b GROUP BY 1, 2),
+t AS (SELECT event_type, CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb
+      FROM g GROUP BY 1)
+SELECT g.event_type, g.bucket, g.na - 1 AS n_a, g.nb - 1 AS n_b,
+       CAST(floor({_PSI_SCALE}.0 * (((CAST(g.na AS DOUBLE) / CAST(t.ta AS DOUBLE)) - (CAST(g.nb AS DOUBLE) / CAST(t.tb AS DOUBLE)))
+                  * ln((CAST(g.na AS DOUBLE) / CAST(t.ta AS DOUBLE)) / (CAST(g.nb AS DOUBLE) / CAST(t.tb AS DOUBLE)))) + 0.5) AS BIGINT) AS q_psi_term
+FROM g JOIN t ON t.event_type = g.event_type
+"""
+
+
+@query("value_drift_psi", oracle=_PSI_ORACLE)
+def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor: per event type, compare
+    the value distribution of the first half of the stream against the
+    second over fixed equal-width bins (fixed breakpoints — not
+    percentile bins — so the monitor itself is deterministic and
+    mergeable), with +1 Laplace smoothing so empty bins stay finite.
+    Emits each bin's (p - q)·ln(p/q) contribution quantized at 1e-9; the
+    per-type PSI is their sum, with the usual 0.1 / 0.25 watch/alarm
+    thresholds downstream.
+
+    Scale: one conditional-sum aggregation on (type, bucket) — map-side
+    combined, parameter-sized output; totals join group-to-group."""
+    e = _t(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        F.expr(_PSI_BUCKET_SQL.replace("value", "value")).alias("bucket"),
+        F.when(F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp"), 1).otherwise(0).alias("in_a"),
+    )
+    g = b.groupBy("event_type", "bucket").agg(
+        (F.sum("in_a") + 1).cast("bigint").alias("na"),
+        (F.sum(F.lit(1) - F.col("in_a")) + 1).cast("bigint").alias("nb"),
+    )
+    t = g.groupBy("event_type").agg(
+        F.sum("na").cast("bigint").alias("ta"), F.sum("nb").cast("bigint").alias("tb")
+    )
+    p = F.col("na").cast("double") / F.col("ta").cast("double")
+    q = F.col("nb").cast("double") / F.col("tb").cast("double")
+    return g.join(t, "event_type").select(
+        "event_type",
+        "bucket",
+        (F.col("na") - 1).alias("n_a"),
+        (F.col("nb") - 1).alias("n_b"),
+        F.floor(F.lit(float(_PSI_SCALE)) * ((p - q) * F.log(p / q)) + F.lit(0.5))
+        .cast("bigint")
+        .alias("q_psi_term"),
+    )
+
+
+_KS_SCALE = 1_000_000_000
+
+_KS_ORACLE = f"""
+WITH v AS (
+  SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT} 00:00:00' THEN 1 ELSE 0 END AS in_a
+  FROM events WHERE event_type = 'purchase'),
+g AS (SELECT cents, CAST(sum(in_a) AS BIGINT) AS ca, CAST(sum(1 - in_a) AS BIGINT) AS cb
+      FROM v GROUP BY 1),
+tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n1, CAST(sum(cb) AS BIGINT) AS n2 FROM g),
+c AS (SELECT cents,
+             CAST(sum(ca) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f1,
+             CAST(sum(cb) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f2
+      FROM g)
+SELECT t.n1, t.n2,
+       CAST(max(abs(t.n2 * c.f1 - t.n1 * c.f2)) AS BIGINT) AS d_num,
+       CAST(floor({_KS_SCALE}.0 * (CAST(max(abs(t.n2 * c.f1 - t.n1 * c.f2)) AS DOUBLE)
+                  / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE))) + 0.5) AS BIGINT) AS q_ks
+FROM c, tot t GROUP BY t.n1, t.n2
+"""
+
+
+@query("value_drift_ks", oracle=_KS_ORACLE)
+def value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic between first-half
+    and second-half purchase values: sup |F1 - F2| computed as the exact
+    integer max of |n2·cum1 - n1·cum2| over the merged support, divided
+    once at the end — no sampling, no float ECDFs, so the statistic is an
+    exact rational quantized at 1e-9. The distribution-free drift test to
+    run beside PSI's binned heuristic.
+
+    Scale: values collapse to per-cent counts first (combine-aggregated;
+    support bounded by the value DOMAIN, not row count), so the one
+    ordered cumulative window runs over the bounded support frame — the
+    same domain-bounded-window argument as the KM/SPRT day frames."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    v = e.select(
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("bigint").alias("cents"),
+        F.when(F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp"), 1).otherwise(0).alias("in_a"),
+    )
+    g = v.groupBy("cents").agg(
+        F.sum("in_a").cast("bigint").alias("ca"),
+        F.sum(F.lit(1) - F.col("in_a")).cast("bigint").alias("cb"),
+    ).persist()
+    tot = g.agg(F.sum("ca").cast("bigint").alias("n1"), F.sum("cb").cast("bigint").alias("n2"))
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        F.sum("ca").over(w).cast("bigint").alias("f1"),
+        F.sum("cb").over(w).cast("bigint").alias("f2"),
+    )
+    j = c.crossJoin(F.broadcast(tot))
+    dn = F.max(F.abs(F.col("n2") * F.col("f1") - F.col("n1") * F.col("f2"))).cast("bigint")
+    return j.groupBy("n1", "n2").agg(
+        dn.alias("d_num"),
+        F.floor(
+            F.lit(float(_KS_SCALE))
+            * (
+                F.max(F.abs(F.col("n2") * F.col("f1") - F.col("n1") * F.col("f2"))).cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+            )
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("q_ks"),
+    )

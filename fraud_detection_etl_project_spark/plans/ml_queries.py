@@ -2202,3 +2202,79 @@ def ridge_cv_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("q_mae"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding-space diagnostics
+# ---------------------------------------------------------------------------
+
+_ED_Q = 1_000_000  # per-element quantization before the exact moment sums
+_EDS_SCALE = 1_000_000
+
+
+_EDS_ORACLE = f"""
+WITH q AS (
+  SELECT t.i - 1 AS dim,
+         -- explicit DOUBLE cast: DuckDB evaluates FLOAT * DOUBLE-literal in
+         -- FLOAT precision, which rounds differently at .5 boundaries
+         CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * {_ED_Q}.0 + 0.5) AS BIGINT) AS qv
+  FROM embeddings e, UNNEST(range(1, len(e.embedding) + 1)) t(i)),
+m AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(qv) AS BIGINT) AS s1, CAST(sum(qv * qv) AS BIGINT) AS s2,
+         CAST(sum(CASE WHEN qv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+  FROM q GROUP BY 1)
+SELECT dim, n, n_zero,
+       CAST(floor({_EDS_SCALE}.0 * (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * {_ED_Q}.0)) + 0.5) AS BIGINT) AS q_mean,
+       CAST(floor({_EDS_SCALE}.0 * (((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))
+                  / ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * ({_ED_Q}.0 * {_ED_Q}.0))) + 0.5) AS BIGINT) AS q_var
+FROM m
+"""
+
+
+@query("embedding_dimension_stats", oracle=_EDS_ORACLE)
+def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding diagnostics: mean, variance, and
+    exact-zero counts for each of the 64 dimensions — the embedding-space
+    health check that catches dead dimensions (always-zero features),
+    mis-scaled axes, and mean drift before they poison ANN recall. Each
+    float quantizes to a 1e-6 integer BEFORE the moment sums, so the
+    sums are exact and order-independent, and variance comes from the
+    (n·Σx² - (Σx)²)/n² identity on those exact integers.
+
+    Scale: one posexplode (64x narrow int rows) + one combine-aggregated
+    64-group reduction; output is dimension-cardinality."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "dim", F.floor(F.col("v").cast("double") * F.lit(float(_ED_Q)) + F.lit(0.5)).cast("bigint").alias("qv")
+    )
+    m = q.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("qv").cast("bigint").alias("s1"),
+        F.sum(F.col("qv") * F.col("qv")).cast("bigint").alias("s2"),
+        F.sum(F.when(F.col("qv") == 0, 1).otherwise(0)).cast("bigint").alias("n_zero"),
+    )
+    return m.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        "n",
+        "n_zero",
+        F.floor(
+            F.lit(float(_EDS_SCALE))
+            * (F.col("s1").cast("double") / (F.col("n").cast("double") * F.lit(float(_ED_Q))))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("q_mean"),
+        F.floor(
+            F.lit(float(_EDS_SCALE))
+            * (
+                ((F.col("n").cast("double") * F.col("s2").cast("double")) - (F.col("s1").cast("double") * F.col("s1").cast("double")))
+                / ((F.col("n").cast("double") * F.col("n").cast("double")) * (F.lit(float(_ED_Q)) * F.lit(float(_ED_Q))))
+            )
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("q_var"),
+    )

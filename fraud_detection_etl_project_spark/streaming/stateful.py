@@ -185,3 +185,91 @@ def user_cusum_stream(spark: SparkSession, staged_dir: str) -> DataFrame:
             .alias("first_alert_step"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap sessionizer with EVENT-TIME STATE TIMEOUT (state-hygiene surface)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+SESSION_OUT = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint, value_cents bigint"
+)
+SESSION_STATE = "start_us bigint, end_us bigint, n bigint, cents bigint"
+_US = 1_000_000
+
+
+def _update_user_sessions(key, pdfs, state: GroupState):
+    """Close a session when a new event arrives more than the gap after
+    its last event (in-band closure — deterministic regardless of how
+    the source splits into micro-batches, because event time decides,
+    not batch boundaries). The open tail session stays in state with an
+    EVENT-TIME TIMEOUT registered at end+gap: when the watermark passes
+    it, the state is dropped (no emission — the tail session's emission
+    would depend on the final watermark position, i.e. on batch split,
+    so a value-checked pipeline suppresses it; a production pipeline
+    would emit it here instead)."""
+    import pandas as pd  # noqa: F811
+
+    gap_us = SESSION_GAP_MIN * 60 * _US
+    if state.hasTimedOut:
+        state.remove()
+        yield pd.DataFrame(
+            columns=["user_id", "session_start", "session_end", "n_events", "value_cents"]
+        )
+        return
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values(["ts", "event_id"])
+    if state.exists:
+        start_us, end_us, n, cents = state.get
+    else:
+        start_us = end_us = n = cents = None
+    out = []
+    for r in rows.itertuples():
+        t_us = int(r.ts.value // 1000)  # ns -> us
+        c = int(r.cents)
+        if n is None:
+            start_us, end_us, n, cents = t_us, t_us, 1, c
+        elif t_us - end_us >= gap_us:
+            out.append((key[0], start_us, end_us, n, cents))
+            start_us, end_us, n, cents = t_us, t_us, 1, c
+        else:
+            end_us, n, cents = t_us, n + 1, cents + c
+    state.update((start_us, end_us, n, cents))
+    state.setTimeoutTimestamp((end_us + gap_us) // 1000)  # ms epoch
+    yield pd.DataFrame(
+        {
+            "user_id": [u for u, *_ in out],
+            "session_start": [pd.Timestamp(s, unit="us") for _, s, *_ in out],
+            "session_end": [pd.Timestamp(e, unit="us") for _, _, e, *_ in out],
+            "n_events": [n_ for *_, n_, _c in out],
+            "value_cents": [c_ for *_, c_ in out],
+        }
+    )
+
+
+def user_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the events stream through the timeout sessionizer; returns
+    the in-band-closed sessions as a batch frame."""
+    from pyspark.sql import functions as F
+
+    src = events_stream(spark, sf_dir).withColumn(
+        "cents", F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("bigint")
+    ).withWatermark("ts", "1 minute")
+    sessions = src.groupBy("user_id").applyInPandasWithState(
+        _update_user_sessions,
+        outputStructType=SESSION_OUT,
+        stateStructType=SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    name = f"closed_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
