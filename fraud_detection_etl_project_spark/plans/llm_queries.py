@@ -1976,3 +1976,53 @@ def vocab_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "word_a", "word_b", F.levenshtein("word_a", "word_b").cast("bigint").alias("dist")
     ).filter(F.col("dist") <= _ED_MAX_D)
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup ingest: new batch vs existing corpus only
+# ---------------------------------------------------------------------------
+
+_INC_ORACLE = f"""
+{_SHINGLES_SQL},
+sig AS (SELECT doc_id, {_minhash_sql()} FROM sh),
+bands AS ({_BAND_SELECTS})
+SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS old_doc
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+"""
+
+
+@query("neardup_incremental_pairs", oracle=_INC_ORACLE)
+def neardup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup ingest: LSH candidates between a new ingest
+    batch (doc_id % 10 = 0 stands in for today's arrivals) and the
+    EXISTING corpus only — the asymmetric band join every production
+    dedup pipeline runs daily: new-vs-old, never old-vs-old (that work
+    was already done when the old docs arrived). The new batch's band
+    index is built fresh; the corpus side is exactly the persisted band
+    index a real pipeline keeps materialized between runs.
+
+    Scale: cost is |new| x bucket-collision rate, independent of corpus
+    re-pairing — the property that makes daily dedup of a growing 100 TB
+    corpus O(daily batch), not O(corpus). Hot buckets take the same
+    cap-and-salt remedy as the batch path."""
+    d = _t(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(d).select(F.col("doc_id"), *D.band_keys())
+    exploded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("key"))
+                    for b in range(D.BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    new = exploded.filter(F.col("doc_id") % 10 == 0).alias("a")
+    old = exploded.filter(F.col("doc_id") % 10 != 0).alias("b")
+    return (
+        new.join(old, ["band", "key"])
+        .select(F.col("a.doc_id").alias("new_doc"), F.col("b.doc_id").alias("old_doc"))
+        .distinct()
+    )

@@ -2275,3 +2275,94 @@ def order_price_twophase_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.min("o_totalprice") * 100.0 + 0.5) / 100.0).alias("lo"),
         (F.floor(F.max("o_totalprice") * 100.0 + 0.5) / 100.0).alias("hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ER golden records: cluster matches, then attribute survivorship
+# ---------------------------------------------------------------------------
+
+_GOLDEN_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.c_custkey AS pa, b.c_custkey AS pb
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= {_ER_MAX_DIST}),
+cedges AS (SELECT pa AS ea, pb AS eb FROM pairs UNION SELECT pb, pa FROM pairs),
+reach AS (
+  SELECT c_custkey AS node, c_custkey AS r FROM customer
+  UNION
+  SELECT e.ea AS node, reach.r AS r FROM cedges e JOIN reach ON reach.node = e.eb
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+members AS (
+  SELECT comp.component, c.c_custkey, c.c_name,
+         CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents
+  FROM comp JOIN customer c ON c.c_custkey = comp.node),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY component
+                               ORDER BY bal_cents DESC, c_custkey ASC) AS rn
+  FROM members)
+SELECT CAST(m.component AS BIGINT) AS component,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(min(r.c_custkey) AS BIGINT) AS golden_custkey,
+       min(r.c_name) AS golden_name,
+       CAST(min(r.bal_cents) AS BIGINT) AS golden_bal_cents
+FROM members m
+JOIN ranked r ON r.component = m.component AND r.rn = 1
+GROUP BY m.component
+"""
+
+
+@query("er_golden_records", oracle=_GOLDEN_ORACLE)
+def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full master-data-management loop on top of the blocked ER
+    matcher: cluster match pairs with connected components (matches are
+    transitive by fiat — A~B, B~C merge), then SURVIVORSHIP picks each
+    cluster's golden record deterministically (highest account balance,
+    then lowest key) — the step that turns pairwise match output into a
+    deduplicated dimension you can actually join facts against.
+
+    Scale: pairs come from the attribute-blocked quadratic
+    (customer_er_matches economics); CC moves (id, id) tuples with
+    pointer-jumping label propagation; survivorship is one
+    WindowGroupLimit rank per cluster. Nothing wider than the member
+    table ever shuffles.
+    """
+    from fraud_detection_etl_project_spark.operators import graph as G
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5)).cast("bigint").alias("bal_cents"),
+    )
+    pairs = customer_er_matches(spark, sf_dir).select("a_key", "b_key")
+    cc = G.connected_components(
+        c.select(F.col("c_custkey").alias("node")).distinct(),
+        pairs,
+        node_col="node",
+        src="a_key",
+        dst="b_key",
+    )
+    members = cc.join(c, cc.node == c.c_custkey).select(
+        F.col("comp").alias("component"), "c_custkey", "c_name", "bal_cents"
+    ).persist()
+    w = Window.partitionBy("component").orderBy(F.col("bal_cents").desc(), F.col("c_custkey").asc())
+    golden = (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("c_custkey").alias("golden_custkey"),
+            F.col("c_name").alias("golden_name"),
+            F.col("bal_cents").alias("golden_bal_cents"),
+        )
+    )
+    sizes = members.groupBy("component").agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    return sizes.join(golden, "component").select(
+        F.col("component").cast("bigint").alias("component"),
+        "n_members",
+        F.col("golden_custkey").cast("bigint").alias("golden_custkey"),
+        "golden_name",
+        F.col("golden_bal_cents").cast("bigint").alias("golden_bal_cents"),
+    )
