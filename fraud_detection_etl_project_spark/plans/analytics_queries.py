@@ -2373,3 +2373,84 @@ def ucb1_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reward bigint, cum_reward bigint"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Diagonal-Mahalanobis multivariate outliers
+# ---------------------------------------------------------------------------
+
+_MAH_Q = 100  # cents quantization of value
+_MAH_SCALE = 1_000_000
+_MAH_TOP = 50
+
+
+_MAH_ORACLE = f"""
+WITH f AS (
+  SELECT event_id, CAST(hour(ts) AS BIGINT) AS x1, CAST(day(ts) % 7 AS BIGINT) AS x2,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x3
+  FROM events),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x1 * x1) AS BIGINT) AS q1,
+         CAST(sum(x2) AS BIGINT) AS s2, CAST(sum(x2 * x2) AS BIGINT) AS q2,
+         CAST(sum(x3) AS BIGINT) AS s3, CAST(sum(x3 * x3) AS BIGINT) AS q3
+  FROM f),
+sc AS (
+  SELECT f.event_id,
+         CAST(floor({_MAH_SCALE}.0 * (
+             (((CAST(f.x1 AS DOUBLE) * n) - s1) * ((CAST(f.x1 AS DOUBLE) * n) - s1)) / ((CAST(n AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1) * n)
+           + (((CAST(f.x2 AS DOUBLE) * n) - s2) * ((CAST(f.x2 AS DOUBLE) * n) - s2)) / ((CAST(n AS DOUBLE) * q2 - CAST(s2 AS DOUBLE) * s2) * n)
+           + (((CAST(f.x3 AS DOUBLE) * n) - s3) * ((CAST(f.x3 AS DOUBLE) * n) - s3)) / ((CAST(n AS DOUBLE) * q3 - CAST(s3 AS DOUBLE) * s3) * n)
+         ) + 0.5) AS BIGINT) AS q_m2
+  FROM f, m)
+SELECT event_id, q_m2 FROM sc ORDER BY q_m2 DESC, event_id ASC LIMIT {_MAH_TOP}
+"""
+
+
+@query("event_mahalanobis_outliers", oracle=_MAH_ORACLE)
+def event_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate outlier screen: top-{k} events by diagonal
+    Mahalanobis distance over (hour, day-of-month mod 7, value cents) —
+    the standardization-aware generalization of per-column z-scores
+    (each squared deviation is scaled by ITS feature's variance, so a
+    weird-hour-cheap-purchase can outrank a merely-expensive one). The
+    score is written as ((x·n - s)² / ((n·q - s²)·n)) so every input to
+    the double arithmetic is an EXACT integer moment and the expression
+    tree is shared verbatim with the oracle.
+
+    Scale: one moment aggregation (map-side combined to 7 numbers), a
+    1-row broadcast back onto the stream, row-local scoring, and a
+    TakeOrderedAndProject top-{k} — two scans, no sort.
+    """.format(k=_MAH_TOP)
+    e = _t(spark, sf_dir, "events")
+    f = e.select(
+        "event_id",
+        F.hour("ts").cast("bigint").alias("x1"),
+        (F.dayofmonth("ts") % 7).cast("bigint").alias("x2"),
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("bigint").alias("x3"),
+    )
+    m = f.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("s1"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("q1"),
+        F.sum("x2").cast("bigint").alias("s2"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("q2"),
+        F.sum("x3").cast("bigint").alias("s3"),
+        F.sum(F.col("x3") * F.col("x3")).cast("bigint").alias("q3"),
+    )
+
+    def term(x, s, q):
+        dev = F.col(x).cast("double") * F.col("n") - F.col(s)
+        var = F.col("n").cast("double") * F.col(q) - F.col(s).cast("double") * F.col(s)
+        return (dev * dev) / (var * F.col("n"))
+
+    sc = f.crossJoin(F.broadcast(m)).select(
+        "event_id",
+        F.floor(
+            F.lit(float(_MAH_SCALE)) * (term("x1", "s1", "q1") + term("x2", "s2", "q2") + term("x3", "s3", "q3"))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("q_m2"),
+    )
+    return sc.orderBy(F.col("q_m2").desc(), F.col("event_id").asc()).limit(_MAH_TOP)

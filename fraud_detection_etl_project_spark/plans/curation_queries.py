@@ -775,3 +775,141 @@ def doc_shard_assignment_consistent(spark: SparkSession, sf_dir: str) -> DataFra
         F.coalesce(F.col("packed") % 10, F.col("wrap_shard")).cast("bigint").alias("shard")
     )
     return asg.groupBy("shard").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe churn label generation (future-window labels)
+# ---------------------------------------------------------------------------
+
+_CHURN_GAP_DAYS = 7
+
+_CHURN_ORACLE = f"""
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+lbl AS (
+  SELECT user_id, day,
+         lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day,
+         (SELECT max(CAST(ts AS DATE)) FROM events) AS max_day
+  FROM ud)
+SELECT user_id, day,
+       CASE WHEN next_day IS NULL THEN NULL
+            WHEN date_diff('day', day, next_day) > {_CHURN_GAP_DAYS} THEN TRUE
+            ELSE FALSE END AS churned_7d,
+       CAST(date_diff('day', day, COALESCE(next_day, day)) AS BIGINT) AS days_to_next
+FROM lbl
+WHERE date_diff('day', day, max_day) > {_CHURN_GAP_DAYS} OR next_day IS NOT NULL
+"""
+
+
+@query("churn_label_generation", oracle=_CHURN_ORACLE)
+def churn_label_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe churn LABEL GENERATION for supervised training: for
+    every (user, active day), the label is whether the user's next
+    activity is more than {g} days out — a pure future-window fact.
+    Observation days too close to the end of data to have a resolvable
+    label (no later activity AND inside the {g}-day horizon) are
+    DROPPED, not guessed — the right-censoring discipline that stops a
+    silent optimistic bias in the training set; users' final activity
+    with enough lookahead keeps a NULL next_day and labels via the
+    horizon rule.
+
+    Scale: one distinct + one lead window per user (single user-keyed
+    shuffle); the dataset-end day rides as a broadcast scalar.
+    """.format(g=_CHURN_GAP_DAYS)
+    e = _t(spark, sf_dir, "events")
+    ud = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    mx = e.agg(F.max(F.col("ts").cast("date")).alias("max_day"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    lbl = ud.select(
+        "user_id", "day", F.lead("day").over(w).alias("next_day")
+    ).crossJoin(F.broadcast(mx))
+    return lbl.filter(
+        (F.datediff(F.col("max_day"), F.col("day")) > _CHURN_GAP_DAYS)
+        | F.col("next_day").isNotNull()
+    ).select(
+        "user_id",
+        "day",
+        F.when(F.col("next_day").isNull(), F.lit(None).cast("boolean"))
+        .when(F.datediff(F.col("next_day"), F.col("day")) > _CHURN_GAP_DAYS, F.lit(True))
+        .otherwise(F.lit(False))
+        .alias("churned_7d"),
+        F.datediff(F.coalesce(F.col("next_day"), F.col("day")), F.col("day"))
+        .cast("bigint")
+        .alias("days_to_next"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling for recommender training pairs
+# ---------------------------------------------------------------------------
+
+_NEG_PER_USER = 5
+
+_NEG_ORACLE = f"""
+WITH mx AS (SELECT CAST(max(l_partkey) AS BIGINT) AS mp FROM lineitem),
+u AS (SELECT DISTINCT o_custkey AS user_key FROM orders),
+cand AS (
+  SELECT u.user_key, t.i AS slot,
+         1 + CAST(('0x' || substring(md5('neg1|' || CAST(u.user_key AS VARCHAR) || '|' || CAST(t.i AS VARCHAR)), 1, 6)) AS BIGINT) % mx.mp AS part_key
+  FROM u, mx, UNNEST(range({_NEG_PER_USER})) t(i)),
+pos AS (
+  SELECT DISTINCT o.o_custkey AS user_key, l.l_partkey AS part_key
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+SELECT c.user_key, CAST(c.slot AS BIGINT) AS slot, CAST(c.part_key AS BIGINT) AS part_key
+FROM cand c LEFT JOIN pos p
+  ON p.user_key = c.user_key AND p.part_key = c.part_key
+WHERE p.user_key IS NULL
+"""
+
+
+@query("recommender_negative_samples", oracle=_NEG_ORACLE)
+def recommender_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training:
+    propose {k} md5-addressed candidate parts per customer and keep the
+    ones the customer never actually ordered (verified with an
+    anti-join against the positives) — the (user, non-item) pair
+    construction BPR/ALS-style recommenders train on. md5 addressing
+    makes the negatives reproducible: re-runs, backfills, and the
+    eventual eval all see the same pairs.
+
+    Scale: candidates are |users| x {k} narrow rows; the verification
+    anti-join hash-partitions on the (user, part) pair key against the
+    distinct positives — no per-user scans of the catalog, no rejection
+    loop (collisions simply drop, which the fixed slot count tolerates).
+    """.format(k=_NEG_PER_USER)
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    mx = li.agg(F.max("l_partkey").cast("bigint").alias("mp"))
+    u = o.select(F.col("o_custkey").alias("user_key")).distinct()
+    slots = F.explode(F.sequence(F.lit(0), F.lit(_NEG_PER_USER - 1))).alias("slot")
+    cand = u.crossJoin(F.broadcast(mx)).select("user_key", "mp", slots).select(
+        "user_key",
+        "slot",
+        (
+            F.lit(1)
+            + F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("neg1|"),
+                            F.col("user_key").cast("string"),
+                            F.lit("|"),
+                            F.col("slot").cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.col("mp")
+        ).alias("part_key"),
+    )
+    pos = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("user_key"), F.col("l_partkey").alias("part_key"))
+        .distinct()
+    )
+    return cand.join(pos, ["user_key", "part_key"], "left_anti").select(
+        "user_key", F.col("slot").cast("bigint").alias("slot"), F.col("part_key").cast("bigint").alias("part_key")
+    )

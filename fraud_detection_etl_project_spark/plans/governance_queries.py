@@ -704,3 +704,72 @@ def value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("q_ks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot row diff (added / removed / changed between two table versions)
+# ---------------------------------------------------------------------------
+
+_DIFF_ORACLE = """
+WITH v1 AS (
+  SELECT o_orderkey AS k,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents, o_orderstatus AS st
+  FROM orders WHERE o_orderkey % 97 <> 0),
+v2 AS (
+  SELECT o_orderkey AS k,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+           + CASE WHEN o_orderkey % 89 = 0 THEN 100 ELSE 0 END AS price_cents,
+         o_orderstatus AS st
+  FROM orders WHERE o_orderkey % 101 <> 0)
+SELECT CASE WHEN a.k IS NULL THEN 'added'
+            WHEN b.k IS NULL THEN 'removed'
+            WHEN a.price_cents <> b.price_cents OR a.st <> b.st THEN 'changed'
+            ELSE 'unchanged' END AS diff_kind,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM v1 a FULL OUTER JOIN v2 b ON a.k = b.k
+GROUP BY 1
+"""
+
+
+@query("snapshot_row_diff", oracle=_DIFF_ORACLE)
+def snapshot_row_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff between two table snapshots (the audit behind
+    every 'what changed since yesterday's load' question): a full outer
+    join on the primary key classifies every row as added / removed /
+    changed / unchanged. The two versions are synthesized deterministic
+    views of the orders fixture (v1 drops keys % 97, v2 drops keys % 101
+    and perturbs prices on keys % 89) so the diff itself is
+    value-checkable; swap in real snapshot paths in production.
+
+    Scale: ONE full-outer hash join on the key plus a 4-group count —
+    no sort, no row reconstruction; for repeated diffs at 100 TB, the
+    XOR fingerprint (table_content_fingerprints) answers 'identical?'
+    in one scan and this query runs only when it says no."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint").alias("price_cents"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    v1 = o.filter(F.col("k") % 97 != 0)
+    v2 = o.filter(F.col("k") % 101 != 0).select(
+        "k",
+        (
+            F.col("price_cents")
+            + F.when(F.col("k") % 89 == 0, F.lit(100)).otherwise(F.lit(0))
+        ).alias("price_cents"),
+        "st",
+    )
+    a = v1.alias("a")
+    b = v2.alias("b")
+    j = a.join(b, F.col("a.k") == F.col("b.k"), "full_outer")
+    kind = (
+        F.when(F.col("a.k").isNull(), F.lit("added"))
+        .when(F.col("b.k").isNull(), F.lit("removed"))
+        .when(
+            (F.col("a.price_cents") != F.col("b.price_cents"))
+            | (F.col("a.st") != F.col("b.st")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.groupBy(kind.alias("diff_kind")).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
