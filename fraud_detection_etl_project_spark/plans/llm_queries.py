@@ -2026,3 +2026,50 @@ def neardup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("new_doc"), F.col("b.doc_id").alias("old_doc"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplicate contamination matrix
+# ---------------------------------------------------------------------------
+
+_XSRC_ORACLE = f"""
+{_SHINGLES_SQL},
+sig AS (SELECT doc_id, {_minhash_sql()} FROM sh),
+bands AS ({_BAND_SELECTS}),
+pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_dup_pairs
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+GROUP BY 1, 2
+"""
+
+
+@query("cross_source_dup_matrix", oracle=_XSRC_ORACLE)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup candidate pair counts
+    aggregated by unordered source pair — the curation readout that
+    tells you WHERE duplication comes from (mirror sites, cross-posted
+    content, a scraper that ingested the same dump twice) and which
+    source to drop when clusters collapse. Diagonal entries are
+    within-source duplication; off-diagonal are cross-contamination.
+
+    Scale: reuses the LSH band join (never all-pairs); the source
+    attribution joins ship only (doc_id, source) and the output is
+    source² rows."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.neardup_pairs_minhash(d)
+    src = d.select("doc_id", "source")
+    return (
+        pairs.join(src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "sa"), "doc_a")
+        .join(src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "sb"), "doc_b")
+        .groupBy(
+            F.least(F.col("sa"), F.col("sb")).alias("source_a"),
+            F.greatest(F.col("sa"), F.col("sb")).alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
+    )
