@@ -2379,7 +2379,6 @@ def ucb1_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Diagonal-Mahalanobis multivariate outliers
 # ---------------------------------------------------------------------------
 
-_MAH_Q = 100  # cents quantization of value
 _MAH_SCALE = 1_000_000
 _MAH_TOP = 50
 

@@ -318,7 +318,7 @@ reps AS (
   SELECT r.b, CAST(floor({_BOOT_MEAN_SCALE}.0 * (CAST(r.s AS DOUBLE) / CAST(r.c AS DOUBLE)) + 0.5) AS BIGINT) AS qmean
   FROM onerow, LATERAL (SELECT * FROM (VALUES {rows}) AS v(b, s, c)) r),
 ranked AS (
-  SELECT qmean, row_number() OVER (ORDER BY qmean, 1) AS rn FROM reps)
+  SELECT qmean, row_number() OVER (ORDER BY qmean) AS rn FROM reps)
 SELECT CAST({_BOOT_B} AS BIGINT) AS n_replicates,
        CAST(min(CASE WHEN rn = 2 THEN qmean END) AS BIGINT) AS q_lo,
        CAST(min(CASE WHEN rn = {_BOOT_B - 1} THEN qmean END) AS BIGINT) AS q_hi,
@@ -616,7 +616,7 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     b = e.select(
         "event_type",
-        F.expr(_PSI_BUCKET_SQL.replace("value", "value")).alias("bucket"),
+        F.expr(_PSI_BUCKET_SQL).alias("bucket"),
         F.when(F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp"), 1).otherwise(0).alias("in_a"),
     )
     g = b.groupBy("event_type", "bucket").agg(

@@ -1397,7 +1397,8 @@ def temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     source's share collapse. Complements ``lang_mix_weights`` (uniform
     target) with the power-law target production mixtures actually use.
 
-    Determinism: n^alpha is computed per SOURCE (5 rows), quantized to
+    Determinism: n^alpha is computed once per SOURCE (a source-cardinality
+    frame), quantized to
     int BEFORE the normalizing sum, so the sum is exact integer math and
     the final ratios are IEEE-deterministic single divisions.
 
