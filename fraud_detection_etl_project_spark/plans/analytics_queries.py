@@ -2453,3 +2453,97 @@ def event_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("q_m2"),
     )
     return sc.orderBy(F.col("q_m2").desc(), F.col("event_id").asc()).limit(_MAH_TOP)
+
+
+# ---------------------------------------------------------------------------
+# HDR-style log-bucket histogram quantiles (mergeable, bounded error)
+# ---------------------------------------------------------------------------
+
+_HDR_SUB = 16  # sub-buckets per power-of-two -> <= 1/16 relative error
+_HDR_MAX_K = 24
+
+
+def _hdr_k_case(c: str) -> str:
+    """floor(log2(c)) via an integer CASE chain — no transcendental, so
+    no rounding ambiguity at exact powers of two."""
+    whens = " ".join(
+        f"WHEN {c} < {1 << (k + 1)} THEN {k}" for k in range(_HDR_MAX_K)
+    )
+    return f"CASE {whens} ELSE {_HDR_MAX_K} END"
+
+
+def _hdr_exprs(c: str) -> tuple[str, str]:
+    k = _hdr_k_case(c)
+    sub = f"(({c} * {_HDR_SUB}) div (CAST(1 AS BIGINT) << ({k}))) - {_HDR_SUB}"
+    bucket = f"({k}) * {_HDR_SUB} + ({sub})"
+    return bucket, k
+
+
+_HDR_BUCKET, _ = _hdr_exprs("cents")
+# lower bound of bucket id b: ((SUB + sub) << k) / SUB with k = b div SUB
+_HDR_LOWER = (
+    f"(({_HDR_SUB} + (bucket % {_HDR_SUB})) * (CAST(1 AS BIGINT) << (bucket div {_HDR_SUB})))"
+    f" div {_HDR_SUB}"
+)
+
+
+def _hdr_oracle() -> str:
+    # DuckDB: div -> //, << works
+    bucket = _HDR_BUCKET.replace(" div ", " // ")
+    lower = _HDR_LOWER.replace(" div ", " // ")
+    return f"""
+WITH v AS (
+  SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' AND value >= 0.01),
+b AS (SELECT CAST({bucket} AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n
+      FROM v GROUP BY 1),
+c AS (SELECT bucket, CAST(sum(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM b),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM b),
+pick AS (
+  SELECT t.nt,
+         CAST(min(CASE WHEN c.cum * 100 >= t.nt * 50 THEN {lower} END) AS BIGINT) AS q50_lo,
+         CAST(min(CASE WHEN c.cum * 100 >= t.nt * 90 THEN {lower} END) AS BIGINT) AS q90_lo,
+         CAST(min(CASE WHEN c.cum * 100 >= t.nt * 99 THEN {lower} END) AS BIGINT) AS q99_lo
+  FROM c, tot t GROUP BY t.nt)
+SELECT nt AS n, q50_lo, q90_lo, q99_lo FROM pick
+"""
+
+
+@query("value_hdr_quantiles", oracle=_hdr_oracle())
+def value_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HdrHistogram-style quantiles: bucket purchase values into
+    power-of-two ranges split {s} ways (<= 1/{s} relative error by
+    construction), then read p50/p90/p99 off the cumulative bucket
+    counts. The log-bucket histogram is the third quantile strategy in
+    the repo — exact two-pass (exact_median_twopass) when you can afford
+    two scans, bottom-k hash sample (value_bottomk_quantile_sketch) when
+    you need a fixed-size mergeable sample, and THIS when you need
+    mergeable + bounded relative error + O(1) update (the shape
+    monitoring systems persist per minute and merge across hosts). The
+    floor(log2) comes from an integer CASE chain, so no transcendental
+    ever decides a bucket at a power-of-two boundary.
+
+    Scale: one combine-aggregated bucket count (<= {mk}x{s} buckets
+    regardless of data size); the cumulative walk runs on that bounded
+    frame. The quantile read uses cum*100 >= n*p — exact integer
+    arithmetic, no percentile function semantics to disagree on.
+    """.format(s=_HDR_SUB, mk=_HDR_MAX_K)
+    e = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("value") >= 0.01)
+    )
+    v = e.select(F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("bigint").alias("cents"))
+    b = v.selectExpr(f"CAST({_HDR_BUCKET} AS BIGINT) AS bucket").groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    c = b.select("bucket", F.sum("n").over(w).cast("bigint").alias("cum"))
+    tot = b.agg(F.sum("n").cast("bigint").alias("nt"))
+    j = c.crossJoin(F.broadcast(tot)).selectExpr(
+        "nt", "cum", f"CAST({_HDR_LOWER} AS BIGINT) AS lower"
+    )
+    return j.groupBy("nt").agg(
+        F.min(F.when(F.col("cum") * 100 >= F.col("nt") * 50, F.col("lower"))).cast("bigint").alias("q50_lo"),
+        F.min(F.when(F.col("cum") * 100 >= F.col("nt") * 90, F.col("lower"))).cast("bigint").alias("q90_lo"),
+        F.min(F.when(F.col("cum") * 100 >= F.col("nt") * 99, F.col("lower"))).cast("bigint").alias("q99_lo"),
+    ).withColumnRenamed("nt", "n")
