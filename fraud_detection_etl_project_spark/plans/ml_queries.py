@@ -2278,3 +2278,109 @@ def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("q_var"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptron score deciles: calibration + gains table for the trained model
+# ---------------------------------------------------------------------------
+
+_PDQ_SCALE = 1_000_000
+
+_PD_ORACLE = f"""
+WITH f AS (
+  SELECT event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS y,
+         CAST(1 AS BIGINT) AS x0,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x1,
+         CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x2,
+         CAST(extract(dow FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS x3
+  FROM events),
+w1 AS (SELECT sum(y*x0) AS w0, sum(y*x1) AS w1, sum(y*x2) AS w2, sum(y*x3) AS w3 FROM f),
+s2 AS (SELECT f.*, f.y * (f.x0*w1.w0 + f.x1*w1.w1 + f.x2*w1.w2 + f.x3*w1.w3) AS mg
+       FROM f, w1),
+w2 AS (SELECT w1.w0 + sum(CASE WHEN mg <= 0 THEN y*x0 ELSE 0 END) AS w0,
+              w1.w1 + sum(CASE WHEN mg <= 0 THEN y*x1 ELSE 0 END) AS w1,
+              w1.w2 + sum(CASE WHEN mg <= 0 THEN y*x2 ELSE 0 END) AS w2,
+              w1.w3 + sum(CASE WHEN mg <= 0 THEN y*x3 ELSE 0 END) AS w3
+       FROM s2, w1 GROUP BY w1.w0, w1.w1, w1.w2, w1.w3),
+sc AS (SELECT f.pos, (f.x0*w2.w0 + f.x1*w2.w1 + f.x2*w2.w2 + f.x3*w2.w3) AS m
+       FROM f, w2),
+g AS (SELECT m, CAST(count(*) AS BIGINT) AS c, CAST(sum(pos) AS BIGINT) AS p
+      FROM sc GROUP BY m),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM g),
+cw AS (SELECT m, c, p,
+              CAST(sum(c) OVER (ORDER BY m DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS BIGINT) AS cum_before
+       FROM g),
+dd AS (SELECT 1 + (cw.cum_before * 10) // t.n AS decile, cw.c, cw.p FROM cw, tot t),
+agg AS (SELECT decile, CAST(sum(c) AS BIGINT) AS n_events, CAST(sum(p) AS BIGINT) AS n_pos
+        FROM dd GROUP BY 1)
+SELECT CAST(decile AS BIGINT) AS decile, n_events, n_pos,
+       CAST(floor({_PDQ_SCALE}.0 * (CAST(n_pos AS DOUBLE) / CAST(n_events AS DOUBLE)) + 0.5) AS BIGINT) AS q_rate,
+       CAST(sum(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+FROM agg
+"""
+
+
+@query("perceptron_score_deciles", oracle=_PD_ORACLE)
+def perceptron_score_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration/gains table for the trained perceptron: score every
+    event with the 2-epoch weights, cut the population into score
+    deciles, and report per-decile positive rate plus the cumulative
+    gains curve — the model-quality readout (is the top decile actually
+    rich in purchases?) that closes the train -> score -> evaluate loop
+    beside the NB AUC and ridge CV metrics.
+
+    Scale: deciles are NOT a global ntile sort — margins are exact
+    integers, so scores collapse to a per-distinct-margin count frame
+    (bounded by the feature domain), the decile cutoff arithmetic is an
+    integer cumulative walk over that bounded frame, and row-level work
+    stays row-local. Ties share a decile by construction (deterministic,
+    slightly uneven sizes) — the price of exactness at scale.
+    """
+    ev = _t(spark, sf_dir, "events")
+    f = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(-1).alias("y"),
+        F.lit(1).cast("bigint").alias("x0"),
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("bigint").alias("x1"),
+        F.hour("ts").cast("bigint").alias("x2"),
+        (F.dayofweek("ts") - F.lit(1)).cast("bigint").alias("x3"),
+    ).persist()
+    xs = ["x0", "x1", "x2", "x3"]
+    # epoch 1 from w=0: every margin is 0 <= 0, all rows update
+    r1 = f.select(*[F.sum(F.col("y") * F.col(c)).alias(c) for c in xs]).first()
+    w = [int(r1[c]) for c in xs]
+    margin = F.col("y") * sum(F.col(c) * F.lit(wi) for c, wi in zip(xs, w))
+    r2 = f.select(
+        *[F.sum(F.when(margin <= 0, F.col("y") * F.col(c)).otherwise(0)).alias(c) for c in xs]
+    ).first()
+    w = [wi + int(r2[c]) for wi, c in zip(w, xs)]  # k parameters, not data
+    m = sum(F.col(c) * F.lit(wi) for c, wi in zip(xs, w)).alias("m")
+    sc = f.select("pos", m)
+    g = sc.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"), F.sum("pos").cast("bigint").alias("p")
+    )
+    tot = g.agg(F.sum("c").cast("bigint").alias("n"))
+    wd = Window.orderBy(F.col("m").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    cw = g.select("m", "c", "p", (F.sum("c").over(wd) - F.col("c")).cast("bigint").alias("cum_before"))
+    dd = cw.crossJoin(F.broadcast(tot)).select(
+        (F.lit(1) + F.expr("(cum_before * 10) div n")).alias("decile"), "c", "p"
+    )
+    agg = dd.groupBy("decile").agg(
+        F.sum("c").cast("bigint").alias("n_events"), F.sum("p").cast("bigint").alias("n_pos")
+    )
+    wg = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return agg.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        "n_events",
+        "n_pos",
+        F.floor(
+            F.lit(float(_PDQ_SCALE)) * (F.col("n_pos").cast("double") / F.col("n_events").cast("double"))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("q_rate"),
+        F.sum("n_pos").over(wg).cast("bigint").alias("cum_pos"),
+    )
