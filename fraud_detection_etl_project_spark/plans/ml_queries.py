@@ -2384,3 +2384,103 @@ def perceptron_score_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("q_rate"),
         F.sum("n_pos").over(wg).cast("bigint").alias("cum_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroid drift between cohort halves (per label)
+# ---------------------------------------------------------------------------
+
+_ECD_Q = 1_000_000
+_ECD_SCALE = 1_000_000_000_000
+
+
+_ECD_ORACLE = f"""
+WITH q AS (
+  SELECT label, vec_id % 2 AS half, t.i - 1 AS dim,
+         CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * {_ECD_Q}.0 + 0.5) AS BIGINT) AS qv
+  FROM embeddings e, UNNEST(range(1, len(e.embedding) + 1)) t(i)),
+m AS (
+  SELECT label, dim,
+         CAST(sum(CASE WHEN half = 0 THEN qv ELSE 0 END) AS BIGINT) AS sa,
+         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN half = 1 THEN qv ELSE 0 END) AS BIGINT) AS sb,
+         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM q GROUP BY 1, 2),
+cent AS (SELECT label, dim, sa // na AS ca, sb // nb AS cb, na, nb FROM m),
+dots AS (
+  SELECT label,
+         CAST(sum(ca * cb) AS BIGINT) AS dot,
+         CAST(sum(ca * ca) AS BIGINT) AS nrm_a,
+         CAST(sum(cb * cb) AS BIGINT) AS nrm_b,
+         CAST(min(na) AS BIGINT) AS n_a, CAST(min(nb) AS BIGINT) AS n_b
+  FROM cent GROUP BY 1)
+SELECT label, n_a, n_b,
+       CAST(CASE WHEN dot >= 0 THEN 1 ELSE -1 END AS BIGINT) AS cos_sign,
+       CAST(floor({_ECD_SCALE}.0 * ((CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE))
+                  / (CAST(nrm_a AS DOUBLE) * CAST(nrm_b AS DOUBLE)))) AS BIGINT) AS q_cos2
+FROM dots
+"""
+
+
+@query("embedding_centroid_drift", oracle=_ECD_ORACLE)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: per label, the cosine between the
+    centroid of one cohort half and the other (vec_id parity stands in
+    for before/after a model or pipeline change) — the embedding-space
+    counterpart of PSI: healthy re-embeddings keep per-label centroids
+    nearly colinear (cos² ~ 1); a drop flags representation drift before
+    ANN recall quietly degrades. Per-element 1e-6 quantization makes the
+    moment sums exact; per-dim centroids are integer floor-divisions and
+    the cosine² is exact-integer dot/norms over 64 dims with ONE final
+    IEEE division (the recommender's cosine² idiom), plus an explicit
+    sign column since squaring drops it.
+
+    Scale: one posexplode + one (label, dim) combine-aggregated pass;
+    everything after runs on the label x 64 parameter frame."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "label",
+        "half",
+        "dim",
+        F.floor(F.col("v").cast("double") * F.lit(float(_ECD_Q)) + F.lit(0.5)).cast("bigint").alias("qv"),
+    )
+    m = q.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("qv")).otherwise(0)).cast("bigint").alias("sa"),
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("bigint").alias("na"),
+        F.sum(F.when(F.col("half") == 1, F.col("qv")).otherwise(0)).cast("bigint").alias("sb"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("bigint").alias("nb"),
+    )
+    cent = m.select(
+        "label",
+        "dim",
+        F.expr("sa div na").alias("ca"),
+        F.expr("sb div nb").alias("cb"),
+        "na",
+        "nb",
+    )
+    dots = cent.groupBy("label").agg(
+        F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("dot"),
+        F.sum(F.col("ca") * F.col("ca")).cast("bigint").alias("nrm_a"),
+        F.sum(F.col("cb") * F.col("cb")).cast("bigint").alias("nrm_b"),
+        F.min("na").cast("bigint").alias("n_a"),
+        F.min("nb").cast("bigint").alias("n_b"),
+    )
+    return dots.select(
+        "label",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.when(F.col("dot") >= 0, F.lit(1)).otherwise(F.lit(-1)).cast("bigint").alias("cos_sign"),
+        F.floor(
+            F.lit(float(_ECD_SCALE))
+            * (
+                (F.col("dot").cast("double") * F.col("dot").cast("double"))
+                / (F.col("nrm_a").cast("double") * F.col("nrm_b").cast("double"))
+            )
+        )
+        .cast("bigint")
+        .alias("q_cos2"),
+    )
