@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fraud_detection_etl_project_spark.functions.rounding import fxr
 from fraud_detection_etl_project_spark.functions.text import tokens
 from fraud_detection_etl_project_spark.plans.llm_queries import TOKS_SQL
 from fraud_detection_etl_project_spark.plans.registry import query
@@ -1712,3 +1713,127 @@ def copurchase_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         nodes = nodes.join(removed, "v", "left_anti").persist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# HyperBall: HLL-register neighbourhood function (2-hop reach estimate)
+# ---------------------------------------------------------------------------
+
+# 16 HLL buckets (b=4); node hash = first 15 hex digits of md5(str(node)) as
+# a 60-bit int: low 4 bits pick the bucket, the remaining 56 bits feed the
+# rho (lowest-set-bit position) register. alpha_16 * m^2 with the 2^40
+# fixed-point scaling folded into one Python literal so Spark and DuckDB
+# evaluate the identical single division.
+_HB_ALPHA16_NUM = repr(0.673 * 256 * float(2**40))
+_HB_H60_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substring(md5(CAST(node AS VARCHAR)), {k + 1}, 1)) - 1) * {16 ** (14 - k)}"
+    for k in range(15)
+)
+
+_HYPERBALL_ORACLE = f"""
+WITH e AS ({_EDGES_SQL}),
+d AS (SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst AS u, src AS v FROM e),
+n AS (SELECT DISTINCT u AS node FROM d),
+h AS (SELECT node, {_HB_H60_SQL} AS h60 FROM n),
+r0 AS (
+  SELECT node, h60 % 16 AS bucket,
+         CASE WHEN h60 // 16 = 0 THEN 57
+              ELSE CAST(log2((h60 // 16) & -(h60 // 16)) AS INT) + 1 END AS rho
+  FROM h
+),
+s1 AS (
+  SELECT node, bucket, max(rho) AS rho FROM (
+    SELECT node, bucket, rho FROM r0
+    UNION ALL
+    SELECT d.v AS node, r0.bucket, r0.rho FROM d JOIN r0 ON r0.node = d.u
+  ) GROUP BY 1, 2
+),
+s2 AS (
+  SELECT node, bucket, max(rho) AS rho FROM (
+    SELECT node, bucket, rho FROM s1
+    UNION ALL
+    SELECT d.v AS node, s1.bucket, s1.rho FROM d JOIN s1 ON s1.node = d.u
+  ) GROUP BY 1, 2
+),
+z AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(rho) AS BIGINT) AS register_sum,
+         CAST(sum(CAST(1 AS BIGINT) << (40 - least(rho, 40))) AS BIGINT) AS zpart
+  FROM s2 GROUP BY 1
+)
+SELECT node, n_buckets, register_sum,
+       floor({_HB_ALPHA16_NUM} / CAST(zpart + (16 - n_buckets) * {2 ** 40} AS DOUBLE) * 1000.0 + 0.5) / 1000.0
+         AS ball2_est
+FROM z
+"""
+
+
+@query("copurchase_hyperball_reach", oracle=_HYPERBALL_ORACLE)
+def copurchase_hyperball_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall (Boldi-Vigna) over the co-purchase graph: per-node HLL
+    registers for the radius-2 ball, i.e. an O(m)-per-round estimate of
+    the neighbourhood function |B(v, 2)| — the primitive behind
+    distributed effective-diameter and centrality computations that exact
+    BFS cannot do at scale (it would need a frontier SET per node;
+    HyperBall needs 16 registers per node, mergeable by elementwise max).
+
+    Register state is kept sparse — rows (node, bucket, max_rho), at most
+    16 per node — and each round is one edges-to-state hash join plus a
+    grouped max with map-side partial aggregation. The HLL estimate is
+    fixed-point: Z = sum of 2^(40-rho) in exact int64, one IEEE division
+    by the alpha*m^2 literal, so DuckDB reproduces every estimate
+    bit-for-bit (raw HLL estimator; the linear-counting small-range
+    correction needs ln() whose libm rounding is not portable, so
+    n_buckets rides along for clients to apply it).
+
+    Scale: state is 16 rows/node max vs O(ball) for exact BFS; each
+    iteration shuffles (node, bucket, rho) ints only. Registers are
+    idempotent under max, so stragglers/retries are safe, and the
+    iteration count is the graph's effective diameter (~log n), not n.
+    Cites reference Fraud_Detection_ETL_project semantics: none — this is
+    an engine-side graph-analytics addition (SURVEY §2 graph family).
+    """
+    e = _copurchase_edges(spark, sf_dir)
+    d = (
+        e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionAll(e.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .persist()
+    )
+    nodes = d.select(F.col("u").alias("node")).distinct()
+    hexd = F.md5(F.col("node").cast("string").cast("binary"))
+    h60 = None
+    for k in range(15):
+        term = (F.instr(F.lit("0123456789abcdef"), F.substring(hexd, k + 1, 1)) - 1).cast("long") * F.lit(
+            16 ** (14 - k)
+        )
+        h60 = term if h60 is None else h60 + term
+    rest = (F.col("h60") / F.lit(16)).cast("long")  # floor division: h60 >= 0
+    state = (
+        nodes.withColumn("h60", h60)
+        .withColumn("bucket", F.col("h60") % 16)
+        .withColumn(
+            "rho",
+            F.when(rest == 0, F.lit(57)).otherwise(
+                (F.log2(F.expr("(h60 div 16) & -(h60 div 16)")).cast("int") + F.lit(1))
+            ),
+        )
+        .select("node", "bucket", "rho")
+    )
+    for _ in range(2):
+        flowed = d.join(state, d["u"] == state["node"]).select(
+            d["v"].alias("node"), state["bucket"], state["rho"]
+        )
+        state = state.unionAll(flowed).groupBy("node", "bucket").agg(F.max("rho").alias("rho"))
+    zpart = F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(40 - least(rho, 40) AS INT))")).cast("long")
+    agg = state.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("rho").cast("bigint").alias("register_sum"),
+        zpart.alias("zpart"),
+    )
+    denom = (F.col("zpart") + (F.lit(16) - F.col("n_buckets")) * F.lit(2 ** 40)).cast("double")
+    return agg.select(
+        "node",
+        "n_buckets",
+        "register_sum",
+        fxr(F.lit(float(_HB_ALPHA16_NUM)) / denom, 3).alias("ball2_est"),
+    )

@@ -3025,3 +3025,52 @@ def stream_session_timeout_closed(spark: SparkSession, sf_dir: str) -> DataFrame
     from fraud_detection_etl_project_spark.streaming.stateful import user_closed_sessions
 
     return user_closed_sessions(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Distributed dense surrogate-key assignment (no global sort)
+# ---------------------------------------------------------------------------
+
+_SK_ORACLE = """
+SELECT c_custkey,
+       CAST(row_number() OVER (ORDER BY c_custkey) - 1 AS BIGINT) AS surrogate_key
+FROM customer
+"""
+
+
+@query("surrogate_key_assignment", oracle=_SK_ORACLE)
+def surrogate_key_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse primitive: assign DENSE, GAP-FREE surrogate keys 0..n-1
+    ordered by the natural key — without the single-partition global sort
+    that `row_number() OVER (ORDER BY ...)` costs on a distributed
+    engine, and without `monotonically_increasing_id` (which is sparse
+    and renumbers on retries).
+
+    The scalable recipe: (1) range-repartition by the natural key so
+    partitions hold disjoint, ordered key ranges; (2) rank WITHIN each
+    partition (a per-partition sort, fully parallel); (3) count rows per
+    partition — a tiny frame of numPartitions rows — cumulative-sum it
+    into prefix offsets on the driver-side window, and broadcast-join the
+    offsets back. Global id = partition offset + local rank. The output
+    is identical to the global-sort answer because the ranges are
+    disjoint and contiguous; only counts (not rows) cross the cluster a
+    second time.
+
+    The range boundaries come from Spark's reservoir sampling, which is
+    seeded per input partition — deterministic across the two uses of the
+    repartitioned frame (and the frame is persisted for the two passes
+    anyway).
+    """
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    p = c.repartitionByRange(16, F.col("c_custkey")).withColumn("pid", F.spark_partition_id())
+    p.persist()
+    counts = p.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn("off", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    local = p.withColumn(
+        "lrank", F.row_number().over(Window.partitionBy("pid").orderBy("c_custkey")) - 1
+    )
+    return (
+        local.join(F.broadcast(offsets.select("pid", "off")), "pid")
+        .select("c_custkey", (F.col("off") + F.col("lrank")).cast("bigint").alias("surrogate_key"))
+    )

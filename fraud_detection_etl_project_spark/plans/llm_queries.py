@@ -2074,3 +2074,85 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style sub-document (segment-level) exact dedup
+# ---------------------------------------------------------------------------
+
+_SEG = 10  # tokens per segment (C4 dedups three-sentence spans; the synthetic
+#            corpus has no sentence boundaries, so fixed 10-token spans play
+#            that role)
+
+_SEGDEDUP_ORACLE = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+s AS (
+  SELECT doc_id, i AS seg_idx,
+         md5(array_to_string(toks[i*{_SEG}+1 : i*{_SEG}+{_SEG}], ' ')) AS h,
+         doc_id * 1000000 + i AS okey
+  FROM t, UNNEST(range(CAST(floor((len(toks) - 1) / {_SEG}) AS BIGINT) + 1)) AS u(i)
+),
+k AS (
+  SELECT doc_id, CASE WHEN okey = min(okey) OVER (PARTITION BY h) THEN 1 ELSE 0 END AS kept
+  FROM s
+),
+g AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+         CAST(sum(kept) AS BIGINT) AS n_kept
+  FROM k GROUP BY 1
+)
+SELECT doc_id, n_segments, n_kept,
+       {{ratio}} AS kept_ratio
+FROM g
+"""
+
+
+@query(
+    "segment_dedup_c4",
+    oracle=_SEGDEDUP_ORACLE.format(
+        ratio="floor(CAST(n_kept AS DOUBLE) / CAST(n_segments AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0"
+    ),
+)
+def segment_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style sub-document dedup: split every document into fixed
+    10-token segments, fingerprint each segment (md5), and keep only the
+    FIRST occurrence of each fingerprint corpus-wide (first = smallest
+    (doc_id, seg_idx)); report per-doc segment counts and the kept ratio.
+
+    This is the span-level pass real training-data pipelines (C4,
+    RefinedWeb) run after doc-level dedup — boilerplate and cross-posted
+    passages duplicate at sub-document granularity that MinHash on whole
+    docs misses.
+
+    Scale: the segmenting is a narrow per-row transform (sequence +
+    slice + array_join, all JVM); the only shuffle carries (doc_id,
+    seg_idx, 32-hex digest) — never text — partitioned by digest, and the
+    keep-first rule is a window min over that digest partitioning. At
+    100 TB the digest shuffle is ~3% of corpus bytes and hot fingerprints
+    (a viral boilerplate segment) skew only a min() aggregation, which
+    AQE handles; no join, no all-pairs."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    segs = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.floor((F.size("toks") - 1) / _SEG).cast("int")),
+                lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i * _SEG + 1, _SEG), " ").cast("binary")),
+            )
+        ).alias("seg_idx", "h"),
+    ).withColumn("okey", F.col("doc_id") * F.lit(1000000) + F.col("seg_idx"))
+    from pyspark.sql import Window as _W
+
+    kept = segs.withColumn(
+        "kept", F.when(F.col("okey") == F.min("okey").over(_W.partitionBy("h")), 1).otherwise(0)
+    )
+    g = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+    )
+    return g.select(
+        "doc_id",
+        "n_segments",
+        "n_kept",
+        fxr(F.col("n_kept").cast("double") / F.col("n_segments").cast("double"), 6).alias("kept_ratio"),
+    )

@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from fraud_detection_etl_project_spark.functions.rounding import cents_sum, cents_sum_sql
+from fraud_detection_etl_project_spark.functions.rounding import cents_sum, cents_sum_sql, fxr
 from fraud_detection_etl_project_spark.functions.vectors import cosine
 from fraud_detection_etl_project_spark.operators import similarity as S
 from fraud_detection_etl_project_spark.plans.registry import query
@@ -2426,4 +2426,94 @@ def protobuf_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return d.mapInPandas(
         codec, schema="doc_id bigint, lang string, n_text_bytes bigint, wire_bytes bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# CBO-style join cardinality estimation from correlated hash samples
+# ---------------------------------------------------------------------------
+
+# Deterministic hash sampling on the JOIN KEY (not on rows): a key is in the
+# sample iff its 60-bit md5 value is 0 mod _JC_RATE. Because both sides hash
+# the same key the same way, the sample is CORRELATED — Bernoulli row samples
+# would almost never retain matching rows on both sides, this always does.
+_JC_RATE = 8
+_JC_H60_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substring(md5(CAST(k AS VARCHAR)), {j + 1}, 1)) - 1) * {16 ** (14 - j)}"
+    for j in range(15)
+)
+
+_JOINCARD_ORACLE = f"""
+WITH a0 AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS na FROM events GROUP BY 1),
+a AS (SELECT k, na, ({_JC_H60_SQL}) % {_JC_RATE} = 0 AS sampled FROM a0),
+b AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS nb FROM orders GROUP BY 1),
+m AS (SELECT a.k, a.na, b.nb, a.sampled
+      FROM a JOIN b ON a.k = b.k),
+agg AS (
+  SELECT CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_sampled,
+         CAST({_JC_RATE} * sum(CASE WHEN sampled THEN na * nb ELSE 0 END) AS BIGINT) AS est_join_rows,
+         CAST(sum(na * nb) AS BIGINT) AS exact_join_rows
+  FROM m
+)
+SELECT n_keys_sampled, est_join_rows, exact_join_rows,
+       floor(abs(CAST(est_join_rows - exact_join_rows AS DOUBLE))
+             / CAST(exact_join_rows AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS rel_err
+FROM agg
+"""
+
+
+@query("join_size_hash_sample_estimate", oracle=_JOINCARD_ORACLE)
+def join_size_hash_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based-optimizer primitive: estimate |events ⋈ orders ON
+    user_id = o_custkey| (a genuinely many-to-many join) WITHOUT running
+    the join, from per-key frequency vectors and a correlated key-hash
+    sample — sum n_a(k)·n_b(k) over keys whose md5 lands in 1/8 of hash
+    space, scaled by 8. The exact cardinality rides along so the output
+    self-reports its relative error.
+
+    This is how engines size shuffle-vs-broadcast decisions and detect
+    join explosions before paying for them: per-side GROUP BY key is a
+    map-side-combinable aggregate over each table scan, the frequency
+    vectors are |distinct keys| rows (orders of magnitude smaller than
+    the fact tables), and the estimate never materializes a single joined
+    row. Key-correlated hash sampling (end-biased sampling, Flajolet;
+    sketch-join estimation à la Theta sketches) is the standard trick —
+    independent row samples fail because P(both sides keep the same key)
+    is p², while hashing the KEY keeps both sides' rows for exactly the
+    sampled keys.
+
+    Scale: at 100 TB the only shuffles carry (key, count) pairs; the
+    estimator's work is proportional to distinct keys, not rows, and the
+    md5 gate makes the sample deterministic and mergeable across
+    partitions/engines (DuckDB reproduces the integer estimate exactly).
+    """
+    ev = _t(spark, sf_dir, "events").groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("na")
+    )
+    od = _t(spark, sf_dir, "orders").groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb")
+    )
+    hexd = F.md5(F.col("k").cast("string").cast("binary"))
+    h60 = None
+    for j in range(15):
+        term = (F.instr(F.lit("0123456789abcdef"), F.substring(hexd, j + 1, 1)) - 1).cast("long") * F.lit(
+            16 ** (14 - j)
+        )
+        h60 = term if h60 is None else h60 + term
+    m = ev.join(od, "k").withColumn("sampled", (h60 % _JC_RATE) == 0)
+    agg = m.agg(
+        F.sum(F.when(F.col("sampled"), 1).otherwise(0)).cast("bigint").alias("n_keys_sampled"),
+        (F.lit(_JC_RATE) * F.sum(F.when(F.col("sampled"), F.col("na") * F.col("nb")).otherwise(0)))
+        .cast("bigint")
+        .alias("est_join_rows"),
+        F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("exact_join_rows"),
+    )
+    rel = F.abs((F.col("est_join_rows") - F.col("exact_join_rows")).cast("double")) / F.col(
+        "exact_join_rows"
+    ).cast("double")
+    return agg.select(
+        "n_keys_sampled",
+        "est_join_rows",
+        "exact_join_rows",
+        fxr(rel, 6).alias("rel_err"),
     )
