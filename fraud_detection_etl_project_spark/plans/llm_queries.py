@@ -1145,44 +1145,27 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is therefore exactly the distance-<= {d} pair set.
 
     Scale: the band self-join shuffles (band_idx, 16-bit band) keys —
-    never text — and candidate fan-out is bounded by band-bucket sizes
-    (hot buckets would take the same cap-and-salt remedy as the MinHash
-    LSH path, operators/dedup.py). Signatures re-join by id only for the
-    surviving candidates; the distance check is a JVM-side
-    sequence/filter expression, no Python.
+    never text — and runs through the shared CAP-AND-SALT pair join
+    (operators/dedup.salted_pair_self_join, same machinery as the
+    MinHash LSH path): 16-bit bands hold only 65,536 distinct values, so
+    as the corpus grows EVERY bucket saturates and in-bucket candidate
+    pairs grow ~n²/65k — the r3 bench measured 19.4× wall on 10× data
+    for the unsalted join. Salting spreads each hot bucket over G²
+    reducer keys; the remaining n²/2^width candidate VOLUME is governed
+    by the signature-width knob (simhash_bits(bits=128) → 4×32-bit
+    bands for web-scale corpora — see simhash_band_pairs). Output pairs
+    are salt-invariant, so the unsalted DuckDB oracle value-checks this
+    plan unchanged. Signatures re-join by id only for the surviving
+    candidates; the distance check is a JVM-side sequence/filter
+    expression, no Python.
     """.format(d=_SH_MAX_D, b=_SH_BANDS)
     # the signature frame is referenced three times (band explode + both
     # sides of the candidate re-join); persist so the 64-agg signature
-    # build runs once, not three times (same policy as the LSH band path,
-    # operators/dedup.py — the harnesses clear caches between queries)
+    # build runs once, not three times (the harnesses clear caches
+    # between queries)
     sig = D.simhash64(_t(spark, sf_dir, "documents")).persist()
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[F.substring(F.col("simhash"), i * 16 + 1, 16) for i in range(_SH_BANDS)])
-        ).alias("band_idx", "band"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
-    hamming = F.expr(
-        "size(filter(sequence(1, 64), i -> substring(sa, i, 1) != substring(sb, i, 1)))"
-    ).cast("bigint")
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= _SH_MAX_D)
+    return D.simhash_band_pairs(
+        sig, sig_bits=64, n_bands=_SH_BANDS, max_d=_SH_MAX_D, bucket_cap=64, salt_groups=8
     )
 
 
@@ -1754,10 +1737,16 @@ def doc_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", T.tokens(F.col("text")).alias("toks"))
         .select(
             "doc_id",
+            # guard the expansion: sequence(1, size-2) on a <3-token doc
+            # yields a DESCENDING [1, 0] (not an empty array), and the
+            # out-of-range element_at then throws under ANSI mode — the
+            # explicit empty-array branch matches the oracle's empty
+            # range(1, len-1) semantics for short docs (ADVICE r03)
             F.explode(
                 F.expr(
-                    "transform(sequence(1, greatest(size(toks) - 2, 0)),"
-                    " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"
+                    "if(size(toks) < 3, array(),"
+                    " transform(sequence(1, size(toks) - 2),"
+                    " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))"
                 )
             ).alias("tg"),
         )

@@ -2372,7 +2372,17 @@ def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Protobuf wire-format encode/decode roundtrip (binary ETL plumbing)
 # ---------------------------------------------------------------------------
 
-_PW_VLEN = "CASE WHEN {x} < 128 THEN 1 WHEN {x} < 16384 THEN 2 WHEN {x} < 2097152 THEN 3 ELSE 4 END"
+# varint byte length for a NON-NEGATIVE int64 {x}: ceil(bits/7), spelled
+# through the full range — thresholds are 128^k; the ELSE 9 is exact for
+# every nonnegative int64 (max 2^63-1 needs ceil(63/7) = 9 bytes; the
+# 10-byte case is negative int64 only, which ids/lengths never are).
+_PW_VLEN = (
+    "CASE WHEN {x} < 128 THEN 1 WHEN {x} < 16384 THEN 2"
+    " WHEN {x} < 2097152 THEN 3 WHEN {x} < 268435456 THEN 4"
+    " WHEN {x} < 34359738368 THEN 5 WHEN {x} < 4398046511104 THEN 6"
+    " WHEN {x} < 562949953421312 THEN 7 WHEN {x} < 72057594037927936 THEN 8"
+    " ELSE 9 END"
+)
 
 _PW_ORACLE = f"""
 SELECT doc_id, lang,

@@ -366,6 +366,71 @@ def test_salted_lsh_join_key_carries_both_salts(spark):
     assert "sa#" in plan and "sb#" in plan, plan
 
 
+def test_simhash_salted_band_pairs_match_plain_on_adversarial_skew(spark):
+    """A viral duplicate cluster (every SimHash band bucket hot: 50
+    identical docs share all 4 bands) plus a unique tail: the salted
+    band join must produce EXACTLY the plain unsalted band join's
+    Hamming-distance pair set, including all C(50,2) intra-cluster pairs
+    at distance 0, while spreading the hot buckets over salt groups.
+    The plain baseline is computed with bucket_cap above the corpus size
+    (salting disabled ⇒ degenerates to the plain join)."""
+    from fraud_detection_etl_project_spark.operators.dedup import (
+        simhash64,
+        simhash_band_pairs,
+    )
+
+    viral = [(i, "breaking news exclusive report shocking details inside") for i in range(50)]
+    unique = [(100 + i, f"document number {i} about topic {i * 7} entirely distinct {i}")
+              for i in range(30)]
+    sig = simhash64(
+        spark.createDataFrame(viral + unique, "doc_id long, text string")
+    ).persist()
+    plain = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_band_pairs(sig, bucket_cap=10_000).collect()
+    }
+    salted = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_band_pairs(sig, bucket_cap=8, salt_groups=4).collect()
+    }
+    assert salted == plain
+    intra = {p for p in salted if p[0] < 50 and p[1] < 50}
+    assert len(intra) == 50 * 49 // 2 and all(p[2] == 0 for p in intra)
+
+
+def test_simhash_band_pairs_width_knob(spark):
+    """The signature-width knob: 128-bit signatures over 4×32-bit bands
+    find the same true near-dup pairs as 64-bit over 4×16-bit on a
+    corpus with one real near-dup pair — wider bands shrink bucket
+    collision rates without losing the pigeonhole guarantee."""
+    from fraud_detection_etl_project_spark.operators.dedup import (
+        simhash_band_pairs,
+        simhash_bits,
+    )
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+        "lima mike november oscar papa quebec romeo sierra tango uniform "
+        "victor whiskey xray yankee zulu one two three four"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base + " ending"),  # d(1,2) = 13 bits of 128 (probed)
+            (2, base + " finale"),
+            (3, "completely unrelated text about integer programming and duality gaps"),
+        ],
+        "doc_id long, text string",
+    )
+    sig128 = simhash_bits(docs, bits=128).persist()
+    pairs = simhash_band_pairs(sig128, sig_bits=128, n_bands=16, max_d=14).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert got == {(1, 2)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        simhash_band_pairs(sig128, sig_bits=128, n_bands=4, max_d=4)
+
+
 def test_hits_star_digraph(spark):
     """All spokes point at the hub: the hub must be the unique top
     authority with ~all authority mass; spokes are the (equal) hubs.

@@ -559,9 +559,12 @@ def test_label_propagation_persists_undirected_edges(spark):
 def test_pca_moment_frame_cached_once(spark):
     """The d^2 second-moment reduction is the only data-sized stage; the
     diagonal, iteration-1 and iteration-2 consumers must all read the
-    persisted cell frame (the n x d^2 explode must not replay)."""
+    persisted cell frame (the Gram reduction must not replay). The
+    reduction itself must be the Arrow-batched Gram partial (one matmul
+    per batch — MapInArrow), never row-at-a-time Python."""
     plan = plan_of(spark, "embedding_pca_power")
     assert "InMemoryTableScan" in plan, plan
+    assert "MapInArrow" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 

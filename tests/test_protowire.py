@@ -36,3 +36,32 @@ def test_doc_roundtrip_and_layout():
     assert d["doc_id"] == 150 and d["text"] == b"testing" and d["lang"] == b"en"
     # layout: tag1 + varint(150) + tag2 + len + text + tag3 + len + lang
     assert len(buf) == 1 + 2 + 1 + 1 + 7 + 1 + 1 + 2
+
+
+def test_truncated_len_field_raises():
+    import pytest
+
+    buf = W.encode_doc(150, b"testing", b"en")
+    with pytest.raises(ValueError, match="truncated"):
+        W.decode_doc(buf[:-1])
+
+
+def test_oversized_varint_rejected():
+    import pytest
+
+    # 70-bit encoding: ten bytes, the last carrying 7 significant bits —
+    # decodes past uint64 and must be rejected, not silently accepted
+    evil = bytes([0xFF] * 9 + [0x7F])
+    with pytest.raises(ValueError):
+        W.decode_varint(evil, 0)
+    # a full-range uint64 max still decodes fine
+    top = W.encode_varint(2**64 - 1)
+    assert W.decode_varint(top, 0) == (2**64 - 1, 10)
+
+
+def test_varint_len_full_int64_range_matches_oracle_case():
+    # mirror of the SQL _PW_VLEN CASE: every 128^k boundary through int64
+    for k in range(1, 9):
+        lo, hi = 128 ** (k - 1), 128**k - 1
+        assert W.varint_len(lo) == k and W.varint_len(hi) == k
+    assert W.varint_len(2**63 - 1) == 9
