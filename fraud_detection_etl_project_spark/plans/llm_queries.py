@@ -388,14 +388,14 @@ def neardup_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_oracle() -> str:
+def _simhash_oracle(bits: int = 64) -> str:
     hexpos = "0123456789abcdef"
     bit_sums = ",\n       ".join(
         "sum(CASE WHEN CAST(floor((strpos('{hx}', substring(h, {p}, 1)) - 1) / {div}) AS BIGINT) % 2 = 1 "
         "THEN 1 ELSE -1 END) AS b{b}".format(hx=hexpos, p=b // 4 + 1, div=2 ** (b % 4), b=b)
-        for b in range(64)
+        for b in range(bits)
     )
-    bits_concat = ", ".join(f"CASE WHEN b{b} > 0 THEN '1' ELSE '0' END" for b in range(64))
+    bits_concat = ", ".join(f"CASE WHEN b{b} > 0 THEN '1' ELSE '0' END" for b in range(bits))
     return f"""
 WITH tk AS (SELECT doc_id, md5(tok) AS h
             FROM (SELECT doc_id, UNNEST({TOKS_SQL}) AS tok FROM documents)),
@@ -1112,24 +1112,25 @@ _SH_BANDS = 4  # 64 bits -> 4 bands of 16; d <= 3 guarantees >= 1 equal band
 _SH_MAX_D = 3
 
 
-def _simhash_pairs_oracle() -> str:
+def _simhash_pairs_oracle(bits: int = 64, bands: int = _SH_BANDS, max_d: int = _SH_MAX_D) -> str:
+    width = bits // bands
     return f"""
-WITH sig AS ({_simhash_oracle()}),
+WITH sig AS ({_simhash_oracle(bits)}),
 bands AS (
-  SELECT doc_id, g.i AS band_idx, substring(simhash, g.i * 16 + 1, 16) AS band
-  FROM sig, (SELECT UNNEST(range({_SH_BANDS})) AS i) g),
+  SELECT doc_id, g.i AS band_idx, substring(simhash, g.i * {width} + 1, {width}) AS band
+  FROM sig, (SELECT UNNEST(range({bands})) AS i) g),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id)
 SELECT c.doc_a, c.doc_b,
-       CAST(len(list_filter(range(1, 65),
+       CAST(len(list_filter(range(1, {bits + 1}),
                             i -> substring(sa.simhash, i, 1) <> substring(sb.simhash, i, 1))) AS BIGINT) AS hamming
 FROM cand c
 JOIN sig sa ON sa.doc_id = c.doc_a
 JOIN sig sb ON sb.doc_id = c.doc_b
-WHERE len(list_filter(range(1, 65),
-                      i -> substring(sa.simhash, i, 1) <> substring(sb.simhash, i, 1))) <= {_SH_MAX_D}
+WHERE len(list_filter(range(1, {bits + 1}),
+                      i -> substring(sa.simhash, i, 1) <> substring(sb.simhash, i, 1))) <= {max_d}
 """
 
 
@@ -1166,6 +1167,32 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = D.simhash64(_t(spark, sf_dir, "documents")).persist()
     return D.simhash_band_pairs(
         sig, sig_bits=64, n_bands=_SH_BANDS, max_d=_SH_MAX_D, bucket_cap=64, salt_groups=8
+    )
+
+
+@query(
+    "simhash128_hamming_pairs",
+    oracle=_simhash_pairs_oracle(bits=128, bands=4, max_d=3),
+)
+def simhash128_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WIDE-SIGNATURE configuration of the SimHash band join: 128-bit
+    signatures over 4×32-bit bands, Hamming <= 3 — the corpus-size knob
+    from simhash_hamming_pairs exercised end-to-end with its own value
+    oracle. A 32-bit band keyspace holds 2^32 values vs 16-bit's 65,536,
+    so random band collisions — the term that turned the 64-bit variant
+    super-linear on growing corpora before salting — shrink by ~65,000×;
+    this is the configuration a web-scale corpus runs. Same pigeonhole
+    guarantee (d <= 3 < 4 bands ⇒ >= 1 exact band match, zero false
+    negatives), same cap-and-salt physical plan, same exact Hamming
+    verify; md5 supplies all 128 portable bits (32 hex digits × 4).
+
+    Note the RESULT differs from the 64-bit query by design, not drift:
+    Hamming distance over 128 bits is a finer similarity scale (a pair
+    at 64-bit distance 3 may sit at 128-bit distance 7), so each width
+    has its own oracle."""
+    sig = D.simhash_bits(_t(spark, sf_dir, "documents"), bits=128).persist()
+    return D.simhash_band_pairs(
+        sig, sig_bits=128, n_bands=4, max_d=3, bucket_cap=64, salt_groups=8
     )
 
 

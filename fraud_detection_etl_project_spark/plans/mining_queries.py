@@ -2527,3 +2527,117 @@ def join_size_hash_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFram
         "exact_join_rows",
         fxr(rel, 6).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment join: quote/subset duplication Jaccard misses
+# ---------------------------------------------------------------------------
+
+# containment C(A->B) = |A∩B| / |A| >= 4/5, decided in exact integers.
+_CT_NUM, _CT_DEN = 4, 5
+
+from fraud_detection_etl_project_spark.plans.llm_queries import TOKS_SQL as _CT_TOKS_SQL  # noqa: E402
+
+
+@query(
+    "doc_containment_pairs",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_CT_TOKS_SQL} AS toks FROM documents),
+tri AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS tg
+        FROM t, UNNEST(range(1, len(toks) - 1)) p(i)),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tri GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common
+          FROM tri a JOIN tri b ON a.tg = b.tg AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b, sa.n AS n_a, i.n_common,
+       CAST(floor(1000000.0 * i.n_common / sa.n + 0.5) AS BIGINT) AS q_containment
+FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
+WHERE {_CT_DEN} * i.n_common >= {_CT_NUM} * sa.n
+""",
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT asymmetric CONTAINMENT join over distinct word-trigram
+    shingles: ordered pairs (a, b) with |A∩B|/|A| >= 4/5 — the
+    quote/subset detector symmetric measures miss (a short doc fully
+    quoted inside a long one has tiny Jaccard but containment ~1),
+    the dedup screen for boilerplate inclusion, licence blocks, and
+    near-verbatim excerpting in web corpora (threshold t = 4/5).
+
+    Blocking is the containment adaptation of PPJoin prefix filtering:
+    shingles get a global rarest-first order (ascending document
+    frequency); doc A keeps its first p = |A| - ceil(t*|A|) + 1
+    shingles, and any B containing >= t*|A| of A's shingles must share
+    at least one of those p (pigeonhole over the ordered set) — zero
+    false negatives, proven by the oracle computing ground truth from
+    ALL co-shingle pairs. The candidate join is A-prefix × B-all, so
+    prefix shingles being rare by construction bounds block sizes where
+    a naive shingle join explodes. Verification is exact integer
+    arithmetic (5*|A∩B| >= 4*|A|); only the reported containment is a
+    quantized double.
+
+    Scale: the trigram frame shuffles once on the shingle key for both
+    the df count and the candidate join; the verify stage joins doc-id
+    pairs against shingle sets keyed by id — text never fans out past
+    the trigram explode. Asymmetry note: (a, b) and (b, a) are judged
+    separately against each side's own size, as containment requires.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from fraud_detection_etl_project_spark.functions.text import tokens as _tokens
+
+    tri = (
+        d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "if(size(toks) < 3, array(),"
+                    " transform(sequence(1, size(toks) - 2),"
+                    " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))"
+                )
+            ).alias("tg"),
+        )
+        .distinct()
+        .persist()
+    )
+    dfreq = tri.groupBy("tg").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("tg").asc())
+    sized = (
+        tri.join(dfreq, "tg")
+        .select(
+            "doc_id",
+            "tg",
+            F.row_number().over(w_doc).alias("pos"),
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("sz"),
+        )
+    )
+    # p = sz - ceil(4*sz/5) + 1: B must hold >= ceil(4*sz/5) of A's
+    # shingles, so it shares one of A's first p in rarest-first order
+    prefixes = sized.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.col("sz") * _CT_NUM / _CT_DEN) + 1
+    ).select(F.col("doc_id").alias("doc_a"), "tg")
+    cands = (
+        prefixes.join(tri.select(F.col("doc_id").alias("doc_b"), "tg"), "tg")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    inter = (
+        cands.join(tri.select(F.col("doc_id").alias("doc_a"), "tg"), "doc_a")
+        .join(tri.select(F.col("doc_id").alias("doc_b"), "tg"), ["doc_b", "tg"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sizes = tri.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .filter(F.lit(_CT_DEN) * F.col("n_common") >= F.lit(_CT_NUM) * F.col("n_a"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_common",
+            F.floor(F.lit(1e6) * F.col("n_common").cast("double") / F.col("n_a") + F.lit(0.5))
+            .cast("bigint")
+            .alias("q_containment"),
+        )
+    )
