@@ -667,6 +667,121 @@ def avro_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "arrow_ipc_source_rollup",
+    oracle=f"""
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+       {cents_sum_sql('l_extendedprice')} AS total_price,
+       CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_recent
+FROM lineitem WHERE l_orderkey <= 20000
+GROUP BY 1
+""",
+)
+def arrow_ipc_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC (Feather v2) SOURCE (§2.1 format surface, beside parquet
+    / ORC / Avro / XML): a multi-batch ``.arrow`` file staged by PLAIN
+    pyarrow — the "an in-memory tool (pandas/polars/DuckDB) handed us its
+    native dump" ingest case Spark has no connector for — read back
+    through the custom Python DataSource (``format("pyarrowipc")``,
+    sources/arrowipc.py) and rolled up. The oracle recomputes from
+    parquet, so schema-mapping drift, batch-split row loss, or timestamp
+    unit mismatch all surface as value differences. The reader yields
+    ``pyarrow.RecordBatch`` objects straight into Spark's Arrow ingest
+    (SPARK-48493): bytes stay columnar disk→JVM with zero per-row Python.
+
+    Scale: the file footer's batch index IS the partition plan (metadata-
+    only planning, like Avro sync markers); batches group into ~equal-byte
+    splits and reads memory-map only their own pages. First touch of a
+    100 TB Arrow hand-off should land in parquet — this rollup's read is
+    exactly that shape."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.ipc as pa_ipc
+    import pyarrow.parquet as pq
+
+    from fraud_detection_etl_project_spark.sources import arrowipc
+
+    tag = _fixture_tag(sf_dir, "lineitem")
+    d = os.path.join(tempfile.gettempdir(), f"arrow_ipc_stage_{tag}")
+    path = os.path.join(d, "lineitem.arrow")
+    done = os.path.join(d, "_STAGED")
+    if not os.path.exists(done):
+        os.makedirs(d, exist_ok=True)
+        t = pq.read_table(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_extendedprice", "l_returnflag", "l_shipdate"],
+        )
+        t = t.filter(pc.less_equal(t["l_orderkey"], 20000))
+        with pa_ipc.new_file(path, t.schema) as w:
+            w.write_table(t, max_chunksize=500)  # many batches -> many splits
+        with open(done, "w") as f:
+            f.write("ok")
+    arrowipc.register(spark)
+    df = spark.read.format("pyarrowipc").option("path", path).option("parts", 8).load()
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        cents_sum("l_extendedprice").alias("total_price"),
+        F.sum(
+            F.when(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_recent"),
+    )
+
+
+@query(
+    "arrow_ipc_sink_roundtrip",
+    oracle=f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       {cents_sum_sql('o_totalprice')} AS total_price,
+       CAST(sum(CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_note
+FROM orders GROUP BY 1
+""",
+)
+def arrow_ipc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC SINK (completing `arrow_ipc_source_rollup`):
+    ``df.write.format("pyarrowipc")`` — each task streams its partition
+    into a staged temp ``.arrow`` file in bounded-memory record batches;
+    the driver-side commit atomically publishes part files + _SUCCESS
+    (stage-then-swap, the same discipline as the Avro and JDBC sinks), so
+    failed or speculatively-retried tasks never leave half-visible data.
+    Orders (with a CASE-nulled note column exercising null encoding on
+    the write path) go Spark → Arrow IPC → Spark → rollup; the oracle
+    recomputes from parquet, catching writer drift, null mis-encoding,
+    or commit-protocol row loss/duplication. Conformance the other
+    direction — part files readable by plain ``pyarrow.ipc.open_file`` —
+    is pinned in tests/test_arrowipc.py.
+
+    Scale: writes are partition-parallel (one IPC file per task, batches
+    within it flushed every ``batch_records`` rows so task memory is one
+    batch); commit is O(#tasks) driver renames, the Hadoop-commit cost
+    model."""
+    from fraud_detection_etl_project_spark.sources import arrowipc
+
+    arrowipc.register(spark)
+    d = os.path.join(
+        tempfile.gettempdir(), f"arrow_ipc_sink_{_fixture_tag(sf_dir, 'orders')}"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 13 == 0, None)
+        .otherwise(F.concat(F.lit("note-"), F.col("o_custkey")))
+        .alias("note"),
+    )
+    o.write.format("pyarrowipc").option("path", d).mode("overwrite").save()
+    back = spark.read.format("pyarrowipc").option("path", d).option("parts", 8).load()
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        cents_sum("o_totalprice").alias("total_price"),
+        F.sum(F.when(F.col("note").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_note"),
+    )
+
+
+@query(
     "binaryfile_blob_stats",
     oracle="""
 SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS checksum
