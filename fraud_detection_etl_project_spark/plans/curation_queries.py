@@ -913,3 +913,131 @@ def recommender_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.join(pos, ["user_key", "part_key"], "left_anti").select(
         "user_key", F.col("slot").cast("bigint").alias("slot"), F.col("part_key").cast("bigint").alias("part_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (hashed-n-gram importance resampling)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 256  # hash buckets; ~10k at corpus scale (paper uses 10k)
+_DSIR_SCALE = 1_000_000  # per-bucket log-ratio quantization
+
+
+def _dsir_v28_sql(expr: str) -> str:
+    """28-bit int from the first 7 hex digits of md5(expr) — the repo's
+    portable cross-engine hash (same digit polynomial as operators/dedup
+    POW16)."""
+    from fraud_detection_etl_project_spark.operators.dedup import HEX, POW16
+
+    return " + ".join(
+        f"(strpos('{HEX}', substring(md5({expr}), {k + 1}, 1)) - 1) * {POW16[k]}"
+        for k in range(7)
+    )
+
+
+_DSIR_ORACLE = f"""
+WITH t AS (SELECT doc_id, lang, {TOKS_SQL} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, lang,
+         ({_dsir_v28_sql("toks[i] || ' ' || toks[i+1]")}) % {_DSIR_B} AS b
+  FROM t, UNNEST(range(1, len(toks))) p(i)),
+per_doc AS (
+  SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS cnt
+  FROM bg GROUP BY 1, 2, 3),
+bucket AS (
+  SELECT b, CAST(sum(cnt) AS BIGINT) AS cnt_s,
+         CAST(sum(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS BIGINT) AS cnt_t
+  FROM per_doc GROUP BY 1),
+tot AS (SELECT CAST(sum(cnt_s) AS BIGINT) AS s_tot, CAST(sum(cnt_t) AS BIGINT) AS t_tot
+        FROM bucket),
+lr AS (
+  SELECT b, CAST(floor({_DSIR_SCALE}.0 * ln(
+               ((cnt_t + 1.0) * (s_tot + {_DSIR_B}))
+             / ((cnt_s + 1.0) * (t_tot + {_DSIR_B}))) + 0.5) AS BIGINT) AS q_lr
+  FROM bucket, tot)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       CAST(sum(cnt * q_lr) AS BIGINT) AS q_logweight
+FROM per_doc JOIN lr USING (b)
+GROUP BY 1
+"""
+
+
+@query("dsir_importance_weights", oracle=_DSIR_ORACLE)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Data Selection via Importance Resampling, Xie et al. 2023,
+    public): per-document importance weights log(p_target/q_source) under
+    hashed-bigram bag-of-features language models — the standard recipe
+    for tilting a raw crawl toward a target domain before pretraining.
+    Word bigrams hash into {_DSIR_B} buckets (portable md5 28-bit
+    polynomial); the target distribution is fit on the English slice
+    (lang='en' — the stand-in for any target corpus), the source on the
+    full corpus, both with add-1 smoothing. ONE scan feeds both fits: the
+    bucket aggregation computes source counts and conditional target
+    counts in the same partial agg. Each bucket's log-ratio is quantized
+    ONCE to an integer ({_DSIR_SCALE}x), so document weights are exact
+    integer dot products cnt·q_lr — cross-engine float risk is confined
+    to {_DSIR_B} ln() calls on exactly-representable integer ratios
+    (products < 2^53), not to per-document float sums.
+
+    Scale: the per-doc bucket histogram shuffles on (doc_id, bucket) with
+    map-side combine; the bucket model is {_DSIR_B} rows → broadcast back
+    (at the paper's 10k buckets, still trivially broadcastable). Nothing
+    re-reads text after the first explode. The resample step is a
+    deterministic filter on q_logweight downstream (cf.
+    weighted_doc_sample)."""
+    d = _t(spark, sf_dir, "documents")
+    bg = (
+        d.select("doc_id", "lang", T.tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "if(size(toks) < 2, array(), transform(sequence(1, size(toks) - 1),"
+                    " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"
+                )
+            ).alias("gram"),
+        )
+        .withColumn(
+            "b",
+            F.conv(F.substring(F.md5(F.col("gram")), 1, 7), 16, 10).cast("long")
+            % F.lit(_DSIR_B),
+        )
+    )
+    per_doc = (
+        bg.groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .persist()
+    )
+    bucket = per_doc.groupBy("b").agg(
+        F.sum("cnt").cast("bigint").alias("cnt_s"),
+        F.sum(F.when(F.col("lang") == "en", F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("cnt_t"),
+    )
+    tot = bucket.agg(
+        F.sum("cnt_s").cast("bigint").alias("s_tot"),
+        F.sum("cnt_t").cast("bigint").alias("t_tot"),
+    )
+    lr = bucket.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.floor(
+            F.lit(float(_DSIR_SCALE))
+            * F.log(
+                ((F.col("cnt_t") + 1.0) * (F.col("s_tot") + F.lit(_DSIR_B)).cast("double"))
+                / ((F.col("cnt_s") + 1.0) * (F.col("t_tot") + F.lit(_DSIR_B)).cast("double"))
+            )
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("q_lr"),
+    )
+    return (
+        per_doc.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("q_lr")).cast("bigint").alias("q_logweight"),
+        )
+    )

@@ -2172,3 +2172,109 @@ def segment_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_kept",
         fxr(F.col("n_kept").cast("double") / F.col("n_segments").cast("double"), 6).alias("kept_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-span extraction (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 5  # k-gram width; spans merge whenever duplicated starts are <= k apart
+
+_SPAN_ORACLE = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+g AS (
+  SELECT doc_id, i AS pos, array_to_string(toks[i:i + {_SPAN_K - 1}], ' ') AS gram
+  FROM t, UNNEST(range(1, len(toks) - {_SPAN_K - 2})) p(i)),
+dup AS (SELECT gram FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {_SPAN_K}
+              THEN 0 ELSE 1 END AS new_span
+  FROM hits),
+spans AS (
+  SELECT doc_id, pos,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM flagged),
+merged AS (
+  SELECT doc_id, span_id,
+         CAST(max(pos) - min(pos) + {_SPAN_K} AS BIGINT) AS span_tokens
+  FROM spans GROUP BY 1, 2)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+       CAST(max(span_tokens) AS BIGINT) AS max_span_tokens
+FROM merged GROUP BY 1
+"""
+
+
+@query("duplicate_span_extraction", oracle=_SPAN_ORACLE)
+def duplicate_span_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring-level duplication (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" ExactSubstr
+    operator, re-expressed relationally): find every MAXIMAL token span a
+    document shares verbatim with any other document, by (1) exploding
+    word {_SPAN_K}-grams with their start positions, (2) keeping k-grams
+    whose gram text occurs in >= 2 distinct documents, and (3) merging
+    duplicated starts whose ranges touch (gap <= k) into maximal spans
+    via one gaps-and-islands window. Document-level near-dup (MinHash /
+    SimHash) misses partial duplication — a quoted paragraph inside an
+    otherwise-novel page; span extraction is the surgical complement that
+    reports WHERE the duplication lives (here: per-doc span count,
+    duplicated-token mass, longest span; the span bounds themselves are
+    in the island frame one select away).
+
+    The suffix-array formulation of the paper is pointer-chasing over a
+    global sort — wrong shape for a shared-nothing cluster; the k-gram
+    group-by computes the same duplicated-span set for spans >= k (every
+    such span contains a duplicated k-gram, and maximal merges recover
+    extent) with only key-partitioned shuffles.
+
+    Scale: the gram group-by and the hit join both shuffle on the gram
+    key — at 100 TB the gram string collapses to an 8-byte xxhash64 key
+    (collision-checked or accepted at 2^-64), making the shuffle rows
+    ~16 bytes; the islands window partitions by doc_id (bounded by doc
+    length). Stop-word-heavy grams distribute over the full k-gram
+    space, so there is no hot key by construction (k >= 5 grams are
+    near-unique outside true duplication)."""
+    d = _t(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"if(size(toks) < {_SPAN_K}, array(),"
+                    f" transform(sequence(1, size(toks) - {_SPAN_K - 1}),"
+                    f" i -> struct(i AS pos, concat_ws(' ', slice(toks, i, {_SPAN_K})) AS gram)))"
+                )
+            ).alias("kg"),
+        )
+        .select("doc_id", F.col("kg.pos").alias("pos"), F.col("kg.gram").alias("gram"))
+        .persist()
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram", "left_semi").select("doc_id", "pos")
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("doc_id").orderBy("pos")
+    flagged = hits.withColumn(
+        "new_span",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= _SPAN_K, 0).otherwise(1),
+    )
+    spans = flagged.withColumn(
+        "span_id", F.sum("new_span").over(w.rowsBetween(_W.unboundedPreceding, 0))
+    )
+    merged = spans.groupBy("doc_id", "span_id").agg(
+        (F.max("pos") - F.min("pos") + _SPAN_K).cast("bigint").alias("span_tokens")
+    )
+    return merged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("span_tokens").cast("bigint").alias("dup_tokens"),
+        F.max("span_tokens").cast("bigint").alias("max_span_tokens"),
+    )

@@ -2509,3 +2509,127 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("q_cos2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy (farthest-first traversal) over embeddings
+# ---------------------------------------------------------------------------
+
+_KC_K = 4  # centers chosen; rounds = k - 1 after the deterministic seed
+_KC_Q = 1_000_000  # per-dim quantization -> exact int64 squared distances
+
+
+def _kc_qv_sql() -> str:
+    return (
+        f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {_KC_Q}.0 + 0.5) AS BIGINT))"
+    )
+
+
+def _kc_dist_sql(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+    )
+
+
+def _kcenter_oracle() -> str:
+    head = f"""
+WITH q AS (SELECT vec_id, {_kc_qv_sql()} AS v FROM embeddings),
+c0 AS (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 1),
+d1 AS (SELECT q.vec_id, q.v, {_kc_dist_sql('q.v', 'c0.v')} AS dmin FROM q, c0)"""
+    steps = []
+    for r in range(1, _KC_K):
+        steps.append(f"""
+c{r} AS (SELECT vec_id, v FROM d{r} ORDER BY dmin DESC, vec_id ASC LIMIT 1)""")
+        if r < _KC_K - 1:
+            steps.append(f"""
+d{r + 1} AS (SELECT d{r}.vec_id, d{r}.v,
+                    least(d{r}.dmin, {_kc_dist_sql(f'd{r}.v', f'c{r}.v')}) AS dmin
+             FROM d{r}, c{r})""")
+    cent_union = " UNION ALL ".join(
+        f"SELECT vec_id AS cid, v, {r} AS sel_round FROM c{r}" for r in range(_KC_K)
+    )
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f""",
+cent AS ({cent_union}),
+asg AS (SELECT vec_id, cid, d FROM (
+          SELECT q.vec_id, c.cid, {_kc_dist_sql('q.v', 'c.v')} AS d,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY {_kc_dist_sql('q.v', 'c.v')} ASC, c.cid ASC) AS rn
+          FROM q CROSS JOIN cent c) WHERE rn = 1)
+SELECT c.cid AS center_vec_id, CAST(c.sel_round AS BIGINT) AS sel_round,
+       CAST(count(*) AS BIGINT) AS n_assigned,
+       CAST(max(a.d) AS BIGINT) AS max_sq_dist
+FROM asg a JOIN cent c ON a.cid = c.cid
+GROUP BY 1, 2
+"""
+    )
+
+
+@query("kcenter_greedy_init", oracle=_kcenter_oracle())
+def kcenter_greedy_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center GREEDY (farthest-first traversal, Gonzalez 1985 — the
+    2-approximation for metric k-center and the standard diverse-seed /
+    coreset selector: k-means++ without the randomness, SemDeDup-style
+    cluster seeding, diverse eval-set picking). Seed = lowest vec_id;
+    each round adds the point FARTHEST from its nearest chosen center
+    (exact integer argmax, ties to the lowest vec_id), then every point
+    is assigned to its nearest center, reporting cluster size and
+    coverage radius per center.
+
+    Embeddings quantize per-dimension to {q} units so every squared
+    L2 distance is an exact int64 (64 dims x (2e6)^2 < 2^63) — selection
+    and assignment are bit-identical to the oracle's unrolled CTE chain
+    with zero float tolerance.
+
+    Scale: each round is one full-scan min-update + a 1-ROW argmax
+    collect (the chosen center — parameter-sized driver state, the same
+    policy as the k-means codebook); the running min-distance column
+    makes round cost O(n·d) regardless of how many centers are already
+    chosen, and the final assignment broadcasts k rows. At 100 TB the
+    scan dominates and parallelizes trivially; k rounds = k scans, the
+    known lower bound for exact greedy (approximate variants subsample
+    candidates per round with the same plumbing).""".format(q=_KC_Q)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {_KC_Q}.0 + 0.5) AS BIGINT))"
+        ).alias("v"),
+    ).persist()
+
+    def dist_to(cv: list[int]):
+        arr = "array(" + ",".join(str(int(x)) for x in cv) + ")"
+        return F.expr(
+            f"aggregate(zip_with(v, CAST({arr} AS ARRAY<BIGINT>),"
+            " (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+        )
+
+    seed = q.orderBy("vec_id").limit(1).collect()[0]  # 1 row: the seed center
+    centers = [(int(seed["vec_id"]), 0, [int(x) for x in seed["v"]])]
+    cur = q.withColumn("dmin", dist_to(centers[0][2]))
+    for r in range(1, _KC_K):
+        far = cur.orderBy(F.col("dmin").desc(), F.col("vec_id").asc()).limit(1).collect()[0]
+        centers.append((int(far["vec_id"]), r, [int(x) for x in far["v"]]))
+        if r < _KC_K - 1:
+            cur = cur.withColumn("dmin", F.least(F.col("dmin"), dist_to(centers[-1][2])))
+
+    cent = spark.createDataFrame(
+        [(cid, rr, cv) for cid, rr, cv in centers],
+        "cid bigint, sel_round bigint, cv array<bigint>",
+    )
+    d_expr = F.expr(
+        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+    )
+    scored = q.crossJoin(F.broadcast(cent)).withColumn("d", d_expr)
+    w = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cid").asc())
+    asg = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return asg.groupBy(
+        F.col("cid").alias("center_vec_id"), F.col("sel_round")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+        F.max("d").cast("bigint").alias("max_sq_dist"),
+    )
