@@ -2580,10 +2580,10 @@ def kcenter_greedy_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     is assigned to its nearest center, reporting cluster size and
     coverage radius per center.
 
-    Embeddings quantize per-dimension to {q} units so every squared
-    L2 distance is an exact int64 (64 dims x (2e6)^2 < 2^63) — selection
-    and assignment are bit-identical to the oracle's unrolled CTE chain
-    with zero float tolerance.
+    Embeddings quantize per-dimension to 1,000,000 units (_KC_Q) so every
+    squared L2 distance is an exact int64 (64 dims x (2e6)^2 < 2^63) —
+    selection and assignment are bit-identical to the oracle's unrolled
+    CTE chain with zero float tolerance.
 
     Scale: each round is one full-scan min-update + a 1-ROW argmax
     collect (the chosen center — parameter-sized driver state, the same
@@ -2592,7 +2592,7 @@ def kcenter_greedy_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     chosen, and the final assignment broadcasts k rows. At 100 TB the
     scan dominates and parallelizes trivially; k rounds = k scans, the
     known lower bound for exact greedy (approximate variants subsample
-    candidates per round with the same plumbing).""".format(q=_KC_Q)
+    candidates per round with the same plumbing)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.select(
         "vec_id",

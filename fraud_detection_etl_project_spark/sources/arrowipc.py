@@ -210,14 +210,26 @@ def _batch_byte_sizes(path: str, reader) -> list[int]:
     return [max(1, data_bytes // n)] * n
 
 
+def _normalize_type(t: pa.DataType) -> pa.DataType:
+    """Map Arrow 'large' types (64-bit offsets; polars defaults) to their
+    32-bit-offset equivalents RECURSIVELY, so list<large_string> and
+    large_list<large_string> both land on list<string> — Spark's Arrow
+    ingest requires exact parity with the declared schema, and the
+    declared schema never carries large types."""
+    if t == pa.large_string():
+        return pa.string()
+    if t == pa.large_binary():
+        return pa.binary()
+    if isinstance(t, (pa.ListType, pa.LargeListType)):
+        return pa.list_(_normalize_type(t.value_type))
+    return t
+
+
 def _normalize_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     cols, fields, changed = [], [], False
     for f, col in zip(batch.schema, batch.columns):
-        t = f.type
-        if t == pa.large_string():
-            col, t, changed = col.cast(pa.string()), pa.string(), True
-        elif isinstance(t, pa.LargeListType):
-            t = pa.list_(t.value_type)
+        t = _normalize_type(f.type)
+        if t != f.type:
             col, changed = col.cast(t), True
         fields.append(pa.field(f.name, t, f.nullable))
         cols.append(col)
@@ -277,9 +289,25 @@ class ArrowIPCWriter(DataSourceWriter):
             succ = os.path.join(self.path, "_SUCCESS")
             if os.path.exists(succ):
                 os.remove(succ)
+            start = 0
+        else:
+            # Append must be additive: number new parts AFTER the existing
+            # max part index, or same-numbered old parts would be silently
+            # clobbered while higher-numbered ones survive (mixed output).
+            start = 1 + max(
+                (
+                    int(os.path.basename(f)[5:10])
+                    for f in _data_files(self.path)
+                    if _PART_RE.match(os.path.basename(f))
+                ),
+                default=-1,
+            )
         for i, m in enumerate(messages):
             if m is not None:
-                os.replace(m.tmp_path, os.path.join(self.path, f"part-{i:05d}.arrow"))
+                os.replace(
+                    m.tmp_path, os.path.join(self.path, f"part-{start + i:05d}.arrow")
+                )
+        _sweep_stale_tmps(self.path)
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             f.write("")
 
@@ -287,6 +315,25 @@ class ArrowIPCWriter(DataSourceWriter):
         for m in messages:
             if m is not None and os.path.exists(m.tmp_path):
                 os.remove(m.tmp_path)
+        _sweep_stale_tmps(self.path)
+
+
+_PART_RE = __import__("re").compile(r"^part-(\d{5})\.arrow$")
+
+
+def _sweep_stale_tmps(path: str) -> None:
+    """Remove orphaned _tmp_*.arrow left by failed/zombie task attempts
+    that never returned a commit message (abort() only sees messaged
+    tasks). By commit/abort time every live temp has been renamed or
+    removed, so anything still matching _tmp_*.arrow is garbage."""
+    if not os.path.isdir(path):
+        return
+    for f in os.listdir(path):
+        if f.startswith("_tmp_") and f.endswith(".arrow"):
+            try:
+                os.remove(os.path.join(path, f))
+            except OSError:
+                pass
 
 
 def _rows_to_batch(rows: list[tuple], schema: pa.Schema) -> pa.RecordBatch:
@@ -320,19 +367,19 @@ class ArrowIPCDataSource(DataSource):
 
 
 def _normalize_schema(schema: pa.Schema) -> pa.Schema:
-    fields = []
-    for f in schema:
-        t = f.type
-        if t == pa.large_string():
-            t = pa.string()
-        elif isinstance(t, pa.LargeListType):
-            t = pa.list_(t.value_type)
-        fields.append(pa.field(f.name, t, f.nullable))
-    return pa.schema(fields)
+    return pa.schema(
+        pa.field(f.name, _normalize_type(f.type), f.nullable) for f in schema
+    )
 
 
 def register(spark) -> None:
     try:
         spark.dataSource.register(ArrowIPCDataSource)
-    except Exception:
-        pass  # already registered in this session
+    except Exception as e:
+        # Swallow ONLY duplicate registration; anything else (missing
+        # datasource API, import error) must surface here rather than as
+        # a later "unknown format: pyarrowipc".
+        msg = str(e).lower()
+        if "already" in msg or "exist" in msg or "duplicate" in msg:
+            return
+        raise
