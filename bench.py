@@ -22,6 +22,32 @@ from fraud_detection_etl_project_spark.plans import BENCH_QUERIES
 from fraud_detection_etl_project_spark.session import get_spark
 
 
+def _prev_round_timings(here: str) -> tuple[str | None, dict[str, float]]:
+    """Per-query timings from the most recent committed round bench
+    (highest-numbered BENCH_r*.json with a parsed block), so every run
+    reports round-over-round factors. Falls back to BENCH_LOCAL.json
+    (overwritten by this run only after the comparison is computed)."""
+    import glob
+
+    for f in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+        try:
+            with open(f) as fh:
+                parsed = (json.load(fh) or {}).get("parsed") or {}
+            q = parsed.get("queries")
+            if q:
+                return os.path.basename(f), {k: float(v) for k, v in q.items()}
+        except Exception:
+            continue
+    try:
+        with open(os.path.join(here, "BENCH_LOCAL.json")) as fh:
+            q = (json.load(fh) or {}).get("queries")
+        if q:
+            return "BENCH_LOCAL.json", {k: float(v) for k, v in q.items()}
+    except Exception:
+        pass
+    return None, {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # console progress bars are stdout noise that competes with the final
@@ -50,6 +76,21 @@ def main() -> None:
 
     all_samples: dict[str, list[float]] = {}
 
+    def isolate():
+        """Between-query barrier: drop this query's persisted blocks AND
+        ask the JVM to actually release them. r4's only >2x 'regression'
+        (copurchase_triangle_count 1.30s -> 4.38s, all three samples
+        cold) reproduced as warm-cache reuse failing under accumulated
+        executor memory pressure — clearCache alone un-registers blocks
+        but leaves the heap full until the next GC, which can land
+        mid-measurement. An explicit System.gc() makes the reclaim part
+        of the barrier, not of the next query's samples."""
+        spark.catalog.clearCache()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
     def timed(fn, name: str | None = None) -> float:
         """Min of 3 passes. The minimum is the standard steady-state
         estimator on shared/noisy hosts: external load only ever ADDS
@@ -64,7 +105,7 @@ def main() -> None:
             t0 = time.perf_counter()
             fn()
             samples.append(round(time.perf_counter() - t0, 3))
-        spark.catalog.clearCache()  # this query's persists: not the next one's tax
+        isolate()  # this query's persists: not the next one's tax
         if name is not None:
             all_samples[name] = samples
         return round(min(samples), 3)
@@ -131,6 +172,27 @@ def main() -> None:
         "methodology": "steady-state: min of 3 timed passes after one untimed warmup pass per query (min rejects external-load noise on shared hosts); samples holds all 3 passes per query for variance",
     }
 
+    # Round-over-round regression gate (judge r4 item 7): every run carries
+    # per-query factors vs the last committed round so a >2x surprise
+    # (r4's copurchase_triangle_count) surfaces IN-round, fail-soft — the
+    # bench line still prints, the regression list rides along in it.
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_src, prev_q = _prev_round_timings(here)
+    if prev_q:
+        factors = {
+            n: round(t / prev_q[n], 2)
+            for n, t in timings.items()
+            if prev_q.get(n)
+        }
+        result["factor_vs_prev"] = {"source": prev_src, "factors": factors}
+        regressions = {n: f for n, f in factors.items() if f > 2.0}
+        if regressions:
+            result["regressions_vs_prev"] = regressions
+            print(
+                f"BENCH REGRESSION >2x vs {prev_src}: {regressions}",
+                file=sys.stderr,
+            )
+
     # Scaling phase: the same headline queries on a 10x shard-replicated
     # dataset (~sf1, tools/gen_scale.py — disjoint key universes, salted
     # text, rotated embeddings), reporting per-query wall-clock factors vs
@@ -156,7 +218,7 @@ def main() -> None:
                     scaled[name] = round(time.perf_counter() - t0, 3)
                 except Exception as e:  # isolate: one query's failure is itself signal
                     errors[name] = str(e)[:200]
-                spark.catalog.clearCache()  # same isolation as the base phase
+                isolate()  # same barrier as the base phase
             result["scaling"] = {
                 "sf": result["sf"] * 10,
                 "data_x": 10,
@@ -198,7 +260,7 @@ def main() -> None:
                         deep[name] = round(time.perf_counter() - t0, 3)
                     except Exception as e:
                         deep_err[name] = str(e)[:200]
-                    spark.catalog.clearCache()
+                    isolate()
                 result["scaling_30x"] = {
                     "sf": result["sf"] * 30,
                     "data_x": 30,
@@ -228,6 +290,8 @@ def main() -> None:
         "sf": result["sf"],
         "full": "BENCH_LOCAL.json",
     }
+    if "regressions_vs_prev" in result:
+        compact["regressions_vs_prev"] = result["regressions_vs_prev"]
     print(json.dumps(compact))
     spark.stop()
 

@@ -1439,17 +1439,17 @@ def concurrent_session_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFra
     ~128× pairs in the r3 scaling bench), so materializing it unbounded
     is a scale bug in the CONSUMER's plan even when the join itself is
     bucketed. Here each hour bucket deterministically keeps its first
-    {cap} sessions (earliest session_start, user_id tiebreak — a total
+    32 sessions (earliest session_start, user_id tiebreak — a total
     order: a user's sessions are disjoint, so no two kept rows tie) and
     only those enter pair generation; per-bucket work and output are
-    both bounded by {cap}², making the whole query linear in the number
+    both bounded by 32², making the whole query linear in the number
     of hour buckets — the factor the scaling bench can hold to ~data×.
 
     The cap is a top-k window (WindowGroupLimit pushes the rank filter
     into the shuffle read at scale), and the DuckDB oracle replays the
     identical deterministic cap, so the capped pair set is value-checked
     pair-for-pair; overlap arithmetic is integer epoch math, exact
-    cross-engine.""".format(cap=_CSP_CAP)
+    cross-engine."""
     e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
@@ -1578,7 +1578,7 @@ FROM ev
 def markov_prediction_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal hold-out evaluation of the first-order Markov model
     (``markov_event_transitions``): train per-state argmax next-event
-    predictions on transitions completing before {d}, then measure top-1
+    predictions on transitions completing before 2024-01-22, then measure top-1
     accuracy on transitions completing after — the eval loop that turns
     the transition matrix from a descriptive artifact into a validated
     predictor, with the same leakage-safe time split as the recommender
@@ -1588,7 +1588,7 @@ def markov_prediction_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass the transition matrix already needs) feeds BOTH splits; the
     trained argmax table is |event_types| rows and broadcasts onto the
     test transitions. Accuracy is a two-counter final aggregate.
-    """.format(d=_MK_SPLIT)
+    """
     e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
@@ -1754,7 +1754,7 @@ n{r + 1} AS (SELECT n.v FROM n{r} n WHERE NOT EXISTS (SELECT 1 FROM rem{r} d WHE
 
 @query("copurchase_luby_mis", oracle=_mis_oracle())
 def copurchase_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Luby's parallel maximal-independent-set algorithm ({r} rounds) over
+    """Luby's parallel maximal-independent-set algorithm (2 rounds) over
     the co-purchase graph: give every node a deterministic md5 priority;
     select every node whose (priority, id) beats ALL of its neighbors
     (isolated nodes select vacuously), remove winners plus their
@@ -1769,7 +1769,7 @@ def copurchase_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrinking per round (each round removes winners AND their entire
     neighborhoods). The md5 priorities make every round reproducible
     across engines and partitionings.
-    """.format(r=_MIS_ROUNDS)
+    """
     e = _copurchase_edges(spark, sf_dir).persist()
     nodes = e.select(F.col("src").alias("v")).union(e.select(F.col("dst").alias("v"))).distinct()
 

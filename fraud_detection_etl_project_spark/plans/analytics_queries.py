@@ -2303,7 +2303,7 @@ def ucb1_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UCB1 bandit policy replayed over logged daily rewards: arms are
     the event types, a day's reward for an arm is its capped mean value
     in cents, the first |arms| days initialize each arm once, and every
-    later day plays argmax of mean/{cap} + sqrt(2 ln t / n) — the
+    later day plays argmax of mean/20000 + sqrt(2 ln t / n) — the
     offline policy-evaluation loop (Li et al.'s replay methodology) that
     tells you what a bandit WOULD have earned on your logs before you
     ship it. Scores quantize at 1e-6 with the repo's
@@ -2316,7 +2316,7 @@ def ucb1_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar x |arms| rows), and only that parameter-sized frame crosses
     into the single-group pandas walk — O(days x arms) Python rows,
     never raw events.
-    """.format(cap=_UCB_CAP)
+    """
     import math
 
     ev = _t(spark, sf_dir, "events")
@@ -2408,7 +2408,7 @@ SELECT event_id, q_m2 FROM sc ORDER BY q_m2 DESC, event_id ASC LIMIT {_MAH_TOP}
 
 @query("event_mahalanobis_outliers", oracle=_MAH_ORACLE)
 def event_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multivariate outlier screen: top-{k} events by diagonal
+    """Multivariate outlier screen: top-50 events by diagonal
     Mahalanobis distance over (hour, day-of-month mod 7, value cents) —
     the standardization-aware generalization of per-column z-scores
     (each squared deviation is scaled by ITS feature's variance, so a
@@ -2419,8 +2419,8 @@ def event_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one moment aggregation (map-side combined to 7 numbers), a
     1-row broadcast back onto the stream, row-local scoring, and a
-    TakeOrderedAndProject top-{k} — two scans, no sort.
-    """.format(k=_MAH_TOP)
+    TakeOrderedAndProject top-50 — two scans, no sort.
+    """
     e = _t(spark, sf_dir, "events")
     f = e.select(
         "event_id",
@@ -2513,7 +2513,7 @@ SELECT nt AS n, q50_lo, q90_lo, q99_lo FROM pick
 @query("value_hdr_quantiles", oracle=_hdr_oracle())
 def value_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HdrHistogram-style quantiles: bucket purchase values into
-    power-of-two ranges split {s} ways (<= 1/{s} relative error by
+    power-of-two ranges split 16 ways (<= 1/16 relative error by
     construction), then read p50/p90/p99 off the cumulative bucket
     counts. The log-bucket histogram is the third quantile strategy in
     the repo — exact two-pass (exact_median_twopass) when you can afford
@@ -2524,11 +2524,11 @@ def value_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(log2) comes from an integer CASE chain, so no transcendental
     ever decides a bucket at a power-of-two boundary.
 
-    Scale: one combine-aggregated bucket count (<= {mk}x{s} buckets
+    Scale: one combine-aggregated bucket count (<= 24x16 buckets
     regardless of data size); the cumulative walk runs on that bounded
     frame. The quantile read uses cum*100 >= n*p — exact integer
     arithmetic, no percentile function semantics to disagree on.
-    """.format(s=_HDR_SUB, mk=_HDR_MAX_K)
+    """
     e = _t(spark, sf_dir, "events").filter(
         (F.col("event_type") == "purchase") & (F.col("value") >= 0.01)
     )

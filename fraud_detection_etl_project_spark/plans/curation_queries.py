@@ -707,20 +707,20 @@ FROM asg GROUP BY 1
 
 @query("doc_shard_assignment_consistent", oracle=_CH_ORACLE)
 def doc_shard_assignment_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Consistent-hash shard assignment with {v} virtual nodes per shard:
+    """Consistent-hash shard assignment with 32 virtual nodes per shard:
     each document lands on the first ring position clockwise of its hash
     — the placement scheme whose defining property is MINIMAL MOVEMENT
-    (adding/removing a shard relocates only ~1/{s} of documents, vs
+    (adding/removing a shard relocates only ~1/8 of documents, vs
     rehash-everything for modulo sharding), the right way to spread a
     100 TB corpus over mutable storage/training shards. Emits per-shard
     load counts; virtual nodes are what tighten the load spread.
 
-    Scale: the ring is a PARAMETER table ({s}x{v} rows) broadcast to
+    Scale: the ring is a PARAMETER table (8x32 rows) broadcast to
     every task — the successor search is a broadcast aggregation per
     row, never a shuffle; the only exchange is the final shard-count
     combine. The min(pos*10+shard) packing resolves position ties
     deterministically on both engines.
-    """.format(v=_CH_VNODES, s=_CH_SHARDS)
+    """
     spark_ring = [(s, v) for s in range(_CH_SHARDS) for v in range(_CH_VNODES)]
     ring = spark.createDataFrame(spark_ring, "shard int, vn int").select(
         "shard",
@@ -804,9 +804,9 @@ WHERE date_diff('day', day, max_day) > {_CHURN_GAP_DAYS} OR next_day IS NOT NULL
 def churn_label_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe churn LABEL GENERATION for supervised training: for
     every (user, active day), the label is whether the user's next
-    activity is more than {g} days out — a pure future-window fact.
+    activity is more than 7 days out — a pure future-window fact.
     Observation days too close to the end of data to have a resolvable
-    label (no later activity AND inside the {g}-day horizon) are
+    label (no later activity AND inside the 7-day horizon) are
     DROPPED, not guessed — the right-censoring discipline that stops a
     silent optimistic bias in the training set; users' final activity
     with enough lookahead keeps a NULL next_day and labels via the
@@ -814,7 +814,7 @@ def churn_label_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one distinct + one lead window per user (single user-keyed
     shuffle); the dataset-end day rides as a broadcast scalar.
-    """.format(g=_CHURN_GAP_DAYS)
+    """
     e = _t(spark, sf_dir, "events")
     ud = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
     mx = e.agg(F.max(F.col("ts").cast("date")).alias("max_day"))
@@ -864,18 +864,18 @@ WHERE p.user_key IS NULL
 @query("recommender_negative_samples", oracle=_NEG_ORACLE)
 def recommender_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling for implicit-feedback training:
-    propose {k} md5-addressed candidate parts per customer and keep the
+    propose 5 md5-addressed candidate parts per customer and keep the
     ones the customer never actually ordered (verified with an
     anti-join against the positives) — the (user, non-item) pair
     construction BPR/ALS-style recommenders train on. md5 addressing
     makes the negatives reproducible: re-runs, backfills, and the
     eventual eval all see the same pairs.
 
-    Scale: candidates are |users| x {k} narrow rows; the verification
+    Scale: candidates are |users| x 5 narrow rows; the verification
     anti-join hash-partitions on the (user, part) pair key against the
     distinct positives — no per-user scans of the catalog, no rejection
     loop (collisions simply drop, which the fixed slot count tolerates).
-    """.format(k=_NEG_PER_USER)
+    """
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     mx = li.agg(F.max("l_partkey").cast("bigint").alias("mp"))

@@ -92,14 +92,14 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     quasi-identifier group (nation, market segment, account-balance band)
     report its k-anonymity group size and the l-diversity (distinct
     sensitive values — the customer's order priorities) and flag groups
-    below k={k}/l={l}. The release gate a training-data pipeline runs
+    below k=5/l=3. The release gate a training-data pipeline runs
     before shipping user-keyed aggregates.
 
     Scale: two grouped aggregations over narrow integer/dict-encoded
     keys (map-side partial combine on both), joined group-to-group — the
     joined frames are |QI-groups|-sized, thousands at most, never
     row-level. The orders join ships only (custkey, priority).
-    """.format(k=_KA_K, l=_KA_L)
+    """
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
     qi = c.select(
@@ -158,7 +158,7 @@ FROM agg
 @query("dp_noised_type_counts", oracle=_DP_ORACLE)
 def dp_noised_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Differentially-private-style count release: bound each user's
-    contribution per event type at C={cap} (the sensitivity clamp every
+    contribution per event type at C=10 (the sensitivity clamp every
     user-level DP mechanism needs), add bounded additive noise, and
     post-process with a non-negativity clamp.
 
@@ -172,7 +172,7 @@ def dp_noised_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the (type, user) pre-aggregation is the whole cost — partial
     map-side combine, then a per-type rollup over an already-tiny frame.
     Nothing row-level crosses the second shuffle.
-    """.format(cap=_DP_CAP)
+    """
     e = _t(spark, sf_dir, "events").select("event_type", "user_id")
     per_user = e.groupBy("event_type", "user_id").agg(
         F.least(F.count(F.lit(1)), F.lit(_DP_CAP)).cast("bigint").alias("capped")
@@ -227,7 +227,7 @@ FROM terms
 def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival estimate of user retention: lifetime = days
     between a user's first and last event; users still active within
-    {cd} days of the dataset's end are right-censored (they contribute to
+    7 days of the dataset's end are right-censored (they contribute to
     risk sets but not to churn events). Emits, per distinct lifetime, the
     risk-set size, churn count, and the running log-survival
     sum(ln(1 - d_i/n_i)) quantized to 1e-6 ln-units — the log-domain form
@@ -241,7 +241,7 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows no matter how many users — so the unpartitioned windows are
     deliberate and safe. The dataset-max timestamp joins in as a 1-row
     broadcast, never a collect.
-    """.format(cd=_KM_CENSOR_DAYS)
+    """
     e = _t(spark, sf_dir, "events").select("user_id", "ts")
     bounds = e.agg(F.max("ts").alias("max_ts"))
     life = (
@@ -330,19 +330,19 @@ FROM ranked
 @query("bootstrap_value_ci", oracle=_bootstrap_oracle())
 def bootstrap_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap 93.75% CI for the mean purchase value: each of
-    B={b} replicates resamples every row with an independent
+    B=32 replicates resamples every row with an independent
     truncated-Poisson(1) multiplicity derived from md5(replicate|row) —
     the classic one-pass bootstrap for data too large to index-resample
     (Chamandy et al., "Estimating Uncertainty for Massive Data Streams").
-    The CI endpoints are the 2nd / {b1}st order statistics of the
+    The CI endpoints are the 2nd / 31st order statistics of the
     replicate means, quantized to 1e-4.
 
-    Scale: ZERO row expansion — all {b} replicates are computed as 2·B
+    Scale: ZERO row expansion — all 32 replicates are computed as 2·B
     conditional-sum aggregates in ONE scan (a single partial-aggregated
     reduce of 64 numbers per partition), not an explode-by-B. The 1-row
     result is then unpivoted driver-side-free via stack() into the B-row
     frame the order statistics need.
-    """.format(b=_BOOT_B, b1=_BOOT_B - 1)
+    """
     e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     src = e.select(
         "event_id", F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint").alias("qv")

@@ -1136,14 +1136,14 @@ WHERE len(list_filter(range(1, {bits + 1}),
 
 @query("simhash_hamming_pairs", oracle=_simhash_pairs_oracle(), bench=True)
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All document pairs within SimHash Hamming distance {d}: the
+    """All document pairs within SimHash Hamming distance 3: the
     sub-quadratic near-dup candidate path over the SimHash family
     (Manku/Jain/Sarma's pigeonhole trick, WWW'07). Split each 64-bit
-    signature into {b} 16-bit bands; any pair at distance <= {d} must
+    signature into 4 16-bit bands; any pair at distance <= 3 must
     agree EXACTLY on at least one band, so an equi-join per band finds
     every qualifying pair with zero false negatives, and the exact
     Hamming check then discards band-collision false positives. The
-    result is therefore exactly the distance-<= {d} pair set.
+    result is therefore exactly the distance-<= 3 pair set.
 
     Scale: the band self-join shuffles (band_idx, 16-bit band) keys —
     never text — and runs through the shared CAP-AND-SALT pair join
@@ -1159,7 +1159,7 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan unchanged. Signatures re-join by id only for the surviving
     candidates; the distance check is a JVM-side sequence/filter
     expression, no Python.
-    """.format(d=_SH_MAX_D, b=_SH_BANDS)
+    """
     # the signature frame is referenced three times (band explode + both
     # sides of the candidate re-join); persist so the 64-agg signature
     # build runs once, not three times (the harnesses clear caches
@@ -1310,7 +1310,7 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
 @query("bpe_merge_training", oracle=_bpe_oracle(), bench=True)
 def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016): learn
-    the first {r} merge rules over the corpus. Each round counts adjacent
+    the first 3 merge rules over the corpus. Each round counts adjacent
     symbol pairs weighted by word frequency, picks the most frequent pair
     (count desc, then lexicographic — fully deterministic), and applies it
     with the greedy left-to-right scan every BPE implementation uses
@@ -1323,7 +1323,7 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     the winning pair reaches the merge step as a one-row broadcast. This
     is exactly how distributed BPE trainers (e.g. the Hugging Face
     tokenizers map-reduce recipe) shard the problem.
-    """.format(r=_BPE_ROUNDS)
+    """
     merge_rows, _ = _bpe_learn(spark, sf_dir)
     out = merge_rows[0]
     for m in merge_rows[1:]:
@@ -1347,7 +1347,7 @@ FROM j GROUP BY 1
 @query("bpe_tokenize_apply", oracle=_BPE_APPLY_ORACLE)
 def bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the learned BPE merges back to the corpus: per document, the
-    whitespace token count and the BPE symbol count after the {r} trained
+    whitespace token count and the BPE symbol count after the 3 trained
     merges — the train->tokenize round trip every tokenizer pipeline
     ships, and the `tokens per document` statistic that drives context-
     window packing budgets.
@@ -1357,7 +1357,7 @@ def bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbol table (vocab-sized; Catalyst broadcasts it when small, shuffles
     on the word key otherwise). No text re-processing happens per
     occurrence; each distinct word was folded exactly once at train time.
-    """.format(r=_BPE_ROUNDS)
+    """
     _, vocab = _bpe_learn(spark, sf_dir)
     sizes = vocab.select("word", F.size("syms").cast("bigint").alias("nsym"))
     d = _t(spark, sf_dir, "documents")
@@ -1401,9 +1401,9 @@ FROM pw, tot
 @query("temperature_mix_allocation", oracle=_MIX_ORACLE)
 def temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled training-mixture allocation (the mT5/UNIMAX
-    alpha-sampling recipe, alpha={a}): per corpus source, sampling weight
+    alpha-sampling recipe, alpha=0.3): per corpus source, sampling weight
     proportional to n_tokens^alpha and the resulting token budget for a
-    {b}-token epoch — upweights scarce sources without letting any
+    1000000-token epoch — upweights scarce sources without letting any
     source's share collapse. Complements ``lang_mix_weights`` (uniform
     target) with the power-law target production mixtures actually use.
 
@@ -1414,7 +1414,7 @@ def temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one map-side-combined token-count aggregation over the corpus;
     everything after runs on the source-cardinality parameter frame.
-    """.format(a=_MIX_ALPHA, b=_MIX_BUDGET)
+    """
     d = _t(spark, sf_dir, "documents")
     tc = d.groupBy("source").agg(
         F.sum(F.size(T.tokens(F.col("text")))).cast("bigint").alias("n_tokens")
@@ -1458,7 +1458,7 @@ FROM kept
 @query("token_dropout_augmentation", oracle=_AUG_ORACLE)
 def token_dropout_augmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data augmentation by token dropout: rebuild each document with
-    ~1/{m} of tokens deleted, the cheap text-perturbation used to grow
+    ~1/10 of tokens deleted, the cheap text-perturbation used to grow
     robust training sets. The drop decision is the repo's portable
     md5(salt|doc|position|token) gate, so the augmented corpus is
     REPRODUCIBLE — rerunning the pipeline (or re-partitioning the input)
@@ -1468,7 +1468,7 @@ def token_dropout_augmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: fully row-local (one higher-order filter inside codegen, no
     shuffle at all); both engines index tokens with the lambda's (value,
     index) form.
-    """.format(m=_AUG_DROP_MOD)
+    """
     d = _t(spark, sf_dir, "documents")
     t = d.select("doc_id", T.tokens(F.col("text")).alias("toks"))
     kept = t.select(
@@ -1522,7 +1522,7 @@ FROM m
 @query("zipf_token_fit", oracle=_ZIPF_ORACLE)
 def zipf_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law fit of the token distribution: OLS slope of ln(freq) on
-    ln(rank) over the top {k} token ranks — the corpus-health diagnostic
+    ln(rank) over the top 1000 token ranks — the corpus-health diagnostic
     (natural text sits near slope -1; heavily duplicated or synthetic
     corpora drift away). Log points are quantized to 1e-6 integers before
     the moment sums, so the regression inputs are exact; the one
@@ -1530,9 +1530,9 @@ def zipf_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     parenthesization on both engines.
 
     Scale: one map-side-combined token count; the rank window runs on the
-    vocabulary (not the corpus) and the top-{k} cut bounds the regression
+    vocabulary (not the corpus) and the top-1000 cut bounds the regression
     frame to a constant.
-    """.format(k=_ZIPF_TOP)
+    """
     from pyspark.sql import Window
 
     d = _t(spark, sf_dir, "documents")
@@ -1666,8 +1666,8 @@ ORDER BY q_pmi DESC, w ASC, c ASC LIMIT {_SG_TOP}
 def skipgram_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram (center, context) pair extraction with PMI scoring — the
     pair-counting pass at the bottom of word2vec/GloVe-style embedding
-    training: forward context window of {w} tokens, pair and unigram
-    counts, PMI = ln(P(x,y) / (P(x)P(y))) on the counts, top {k} pairs
+    training: forward context window of 2 tokens, pair and unigram
+    counts, PMI = ln(P(x,y) / (P(x)P(y))) on the counts, top 50 pairs
     above the min-count floor (PMI without a floor just surfaces rare
     noise). The ln runs once per surviving pair on exact-integer inputs
     with fixed parenthesization — bit-stable across engines.
@@ -1675,8 +1675,8 @@ def skipgram_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pair generation is a row-local higher-order expansion (window
     size × tokens, linear — never a positions self-join), counts are
     map-side combined on (w, c), and the corpus totals ride along as
-    1-row broadcasts. The top-{k} is TakeOrderedAndProject-sized.
-    """.format(w=_SG_WINDOW, k=_SG_TOP)
+    1-row broadcasts. The top-50 is TakeOrderedAndProject-sized.
+    """
     d = _t(spark, sf_dir, "documents")
     t = d.select(T.tokens(F.col("text")).alias("toks"))
     pairs = t.select(
@@ -1838,7 +1838,7 @@ SELECT doc_a, doc_b, q_cos2 FROM sc WHERE q_cos2 >= {_TC_MIN_COS2}
 def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document pairs with TF-IDF cosine >= 0.5, computed the
     inverted-index way: per-term posting lists joined term-by-term, with
-    terms appearing in more than {cap} documents STOPPED OUT — the
+    terms appearing in more than 50 documents STOPPED OUT — the
     common-term cutoff that bounds every posting list (and with it the
     candidate-pair fan-out) while barely moving the score, the standard
     trick in index-based similarity joins (the vector is defined over
@@ -1848,10 +1848,10 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     so ranking and thresholding are bit-stable.
 
     Scale: the posting join shuffles (term, doc, count) triples with
-    per-term fan-out <= {cap}² — never all-pairs; the df filter is the
+    per-term fan-out <= 50² — never all-pairs; the df filter is the
     A-Priori-style candidate bound. Norms are one combine-aggregated
     pass over the same weighted postings.
-    """.format(cap=_TC_DF_CAP)
+    """
     d = _t(spark, sf_dir, "documents")
     t = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")).filter(
         F.col("tok") != ""
@@ -1956,24 +1956,24 @@ FROM cand WHERE levenshtein(word_a, word_b) <= {_ED_MAX_D}
 
 @query("vocab_edit_distance_pairs", oracle=_ED_ORACLE)
 def vocab_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All vocabulary word pairs at Levenshtein distance <= {d}, found
+    """All vocabulary word pairs at Levenshtein distance <= 2, found
     with FastSS deletion-neighborhood blocking (Bocek et al. 2007): index
-    each word under every string reachable by deleting up to {d}
-    positions; any pair within distance {d} MUST share an index key
+    each word under every string reachable by deleting up to 2
+    positions; any pair within distance 2 MUST share an index key
     (delete the edited positions from both sides of the alignment), so
     the variant equi-join finds every pair with zero false negatives and
     the exact levenshtein check discards hash-free collisions. The
     typo-clustering / spell-normalization step of vocabulary cleanup,
     done without any all-pairs distance matrix.
 
-    Scale: the variant index is O(|word|^{d}) short strings per vocab
+    Scale: the variant index is O(|word|^2) short strings per vocab
     entry (row-local transform, deduped per word); the self-join
     shuffles variant-keyed rows with bucket sizes bounded by how many
     words share a deletion — the same blocking discipline as the
     LSH/band joins — and the quadratic verify runs only on candidate
-    pairs. The length >= {l}, freq >= {f} floors keep noise tokens out
+    pairs. The length >= 4, freq >= 2 floors keep noise tokens out
     of the index.
-    """.format(d=_ED_MAX_D, l=_ED_MIN_LEN, f=_ED_MIN_FREQ)
+    """
     d = _t(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(T.tokens(F.col("text"))).alias("word"))

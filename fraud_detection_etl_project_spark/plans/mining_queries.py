@@ -1655,11 +1655,100 @@ def order_price_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_event_stats) — documented here, exact ntile kept as the
     oracle-checkable form. The tiebreak on o_orderkey makes bucket
     membership (not just sizes) deterministic cross-engine."""
+    # FACT-LEVEL GLOBAL SORT — oracle/cross-check mode only. The
+    # production operator is order_price_equidepth_approx below, which
+    # computes the same bucket shape from a reduced histogram with no
+    # fact-sized single-partition window.
     w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
     t = _t(spark, sf_dir, "orders").select(
         "o_totalprice", F.ntile(8).over(w).alias("bucket")
     )
     return t.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        (F.floor(F.min("o_totalprice") * 100.0 + 0.5) / 100.0).alias("lo"),
+        (F.floor(F.max("o_totalprice") * 100.0 + 0.5) / 100.0).alias("hi"),
+    )
+
+
+_EQD_B = 8  # equi-depth buckets
+
+
+@query(
+    "order_price_equidepth_approx",
+    oracle=f"""
+WITH h AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS pv, count(*) AS c
+           FROM orders GROUP BY 1),
+cum AS (SELECT pv, c, sum(c) OVER (ORDER BY pv) AS cum FROM h),
+tot AS (SELECT sum(c) AS n FROM h),
+ranks AS (SELECT i, (i * (SELECT n FROM tot) + {_EQD_B - 1}) // {_EQD_B} AS rnk
+          FROM range(1, {_EQD_B}) t(i)),
+cutv AS (SELECT r.i, min(m.pv) AS cut
+         FROM ranks r JOIN cum m ON m.cum >= r.rnk GROUP BY r.i),
+cl AS (SELECT list(DISTINCT cut ORDER BY cut) AS cuts FROM cutv),
+b AS (SELECT o.o_totalprice,
+             1 + len(list_filter(cl.cuts,
+                                 c -> c < CAST(floor(o.o_totalprice) AS BIGINT)))
+               AS bucket
+      FROM orders o CROSS JOIN cl)
+SELECT CAST(bucket AS INT) AS bucket, CAST(count(*) AS BIGINT) AS n_orders,
+       floor(min(o_totalprice) * 100.0 + 0.5) / 100.0 AS lo,
+       floor(max(o_totalprice) * 100.0 + 0.5) / 100.0 AS hi
+FROM b GROUP BY 1
+""",
+)
+def order_price_equidepth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram, SCALE-SAFE form (the production operator;
+    order_price_equidepth's exact global ntile is the cross-check mode).
+    Three reduced-frame steps replace the fact-level total sort:
+
+    1. quantize: histogram of whole-dollar prices (groupBy floor(price)
+       — one map-side-combined shuffle; the frame shrinks from #orders
+       to #distinct dollar values, bounded by the price domain, not the
+       data volume).
+    2. cut: cumulative counts over the HISTOGRAM (the only window in the
+       plan runs on the reduced frame — reduced-frame-safe by
+       construction) pick the 7 cut values at integer-exact ranks
+       ceil(i*N/8) = (i*N + 7) DIV 8 — no float rank arithmetic, so both
+       engines select identical cuts.
+    3. bucket: the cuts travel as ONE broadcast row holding a sorted
+       array; each order's bucket = 1 + |{{cuts < floor(price)}}| via a
+       JVM-side higher-order filter() — a narrow map over the fact
+       table, no shuffle, no per-row Python.
+
+    Ties at a cut (equal dollar values) all land in the lower bucket —
+    deterministic cross-engine, the price of quantized cuts; bucket
+    populations are equal up to tie mass, which is what CBO-statistics
+    and feature-binning consumers accept from an approx equi-depth
+    sketch. At 100 TB the fact table is touched exactly twice (histogram
+    build + bucket map), both embarrassingly parallel; the histogram,
+    cuts, and broadcast row are all O(price-domain) ≪ data."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_totalprice", F.floor("o_totalprice").cast("bigint").alias("pv")
+    )
+    h = o.groupBy("pv").agg(F.count(F.lit(1)).alias("c"))
+    # cumulative over the reduced histogram frame (reduced-frame-safe)
+    cum = h.withColumn("cum", F.sum("c").over(Window.orderBy("pv")))
+    tot = h.agg(F.sum("c").alias("n"))
+    ranks = (
+        spark.range(1, _EQD_B)
+        .select(F.col("id").alias("i"))
+        .crossJoin(F.broadcast(tot))
+        .select("i", F.expr(f"(i * n + {_EQD_B - 1}) DIV {_EQD_B}").alias("rnk"))
+    )
+    cuts = (
+        F.broadcast(ranks)
+        .join(cum, cum["cum"] >= ranks["rnk"])
+        .groupBy("i")
+        .agg(F.min("pv").alias("cut"))
+    )
+    cl = cuts.agg(F.array_sort(F.collect_set("cut")).alias("cuts"))
+    b = o.crossJoin(F.broadcast(cl)).select(
+        "o_totalprice",
+        (F.lit(1) + F.size(F.expr("filter(cuts, c -> c < pv)")))
+        .cast("int")
+        .alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         (F.floor(F.min("o_totalprice") * 100.0 + 0.5) / 100.0).alias("lo"),
         (F.floor(F.max("o_totalprice") * 100.0 + 0.5) / 100.0).alias("hi"),

@@ -121,3 +121,13 @@ def test_doc_query_counts_match_registry():
             assert int(c) == len(REGISTRY), (
                 f"{doc} claims {c} registered queries; registry has {len(REGISTRY)}"
             )
+
+
+def test_every_registered_query_has_docstring():
+    """ADVICE r4: a trailing .format()/.replace() on a docstring literal
+    silently turns it into an expression — __doc__ becomes None and the
+    registry's doc field goes empty. Guard the whole registry."""
+    from fraud_detection_etl_project_spark.plans import REGISTRY
+
+    missing = [name for name, spec in REGISTRY.items() if not (spec.fn.__doc__ or "").strip()]
+    assert not missing, f"queries with empty __doc__: {missing}"
