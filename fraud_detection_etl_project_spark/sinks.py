@@ -22,11 +22,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Reference sink DDL column widths, lambda_function_aws.py:70-85.
+# Spark parses createTableColumnTypes with ITS OWN DDL parser and maps the
+# resulting Catalyst types through the JDBC dialect (Postgres gets DOUBLE
+# PRECISION, Derby gets DOUBLE) — so the spelling here must be Spark SQL
+# ("DOUBLE"), not the reference's Postgres DDL. The first live-JDBC test
+# (tests/test_jdbc_derby.py) caught the Postgres spelling failing to parse;
+# the VARCHAR widths are the reference's (lambda_function_aws.py:70-85).
 TXN_COLUMN_TYPES = (
-    "step INT, type VARCHAR(20), amount DOUBLE PRECISION, nameOrig VARCHAR(50), "
-    "oldbalanceOrg DOUBLE PRECISION, newbalanceOrig DOUBLE PRECISION, "
-    "nameDest VARCHAR(50), oldbalanceDest DOUBLE PRECISION, "
-    "newbalanceDest DOUBLE PRECISION, isFraud INT, isFlaggedFraud INT"
+    "step INT, type VARCHAR(20), amount DOUBLE, nameOrig VARCHAR(50), "
+    "oldbalanceOrg DOUBLE, newbalanceOrig DOUBLE, "
+    "nameDest VARCHAR(50), oldbalanceDest DOUBLE, "
+    "newbalanceDest DOUBLE, isFraud INT, isFlaggedFraud INT"
 )
 
 
