@@ -110,20 +110,20 @@ FAMILY_PREFIX = [
     "doc_sequence_packing",
     "xml_source_rollup",
     "avro_source_rollup",
-    "simhash_hamming_pairs",
+    "simhash128_hamming_pairs",
     "nation_trade_pagerank",
     "region_customer_rollup",
     "order_fill_left_join",
     "multimodal_jpeg_stats",
     "neardup_pairs_salted",
     "customers_with_big_orders",
-    "orders_without_lineitems",
+    "ivf_trained_ann_top10",
     "semdedup_cluster_stats",
     "event_value_bands",
     "asof_purchase_signup",
     "partitioned_dpp_rollup",
     "salted_user_event_join",
-    "customers_with_urgent_orders",
+    "order_price_equidepth_approx",
     "q5_local_supplier_revenue",
     "embedding_pca_power",
     "top_customers_per_nation",
@@ -145,14 +145,14 @@ FAMILY_PREFIX = [
     "udtf_sentence_split",
     "doc_stats",
     "neardup_dedup_kept",
-    "ivf_ann_top10",
+    "orders_without_lineitems",
     "wav_spectral_features",
     "hybrid_search_rrf",
     # beyond the driver's 50-query sample window: displaced + newer
     # families, covered by tests/test_full_registry.py on every pytest run
     "avro_sink_roundtrip",
     "distinct_user_event_pairs",
-    "simhash128_hamming_pairs",
+    "simhash_hamming_pairs",
     "doc_containment_pairs",
     "copurchase_brand_modularity",
     "perceptron_purchase_model",
@@ -161,6 +161,10 @@ FAMILY_PREFIX = [
     "als_user_factors",
     "markov_event_transitions",
     "stream_attribution_hourly_chain",
+    "ivf_ann_top10",
+    "customers_with_urgent_orders",
+    "kmeans_lloyd_refine",
+    "snapshot_time_travel_rollup",
 ]
 
 _ordered = {n: REGISTRY[n] for n in FAMILY_PREFIX if n in REGISTRY}

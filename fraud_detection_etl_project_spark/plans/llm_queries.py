@@ -1134,7 +1134,10 @@ WHERE len(list_filter(range(1, {bits + 1}),
 """
 
 
-@query("simhash_hamming_pairs", oracle=_simhash_pairs_oracle(), bench=True)
+# bench flag moved to simhash128_hamming_pairs (r5): the 128-bit config wins
+# at every measured scale (sf0.1: 4.8s vs 8.6s; 10x: 23.2s vs 54.2s) and the
+# gap widens with corpus size - crossover data in SCALE.md.
+@query("simhash_hamming_pairs", oracle=_simhash_pairs_oracle())
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All document pairs within SimHash Hamming distance 3: the
     sub-quadratic near-dup candidate path over the SimHash family
@@ -1173,6 +1176,7 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "simhash128_hamming_pairs",
     oracle=_simhash_pairs_oracle(bits=128, bands=4, max_d=3),
+    bench=True,
 )
 def simhash128_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WIDE-SIGNATURE configuration of the SimHash band join: 128-bit

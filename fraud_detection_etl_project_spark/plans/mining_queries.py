@@ -2845,3 +2845,53 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("q_containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-versioned table: time travel read (snapshot.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "snapshot_time_travel_rollup",
+    oracle=f"""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {cents_sum_sql('o_totalprice')} AS total_price
+FROM orders
+WHERE o_orderkey % 3 = 0
+GROUP BY 1
+""",
+)
+def snapshot_time_travel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the snapshot-versioned parquet table
+    (snapshot.py): v1 commits the o_orderkey%3==0 slice of orders, v2
+    APPENDS the %3==1 slice; the query reads **version 1** — pinned to
+    the pre-append file set via its manifest — and rolls it up. The
+    oracle recomputes the v1 slice straight from the orders fixture, so
+    a manifest that leaked v2's files (or dropped any v1 file) breaks
+    the value hash, not just a count.
+
+    Scale: a snapshot read hands Spark the explicit immutable file list
+    (pushdown/pruning intact — plan-tested in tests/test_snapshot.py);
+    version resolution is two O(1) metadata reads (CURRENT -> manifest),
+    never a directory-state race. Reproducible 100 TB training runs pin
+    the version number instead of copying the table."""
+    from fraud_detection_etl_project_spark import snapshot as snap
+
+    tag = _fixture_tag(sf_dir, "orders")
+    t = os.path.join(tempfile.gettempdir(), f"snap_tbl_{tag}")
+    done = os.path.join(t, "_STAGED")
+    if not os.path.exists(done):
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        )
+        snap.overwrite(orders.filter(F.col("o_orderkey") % 3 == 0), t)
+        snap.append(orders.filter(F.col("o_orderkey") % 3 == 1), t)
+        with open(done, "w") as f:
+            f.write("")
+    v1 = snap.read(spark, t, version=1)
+    return v1.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        cents_sum("o_totalprice").alias("total_price"),
+    )

@@ -2759,3 +2759,151 @@ def ivf_trained_ann_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx.crossJoin(F.broadcast(rec)).select(
         "vec_id", "cos_sim", "recall_at_10"
     )
+
+
+# ---------------------------------------------------------------------------
+# Lloyd k-means refinement on the k-center init (2 exact iterations)
+# ---------------------------------------------------------------------------
+
+_KM_ITERS = 2
+_KM_DIM = 64  # embeddings are 64-d in every fixture
+
+
+def _km_round_mean_sql(s: str, n: str) -> str:
+    """Half-up rounded mean as IEEE-double floor — identical ops both
+    engines (bigint sums fit: |q| <= 2e6, 1e4 rows -> |sum| <= 2e10)."""
+    return f"CAST(floor(CAST({s} AS DOUBLE) / {n} + 0.5) AS BIGINT)"
+
+
+def _km_asg_sql(src_cent: str, tag: str) -> str:
+    return f"""
+asg{tag} AS (SELECT vec_id, v, cid, d FROM (
+   SELECT q.vec_id, q.v, c.cid, {_kc_dist_sql('q.v', 'c.v')} AS d,
+          row_number() OVER (PARTITION BY q.vec_id
+                             ORDER BY {_kc_dist_sql('q.v', 'c.v')} ASC, c.cid ASC) AS rn
+   FROM q CROSS JOIN {src_cent} c) WHERE rn = 1)"""
+
+
+def _km_update_sql(tag: str) -> str:
+    return f"""
+cnt{tag} AS (SELECT cid, count(*) AS n FROM asg{tag} GROUP BY cid),
+sum{tag} AS (SELECT cid, pos, sum(val) AS s FROM
+               (SELECT cid, unnest(v) AS val,
+                       unnest(range(1, {_KM_DIM + 1})) AS pos
+                FROM asg{tag})
+             GROUP BY cid, pos),
+newc{tag} AS (SELECT s.cid,
+                     list({_km_round_mean_sql('s.s', 'c.n')} ORDER BY s.pos) AS v
+              FROM sum{tag} s JOIN cnt{tag} c USING (cid) GROUP BY s.cid)"""
+
+
+def _kmeans_oracle() -> str:
+    chain, cent_union = _kc_chain_sql()
+    return (
+        chain
+        + f""",
+cent0 AS (SELECT cid, v FROM ({cent_union})),"""
+        + _km_asg_sql("cent0", "1")
+        + ","
+        + _km_update_sql("1")
+        + ","
+        + _km_asg_sql("newc1", "2")
+        + ","
+        + _km_update_sql("2")
+        + ","
+        + _km_asg_sql("newc2", "3")
+        + f""",
+stats AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_assigned,
+                 CAST(sum(d) AS BIGINT) AS inertia
+          FROM asg3 GROUP BY cid)
+SELECT s.cid AS cluster_id, s.n_assigned, s.inertia,
+       CAST({_kc_dist_sql('c0.v', 'n2.v')} AS BIGINT) AS shift_sq
+FROM stats s JOIN cent0 c0 ON c0.cid = s.cid
+             JOIN newc2 n2 ON n2.cid = s.cid
+"""
+    )
+
+
+@query("kmeans_lloyd_refine", oracle=_kmeans_oracle())
+def kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means: k-center greedy init (_kc_select) +
+    _KM_ITERS full assign/update iterations + a final assignment pass,
+    reporting per-cluster size, inertia (exact int64 sum of squared
+    distances), and how far each centroid moved from its init
+    (shift_sq). This is the missing middle of the index-training story:
+    kcenter_greedy_init picks seeds, ivf_trained_ann_top10 serves
+    queries, and this operator is the refinement loop a production
+    coarse quantizer actually runs between the two.
+
+    Exactness: vectors quantize to int64 (the _KC_Q lattice); squared
+    distances are exact bigints; the centroid update is a half-up
+    rounded mean computed as the same IEEE-double floor expression in
+    both engines, so every iteration's codebook is bit-identical to the
+    oracle's unrolled CTE replay — the loop is value-checked, not just
+    row-counted.
+
+    Scale: per iteration, assignment is ONE narrow map over the points
+    (codebook broadcast as a literal array-of-structs, argmin as
+    array_min over (dist, cid) structs — no shuffle, no Python), and
+    the update is posexplode -> groupBy(cid, pos) partial-aggregated
+    sums: one shuffle of k x d cells, collected driver-side as the next
+    codebook (k x d ints — parameters, the k-means codebook policy).
+    At 100 TB each iteration is exactly one scan + one k·d-cell
+    shuffle; iterations are the irreducible cost of Lloyd."""
+    import math
+
+    q, centers = _kc_select(spark, sf_dir)
+    codebook = {cid: list(v) for cid, _r, v in centers}
+
+    def assign(cb: dict[int, list[int]]):
+        entries = []
+        for cid in sorted(cb):
+            arr = "array(" + ",".join(str(int(x)) for x in cb[cid]) + ")"
+            entries.append(
+                f"named_struct('d', aggregate(zip_with(v, CAST({arr} AS ARRAY<BIGINT>),"
+                f" (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x),"
+                f" 'cid', {cid}L)"
+            )
+        best = F.array_min(F.expr("array(" + ",".join(entries) + ")"))
+        return q.select(
+            "vec_id", "v", best["cid"].alias("cid"), best["d"].alias("d")
+        )
+
+    for _ in range(_KM_ITERS):
+        asg = assign(codebook)
+        cells = (
+            asg.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )  # k x d cells: the next codebook (parameters, not data)
+        new_cb: dict[int, list[int]] = {
+            cid: [0] * _KM_DIM for cid in {int(r["cid"]) for r in cells}
+        }
+        for r in cells:
+            new_cb[int(r["cid"])][int(r["pos"])] = math.floor(
+                float(r["s"]) / float(r["n"]) + 0.5
+            )
+        # carry forward any emptied cluster's previous centroid
+        for cid, v in codebook.items():
+            new_cb.setdefault(cid, list(v))
+        codebook = new_cb
+
+    final = assign(codebook)
+    stats = final.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+        F.sum("d").cast("bigint").alias("inertia"),
+    )
+    shift_rows = [
+        (
+            cid,
+            sum((a - b) * (a - b) for a, b in zip(dict((c, v) for c, _r, v in centers)[cid], codebook[cid])),
+        )
+        for cid in sorted(codebook)
+    ]
+    shifts = spark.createDataFrame(shift_rows, "cluster_id bigint, shift_sq bigint")
+    return (
+        stats.withColumnRenamed("cid", "cluster_id")
+        .join(F.broadcast(shifts), "cluster_id")
+        .select("cluster_id", "n_assigned", "inertia", "shift_sq")
+    )
