@@ -165,6 +165,9 @@ FAMILY_PREFIX = [
     "customers_with_urgent_orders",
     "kmeans_lloyd_refine",
     "snapshot_time_travel_rollup",
+    "snapshot_skipping_rollup",
+    "snapshot_merge_upsert_rollup",
+    "snapshot_delete_rollup",
 ]
 
 _ordered = {n: REGISTRY[n] for n in FAMILY_PREFIX if n in REGISTRY}

@@ -2895,3 +2895,166 @@ def snapshot_time_travel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         cents_sum("o_totalprice").alias("total_price"),
     )
+
+
+@query(
+    "snapshot_skipping_rollup",
+    oracle=f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {cents_sum_sql('o_totalprice')} AS total_price
+FROM orders
+WHERE o_orderkey <= (SELECT max(o_orderkey) // 4 FROM orders)
+GROUP BY 1
+""",
+)
+def snapshot_skipping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stat data skipping (snapshot.py): orders is committed
+    range-partitioned on o_orderkey into 8 files, so each file's footer
+    min/max covers a disjoint key range; the query scans with the
+    predicate o_orderkey <= max/4 and ``scan`` prunes the non-qualifying
+    files from the plan BEFORE Spark sees them (typically 6 of 8 — the
+    prune count is asserted in tests/test_snapshot.py), then re-applies
+    the predicate as a pushed parquet filter so the stats are an
+    optimization, never a correctness input. The oracle computes the
+    identical filter straight off the fixture, so a wrong prune (file
+    dropped that contained qualifying rows) breaks the value hash.
+
+    Scale: this is the Iceberg/Delta file-skipping contract re-derived —
+    at 100 TB a key-sorted layout answers range queries by opening
+    O(selectivity) files; the manifest read is O(#files) metadata with
+    zero data pages touched."""
+    from fraud_detection_etl_project_spark import snapshot as snap
+
+    tag = _fixture_tag(sf_dir, "orders")
+    t = os.path.join(tempfile.gettempdir(), f"snap_skip_{tag}")
+    done = os.path.join(t, "_STAGED")
+    if not os.path.exists(done):
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        snap.overwrite(orders.repartitionByRange(8, "o_orderkey"), t)
+        with open(done, "w") as f:
+            f.write("")
+    hi = (
+        _t(spark, sf_dir, "orders").agg(F.max("o_orderkey")).collect()[0][0] // 4
+    )  # one scalar: the query parameter, mirrored by the oracle's subquery
+    pruned = snap.scan(spark, t, [("o_orderkey", "<=", int(hi))])
+    return pruned.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        cents_sum("o_totalprice").alias("total_price"),
+    )
+
+
+@query(
+    "snapshot_merge_upsert_rollup",
+    oracle=f"""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {cents_sum_sql('o_totalprice')} AS total_price
+FROM (
+    SELECT CASE WHEN o_orderkey % 6 = 0 THEN 'U' ELSE o_orderstatus END
+               AS o_orderstatus,
+           CASE WHEN o_orderkey % 6 = 0 THEN -o_totalprice ELSE o_totalprice END
+               AS o_totalprice
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 3 = 1
+)
+GROUP BY 1
+""",
+)
+def snapshot_merge_upsert_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE into the snapshot table (snapshot.py): v1
+    commits the o_orderkey%3==0 slice of orders range-partitioned on
+    key; the merge source UPDATES the %6==0 subset (status→'U', price
+    negated — FP negation is bit-exact, keeping cents parity) and
+    INSERTS the %3==1 slice; the query reads the post-merge CURRENT and
+    rolls it up by status. The oracle recomputes the merged relation
+    from the fixture with CASE/UNION ALL, so a merge that dropped a
+    matched row, kept a stale pre-image, or lost an insert breaks the
+    value hash — and the untouched-file carry-over is separately
+    asserted at file granularity in tests/test_snapshot.py.
+
+    Scale: merge rewrites only data files containing matched keys
+    (file-level CoW); the touched-file discovery is one semi-join
+    against `_metadata.file_path` (metadata column, no extra scan), and
+    a merge touching 0.1 % of a key-sorted 100 TB table rewrites ~0.1 %
+    of its files while readers keep time-traveling the old version."""
+    from fraud_detection_etl_project_spark import snapshot as snap
+
+    tag = _fixture_tag(sf_dir, "orders")
+    t = os.path.join(tempfile.gettempdir(), f"snap_merge_{tag}")
+    done = os.path.join(t, "_STAGED")
+    if not os.path.exists(done):
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        snap.overwrite(
+            orders.filter(F.col("o_orderkey") % 3 == 0).repartitionByRange(
+                8, "o_orderkey"
+            ),
+            t,
+        )
+        updates = (
+            orders.filter(F.col("o_orderkey") % 6 == 0)
+            .withColumn("o_orderstatus", F.lit("U"))
+            .withColumn("o_totalprice", -F.col("o_totalprice"))
+        )
+        inserts = orders.filter(F.col("o_orderkey") % 3 == 1)
+        snap.merge(spark, t, updates.unionByName(inserts), on=["o_orderkey"])
+        with open(done, "w") as f:
+            f.write("")
+    merged = snap.read(spark, t)  # CURRENT = post-merge version 2
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        cents_sum("o_totalprice").alias("total_price"),
+    )
+
+
+@query(
+    "snapshot_delete_rollup",
+    oracle=f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {cents_sum_sql('o_totalprice')} AS total_price
+FROM orders
+WHERE o_orderkey >= (SELECT max(o_orderkey) // 5 FROM orders)
+GROUP BY 1
+""",
+)
+def snapshot_delete_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE on the snapshot table (snapshot.py): orders
+    is committed range-partitioned on o_orderkey, then
+    ``delete(..., [("o_orderkey", "<", max//5)])`` removes the low-key
+    fifth — manifest stats bound the rewrite to the files whose range
+    intersects the predicate (the rest carry over by name, asserted at
+    file granularity in tests/test_snapshot.py) — and the query rolls
+    up the surviving CURRENT. The oracle recomputes the survivors
+    directly from the fixture, so a delete that dropped a survivor file
+    or kept a matching row breaks the value hash.
+
+    Scale: DELETE cost is proportional to the files that can contain
+    matches (stat-bounded), not to table size; deletion of a key range
+    from a key-sorted 100 TB table rewrites only that range's files,
+    and readers keep time-traveling the pre-delete version."""
+    from fraud_detection_etl_project_spark import snapshot as snap
+
+    tag = _fixture_tag(sf_dir, "orders")
+    t = os.path.join(tempfile.gettempdir(), f"snap_del_{tag}")
+    done = os.path.join(t, "_STAGED")
+    if not os.path.exists(done):
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        snap.overwrite(orders.repartitionByRange(8, "o_orderkey"), t)
+        cut = orders.agg(F.max("o_orderkey")).collect()[0][0] // 5
+        snap.delete(spark, t, [("o_orderkey", "<", int(cut))])
+        with open(done, "w") as f:
+            f.write("")
+    survivors = snap.read(spark, t)  # CURRENT = post-delete version 2
+    return survivors.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        cents_sum("o_totalprice").alias("total_price"),
+    )

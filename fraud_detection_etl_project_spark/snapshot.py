@@ -22,6 +22,25 @@ files with atomic version commits — the minimal table-format layer
   names the parent it planned against and refuses otherwise — the
   single-table writer-wins discipline; retries re-plan on the new
   current version.
+- **Data skipping.** Every staged file carries footer-derived per-column
+  min/max/null-count stats in the manifest; ``scan`` prunes files whose
+  stat range cannot satisfy a predicate BEFORE Spark ever plans them,
+  then re-applies the predicate as a normal Spark filter so correctness
+  never depends on the stats (missing stats → file kept). At 100 TB a
+  sorted-ish layout turns point/range queries from full scans into a
+  handful of files — the same file-skipping contract Iceberg/Delta get
+  from their manifests.
+- **Copy-on-write MERGE.** ``merge`` upserts a source frame by key:
+  only data files that actually contain matched keys are rewritten
+  (file-granularity CoW); untouched files are carried into the new
+  manifest by name. Inserts (unmatched source keys) land in the
+  rewritten file set. Duplicate source keys are rejected up front.
+- **Exactly-once ingestion.** ``append(df, path, batch_id=...)`` is
+  idempotent per batch id: a retried foreachBatch micro-batch whose id
+  already appears in a live manifest becomes a no-op, giving
+  end-to-end exactly-once from a Structured Streaming checkpoint into
+  the table (see ``foreach_batch_writer``). The dedup horizon is the
+  set of non-vacuumed manifests — keep at least the replay window.
 
 Reference parity: the reference appends CSV rows into one Postgres
 table with no versioning (`/root/reference/Lambda Function/
@@ -42,6 +61,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
@@ -79,25 +99,82 @@ def read_manifest(table_path: str, version: int) -> dict:
         return json.load(f)
 
 
-def _stage_data_files(df: DataFrame, table_path: str) -> list[str]:
+_STAT_KINDS = (int, float, str, bool)
+
+
+def _file_stats(path: str) -> dict:
+    """Footer-only per-column min/max/null-count for a parquet file —
+    no data pages are read. Only JSON-native stat types (int/float/str/
+    bool) are recorded; columns with missing or exotic stats are simply
+    absent, which ``scan`` treats as un-prunable (conservative)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    cols: dict[str, dict] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            if "." in name:  # nested leaf — skip
+                continue
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                cols[name] = {"unusable": True}
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes) or isinstance(mx, bytes):
+                mn, mx = None, None  # raw binary stats: not comparable
+            if not (isinstance(mn, _STAT_KINDS) and isinstance(mx, _STAT_KINDS)):
+                cols[name] = {"unusable": True}
+                continue
+            nulls = st.null_count if st.has_null_count else None
+            prev = cols.get(name)
+            if prev is None:
+                cols[name] = {"min": mn, "max": mx, "nulls": nulls}
+            elif "unusable" not in prev:
+                prev["min"] = min(prev["min"], mn)
+                prev["max"] = max(prev["max"], mx)
+                if prev["nulls"] is not None and nulls is not None:
+                    prev["nulls"] += nulls
+                else:
+                    prev["nulls"] = None
+    return {
+        "rows": md.num_rows,
+        "columns": {k: v for k, v in cols.items() if "unusable" not in v},
+    }
+
+
+def _stage_data_files(df: DataFrame, table_path: str) -> tuple[list[str], dict]:
     """Write df's partitions as parquet under data/ with globally unique
     names (stage dir -> rename). Files are immutable once named; a
-    failed job leaves only unreferenced staging garbage for vacuum."""
+    failed job leaves only unreferenced staging garbage for vacuum.
+    Returns (names, {name: footer stats})."""
     _, ddir = _paths(table_path)
     os.makedirs(ddir, exist_ok=True)
     stage = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(stage)
-    names = []
+    names, stats = [], {}
     for f in sorted(os.listdir(stage)):
         if f.endswith(".parquet") and not f.startswith("_") and not f.startswith("."):
             unique = f"{uuid.uuid4().hex}-{f}"
-            os.replace(os.path.join(stage, f), os.path.join(ddir, unique))
+            final = os.path.join(ddir, unique)
+            os.replace(os.path.join(stage, f), final)
             names.append(unique)
+            stats[unique] = _file_stats(final)
     shutil.rmtree(stage, ignore_errors=True)
-    return names
+    return names, stats
 
 
-def _publish(table_path: str, files: list[str], operation: str, parent: int | None) -> int:
+def _publish(
+    table_path: str,
+    files: list[str],
+    operation: str,
+    parent: int | None,
+    stats: dict | None = None,
+    batch_id: str | None = None,
+    schema_json: str | None = None,
+) -> int:
     """Write manifest v(parent+1) and flip CURRENT atomically, with the
     optimistic re-check."""
     mdir, _ = _paths(table_path)
@@ -108,7 +185,12 @@ def _publish(table_path: str, files: list[str], operation: str, parent: int | No
         "parent": parent,
         "operation": operation,
         "files": files,
+        "stats": stats or {},
     }
+    if batch_id is not None:
+        manifest["batch_id"] = batch_id
+    if schema_json is not None:
+        manifest["schema"] = schema_json
     mpath = os.path.join(mdir, _manifest_name(version))
     if os.path.exists(mpath):
         raise SnapshotConflictError(
@@ -135,17 +217,271 @@ def overwrite(df: DataFrame, table_path: str) -> int:
     """Commit a new version whose file set is exactly df — the previous
     version's files stay readable via time travel. Returns the version."""
     parent = current_version(table_path)
-    files = _stage_data_files(df, table_path)
-    return _publish(table_path, files, "overwrite", parent)
+    files, stats = _stage_data_files(df, table_path)
+    return _publish(
+        table_path, files, "overwrite", parent, stats, schema_json=df.schema.json()
+    )
 
 
-def append(df: DataFrame, table_path: str) -> int:
+def _evolved_schema_json(table_path: str, parent: int | None, df: DataFrame) -> str:
+    """Union of the parent version's recorded schema and df's schema —
+    additive evolution only. New columns append (old files project NULL
+    for them via the explicit read schema); a name reused at a different
+    type is rejected (that is a rewrite, not an evolution)."""
+    from pyspark.sql.types import StructType
+
+    parent_schema = None
+    if parent is not None:
+        s = read_manifest(table_path, parent).get("schema")
+        if s is not None:
+            parent_schema = StructType.fromJson(json.loads(s))
+    if parent_schema is None:
+        return df.schema.json()
+    by_name = {f.name: f for f in parent_schema.fields}
+    fields = list(parent_schema.fields)
+    for f in df.schema.fields:
+        old = by_name.get(f.name)
+        if old is None:
+            fields.append(f)
+        elif old.dataType != f.dataType:
+            raise ValueError(
+                f"incompatible schema change for column {f.name!r}: "
+                f"{old.dataType.simpleString()} -> {f.dataType.simpleString()}"
+            )
+    return StructType(fields).json()
+
+
+def committed_batch_ids(table_path: str) -> set[str]:
+    """Batch ids recorded in every live (non-vacuumed) manifest — the
+    exactly-once dedup horizon."""
+    mdir, _ = _paths(table_path)
+    ids: set[str] = set()
+    if not os.path.isdir(mdir):
+        return ids
+    for m in os.listdir(mdir):
+        if m.startswith("v") and m.endswith(".json"):
+            with open(os.path.join(mdir, m)) as f:
+                b = json.load(f).get("batch_id")
+            if b is not None:
+                ids.add(b)
+    return ids
+
+
+def append(df: DataFrame, table_path: str, batch_id: str | None = None) -> int:
     """Commit a new version = parent's files + df's files. Returns the
-    version."""
+    version. With ``batch_id``, the append is idempotent: a batch id
+    already present in a live manifest makes this a no-op (returns the
+    current version unchanged) — the exactly-once contract for
+    Structured Streaming retries."""
+    if batch_id is not None and batch_id in committed_batch_ids(table_path):
+        return current_version(table_path)  # replayed micro-batch: no-op
     parent = current_version(table_path)
-    prev = read_manifest(table_path, parent)["files"] if parent else []
-    files = _stage_data_files(df, table_path)
-    return _publish(table_path, prev + files, "append", parent)
+    prev = _manifest_files(table_path, parent) if parent else ([], {})
+    schema_json = _evolved_schema_json(table_path, parent, df)
+    files, stats = _stage_data_files(df, table_path)
+    return _publish(
+        table_path,
+        prev[0] + files,
+        "append",
+        parent,
+        {**prev[1], **stats},
+        batch_id,
+        schema_json,
+    )
+
+
+def foreach_batch_writer(table_path: str):
+    """A ``foreachBatch`` function committing each micro-batch as one
+    atomic, idempotent snapshot append — exactly-once from the stream's
+    checkpoint into the table: a crash between sink commit and
+    checkpoint advance replays the batch, and the recorded batch id
+    turns the replay into a no-op. Usage::
+
+        q = (df.writeStream.foreachBatch(foreach_batch_writer(path))
+               .option("checkpointLocation", ckpt).start())
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        append(batch_df, table_path, batch_id=f"stream-{batch_id}")
+
+    return write
+
+
+def _manifest_files(table_path: str, version: int | None) -> tuple[list[str], dict]:
+    m = read_manifest(table_path, version)
+    return m["files"], m.get("stats", {})
+
+
+_OPS = {
+    "<": lambda mn, mx, v: mn < v,
+    "<=": lambda mn, mx, v: mn <= v,
+    ">": lambda mn, mx, v: mx > v,
+    ">=": lambda mn, mx, v: mx >= v,
+    "=": lambda mn, mx, v: mn <= v <= mx,
+    "==": lambda mn, mx, v: mn <= v <= mx,
+}
+
+
+def plan_files(
+    table_path: str,
+    predicates: list[tuple[str, str, object]],
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """Resolve the file list for a scan, pruned by manifest stats.
+    Returns (kept file names, total files in the snapshot). A file is
+    kept unless some predicate is provably unsatisfiable on its
+    [min, max] stat range (files lacking stats for the column are
+    always kept — pruning is an optimization, never a filter)."""
+    v = current_version(table_path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"snapshot table has no committed version: {table_path}")
+    files, stats = _manifest_files(table_path, v)
+    kept = []
+    for f in files:
+        cols = stats.get(f, {}).get("columns", {})
+        rows = stats.get(f, {}).get("rows")
+        ok = True
+        for col, op, val in predicates:
+            s = cols.get(col)
+            if s is None or op not in _OPS:
+                continue
+            mn, mx = s["min"], s["max"]
+            if isinstance(val, str) != isinstance(mn, str):
+                continue  # str/numeric mismatch: don't risk a wrong prune
+            all_null = s["nulls"] is not None and rows is not None and s["nulls"] == rows
+            if all_null or not _OPS[op](mn, mx, val):
+                ok = False  # no row in this file can satisfy the predicate
+                break
+        if ok:
+            kept.append(f)
+    return kept, len(files)
+
+
+def scan(
+    spark: SparkSession,
+    table_path: str,
+    predicates: list[tuple[str, str, object]],
+    version: int | None = None,
+) -> DataFrame:
+    """Read a snapshot with manifest-stat file skipping, then re-apply
+    the predicates as ordinary Spark filters (pushed to the parquet
+    scan) so results are correct even with absent/stale stats. An empty
+    post-prune file set returns an empty frame with the table schema."""
+    kept, _total = plan_files(table_path, predicates, version)
+    v = current_version(table_path) if version is None else version
+    schema_json = read_manifest(table_path, v).get("schema")
+    if not kept:
+        base = read(spark, table_path, version).limit(0)
+    else:
+        base = _read_files(spark, table_path, kept, schema_json)
+    return base.filter(_pred_expr(predicates))
+
+
+def _pred_expr(predicates: list[tuple[str, str, object]]):
+    """AND of simple comparisons as a Column (never-null: NULL operands
+    compare to False, matching DELETE/scan keep-vs-drop semantics)."""
+    expr = F.lit(True)
+    for col, op, val in predicates:
+        c = F.col(col)
+        p = {"<": c < val, "<=": c <= val, ">": c > val, ">=": c >= val,
+             "=": c == val, "==": c == val}[op]
+        expr = expr & F.coalesce(p, F.lit(False))
+    return expr
+
+
+def delete(
+    spark: SparkSession, table_path: str, predicates: list[tuple[str, str, object]]
+) -> int:
+    """Copy-on-write DELETE WHERE <AND of predicates>: manifest stats
+    bound the rewrite to files that could contain a matching row —
+    files whose stat range cannot satisfy the conjunction carry over by
+    name untouched; candidate files are rewritten keeping only
+    non-matching rows (rows with NULL in a predicate column do not
+    match, per SQL DELETE semantics). Returns the new version."""
+    parent = current_version(table_path)
+    if parent is None:
+        raise FileNotFoundError(f"snapshot table has no committed version: {table_path}")
+    m = read_manifest(table_path, parent)
+    files, stats = m["files"], m.get("stats", {})
+    candidates, _total = plan_files(table_path, predicates, parent)
+    candidates = [f for f in files if f in set(candidates)]
+    untouched = [f for f in files if f not in set(candidates)]
+    survivors = _read_files(spark, table_path, candidates, m.get("schema")).filter(
+        ~_pred_expr(predicates)
+    ) if candidates else None
+    new_files, new_stats = ([], {}) if survivors is None else _stage_data_files(
+        survivors, table_path
+    )
+    kept_stats = {f: stats[f] for f in untouched if f in stats}
+    return _publish(
+        table_path,
+        untouched + new_files,
+        "delete",
+        parent,
+        {**kept_stats, **new_stats},
+        schema_json=m.get("schema"),
+    )
+
+
+def merge(spark: SparkSession, table_path: str, source: DataFrame, on: list[str]) -> int:
+    """Copy-on-write MERGE (upsert): target rows whose key matches a
+    source row are replaced by the source row; unmatched source rows are
+    inserted. Only data files that actually contain a matched key are
+    rewritten — untouched files carry over into the new manifest by
+    name, so a merge touching 0.1 % of keys rewrites ~0.1 % of a sorted
+    table, not all of it. Duplicate keys in the source are rejected
+    (ambiguous MERGE). Returns the new version."""
+    parent = current_version(table_path)
+    if parent is None:
+        raise FileNotFoundError(f"snapshot table has no committed version: {table_path}")
+    if source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count():
+        raise ValueError("MERGE source has duplicate keys on " + ",".join(on))
+    m = read_manifest(table_path, parent)
+    files, stats, schema_json = m["files"], m.get("stats", {}), m.get("schema")
+    cur = _read_files(spark, table_path, files, schema_json)
+    keys = source.select(*on).distinct()
+    touched_names = {
+        os.path.basename(r["_f"])
+        for r in cur.withColumn("_f", F.col("_metadata.file_path"))
+        .join(F.broadcast(keys), on, "left_semi")
+        .select("_f")
+        .distinct()
+        .collect()
+    }  # bounded by the snapshot's file count — metadata, not data
+    untouched = [f for f in files if f not in touched_names]
+    touched = [f for f in files if f in touched_names]
+    rewrite_base = (
+        _read_files(spark, table_path, touched, schema_json).join(keys, on, "left_anti")
+        if touched
+        else cur.limit(0)
+    )
+    new_rows = rewrite_base.unionByName(source.select(*cur.columns))
+    new_files, new_stats = _stage_data_files(new_rows, table_path)
+    kept_stats = {f: stats[f] for f in untouched if f in stats}
+    return _publish(
+        table_path,
+        untouched + new_files,
+        "merge",
+        parent,
+        {**kept_stats, **new_stats},
+        schema_json=schema_json,
+    )
+
+
+def _read_files(
+    spark: SparkSession, table_path: str, files: list[str], schema_json: str | None
+) -> DataFrame:
+    """Explicit-file-list parquet read. With a recorded table schema the
+    reader projects it over every file — columns added after a file was
+    written come back as NULL (additive schema evolution); without one
+    (old-format manifests) it falls back to file-inferred schema."""
+    _, ddir = _paths(table_path)
+    paths = [os.path.join(ddir, f) for f in files]
+    if schema_json is None:
+        return spark.read.parquet(*paths)
+    from pyspark.sql.types import StructType
+
+    return spark.read.schema(StructType.fromJson(json.loads(schema_json))).parquet(*paths)
 
 
 def read(spark: SparkSession, table_path: str, version: int | None = None) -> DataFrame:
@@ -156,20 +492,68 @@ def read(spark: SparkSession, table_path: str, version: int | None = None) -> Da
     if v is None:
         raise FileNotFoundError(f"snapshot table has no committed version: {table_path}")
     m = read_manifest(table_path, v)
-    _, ddir = _paths(table_path)
     if not m["files"]:
         raise FileNotFoundError(f"snapshot v{v} is empty: {table_path}")
-    return spark.read.parquet(*[os.path.join(ddir, f) for f in m["files"]])
+    return _read_files(spark, table_path, m["files"], m.get("schema"))
 
 
-def compact(spark: SparkSession, table_path: str, n_files: int) -> int:
+_Z_BITS = 10  # 10 bits/dimension -> 20-bit Morton keys
+
+_Z_EXPR = (
+    "aggregate(sequence(0, {b}), CAST(0 AS BIGINT), (acc, i) -> acc"
+    " + shiftleft(CAST(shiftright(__za, i) & 1 AS BIGINT), 2*i)"
+    " + shiftleft(CAST(shiftright(__zb, i) & 1 AS BIGINT), 2*i + 1))"
+).format(b=_Z_BITS - 1)
+
+
+def compact(
+    spark: SparkSession,
+    table_path: str,
+    n_files: int,
+    zorder_by: list[str] | None = None,
+) -> int:
     """Rewrite CURRENT's data into n_files files as a new version (old
     versions untouched — small-files compaction with zero reader
-    downtime). Returns the new version."""
+    downtime). With ``zorder_by`` (exactly two numeric columns), rows
+    are laid out along a Morton space-filling curve over the two
+    min/max-scaled dimensions before splitting, so every output file's
+    footer min/max bounds BOTH columns — file skipping then works for
+    predicates on either one (a plain sort only serves its leading
+    column). The curve key is a row-local JVM expression plus one
+    range partitioning — no extra shuffle beyond the sort any
+    compaction needs. Returns the new version."""
     parent = current_version(table_path)
-    df = read(spark, table_path, parent).coalesce(n_files)
-    files = _stage_data_files(df, table_path)
-    return _publish(table_path, files, "compact", parent)
+    df = read(spark, table_path, parent)
+    if zorder_by is None:
+        df = df.coalesce(n_files)
+    else:
+        if len(zorder_by) != 2:
+            raise ValueError("zorder_by takes exactly two columns")
+        a, b = zorder_by
+        lo_a, hi_a, lo_b, hi_b = df.agg(
+            F.min(a), F.max(a), F.min(b), F.max(b)
+        ).collect()[0]
+        top = (1 << _Z_BITS) - 1
+
+        def bucket(col: str, lo, hi):
+            if lo is None or hi == lo:
+                return F.lit(0)
+            scaled = (F.col(col).cast("double") - float(lo)) / (float(hi) - float(lo))
+            return F.least(F.floor(scaled * (top + 1)), F.lit(top)).cast("int")
+
+        df = (
+            df.withColumn("__za", bucket(a, lo_a, hi_a))
+            .withColumn("__zb", bucket(b, lo_b, hi_b))
+            .withColumn("__z", F.expr(_Z_EXPR))
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__za", "__zb", "__z")
+        )
+    files, stats = _stage_data_files(df, table_path)
+    return _publish(
+        table_path, files, "compact", parent, stats,
+        schema_json=read_manifest(table_path, parent).get("schema"),
+    )
 
 
 def vacuum(table_path: str, keep_versions: int = 1) -> list[str]:

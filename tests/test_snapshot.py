@@ -67,6 +67,30 @@ def test_compact_reduces_files_same_rows(spark, tmp_path):
     assert S.read(spark, t, version=1).count() == 1000
 
 
+def test_zorder_compact_enables_two_column_skipping(spark, tmp_path):
+    """After a Z-order compact, file stats prune on EITHER clustered
+    column; a layout range-partitioned on x alone prunes nothing for a
+    y predicate. Same rows, same answers, different file bounds."""
+    t = str(tmp_path / "tbl")
+    grid = (
+        spark.range(0, 64 * 64)
+        .select((F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y"))
+    )
+    S.overwrite(grid.repartitionByRange(16, "x"), t)
+    kept_y_before, total = S.plan_files(t, [("y", "<", 8)])
+    assert total == 16 and len(kept_y_before) == 16  # x-sorted: y prunes nothing
+    v2 = S.compact(spark, t, n_files=16, zorder_by=["x", "y"])
+    assert v2 == 2
+    kept_y, total2 = S.plan_files(t, [("y", "<", 8)])
+    kept_x, _ = S.plan_files(t, [("x", "<", 8)])
+    assert total2 == 16 and len(kept_y) <= 8 and len(kept_x) <= 8, (
+        len(kept_y), len(kept_x))
+    # correctness unchanged by layout
+    assert S.scan(spark, t, [("y", "<", 8)]).count() == 64 * 8
+    assert S.scan(spark, t, [("x", "<", 8)]).count() == 64 * 8
+    assert S.read(spark, t).count() == 64 * 64
+
+
 def test_vacuum_deletes_only_unreferenced(spark, tmp_path):
     t = str(tmp_path / "tbl")
     S.overwrite(_nums(spark, 0, 10).repartition(2), t)
@@ -102,6 +126,157 @@ def test_optimistic_conflict_detected(spark, tmp_path, monkeypatch):
         S.append(_nums(spark, 10, 15), t)
     # the racing writer's commit is intact
     assert sorted(r["n"] for r in S.read(spark, t).collect()) == [90, 91, 92, 93, 94]
+
+
+def test_manifest_stats_and_file_skipping(spark, tmp_path):
+    """Footer stats land in the manifest; a range predicate over a
+    range-partitioned layout prunes files at PLAN time, and scan()'s
+    result is identical to the unpruned filter."""
+    t = str(tmp_path / "tbl")
+    S.overwrite(
+        _nums(spark, 0, 1000).repartitionByRange(8, "n"), t
+    )
+    m = S.read_manifest(t, 1)
+    assert len(m["files"]) == 8
+    for f in m["files"]:
+        st = m["stats"][f]
+        assert st["rows"] > 0 and "n" in st["columns"]
+    kept, total = S.plan_files(t, [("n", "<=", 100)])
+    assert total == 8 and 1 <= len(kept) < 8, (len(kept), total)
+    got = sorted(r["n"] for r in S.scan(spark, t, [("n", "<=", 100)]).collect())
+    assert got == list(range(101))
+    # equality and lower-bound ops
+    assert S.scan(spark, t, [("n", "=", 999)]).count() == 1
+    assert S.scan(spark, t, [("n", ">", 990)]).count() == 9
+    # empty post-prune set: correct empty frame, schema preserved
+    none_df = S.scan(spark, t, [("n", ">", 10_000)])
+    assert none_df.count() == 0 and none_df.columns == ["n"]
+
+
+def test_skipping_is_never_a_filter(spark, tmp_path):
+    """A manifest with no stats (old format / exotic types) keeps every
+    file — pruning degrades to a no-op, not to wrong answers."""
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 100).repartition(4), t)
+    mdir = os.path.join(t, "_manifests")
+    import json
+
+    with open(os.path.join(mdir, "v00001.json")) as f:
+        m = json.load(f)
+    m.pop("stats")
+    with open(os.path.join(mdir, "v00001.json"), "w") as f:
+        json.dump(m, f)
+    kept, total = S.plan_files(t, [("n", "<", 10)])
+    assert kept and len(kept) == total == 4
+    assert S.scan(spark, t, [("n", "<", 10)]).count() == 10
+
+
+def test_merge_rewrites_only_touched_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    base = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    S.overwrite(base.repartitionByRange(4, "k"), t)
+    v1_files = set(S.read_manifest(t, 1)["files"])
+    # update two keys in the low range, insert two new keys
+    src = spark.createDataFrame(
+        [(5, -1), (7, -2), (1000, 1), (1001, 2)], "k long, v long"
+    )
+    v2 = S.merge(spark, t, src, on=["k"])
+    assert v2 == 2
+    rows = {r["k"]: r["v"] for r in S.read(spark, t).collect()}
+    assert len(rows) == 402
+    assert rows[5] == -1 and rows[7] == -2 and rows[1000] == 1 and rows[6] == 60
+    # CoW at file granularity: the three untouched range files carry over
+    v2_files = S.read_manifest(t, 2)["files"]
+    carried = [f for f in v2_files if f in v1_files]
+    assert len(carried) == 3, (len(carried), len(v2_files))
+    # time travel unaffected
+    assert S.read(spark, t, version=1).count() == 400
+    # duplicate source keys are ambiguous
+    dup = spark.createDataFrame([(5, 1), (5, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        S.merge(spark, t, dup, on=["k"])
+
+
+def test_delete_rewrites_only_stat_candidate_files(spark, tmp_path):
+    """DELETE WHERE n < 100 over a range-partitioned layout: files whose
+    stat range is entirely >= 100 carry over by name; only candidate
+    files are rewritten, and NULL predicate values are kept (SQL DELETE
+    semantics)."""
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 800).select(
+        F.when(F.col("id") == 400, None).otherwise(F.col("id")).alias("n")
+    )
+    S.overwrite(df.repartitionByRange(8, "id"), t)
+    v1_files = set(S.read_manifest(t, 1)["files"])
+    v2 = S.delete(spark, t, [("n", "<", 100)])
+    assert v2 == 2
+    got = [r["n"] for r in S.read(spark, t).collect()]
+    assert len(got) == 700 and None in got and min(x for x in got if x is not None) == 100
+    carried = [f for f in S.read_manifest(t, 2)["files"] if f in v1_files]
+    assert len(carried) >= 6, len(carried)  # non-candidate files untouched
+    assert S.read(spark, t, version=1).count() == 800  # time travel intact
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Appending a frame with a new column evolves the table schema;
+    old files project NULL for it; incompatible retypes are rejected."""
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 5), t)
+    S.append(
+        spark.range(5, 8).select(F.col("id").alias("n"), F.lit("x").alias("tag")), t
+    )
+    cur = S.read(spark, t)
+    assert cur.columns == ["n", "tag"]
+    rows = {r["n"]: r["tag"] for r in cur.collect()}
+    assert rows[0] is None and rows[5] == "x" and len(rows) == 8
+    # v1 keeps its original 1-column schema
+    assert S.read(spark, t, version=1).columns == ["n"]
+    # merge and scan see the evolved schema too
+    src = spark.createDataFrame([(0, "upd")], "n long, tag string")
+    S.merge(spark, t, src, on=["n"])
+    assert {r["tag"] for r in S.read(spark, t).filter("n = 0").collect()} == {"upd"}
+    assert S.scan(spark, t, [("n", "<=", 0)]).columns == ["n", "tag"]
+    with pytest.raises(ValueError, match="incompatible schema change"):
+        S.append(spark.range(1).select(F.lit("s").alias("n")), t)
+
+
+def test_append_batch_id_is_idempotent(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.append(_nums(spark, 0, 5), t, batch_id="stream-0")
+    v = S.append(_nums(spark, 0, 5), t, batch_id="stream-0")  # replay
+    assert v == 1 and S.read(spark, t).count() == 5
+    S.append(_nums(spark, 5, 8), t, batch_id="stream-1")
+    assert S.read(spark, t).count() == 8
+    assert S.committed_batch_ids(t) == {"stream-0", "stream-1"}
+
+
+def test_foreach_batch_writer_exactly_once(spark, tmp_path):
+    """Drive a real file stream through foreachBatch into the snapshot
+    table, then hand-replay batch 0 (the crash-between-commit-and-
+    checkpoint case): the table must not double-count."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _nums(spark, 0, 20).coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+    t = str(tmp_path / "tbl")
+    writer = S.foreach_batch_writer(t)
+    stream = (
+        spark.readStream.schema("n long")
+        .parquet(str(src / "f1"))
+        .writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination(120)
+    assert S.read(spark, t).count() == 20
+    # replayed micro-batch: identical batch_id -> no-op
+    writer(_nums(spark, 0, 20), 0)
+    assert S.read(spark, t).count() == 20
+    # a genuinely new batch still lands
+    writer(_nums(spark, 100, 103), 1)
+    assert S.read(spark, t).count() == 23
 
 
 def test_snapshot_of_fixture_table_pushdown_intact(spark, tmp_path):
