@@ -168,6 +168,11 @@ FAMILY_PREFIX = [
     "snapshot_skipping_rollup",
     "snapshot_merge_upsert_rollup",
     "snapshot_delete_rollup",
+    "snapshot_change_feed_rollup",
+    "doc_repetition_signals",
+    "snapshot_stream_tail_rollup",
+    "basket_brand_rules",
+    "snapshot_incremental_agg",
 ]
 
 _ordered = {n: REGISTRY[n] for n in FAMILY_PREFIX if n in REGISTRY}

@@ -2282,3 +2282,139 @@ def duplicate_span_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("span_tokens").cast("bigint").alias("dup_tokens"),
         F.max("span_tokens").cast("bigint").alias("max_span_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher/MassiveText-style repetition signals
+# ---------------------------------------------------------------------------
+
+_REP_ORACLE = f"""
+WITH t AS (SELECT doc_id, toks, len(toks) AS n
+           FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents)),
+bic AS (SELECT doc_id, max(c) AS top_bi FROM (
+            SELECT doc_id, g, count(*) AS c FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(2, n + 1),
+                              i -> toks[i-1] || ' ' || toks[i])) AS g
+                FROM t WHERE n >= 2)
+            GROUP BY 1, 2)
+        GROUP BY 1),
+fvc AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup5 FROM (
+            SELECT doc_id, g, count(*) AS c FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(5, n + 1),
+                              i -> toks[i-4] || ' ' || toks[i-3] || ' ' ||
+                                   toks[i-2] || ' ' || toks[i-1] || ' ' || toks[i])) AS g
+                FROM t WHERE n >= 5)
+            GROUP BY 1, 2)
+        GROUP BY 1),
+adj AS (SELECT doc_id,
+               list_sum(list_transform(range(2, n + 1),
+                        i -> CASE WHEN toks[i] = toks[i-1] THEN 1 ELSE 0 END)) AS rep
+        FROM t WHERE n >= 2)
+SELECT t.doc_id,
+       CAST(t.n AS INT) AS n_tokens,
+       floor(coalesce(CAST(bic.top_bi AS DOUBLE) * 2 / t.n, 0) * 10000.0 + 0.5) / 10000.0
+           AS top_bigram_frac,
+       floor(least(coalesce(CAST(fvc.dup5 AS DOUBLE) * 5 / t.n, 0), 1.0) * 10000.0 + 0.5) / 10000.0
+           AS dup_fivegram_frac,
+       floor(CASE WHEN t.n >= 2 THEN coalesce(CAST(adj.rep AS DOUBLE), 0) / (t.n - 1)
+                  ELSE 0 END * 10000.0 + 0.5) / 10000.0
+           AS adj_repeat_frac
+FROM t LEFT JOIN bic USING (doc_id)
+       LEFT JOIN fvc USING (doc_id)
+       LEFT JOIN adj USING (doc_id)
+"""
+
+
+@query("doc_repetition_signals", oracle=_REP_ORACLE, bench=True)
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition filters — the quality signals
+    that kill boilerplate and loop-generated text before training:
+    (a) top_bigram_frac: fraction of tokens inside occurrences of the
+    document's most frequent word 2-gram (overlapping occurrence mass,
+    count*2/n); (b) dup_fivegram_frac: fraction of tokens covered by
+    5-grams occurring at least twice (capped at 1); (c) adj_repeat_frac:
+    fraction of adjacent positions repeating the previous token (the
+    degenerate-loop detector). Tokenization shares NORM_SQL/TOKS_SQL
+    with every other text operator, and the fractions quantize through
+    the repo-wide half-up 1e-4 formula, so the oracle is value-exact.
+
+    Scale: n-gram counting is explode -> groupBy(doc_id, gram) with
+    map-side partial aggregation (shuffle keyed on doc+gram, bounded by
+    per-doc distinct grams, never corpus-global state); the adjacent-
+    repeat scan is a row-local zip_with inside codegen. No Python, no
+    window over the corpus, join-back keyed on doc_id only."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", T.tokens(F.col("text")).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    t.persist()
+    bi = (
+        t.filter(F.col("n") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, n), i ->"
+                    " concat(element_at(toks, i - 1), ' ', element_at(toks, i)))"
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_bi"))
+    )
+    fv = (
+        t.filter(F.col("n") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(5, n), i -> concat_ws(' ',"
+                    " element_at(toks, i - 4), element_at(toks, i - 3),"
+                    " element_at(toks, i - 2), element_at(toks, i - 1),"
+                    " element_at(toks, i)))"
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("count") >= 2, F.col("count")).otherwise(0)).alias("dup5"))
+    )
+    adj = t.filter(F.col("n") >= 2).select(
+        "doc_id",
+        F.expr(
+            "aggregate(zip_with(slice(toks, 1, n - 1), slice(toks, 2, n - 1),"
+            " (a, b) -> IF(a = b, 1, 0)), 0, (acc, x) -> acc + x)"
+        ).alias("rep"),
+    )
+    out = (
+        t.join(bi, "doc_id", "left")
+        .join(fv, "doc_id", "left")
+        .join(adj, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("int").alias("n_tokens"),
+            fxr(
+                F.coalesce(F.col("top_bi").cast("double") * 2 / F.col("n"), F.lit(0.0)), 4
+            ).alias("top_bigram_frac"),
+            fxr(
+                F.least(
+                    F.coalesce(F.col("dup5").cast("double") * 5 / F.col("n"), F.lit(0.0)),
+                    F.lit(1.0),
+                ),
+                4,
+            ).alias("dup_fivegram_frac"),
+            fxr(
+                F.when(
+                    F.col("n") >= 2,
+                    F.coalesce(F.col("rep").cast("double"), F.lit(0.0)) / (F.col("n") - 1),
+                ).otherwise(0.0),
+                4,
+            ).alias("adj_repeat_frac"),
+        )
+    )
+    return out

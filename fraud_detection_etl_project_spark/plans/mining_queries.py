@@ -3058,3 +3058,186 @@ def snapshot_delete_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         cents_sum("o_totalprice").alias("total_price"),
     )
+
+
+@query(
+    "snapshot_change_feed_rollup",
+    oracle=f"""
+SELECT * FROM (
+    SELECT CAST(2 AS INT) AS commit_version, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {cents_sum_sql('o_totalprice')} AS total_price
+    FROM orders WHERE o_orderkey % 3 = 1 GROUP BY 2
+    UNION ALL
+    SELECT CAST(3 AS INT), o_orderstatus,
+           CAST(count(*) AS BIGINT),
+           {cents_sum_sql('o_totalprice')}
+    FROM orders WHERE o_orderkey % 3 = 2 GROUP BY 2
+)
+""",
+)
+def snapshot_change_feed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed over the snapshot table (snapshot.py): v1
+    commits the o_orderkey%3==0 slice, v2 APPENDS %3==1, v3 APPENDS
+    %3==2; ``read_changes(from_version=1)`` yields exactly the rows
+    committed after v1, each tagged with its commit version, and the
+    query rolls the feed up by (commit_version, status). The oracle
+    rebuilds both appends from the fixture with version constants, so a
+    feed that leaked v1 rows, dropped an append, or mis-tagged a
+    version breaks the value hash.
+
+    Scale: because commits list immutable files, an append's changes
+    ARE its added files — the feed is a manifest diff plus a read of
+    only the new files (never a table scan), which is how incremental
+    consumers (downstream ETL, index refresh, cache invalidation) tail
+    a 100 TB table for the cost of the new data. CoW rewrites in the
+    range raise rather than fabricate row-level changes."""
+    from fraud_detection_etl_project_spark import snapshot as snap
+
+    tag = _fixture_tag(sf_dir, "orders")
+    t = os.path.join(tempfile.gettempdir(), f"snap_cdf_{tag}")
+    done = os.path.join(t, "_STAGED")
+    if not os.path.exists(done):
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        snap.overwrite(orders.filter(F.col("o_orderkey") % 3 == 0), t)
+        snap.append(orders.filter(F.col("o_orderkey") % 3 == 1), t)
+        snap.append(orders.filter(F.col("o_orderkey") % 3 == 2), t)
+        with open(done, "w") as f:
+            f.write("")
+    feed = snap.read_changes(spark, t, from_version=1)
+    return feed.groupBy(
+        F.col("_commit_version").alias("commit_version"), "o_orderstatus"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        cents_sum("o_totalprice").alias("total_price"),
+    )
+
+
+@query(
+    "snapshot_stream_tail_rollup",
+    oracle=f"""
+SELECT CAST(o_orderkey % 3 + 1 AS INT) AS commit_version,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       {cents_sum_sql('o_totalprice')} AS total_price
+FROM orders
+GROUP BY 1
+""",
+)
+def snapshot_stream_tail_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot table AS A STREAM (sources/snapshot_stream.py —
+    Spark 4 Python DataSourceStreamReader): offsets are snapshot
+    versions, a micro-batch is a manifest diff, and each row carries
+    its _commit_version. The table is staged as v1=the %3==0 slice of
+    orders (creation), v2 appends %3==1, v3 appends %3==2; the stream
+    tails from version 0, drains with availableNow into a memory sink,
+    and rolls up rows per commit. Commit assignment is a pure function
+    of o_orderkey (%3 + 1), so the oracle value-checks the whole
+    offset walk: a leaked file, replayed version, or mis-tagged commit
+    breaks the hash.
+
+    Scale: trigger planning is O(new files) manifest metadata — no
+    directory listing, no rescans of compacted history; per-file input
+    partitions parallelize across executors. The exactly-once
+    table→stream→table loop (paired with foreach_batch_writer) is
+    driven in tests/test_snapshot_stream.py."""
+    import uuid as _uuid
+
+    from fraud_detection_etl_project_spark import snapshot as snap
+    from fraud_detection_etl_project_spark.sources.snapshot_stream import register
+
+    tag = _fixture_tag(sf_dir, "orders")
+    t = os.path.join(tempfile.gettempdir(), f"snap_tail_{tag}")
+    done = os.path.join(t, "_STAGED")
+    if not os.path.exists(done):
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        snap.overwrite(orders.filter(F.col("o_orderkey") % 3 == 0), t)
+        snap.append(orders.filter(F.col("o_orderkey") % 3 == 1), t)
+        snap.append(orders.filter(F.col("o_orderkey") % 3 == 2), t)
+        with open(done, "w") as f:
+            f.write("")
+    register(spark)
+    stream = spark.readStream.format("pysnapshot").option("path", t).load()
+    agg = stream.groupBy(
+        F.col("_commit_version").alias("commit_version")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        cents_sum("o_totalprice").alias("total_price"),
+    )
+    name = f"snap_tail_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "snapshot_incremental_agg",
+    oracle=f"""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       {cents_sum_sql('o_totalprice')} AS total_price
+FROM orders
+GROUP BY 1
+""",
+)
+def snapshot_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance over the snapshot
+    table's change feed: the per-status rollup is materialized once at
+    version 1, then REFRESHED by aggregating only the rows
+    ``read_changes`` reports for v2..CURRENT and merging the mergeable
+    partials (bigint row counts + integer-cent sums — division happens
+    once, after the merge, keeping cents parity). The oracle recomputes
+    the same rollup over the full table, so a refresh that missed a
+    commit, double-counted a replay, or merged partials wrongly breaks
+    the value hash.
+
+    Scale: this is THE reason the change feed exists — refreshing a
+    100 TB table's rollup costs O(delta) (a manifest diff + a scan of
+    only the appended files), not a full recompute; the merge is a
+    groupBy over (groups x 2) partial rows. Any agg with a mergeable
+    partial form (sum/count/min/max, sketches) maintains the same
+    way."""
+    from fraud_detection_etl_project_spark import snapshot as snap
+
+    tag = _fixture_tag(sf_dir, "orders")
+    t = os.path.join(tempfile.gettempdir(), f"snap_incr_{tag}")
+    done = os.path.join(t, "_STAGED")
+    if not os.path.exists(done):
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        snap.overwrite(orders.filter(F.col("o_orderkey") % 3 == 0), t)
+        snap.append(orders.filter(F.col("o_orderkey") % 3 == 1), t)
+        snap.append(orders.filter(F.col("o_orderkey") % 3 == 2), t)
+        with open(done, "w") as f:
+            f.write("")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("long")
+            ).alias("cents"),
+        )
+
+    base = partials(snap.read(spark, t, version=1))  # materialized once
+    delta = partials(snap.read_changes(spark, t, from_version=1))  # O(delta) refresh
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("n").alias("n_rows"), F.sum("cents").alias("c"))
+        .select(
+            "o_orderstatus",
+            "n_rows",
+            (F.col("c") / F.lit(100.0)).alias("total_price"),
+        )
+    )

@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fraud_detection_etl_project_spark.functions.rounding import fxr
 from fraud_detection_etl_project_spark.functions.text import normalized
 from fraud_detection_etl_project_spark.functions.vectors import cosine
 from fraud_detection_etl_project_spark.plans.advanced_queries import (
@@ -2906,4 +2907,85 @@ def kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.withColumnRenamed("cid", "cluster_id")
         .join(F.broadcast(shifts), "cluster_id")
         .select("cluster_id", "n_assigned", "inertia", "shift_sq")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Association rules (A-priori, brand-level baskets)
+# ---------------------------------------------------------------------------
+
+_AR_MIN_SUPP = 10  # absolute basket-count floor for a frequent pair
+
+
+@query(
+    "basket_brand_rules",
+    bench=True,
+    oracle=f"""
+WITH b AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS item
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM b),
+supp1 AS (SELECT item, CAST(count(*) AS BIGINT) AS s FROM b GROUP BY 1),
+pairs AS (SELECT a.item AS ante, c.item AS cons, CAST(count(*) AS BIGINT) AS s2
+          FROM b a JOIN b c ON a.ok = c.ok AND a.item < c.item
+          GROUP BY 1, 2
+          HAVING count(*) >= {_AR_MIN_SUPP})
+SELECT p.ante, p.cons, p.s2 AS pair_support,
+       floor(CAST(p.s2 AS DOUBLE) / sa.s * 10000.0 + 0.5) / 10000.0 AS confidence,
+       floor(CAST(p.s2 AS DOUBLE) * n.n_baskets / (sa.s * sc.s) * 10000.0 + 0.5) / 10000.0 AS lift
+FROM pairs p
+JOIN supp1 sa ON sa.item = p.ante
+JOIN supp1 sc ON sc.item = p.cons
+CROSS JOIN n
+""",
+)
+def basket_brand_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining (A-priori at itemset size 2) over
+    brand-level order baskets: distinct (order, brand) membership →
+    same-basket pair counts with an absolute min-support floor →
+    confidence supp(A,B)/supp(A) and lift N·supp(A,B)/(supp(A)·supp(B))
+    per surviving rule, fractions quantized through the repo-wide
+    half-up 1e-4 formula so the oracle is value-exact.
+
+    Scale: the pair join is keyed on the ORDER (fan-out bounded by
+    basket-size², TPC-H ≤ 7 lines — never all-pairs over the catalog);
+    support counting is map-side-combined aggregation; the min-support
+    HAVING is the A-priori prune — at 100 TB it is what keeps the rule
+    lattice finite, and size-k candidates would extend the same way
+    (join frequent (k-1)-sets sharing a prefix, prune by subset
+    support) without changing the partitioning story. Brand-level
+    baskets bound the item vocabulary (the dimension join is a
+    broadcast); partkey-level affinity lives in
+    copurchase_recommendations."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    b.persist()
+    n_baskets = b.select("ok").distinct().count()  # one scalar: the rule N
+    supp1 = b.groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+    a, c = b.alias("a"), b.alias("c")
+    pairs = (
+        a.join(c, (F.col("a.ok") == F.col("c.ok")) & (F.col("a.item") < F.col("c.item")))
+        .groupBy(F.col("a.item").alias("ante"), F.col("c.item").alias("cons"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("s2"))
+        .filter(F.col("s2") >= _AR_MIN_SUPP)
+    )
+    sa = supp1.select(F.col("item").alias("ante"), F.col("s").alias("sa"))
+    sc = supp1.select(F.col("item").alias("cons"), F.col("s").alias("sc"))
+    return (
+        pairs.join(F.broadcast(sa), "ante")
+        .join(F.broadcast(sc), "cons")
+        .select(
+            "ante",
+            "cons",
+            F.col("s2").alias("pair_support"),
+            fxr(F.col("s2").cast("double") / F.col("sa"), 4).alias("confidence"),
+            fxr(
+                F.col("s2").cast("double") * F.lit(n_baskets) / (F.col("sa") * F.col("sc")),
+                4,
+            ).alias("lift"),
+        )
     )

@@ -556,6 +556,50 @@ def compact(
     )
 
 
+def read_changes(
+    spark: SparkSession, table_path: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Change data feed over an append-only history: the rows committed
+    after ``from_version`` up to ``to_version`` (CURRENT if None), each
+    tagged with ``_commit_version`` and ``_change_type='insert'``.
+    Because commits list immutable files, the changes of an append are
+    exactly its added files — the feed is a metadata diff plus a read
+    of only the new files, never a table scan. Versions in the range
+    whose operation rewrites rows (overwrite/merge/delete/compact) make
+    row-level changes ambiguous at file granularity; those raise
+    ValueError rather than emit a wrong feed — downstream consumers of
+    a CoW table should diff snapshots (see ``snapshot_row_diff``) or
+    consume the MERGE source directly."""
+    hi = current_version(table_path) if to_version is None else to_version
+    if hi is None or from_version > hi:
+        raise ValueError(f"empty change range: ({from_version}, {to_version}]")
+    parts = []
+    for v in range(from_version + 1, hi + 1):
+        m = read_manifest(table_path, v)
+        if m["operation"] != "append":
+            raise ValueError(
+                f"v{v} is {m['operation']!r}: change feed requires append-only history"
+            )
+        parent_files = set(read_manifest(table_path, m["parent"])["files"]) if m["parent"] else set()
+        added = [f for f in m["files"] if f not in parent_files]
+        if not added:
+            continue
+        parts.append(
+            _read_files(spark, table_path, added, m.get("schema"))
+            .withColumn("_commit_version", F.lit(v).cast("int"))
+            .withColumn("_change_type", F.lit("insert"))
+        )
+    if not parts:
+        base = read(spark, table_path, hi).limit(0)
+        return base.withColumn("_commit_version", F.lit(0).cast("int")).withColumn(
+            "_change_type", F.lit("insert")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
 def vacuum(table_path: str, keep_versions: int = 1) -> list[str]:
     """Drop manifests older than the newest ``keep_versions`` and delete
     data files no surviving manifest references (plus any orphaned

@@ -139,5 +139,9 @@ def register(spark) -> None:
     for ds in (SyntheticRowsDataSource, SyntheticRowsDataSourceStreaming):
         try:
             spark.dataSource.register(ds)
-        except Exception:
-            pass  # already registered in this session
+        except Exception as e:
+            # only duplicate registration is benign; anything else (missing
+            # datasource API, runtime failure) must surface here, not later
+            # as a confusing "unknown format" error (ADVICE r4 pattern)
+            if "already" not in str(e).lower() and "exists" not in str(e).lower():
+                raise

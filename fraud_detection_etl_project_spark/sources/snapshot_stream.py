@@ -1,0 +1,174 @@
+"""Streaming source over a snapshot-versioned table (``snapshot.py``):
+``spark.readStream.format("pysnapshot").option("path", t)`` tails the
+table's append-only commit log as a Structured Streaming source — the
+"table as a stream" capability (Delta's change-feed streaming / Iceberg
+incremental read, re-derived from the public designs) that turns the
+snapshot table into the hub of incremental pipelines:
+
+- **Offsets are version numbers.** ``initialOffset`` = 0 (or
+  ``startingVersion``), ``latestOffset`` = the manifest CURRENT points
+  at. Both are O(1) metadata reads — no directory listing, no file
+  mtime heuristics (the failure mode of Spark's plain file stream on a
+  table that compacts).
+- **A micro-batch is a manifest diff.** ``partitions(start, end)``
+  yields one input partition per file ADDED in versions
+  ``(start, end]`` — appends list exactly their new files, so the
+  stream reads only new data, never rescans the table. CoW rewrites
+  (merge/delete/compact/overwrite past v1) make row-level changes
+  ambiguous at file granularity; they raise rather than emit a wrong
+  feed, mirroring ``snapshot.read_changes``.
+- **Replay-safe.** Versions and their file lists are immutable, so any
+  committed offset range replays bit-identically after a crash;
+  paired with ``snapshot.foreach_batch_writer`` (idempotent batch-id
+  appends) the whole table→stream→table pipeline is exactly-once end
+  to end (tested in tests/test_snapshot_stream.py).
+- Every output row is tagged ``_commit_version`` so downstream logic
+  can window or dedup by commit.
+
+Scale posture: planning is pure manifest metadata (O(#new files) per
+trigger); reads are per-file partitions that scale with the executor
+count. Rows are decoded from parquet via pyarrow per partition; for
+JVM-speed ingestion of huge appends, read the same versions in batch
+via ``snapshot.read_changes`` — this source is the continuous-tail
+path, sized for micro-batches.
+
+Reference parity: the reference's trigger is "new object in S3 →
+process it once" (`/root/reference/Terraform/provisioning.tf` S3
+notification wiring); this source is that contract against a
+transactional table instead of a bucket listing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+_CURRENT = "CURRENT"
+
+
+def _current_version(table_path: str) -> int | None:
+    cur = os.path.join(table_path, _MANIFEST_DIR, _CURRENT)
+    if not os.path.exists(cur):
+        return None
+    with open(cur) as f:
+        return int(f.read().strip()[1:6])
+
+
+def _manifest(table_path: str, version: int) -> dict:
+    p = os.path.join(table_path, _MANIFEST_DIR, f"v{version:05d}.json")
+    with open(p) as f:
+        return json.load(f)
+
+
+class SnapshotFilePartition(InputPartition):
+    def __init__(self, path: str, version: int, field_names: list[str]):
+        self.path = path
+        self.version = version
+        self.field_names = field_names
+
+
+class SnapshotStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.table_path = options.get("path") or options.get("table_path")
+        if not self.table_path:
+            raise ValueError("pysnapshot stream requires .option('path', <table dir>)")
+        self.start_version = int(options.get("startingversion", 0))
+        schema_json = _schema_json(self.table_path)
+        self.field_names = [f["name"] for f in json.loads(schema_json)["fields"]]
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        v = _current_version(self.table_path)
+        return {"version": v if v is not None else self.start_version}
+
+    def partitions(self, start: dict, end: dict):
+        parts: list[SnapshotFilePartition] = []
+        ddir = os.path.join(self.table_path, _DATA_DIR)
+        for v in range(start["version"] + 1, end["version"] + 1):
+            m = _manifest(self.table_path, v)
+            if m["operation"] != "append" and m["parent"] is not None:
+                raise ValueError(
+                    f"v{v} is {m['operation']!r}: streaming a snapshot table "
+                    "requires append-only history past its first commit"
+                )
+            prev = set(_manifest(self.table_path, m["parent"])["files"]) if m["parent"] else set()
+            for f in m["files"]:
+                if f not in prev:
+                    parts.append(
+                        SnapshotFilePartition(
+                            os.path.join(ddir, f), v, self.field_names
+                        )
+                    )
+        return parts
+
+    def read(self, partition: SnapshotFilePartition):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.path)
+        names = set(tbl.schema.names)
+        for row in tbl.to_pylist():
+            yield tuple(
+                row[n] if n in names else None for n in partition.field_names
+            ) + (partition.version,)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable in the stream checkpoint; nothing to ack
+
+
+def _schema_json(table_path: str) -> str:
+    v = _current_version(table_path)
+    if v is None:
+        raise FileNotFoundError(f"snapshot table has no committed version: {table_path}")
+    s = _manifest(table_path, v).get("schema")
+    if s is None:
+        raise ValueError(
+            "snapshot table manifest records no schema (old format); "
+            "rewrite it with snapshot.overwrite/append to stream it"
+        )
+    return s
+
+
+class SnapshotTableDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "pysnapshot"
+
+    def schema(self):
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        base = StructType.fromJson(
+            json.loads(_schema_json(self.options.get("path") or self.options.get("table_path")))
+        )
+        return StructType(base.fields + [StructField("_commit_version", IntegerType(), False)])
+
+    def streamReader(self, schema) -> SnapshotStreamReader:
+        return SnapshotStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotently register the source. Pickle-by-value keeps the class
+    self-contained for the driver-side streaming runner (which does not
+    see addPyFile paths) — same recipe as sources/pydatasource.py."""
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass  # older cloudpickle without by-value API: fall back to by-ref
+    try:
+        spark.dataSource.register(SnapshotTableDataSource)
+    except Exception as e:
+        if "already" not in str(e).lower() and "exists" not in str(e).lower():
+            raise

@@ -279,6 +279,27 @@ def test_foreach_batch_writer_exactly_once(spark, tmp_path):
     assert S.read(spark, t).count() == 23
 
 
+def test_change_feed_over_append_only_history(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 10), t)          # v1
+    S.append(_nums(spark, 10, 15), t)            # v2
+    S.append(_nums(spark, 15, 17), t)            # v3
+    feed = S.read_changes(spark, t, from_version=1)
+    rows = [(r["n"], r["_commit_version"], r["_change_type"]) for r in feed.collect()]
+    assert len(rows) == 7 and all(ct == "insert" for _, _, ct in rows)
+    assert {v for _, v, _ in rows} == {2, 3}
+    assert sorted(n for n, v, _ in rows if v == 3) == [15, 16]
+    # bounded upper end
+    assert S.read_changes(spark, t, 1, to_version=2).count() == 5
+    # empty range after the newest commit -> empty frame, feed schema
+    empty = S.read_changes(spark, t, from_version=3)
+    assert empty.count() == 0 and "_commit_version" in empty.columns
+    # a CoW rewrite in range must refuse, not fabricate row-level changes
+    S.delete(spark, t, [("n", "<", 2)])          # v4
+    with pytest.raises(ValueError, match="append-only"):
+        S.read_changes(spark, t, from_version=1)
+
+
 def test_snapshot_of_fixture_table_pushdown_intact(spark, tmp_path):
     """Predicate pushdown survives the explicit-file-list read path."""
     t = str(tmp_path / "orders_snap")

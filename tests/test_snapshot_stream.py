@@ -1,0 +1,131 @@
+"""Streaming source over the snapshot table: version offsets, manifest
+diff planning, replay safety, end-to-end exactly-once table→table."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from fraud_detection_etl_project_spark import snapshot as S
+from fraud_detection_etl_project_spark.sources import snapshot_stream as SS
+
+
+def _kv(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+
+
+def _drain(spark, src_tbl, ckpt, sink_name, starting_version=None):
+    SS.register(spark)
+    reader = spark.readStream.format("pysnapshot").option("path", src_tbl)
+    if starting_version is not None:
+        reader = reader.option("startingVersion", str(starting_version))
+    q = (
+        reader.load()
+        .writeStream.format("memory")
+        .queryName(sink_name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {sink_name}")
+
+
+def test_stream_tails_appends_with_commit_versions(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.overwrite(_kv(spark, 0, 5), t)      # v1 (creation)
+    S.append(_kv(spark, 5, 8), t)         # v2
+    out = _drain(spark, t, str(tmp_path / "c1"), "snap_tail_1")
+    rows = {(r["k"], r["v"], r["_commit_version"]) for r in out.collect()}
+    assert len(rows) == 8
+    assert {c for _, _, c in rows} == {1, 2}
+    assert (6, 12, 2) in rows and (0, 0, 1) in rows
+
+
+def test_stream_resumes_from_checkpoint_only_new_versions(spark, tmp_path):
+    """The memory sink cannot recover a checkpoint; foreachBatch can —
+    each drain sees only versions committed since the last one."""
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "c2")
+    S.overwrite(_kv(spark, 0, 4), t)
+    SS.register(spark)
+    seen: list[tuple] = []
+
+    def run():
+        q = (
+            spark.readStream.format("pysnapshot")
+            .option("path", t)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _bid: seen.extend(
+                    (r["k"], r["_commit_version"]) for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert sorted(k for k, _ in seen) == [0, 1, 2, 3]
+    seen.clear()
+    S.append(_kv(spark, 4, 9), t)         # new commit after first drain
+    run()
+    assert sorted(k for k, _ in seen) == [4, 5, 6, 7, 8]
+    assert {c for _, c in seen} == {2}
+
+
+def test_stream_starting_version_skips_history(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.overwrite(_kv(spark, 0, 4), t)
+    S.append(_kv(spark, 4, 6), t)
+    out = _drain(
+        spark, t, str(tmp_path / "c3"), "snap_tail_3", starting_version=1
+    )
+    assert sorted(r["k"] for r in out.collect()) == [4, 5]
+
+
+def test_stream_refuses_cow_rewrites(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.overwrite(_kv(spark, 0, 6), t)
+    S.delete(spark, t, [("k", "<", 2)])   # v2: CoW rewrite
+    with pytest.raises(Exception, match="append-only"):
+        _drain(spark, t, str(tmp_path / "c4"), "snap_tail_4").collect()
+
+
+def test_table_to_table_pipeline_exactly_once(spark, tmp_path):
+    """snapshot → pysnapshot stream → foreach_batch_writer snapshot:
+    the full incremental-ETL loop. Draining twice without new source
+    commits must not duplicate rows in the sink table (idempotent
+    batch ids + durable stream offsets)."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "c5")
+    S.overwrite(_kv(spark, 0, 10), src)
+    SS.register(spark)
+
+    def run():
+        q = (
+            spark.readStream.format("pysnapshot")
+            .option("path", src)
+            .load()
+            .select("k", (F.col("v") * 10).alias("v10"))
+            .writeStream.foreachBatch(S.foreach_batch_writer(dst))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert S.read(spark, dst).count() == 10
+    run()  # no new source versions: no new rows
+    assert S.read(spark, dst).count() == 10
+    S.append(_kv(spark, 10, 13), src)
+    run()
+    got = {r["k"]: r["v10"] for r in S.read(spark, dst).collect()}
+    assert len(got) == 13 and got[12] == 240
