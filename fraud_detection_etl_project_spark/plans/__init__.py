@@ -173,6 +173,8 @@ FAMILY_PREFIX = [
     "snapshot_stream_tail_rollup",
     "basket_brand_rules",
     "snapshot_incremental_agg",
+    "ols_price_quantity_fit",
+    "kmeans_coreset_sample",
 ]
 
 _ordered = {n: REGISTRY[n] for n in FAMILY_PREFIX if n in REGISTRY}

@@ -2989,3 +2989,178 @@ def basket_brand_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Closed-form OLS from sufficient statistics (one aggregation pass)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ols_price_quantity_fit",
+    oracle="""
+WITH s AS (
+    SELECT p.p_brand AS brand,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(l.l_quantity AS BIGINT)) AS sx,
+           CAST(sum(floor(l.l_extendedprice * 100 + 0.5)) AS BIGINT) AS sy,
+           sum(CAST(l.l_quantity AS BIGINT) * CAST(l.l_quantity AS BIGINT)) AS sxx,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)
+                    * floor(l.l_extendedprice * 100 + 0.5)) AS BIGINT) AS sxy,
+           CAST(sum(floor(l.l_extendedprice * 100 + 0.5)
+                    * floor(l.l_extendedprice * 100 + 0.5)) AS BIGINT) AS syy
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1)
+SELECT brand, n,
+       floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             * 1000000.0 + 0.5) / 1000000.0 AS slope_cents,
+       floor((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx) / n
+             * 1000000.0 + 0.5) / 1000000.0 AS intercept_cents,
+       floor(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+             / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             * 1000000.0 + 0.5) / 1000000.0 AS r2
+FROM s
+""",
+)
+def ols_price_quantity_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ordinary-least-squares from sufficient statistics:
+    per-brand regression of line price (integer cents) on quantity —
+    ONE aggregation pass collects (n, Σx, Σy, Σx², Σxy, Σy²) as exact
+    int64s (prices quantized to cents first, the repo-wide money
+    discipline), then slope / intercept / R² come out in closed form.
+    All divisions happen once, on exact integer inputs, through the
+    identical IEEE expression both engines, quantized half-up at 1e-6 —
+    so the regression is value-oracled, not just shape-checked.
+
+    Scale: sufficient statistics ARE the map-side combine — at 100 TB
+    this is a single shuffle of 6 int64 cells per brand (the canonical
+    'train a model with an aggregate' pattern; multi-feature OLS
+    extends to the k×k normal-equation Gram cells the PCA power
+    iteration already materializes). TPC-H quantities ≤ 50 and cents
+    ≤ 1e7 keep every product far inside int64."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint").alias("y"),
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    s = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy, syy = F.col("sxx").cast("double"), F.col("sxy").cast("double"), F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy  # n²·cov
+    var_n = n * sxx - sx * sx  # n²·var(x)
+    vary_n = n * syy - sy * sy
+    slope = cov_n / var_n
+    return s.select(
+        "brand",
+        "n",
+        fxr(slope, 6).alias("slope_cents"),
+        fxr((sy - slope * F.col("sx")) / F.col("n"), 6).alias("intercept_cents"),
+        fxr((cov_n * cov_n) / (var_n * vary_n), 6).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-means coreset via sensitivity sampling
+# ---------------------------------------------------------------------------
+
+_CS_M = 64  # target coreset size (expected; inclusion is independent per point)
+
+
+def _coreset_oracle() -> str:
+    chain, cent_union = _kc_chain_sql()
+    dist = _kc_dist_sql("q.v", "c.v")
+    return (
+        chain
+        + f""",
+cent AS ({cent_union}),
+asg AS (SELECT vec_id, cid, d FROM (
+          SELECT q.vec_id, c.cid, {dist} AS d,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY {dist} ASC, c.cid ASC) AS rn
+          FROM q CROSS JOIN cent c) WHERE rn = 1),
+tot AS (SELECT CAST(sum(d) AS BIGINT) AS dd FROM asg),
+cs AS (SELECT cid, CAST(count(*) AS BIGINT) AS csz FROM asg GROUP BY 1),
+p AS (SELECT a.vec_id, a.cid,
+             0.5 * CAST(a.d AS DOUBLE) / t.dd + 0.5 / ({_KC_K} * cs.csz) AS p
+      FROM asg a JOIN cs ON cs.cid = a.cid CROSS JOIN tot t)
+SELECT vec_id, cid AS cluster_id,
+       floor(1.0 / ({_CS_M} * p) * 10000.0 + 0.5) / 10000.0 AS weight
+FROM p
+WHERE CAST(('0x' || substring(md5('cs|' || CAST(vec_id AS VARCHAR)), 1, 12)) AS BIGINT)
+      < {_CS_M} * p * {float(2**48)!r}
+"""
+    )
+
+
+@query("kmeans_coreset_sample", oracle=_coreset_oracle())
+def kmeans_coreset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means CORESET by sensitivity sampling (the Bachem/Lucic/Krause
+    recipe): with k-center seeds B, each point's sensitivity upper bound
+    is s(x) = d(x,B)/(2·ΣD) + 1/(2k·|cluster(x)|) — by construction
+    Σs = 1 exactly, so s IS the sampling distribution. A point joins the
+    coreset iff u(x) < m·s(x) with u(x) the md5-derived 48-bit uniform
+    draw (deterministic, engine-portable — the repo's split-hash
+    discipline), and carries weight 1/(m·s(x)) so weighted cluster costs
+    are unbiased estimates of the full-data costs. Every arithmetic step
+    is either exact int64 (distances, cluster sizes, ΣD, the 48-bit
+    draw) or the identical IEEE double expression both engines, so the
+    SAMPLE ITSELF is value-oracled — membership, cluster ids, and
+    quantized weights all hash-match DuckDB's replay of the same chain.
+
+    Scale: one assignment pass (broadcast codebook, no shuffle), one
+    k-cell aggregate for cluster sizes, one scalar ΣD, then a stateless
+    per-row inclusion test — the coreset of a 100 TB embedding table
+    streams out in a single scan, and downstream k-means runs on m
+    weighted rows instead of the table. The draw is keyed on vec_id, so
+    resharding or re-running cannot change membership."""
+    q, centers = _kc_select(spark, sf_dir)
+    entries = []
+    for cid, _r, v in centers:
+        arr = "array(" + ",".join(str(int(x)) for x in v) + ")"
+        entries.append(
+            f"named_struct('d', aggregate(zip_with(v, CAST({arr} AS ARRAY<BIGINT>),"
+            f" (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x),"
+            f" 'cid', {cid}L)"
+        )
+    best = F.array_min(F.expr("array(" + ",".join(entries) + ")"))
+    asg = q.select("vec_id", best["cid"].alias("cid"), best["d"].alias("d")).persist()
+    dd = asg.agg(F.sum("d").cast("bigint")).collect()[0][0]  # one scalar: ΣD
+    cs = asg.groupBy("cid").agg(F.count(F.lit(1)).cast("bigint").alias("csz"))
+    p = (F.lit(0.5) * F.col("d").cast("double") / F.lit(int(dd)).cast("double")) + (
+        F.lit(0.5) / (F.lit(_KC_K) * F.col("csz"))
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("cs|"), F.col("vec_id").cast("string")).cast("binary")),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        asg.join(F.broadcast(cs), "cid")
+        .withColumn("p", p)
+        .filter(u < F.lit(_CS_M) * F.col("p") * F.lit(float(2**48)))
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster_id"),
+            fxr(F.lit(1.0) / (F.lit(_CS_M) * F.col("p")), 4).alias("weight"),
+        )
+    )

@@ -81,6 +81,13 @@ class SnapshotStreamReader(DataSourceStreamReader):
         if not self.table_path:
             raise ValueError("pysnapshot stream requires .option('path', <table dir>)")
         self.start_version = int(options.get("startingversion", 0))
+        # backpressure: cap how many commits one micro-batch may absorb
+        # (None = unbounded). The version walk makes this exact — a
+        # trigger ingests at most N commits' files, and the remainder
+        # stays durable in the table, not in executor memory.
+        mvpt = options.get("maxversionspertrigger")
+        self.max_versions_per_trigger = int(mvpt) if mvpt is not None else None
+        self._last_planned = self.start_version
         schema_json = _schema_json(self.table_path)
         self.field_names = [f["name"] for f in json.loads(schema_json)["fields"]]
 
@@ -89,9 +96,18 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         v = _current_version(self.table_path)
-        return {"version": v if v is not None else self.start_version}
+        if v is None:
+            return {"version": self.start_version}
+        if self.max_versions_per_trigger is not None:
+            v = min(v, self._last_planned + self.max_versions_per_trigger)
+        return {"version": v}
 
     def partitions(self, start: dict, end: dict):
+        # rate-limit bookkeeping: the engine's start IS the committed
+        # offset, so future latestOffset caps advance from here (also
+        # heals the restart case, where _last_planned begins at
+        # startingVersion but the checkpoint is further along)
+        self._last_planned = max(self._last_planned, end["version"])
         parts: list[SnapshotFilePartition] = []
         ddir = os.path.join(self.table_path, _DATA_DIR)
         for v in range(start["version"] + 1, end["version"] + 1):
@@ -122,7 +138,9 @@ class SnapshotStreamReader(DataSourceStreamReader):
             ) + (partition.version,)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are durable in the stream checkpoint; nothing to ack
+        # offsets are durable in the stream checkpoint; just advance the
+        # rate-limit floor so caps never compute below committed progress
+        self._last_planned = max(self._last_planned, end["version"])
 
 
 def _schema_json(table_path: str) -> str:

@@ -97,6 +97,84 @@ def test_stream_refuses_cow_rewrites(spark, tmp_path):
         _drain(spark, t, str(tmp_path / "c4"), "snap_tail_4").collect()
 
 
+def test_max_versions_per_trigger_paces_batches(spark, tmp_path):
+    """maxVersionsPerTrigger=1 over a 3-version backlog: each micro-batch
+    absorbs exactly one commit's rows, in commit order — bounded-memory
+    backlog draining (the remainder stays in the table, not in RAM)."""
+    t = str(tmp_path / "tbl")
+    S.overwrite(_kv(spark, 0, 3), t)           # v1
+    S.append(_kv(spark, 3, 5), t)              # v2
+    S.append(_kv(spark, 5, 6), t)              # v3
+    SS.register(spark)
+    batches: list[set] = []
+
+    def sink(df, _bid):
+        rows = {(r["k"], r["_commit_version"]) for r in df.collect()}
+        if rows:
+            batches.append(rows)
+
+    q = (
+        spark.readStream.format("pysnapshot")
+        .option("path", t)
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "c6"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 90
+    while sum(len(b) for b in batches) < 6 and time.time() < deadline:
+        time.sleep(1)
+    q.stop()
+    assert sum(len(b) for b in batches) == 6
+    assert len(batches) == 3, [sorted(b) for b in batches]  # one commit per batch
+    assert [sorted({v for _, v in b})[0] for b in batches] == [1, 2, 3]
+
+
+def test_rate_limited_stream_restart_neither_stalls_nor_duplicates(spark, tmp_path):
+    """Restarting a maxVersionsPerTrigger stream from a checkpoint whose
+    committed version is ahead of the reader's fresh internal floor must
+    neither regress offsets (duplicates) nor stall — the engine's
+    committed offset wins and partitions() re-anchors the cap."""
+    import time
+
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "c7")
+    S.overwrite(_kv(spark, 0, 3), t)
+    S.append(_kv(spark, 3, 5), t)
+    SS.register(spark)
+    seen: list[int] = []
+
+    def run(nsec):
+        q = (
+            spark.readStream.format("pysnapshot")
+            .option("path", t)
+            .option("maxVersionsPerTrigger", "1")
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _b: seen.extend(r["k"] for r in df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        deadline = time.time() + nsec
+        while time.time() < deadline:
+            time.sleep(1)
+        q.stop()
+        q.awaitTermination(30)
+
+    run(12)
+    assert sorted(seen) == [0, 1, 2, 3, 4]
+    seen.clear()
+    S.append(_kv(spark, 5, 7), t)  # committed after the stop
+    run(15)
+    assert sorted(seen) == [5, 6], seen  # new version only: no dup, no stall
+
+
 def test_table_to_table_pipeline_exactly_once(spark, tmp_path):
     """snapshot → pysnapshot stream → foreach_batch_writer snapshot:
     the full incremental-ETL loop. Draining twice without new source
