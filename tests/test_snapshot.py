@@ -106,6 +106,86 @@ def test_vacuum_deletes_only_unreferenced(spark, tmp_path):
         S.read(spark, t, version=1)
 
 
+def test_model_based_op_sequence_fuzz(spark, tmp_path):
+    """Model-based check: a seeded random sequence of overwrite / append
+    / merge / delete / compact must keep the table equal to a plain
+    dict model after EVERY commit, keep a pinned early version
+    readable and unchanged throughout, and survive a final vacuum."""
+    import random
+
+    rng = random.Random(20260814)
+    t = str(tmp_path / "tbl")
+
+    def kv(pairs):
+        return spark.createDataFrame(sorted(pairs.items()), "k long, v long")
+
+    model: dict[int, int] = {i: i * 7 for i in range(20)}
+    S.overwrite(kv(model), t)
+    pinned = dict(model)  # snapshot v1 must always read as this
+    for step in range(10):
+        op = rng.choice(["append", "merge", "delete", "compact", "overwrite"])
+        if op == "append":
+            lo = 100 + step * 10
+            new = {k: k for k in range(lo, lo + rng.randint(1, 4))}
+            assert not set(new) & set(model)
+            S.append(kv(new), t)
+            model.update(new)
+        elif op == "merge":
+            upd = {k: model[k] + 1000 for k in rng.sample(sorted(model), min(3, len(model)))}
+            ins = {5000 + step: step}
+            S.merge(spark, t, kv({**upd, **ins}), on=["k"])
+            model.update(upd)
+            model.update(ins)
+        elif op == "delete":
+            cut = rng.choice(sorted(model))
+            S.delete(spark, t, [("k", "<", cut)])
+            model = {k: v for k, v in model.items() if not k < cut}
+        elif op == "compact":
+            S.compact(spark, t, n_files=rng.randint(1, 3))
+        else:
+            model = {k: k * 13 for k in range(step, step + 15)}
+            S.overwrite(kv(model), t)
+        got = {r["k"]: r["v"] for r in S.read(spark, t).collect()}
+        assert got == model, f"step {step} op {op}"
+        got1 = {r["k"]: r["v"] for r in S.read(spark, t, version=1).collect()}
+        assert got1 == pinned, f"step {step}: pinned v1 drifted"
+    S.vacuum(t, keep_versions=2)
+    assert {r["k"]: r["v"] for r in S.read(spark, t).collect()} == model
+
+
+def test_concurrent_appenders_with_retry_lose_nothing(spark, tmp_path):
+    """Two threads racing appends with a conflict-retry loop: the
+    optimistic check may force retries, but every row lands exactly
+    once."""
+    import threading
+
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 1), t)
+    errors: list[Exception] = []
+
+    def appender(lo: int):
+        for i in range(3):
+            df = _nums(spark, lo + i * 10, lo + i * 10 + 5)
+            for _attempt in range(25):
+                try:
+                    S.append(df, t)
+                    break
+                except S.SnapshotConflictError:
+                    continue
+            else:
+                errors.append(RuntimeError(f"append {lo}+{i} never succeeded"))
+
+    threads = [threading.Thread(target=appender, args=(lo,)) for lo in (100, 200)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    got = sorted(r["n"] for r in S.read(spark, t).collect())
+    want = [0] + [lo + i * 10 + j for lo in (100, 200) for i in range(3) for j in range(5)]
+    assert got == sorted(want)
+
+
 def test_optimistic_conflict_detected(spark, tmp_path, monkeypatch):
     """A writer whose parent moved underneath it must fail, not clobber."""
     t = str(tmp_path / "tbl")
