@@ -423,14 +423,24 @@ def delete(
     )
 
 
-def merge(spark: SparkSession, table_path: str, source: DataFrame, on: list[str]) -> int:
+def merge(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    on: list[str],
+    batch_id: str | None = None,
+) -> int:
     """Copy-on-write MERGE (upsert): target rows whose key matches a
     source row are replaced by the source row; unmatched source rows are
     inserted. Only data files that actually contain a matched key are
     rewritten — untouched files carry over into the new manifest by
     name, so a merge touching 0.1 % of keys rewrites ~0.1 % of a sorted
     table, not all of it. Duplicate keys in the source are rejected
-    (ambiguous MERGE). Returns the new version."""
+    (ambiguous MERGE). With ``batch_id``, the merge is idempotent per
+    batch id (same contract as ``append`` — the exactly-once hook for
+    streaming upserts). Returns the new version."""
+    if batch_id is not None and batch_id in committed_batch_ids(table_path):
+        return current_version(table_path)  # replayed micro-batch: no-op
     parent = current_version(table_path)
     if parent is None:
         raise FileNotFoundError(f"snapshot table has no committed version: {table_path}")
@@ -464,8 +474,33 @@ def merge(spark: SparkSession, table_path: str, source: DataFrame, on: list[str]
         "merge",
         parent,
         {**kept_stats, **new_stats},
-        schema_json=schema_json,
+        batch_id,
+        schema_json,
     )
+
+
+def foreach_batch_merger(table_path: str, on: list[str]):
+    """A ``foreachBatch`` function applying each micro-batch as one
+    atomic, idempotent copy-on-write MERGE — exactly-once STREAMING
+    UPSERT into the table (the CDC-apply sink): each batch's rows
+    update matching keys and insert the rest; a replayed batch id is a
+    no-op. The batch must carry at most one row per key (standard CDC
+    compaction — keep the last image per key before merging). Usage::
+
+        q = (cdc.writeStream.foreachBatch(foreach_batch_merger(path, ["k"]))
+               .option("checkpointLocation", ckpt).start())
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        merge(
+            batch_df.sparkSession,
+            table_path,
+            batch_df,
+            on,
+            batch_id=f"stream-merge-{batch_id}",
+        )
+
+    return write
 
 
 def _read_files(

@@ -134,6 +134,48 @@ def test_max_versions_per_trigger_paces_batches(spark, tmp_path):
     assert [sorted({v for _, v in b})[0] for b in batches] == [1, 2, 3]
 
 
+def test_streaming_upsert_merge_exactly_once(spark, tmp_path):
+    """CDC-style streaming upsert: a pysnapshot stream of key/value
+    images applied into a second table via foreach_batch_merger —
+    updates replace, inserts land, and a hand-replayed batch (the
+    crash-between-merge-and-checkpoint case) is a no-op."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "c8")
+    # destination starts with keys 0..9, v = k
+    S.overwrite(
+        spark.range(0, 10).select(F.col("id").alias("k"), F.col("id").alias("v")), dst
+    )
+    # source stream: updates for 2,3 and inserts 100,101
+    S.overwrite(
+        spark.createDataFrame([(2, -2), (3, -3), (100, 1), (101, 2)], "k long, v long"),
+        src,
+    )
+    SS.register(spark)
+    writer = S.foreach_batch_merger(dst, ["k"])
+    q = (
+        spark.readStream.format("pysnapshot")
+        .option("path", src)
+        .load()
+        .select("k", "v")
+        .writeStream.foreachBatch(writer)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["k"]: r["v"] for r in S.read(spark, dst).collect()}
+    assert len(got) == 12 and got[2] == -2 and got[3] == -3 and got[100] == 1
+    v_after = S.current_version(dst)
+    # replay the same micro-batch id: no-op, version unchanged
+    writer(
+        spark.createDataFrame([(2, 999)], "k long, v long").withColumn("v", F.col("v")),
+        0,
+    )
+    assert S.current_version(dst) == v_after
+    assert {r["v"] for r in S.read(spark, dst).filter("k = 2").collect()} == {-2}
+
+
 def test_rate_limited_stream_restart_neither_stalls_nor_duplicates(spark, tmp_path):
     """Restarting a maxVersionsPerTrigger stream from a checkpoint whose
     committed version is ahead of the reader's fresh internal floor must
