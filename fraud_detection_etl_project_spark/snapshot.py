@@ -450,14 +450,18 @@ def merge(
     files, stats, schema_json = m["files"], m.get("stats", {}), m.get("schema")
     cur = _read_files(spark, table_path, files, schema_json)
     keys = source.select(*on).distinct()
-    touched_names = {
-        os.path.basename(r["_f"])
-        for r in cur.withColumn("_f", F.col("_metadata.file_path"))
-        .join(F.broadcast(keys), on, "left_semi")
-        .select("_f")
-        .distinct()
-        .collect()
-    }  # bounded by the snapshot's file count — metadata, not data
+    touched_names = (
+        {
+            os.path.basename(r["_f"])
+            for r in cur.withColumn("_f", F.col("_metadata.file_path"))
+            .join(F.broadcast(keys), on, "left_semi")
+            .select("_f")
+            .distinct()
+            .collect()
+        }
+        if files  # _metadata exists only on file-backed frames
+        else set()
+    )  # bounded by the snapshot's file count — metadata, not data
     untouched = [f for f in files if f not in touched_names]
     touched = [f for f in files if f in touched_names]
     rewrite_base = (
@@ -513,10 +517,18 @@ def _read_files(
     _, ddir = _paths(table_path)
     paths = [os.path.join(ddir, f) for f in files]
     if schema_json is None:
+        if not paths:
+            raise FileNotFoundError(
+                "empty snapshot with no recorded schema (old manifest format): "
+                + table_path
+            )
         return spark.read.parquet(*paths)
     from pyspark.sql.types import StructType
 
-    return spark.read.schema(StructType.fromJson(json.loads(schema_json))).parquet(*paths)
+    schema = StructType.fromJson(json.loads(schema_json))
+    if not paths:  # a legitimately empty version (e.g. DELETE removed all rows)
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
 
 
 def read(spark: SparkSession, table_path: str, version: int | None = None) -> DataFrame:
@@ -527,8 +539,6 @@ def read(spark: SparkSession, table_path: str, version: int | None = None) -> Da
     if v is None:
         raise FileNotFoundError(f"snapshot table has no committed version: {table_path}")
     m = read_manifest(table_path, v)
-    if not m["files"]:
-        raise FileNotFoundError(f"snapshot v{v} is empty: {table_path}")
     return _read_files(spark, table_path, m["files"], m.get("schema"))
 
 

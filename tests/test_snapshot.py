@@ -322,6 +322,22 @@ def test_schema_evolution_add_column(spark, tmp_path):
         S.append(spark.range(1).select(F.lit("s").alias("n")), t)
 
 
+def test_delete_everything_leaves_readable_empty_table(spark, tmp_path):
+    """A DELETE matching every row yields an EMPTY version, not a broken
+    one: read() returns a zero-row frame with the table schema, scan()
+    and merge() still work, and the pre-delete version time-travels."""
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 20), t)
+    S.delete(spark, t, [("n", "<", 100)])  # everything matches
+    empty = S.read(spark, t)
+    assert empty.count() == 0 and empty.columns == ["n"]
+    assert S.scan(spark, t, [("n", ">", 0)]).count() == 0
+    assert S.read(spark, t, version=1).count() == 20
+    # merge into the empty table = pure insert
+    S.merge(spark, t, _nums(spark, 5, 8), on=["n"])
+    assert sorted(r["n"] for r in S.read(spark, t).collect()) == [5, 6, 7]
+
+
 def test_append_batch_id_is_idempotent(spark, tmp_path):
     t = str(tmp_path / "tbl")
     S.append(_nums(spark, 0, 5), t, batch_id="stream-0")
