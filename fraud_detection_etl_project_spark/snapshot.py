@@ -90,7 +90,15 @@ def current_version(table_path: str) -> int | None:
         return None
     with open(cur) as f:
         name = f.read().strip()
-    return int(name[1:6])
+    return _parse_version(name)
+
+
+def _parse_version(manifest_name: str) -> int:
+    """v00042.json -> 42. The %05d in _manifest_name is zero-PADDING, not
+    a width cap — version numbers keep growing past 99999 (a per-minute
+    streaming append passes that in ~10 weeks), so parse to the '.json'
+    suffix, never a fixed slice."""
+    return int(manifest_name[1 : manifest_name.index(".")])
 
 
 def read_manifest(table_path: str, version: int) -> dict:
@@ -664,7 +672,7 @@ def vacuum(table_path: str, keep_versions: int = 1) -> list[str]:
             os.remove(os.path.join(ddir, f))
             deleted.append(f)
     for m in sorted(os.listdir(mdir)):
-        if m.startswith("v") and m.endswith(".json") and int(m[1:6]) not in keep:
+        if m.startswith("v") and m.endswith(".json") and _parse_version(m) not in keep:
             os.remove(os.path.join(mdir, m))
     for d in os.listdir(table_path):
         if d.startswith("_staging_"):

@@ -59,7 +59,9 @@ def _current_version(table_path: str) -> int | None:
     if not os.path.exists(cur):
         return None
     with open(cur) as f:
-        return int(f.read().strip()[1:6])
+        name = f.read().strip()
+    # %05d zero-pads; versions grow past 5 digits — parse to the suffix
+    return int(name[1 : name.index(".")])
 
 
 def _manifest(table_path: str, version: int) -> dict:
@@ -100,7 +102,10 @@ class SnapshotStreamReader(DataSourceStreamReader):
             return {"version": self.start_version}
         if self.max_versions_per_trigger is not None:
             v = min(v, self._last_planned + self.max_versions_per_trigger)
-        return {"version": v}
+        # never report an offset below startingVersion: a start ahead of
+        # CURRENT would otherwise regress the checkpoint and later emit
+        # the versions the caller asked to skip
+        return {"version": max(v, self.start_version)}
 
     def partitions(self, start: dict, end: dict):
         # rate-limit bookkeeping: the engine's start IS the committed

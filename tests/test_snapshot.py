@@ -322,6 +322,31 @@ def test_schema_evolution_add_column(spark, tmp_path):
         S.append(spark.range(1).select(F.lit("s").alias("n")), t)
 
 
+def test_version_numbers_past_five_digits(spark, tmp_path):
+    """%05d zero-pads but does not cap: version 123456 must round-trip
+    through naming, CURRENT parsing, and read_manifest (a per-minute
+    streaming append passes 99999 in ~10 weeks)."""
+    import json
+    import os as _os
+
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 3), t)
+    mdir = _os.path.join(t, "_manifests")
+    big = S._manifest_name(123456)
+    assert big == "v123456.json"
+    with open(_os.path.join(mdir, "v00001.json")) as f:
+        m = json.load(f)
+    m["version"], m["parent"] = 123456, None
+    with open(_os.path.join(mdir, big), "w") as f:
+        json.dump(m, f)
+    with open(_os.path.join(mdir, "CURRENT"), "w") as f:
+        f.write(big)
+    assert S.current_version(t) == 123456
+    assert S.read(spark, t).count() == 3
+    assert S.append(_nums(spark, 3, 5), t) == 123457
+    assert S.read(spark, t).count() == 5
+
+
 def test_delete_everything_leaves_readable_empty_table(spark, tmp_path):
     """A DELETE matching every row yields an EMPTY version, not a broken
     one: read() returns a zero-row frame with the table schema, scan()
