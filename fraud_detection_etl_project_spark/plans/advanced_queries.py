@@ -2027,3 +2027,307 @@ def copurchase_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.lit(float(_MOD_SCALE)) * contrib + F.lit(0.5)).cast("bigint").alias("q_contrib"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank: proximity to a seed set on the copurchase graph
+# ---------------------------------------------------------------------------
+
+_PPR_D = 0.85
+_PPR_BASE = 1.0 - _PPR_D
+_PPR_SEEDS = 5
+_PPR_EW = 1.0 / _PPR_SEEDS
+_PPR_ITERS = 3
+_PPR_SCALE = float(10**12)
+
+_PPR_EW_SQL = f"""
+SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(count(*) AS BIGINT) AS w
+FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= {_EDGE_SUPPORT}
+"""
+
+
+def _ppr_oracle() -> str:
+    head = f"""
+WITH ew AS ({_PPR_EW_SQL}),
+sym AS (SELECT src, dst, w FROM ew UNION ALL SELECT dst AS src, src AS dst, w FROM ew),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+deg AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS deg FROM sym GROUP BY 1),
+seeds AS (SELECT node FROM deg ORDER BY deg DESC, node ASC LIMIT {_PPR_SEEDS}),
+outsum AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM sym GROUP BY src),
+p AS (SELECT s.src, s.dst, CAST(s.w AS DOUBLE) / CAST(o.out_w AS DOUBLE) AS p
+      FROM sym s JOIN outsum o ON s.src = o.src),
+r0 AS (SELECT n.node, CASE WHEN sd.node IS NOT NULL THEN {_PPR_EW!r} ELSE 0.0 END AS r
+       FROM nodes n LEFT JOIN seeds sd ON n.node = sd.node)"""
+    steps = []
+    for i in range(1, _PPR_ITERS + 1):
+        steps.append(f"""
+r{i} AS (SELECT n.node,
+               floor(({_PPR_BASE!r} * (CASE WHEN sd.node IS NOT NULL THEN {_PPR_EW!r} ELSE 0.0 END)
+                      + {_PPR_D!r} * coalesce(s.in_r, 0.0)) * {_PPR_SCALE!r} + 0.5) / {_PPR_SCALE!r} AS r
+        FROM nodes n LEFT JOIN seeds sd ON n.node = sd.node
+        LEFT JOIN (
+            SELECT p.dst AS node,
+                   sum(CAST(floor(r.r * p.p * {_PPR_SCALE!r} + 0.5) AS BIGINT)) / {_PPR_SCALE!r} AS in_r
+            FROM p JOIN r{i - 1} r ON p.src = r.node GROUP BY p.dst) s
+          ON n.node = s.node)"""
+        )
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+SELECT node AS part, r AS ppr FROM r{_PPR_ITERS} WHERE r > 0
+"""
+    )
+
+
+@query("copurchase_personalized_ppr", oracle=_ppr_oracle())
+def copurchase_personalized_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank on the copurchase graph: teleport mass
+    concentrates on the 5 highest-weighted-degree parts (tie-break lowest
+    id), so ranks measure random-walk proximity to those seeds — the
+    "customers who bought these also orbit..." / fraud-ring-expansion
+    primitive, complementing global pagerank's popularity score.
+
+    Scale shape: the seed set is 5 scalars (parameters, not data); the
+    recurrence is pagerank's edge-shuffle shape — one src-keyed join + one
+    dst-keyed grouped sum per iteration over the AGGREGATED edge list,
+    with the operator's adaptive local path for graphs (like this 3.5k-
+    edge one) far below the distributed threshold. Quantized 1e-12
+    iterations make the 3-step recurrence bit-identical to the oracle's
+    unrolled CTE chain (operators/graph.personalized_pagerank)."""
+    from fraud_detection_etl_project_spark.operators.graph import personalized_pagerank
+
+    ew = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .alias("a")
+        .join(
+            _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct().alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _EDGE_SUPPORT)
+    )
+    sym = ew.unionAll(ew.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")).persist()
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.sum("w").alias("deg"))
+    seeds = [
+        r["node"]
+        for r in deg.orderBy(F.col("deg").desc(), F.col("node").asc()).limit(_PPR_SEEDS).collect()
+    ]
+    ranks = personalized_pagerank(
+        nodes,
+        sym.withColumnRenamed("w", "weight"),
+        seeds,
+        iterations=_PPR_ITERS,
+        damping=_PPR_D,
+        quant=12,
+    )
+    return ranks.filter(F.col("r") > 0).select(F.col("node").alias("part"), F.col("r").alias("ppr"))
+
+
+# ---------------------------------------------------------------------------
+# Neighborhood Jaccard node similarity (structural equivalence)
+# ---------------------------------------------------------------------------
+
+_NJ_MIN_COMMON = 2
+_NJ_MIN_J = 0.2
+
+_NJ_SQL = f"""
+WITH ew AS ({_PPR_EW_SQL}),
+nbrs AS (SELECT src AS node, dst AS nbr FROM ew UNION ALL SELECT dst AS node, src AS nbr FROM ew),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM nbrs GROUP BY 1),
+common AS (
+  SELECT a.node AS u, b.node AS v, CAST(count(*) AS BIGINT) AS common
+  FROM nbrs a JOIN nbrs b ON a.nbr = b.nbr AND a.node < b.node
+  GROUP BY 1, 2
+  HAVING count(*) >= {_NJ_MIN_COMMON})
+SELECT c.u, c.v, c.common,
+       floor(CAST(c.common AS DOUBLE) / CAST(du.deg + dv.deg - c.common AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS jaccard_q
+FROM common c
+JOIN deg du ON c.u = du.node
+JOIN deg dv ON c.v = dv.node
+WHERE CAST(c.common AS DOUBLE) / CAST(du.deg + dv.deg - c.common AS DOUBLE) >= {_NJ_MIN_J!r}
+"""
+
+
+@query("part_neighborhood_jaccard", oracle=_NJ_SQL)
+def part_neighborhood_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural-equivalence mining: part pairs whose copurchase
+    NEIGHBORHOODS overlap (Jaccard of neighbor sets >= 0.2 with >= 2 shared
+    neighbors) — pairs that are interchangeable in baskets even if never
+    bought together, the link-prediction / substitute-product signal that
+    direct co-occurrence (basket_brand_rules) cannot see.
+
+    Scale shape: the wedge self-join fans out as sum(deg(w)^2) over
+    middle nodes — bounded here by the support-threshold graph, and at
+    web scale by the same degree-cap/orientation remedy as
+    copurchase_triangle_count (orient_by_degree caps wedge fan-out at
+    O(sqrt(m)) per edge). The HAVING on shared-neighbor count prunes
+    before the degree joins; output is pair-sparse, never all-pairs."""
+    ew = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .alias("a")
+        .join(
+            _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct().alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _EDGE_SUPPORT)
+        .select("src", "dst")
+    )
+    nbrs = ew.select(F.col("src").alias("node"), F.col("dst").alias("nbr")).unionAll(
+        ew.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+    ).persist()
+    deg = nbrs.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    a, b = nbrs.alias("a"), nbrs.alias("b")
+    common = (
+        a.join(b, (F.col("a.nbr") == F.col("b.nbr")) & (F.col("a.node") < F.col("b.node")))
+        .groupBy(F.col("a.node").alias("u"), F.col("b.node").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+        .filter(F.col("common") >= _NJ_MIN_COMMON)
+    )
+    j = F.col("common").cast("double") / (F.col("du") + F.col("dv") - F.col("common")).cast("double")
+    return (
+        common.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+        .filter(j >= F.lit(_NJ_MIN_J))
+        .select("u", "v", "common", (F.floor(j * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("jaccard_q"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Harmonic centrality (3-hop horizon) for a deterministic seed panel
+# ---------------------------------------------------------------------------
+
+_HC_SEEDS = 10
+_HC_THIRD = 1.0 / 3.0
+
+_HC_SQL = f"""
+WITH ew AS ({_PPR_EW_SQL}),
+nbrs AS (SELECT src AS node, dst AS nbr FROM ew UNION ALL SELECT dst AS node, src AS nbr FROM ew),
+seeds AS (SELECT DISTINCT node FROM nbrs ORDER BY node ASC LIMIT {_HC_SEEDS}),
+r1 AS (
+  SELECT s.node AS seed, n.nbr AS node
+  FROM seeds s JOIN nbrs n ON n.node = s.node
+  GROUP BY 1, 2),
+r2 AS (
+  SELECT r.seed, n.nbr AS node
+  FROM r1 r JOIN nbrs n ON n.node = r.node
+  GROUP BY 1, 2),
+r2x AS (
+  SELECT r2.seed, r2.node FROM r2
+  LEFT JOIN r1 ON r1.seed = r2.seed AND r1.node = r2.node
+  WHERE r1.node IS NULL AND r2.node <> r2.seed),
+r3 AS (
+  SELECT r.seed, n.nbr AS node
+  FROM r2x r JOIN nbrs n ON n.node = r.node
+  GROUP BY 1, 2),
+r3x AS (
+  SELECT r3.seed, r3.node FROM r3
+  LEFT JOIN r1 ON r1.seed = r3.seed AND r1.node = r3.node
+  LEFT JOIN r2x ON r2x.seed = r3.seed AND r2x.node = r3.node
+  WHERE r1.node IS NULL AND r2x.node IS NULL AND r3.node <> r3.seed),
+cnt AS (
+  SELECT s.node AS seed,
+         (SELECT CAST(count(*) AS BIGINT) FROM r1 WHERE r1.seed = s.node) AS n1,
+         (SELECT CAST(count(*) AS BIGINT) FROM r2x WHERE r2x.seed = s.node) AS n2,
+         (SELECT CAST(count(*) AS BIGINT) FROM r3x WHERE r3x.seed = s.node) AS n3
+  FROM seeds s)
+SELECT seed, n1, n2, n3,
+       floor((CAST(n1 AS DOUBLE) * 1.0 + CAST(n2 AS DOUBLE) * 0.5 + CAST(n3 AS DOUBLE) * {_HC_THIRD!r})
+             * 1000000000.0 + 0.5) / 1000000000.0 AS harmonic_q
+FROM cnt
+"""
+
+
+@query("part_harmonic_centrality_3hop", oracle=_HC_SQL)
+def part_harmonic_centrality_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality with a 3-hop horizon for a 10-seed panel (the
+    bounded-radius variant production graph systems actually compute —
+    full closeness needs all-pairs distances): sum of 1/d over nodes
+    within distance 3, computed per seed by three frontier-join BFS
+    rounds. Distances bucket into integer counts (n1, n2, n3) FIRST, so
+    the harmonic sum is one closed-form expression — never an
+    order-dependent float accumulation.
+
+    Scale shape: each BFS round is one frontier⋈edges join with a
+    (seed, node) left-anti against settled nodes — frontier-sized
+    shuffles, the textbook distributed-BFS bound; the seed panel
+    multiplies the frontier, not the graph. At web scale the same plan
+    runs with the seed panel sharded."""
+    ew = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .alias("a")
+        .join(
+            _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct().alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _EDGE_SUPPORT)
+        .select("src", "dst")
+    )
+    nbrs = ew.select(F.col("src").alias("node"), F.col("dst").alias("nbr")).unionAll(
+        ew.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+    ).persist()
+    seeds = nbrs.select("node").distinct().orderBy("node").limit(_HC_SEEDS)
+    r1 = (
+        seeds.withColumnRenamed("node", "seed")
+        .join(nbrs, F.col("seed") == F.col("node"))
+        .select("seed", F.col("nbr").alias("node"))
+        .distinct()
+    )
+    r2 = (
+        r1.join(nbrs.withColumnRenamed("node", "hop"), F.col("node") == F.col("hop"))
+        .select("seed", F.col("nbr").alias("node"))
+        .distinct()
+        .join(r1, ["seed", "node"], "left_anti")
+        .filter(F.col("node") != F.col("seed"))
+    )
+    r3 = (
+        r2.join(nbrs.withColumnRenamed("node", "hop"), F.col("node") == F.col("hop"))
+        .select("seed", F.col("nbr").alias("node"))
+        .distinct()
+        .join(r1, ["seed", "node"], "left_anti")
+        .join(r2, ["seed", "node"], "left_anti")
+        .filter(F.col("node") != F.col("seed"))
+    )
+    counts = (
+        r1.withColumn("dist", F.lit(1))
+        .unionAll(r2.withColumn("dist", F.lit(2)))
+        .unionAll(r3.withColumn("dist", F.lit(3)))
+        .groupBy("seed")
+        .agg(
+            F.sum(F.when(F.col("dist") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+            F.sum(F.when(F.col("dist") == 2, 1).otherwise(0)).cast("bigint").alias("n2"),
+            F.sum(F.when(F.col("dist") == 3, 1).otherwise(0)).cast("bigint").alias("n3"),
+        )
+    )
+    harmonic = (
+        F.col("n1").cast("double") * F.lit(1.0)
+        + F.col("n2").cast("double") * F.lit(0.5)
+        + F.col("n3").cast("double") * F.lit(_HC_THIRD)
+    )
+    return counts.select(
+        "seed",
+        "n1",
+        "n2",
+        "n3",
+        (F.floor(harmonic * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)).alias("harmonic_q"),
+    )

@@ -2547,3 +2547,99 @@ def value_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("cum") * 100 >= F.col("nt") * 90, F.col("lower"))).cast("bigint").alias("q90_lo"),
         F.min(F.when(F.col("cum") * 100 >= F.col("nt") * 99, F.col("lower"))).cast("bigint").alias("q99_lo"),
     ).withColumnRenamed("nt", "n")
+
+
+# ---------------------------------------------------------------------------
+# Change-point detection: binary segmentation over the daily value series
+# ---------------------------------------------------------------------------
+
+_CP_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS tot_c
+  FROM events GROUP BY 1),
+idx AS (SELECT day, tot_c, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i FROM daily),
+pre AS (
+  SELECT i, day, tot_c,
+         CAST(sum(tot_c) OVER (ORDER BY i) AS BIGINT) AS s1,
+         CAST(sum(tot_c * tot_c) OVER (ORDER BY i) AS BIGINT) AS s2
+  FROM idx),
+tot AS (SELECT max(i) AS n, max_by(s1, i) AS s1n, max_by(s2, i) AS s2n FROM pre),
+cand AS (
+  SELECT p.i AS split_i, p.day AS split_day,
+         (CAST(p.s2 AS DOUBLE) - CAST(p.s1 AS DOUBLE) * CAST(p.s1 AS DOUBLE) / CAST(p.i AS DOUBLE))
+         + (CAST(t.s2n - p.s2 AS DOUBLE)
+            - CAST(t.s1n - p.s1 AS DOUBLE) * CAST(t.s1n - p.s1 AS DOUBLE) / CAST(t.n - p.i AS DOUBLE))
+           AS cost,
+         CAST(p.s1 AS DOUBLE) / CAST(p.i AS DOUBLE) / 100.0 AS mean_left,
+         CAST(t.s1n - p.s1 AS DOUBLE) / CAST(t.n - p.i AS DOUBLE) / 100.0 AS mean_right
+  FROM pre p, tot t
+  WHERE p.i < t.n)
+SELECT CAST(split_i AS BIGINT) AS split_i, split_day,
+       floor(cost + 0.5) AS cost_q,
+       floor(mean_left * 1000000.0 + 0.5) / 1000000.0 AS mean_left_q,
+       floor(mean_right * 1000000.0 + 0.5) / 1000000.0 AS mean_right_q
+FROM cand
+ORDER BY cost ASC, split_i ASC
+LIMIT 1
+"""
+
+
+@query("daily_value_changepoint", oracle=_CP_SQL)
+def daily_value_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point detection (one binary-segmentation step): the split day
+    of the daily-revenue series that minimizes within-segment SSE on both
+    sides — computed in closed form from exact int64 prefix sums
+    (SSE = S2 - S1^2/n), so every candidate's cost is one O(1) expression
+    and the whole search is a single window pass + argmin, not an O(n^2)
+    re-aggregation. The standard first step of PELT/binseg monitoring for
+    level shifts in a KPI.
+
+    Scale shape: the heavy work is the per-day aggregation of the fact
+    (partial-agg groupBy); the series itself is calendar-sized, so the
+    unpartitioned prefix-sum window runs on a reduced frame (days, not
+    events — WindowExec single-partition is safe by construction).
+    Cent-integer sums make prefix sums exact; the cost doubles derive
+    from identical int64 inputs, so argmin ties break identically."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(F.sum(cents).alias("tot_c"))
+    w = Window.orderBy("day")
+    wrun = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "day",
+        "tot_c",
+        F.row_number().over(w).cast("bigint").alias("i"),
+    ).select(
+        "i",
+        "day",
+        F.sum("tot_c").over(wrun).alias("s1"),
+        F.sum(F.col("tot_c") * F.col("tot_c")).over(wrun).alias("s2"),
+    )
+    tot = pre.agg(
+        F.max("i").alias("n"), F.max_by("s1", "i").alias("s1n"), F.max_by("s2", "i").alias("s2n")
+    )
+    p = pre.crossJoin(F.broadcast(tot)).filter(F.col("i") < F.col("n"))
+    s1d, s2d, id_ = F.col("s1").cast("double"), F.col("s2").cast("double"), F.col("i").cast("double")
+    r1d = (F.col("s1n") - F.col("s1")).cast("double")
+    r2d = (F.col("s2n") - F.col("s2")).cast("double")
+    rnd = (F.col("n") - F.col("i")).cast("double")
+    cost = (s2d - s1d * s1d / id_) + (r2d - r1d * r1d / rnd)
+    return (
+        p.select(
+            F.col("i").alias("split_i"),
+            F.col("day").alias("split_day"),
+            cost.alias("cost"),
+            (s1d / id_ / F.lit(100.0)).alias("mean_left"),
+            (r1d / rnd / F.lit(100.0)).alias("mean_right"),
+        )
+        .orderBy(F.col("cost").asc(), F.col("split_i").asc())
+        .limit(1)
+        .select(
+            "split_i",
+            "split_day",
+            F.floor(F.col("cost") + F.lit(0.5)).cast("double").alias("cost_q"),
+            (F.floor(F.col("mean_left") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("mean_left_q"),
+            (F.floor(F.col("mean_right") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("mean_right_q"),
+        )
+    )

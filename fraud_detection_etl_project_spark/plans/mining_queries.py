@@ -3241,3 +3241,130 @@ def snapshot_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c") / F.lit(100.0)).alias("total_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential-pattern mining: frequent event-type trigrams across users
+# ---------------------------------------------------------------------------
+
+_SEQ_MIN_SUPPORT_FRAC = 0.01  # >= 1% of all trigram occurrences
+
+_SEQ_SQL = f"""
+WITH seq AS (
+  SELECT user_id, event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+tri AS (SELECT user_id, e1, e2, e3 FROM seq WHERE e3 IS NOT NULL),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tri)
+SELECT e1, e2, e3,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       floor(CAST(count(*) AS DOUBLE) / CAST(any_value(t.n_total) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS support_q
+FROM tri CROSS JOIN tot t
+GROUP BY 1, 2, 3
+HAVING CAST(count(*) AS DOUBLE) >= {_SEQ_MIN_SUPPORT_FRAC!r} * CAST(any_value(t.n_total) AS DOUBLE)
+"""
+
+
+@query("frequent_event_sequences", oracle=_SEQ_SQL)
+def frequent_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining (PrefixSpan's length-3 workhorse case):
+    event-type trigrams over each user's time-ordered stream, kept at
+    >= 1% relative support, with the distinct-user count that separates
+    "one bot looping" from "a common journey". The sequence family —
+    ordered patterns, not baskets — complements the co-occurrence rules
+    of basket_brand_rules and the order-1 chain of
+    markov_event_transitions.
+
+    Scale shape: trigrams come from two ``lead`` calls over one
+    per-user sorted window (no self-joins, no explode blowup — the
+    stream never fans out), then a partial-aggregated groupBy on the
+    trigram key bounded by |types|^3; the total-count scalar broadcasts
+    back. The (ts, event_id) sort key is a deterministic total order,
+    so both engines see identical trigrams."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+    )
+    tot = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    grouped = (
+        tri.crossJoin(F.broadcast(tot))
+        .groupBy("e1", "e2", "e3")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.first("n_total").alias("n_total"),
+        )
+    )
+    support = F.col("n").cast("double") / F.col("n_total").cast("double")
+    return (
+        grouped.filter(
+            F.col("n").cast("double") >= F.lit(_SEQ_MIN_SUPPORT_FRAC) * F.col("n_total").cast("double")
+        )
+        .select(
+            "e1",
+            "e2",
+            "e3",
+            "n",
+            "n_users",
+            (F.floor(support * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("support_q"),
+        )
+    )
+
+
+@query(
+    "snapshot_bloom_lookup_rollup",
+    oracle=f"""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {cents_sum_sql('o_totalprice')} AS total_price
+FROM orders
+WHERE o_custkey = (SELECT min(o_custkey) FROM orders)
+GROUP BY 1
+""",
+)
+def snapshot_bloom_lookup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter point-lookup file skipping (snapshot.py): orders is
+    committed HASH-distributed on o_custkey into 8 files — the layout
+    where min/max stats are useless (every file's key range covers every
+    probe) — with a per-file bloom on the key recorded in the manifest
+    (~10 bits/distinct key, md5 double hashing — portable, no engine
+    hash). The point lookup prunes every file whose bloom proves the key
+    absent BEFORE Spark sees the file list, then re-applies the predicate
+    as a pushed parquet filter so the bloom is an optimization, never a
+    correctness input (a false positive costs one extra file read; a
+    wrong prune would break this value hash). Type-gated probes: the
+    bloom only prunes when probe and key types match exactly, because
+    cast-equality ('0123' == 123) is invisible to a canonical-string
+    hash (tests/test_snapshot.py::test_bloom_string_keys...).
+
+    Scale: this is Delta/Iceberg bloom skipping re-derived — at 100 TB a
+    needle-in-haystack key lookup opens O(1 + FPR·#files) files instead
+    of all of them, from one O(#files) manifest read."""
+    from fraud_detection_etl_project_spark import snapshot as snap
+
+    tag = _fixture_tag(sf_dir, "orders")
+    t = os.path.join(tempfile.gettempdir(), f"snap_bloom_{tag}")
+    done = os.path.join(t, "_STAGED")
+    if not os.path.exists(done):
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        )
+        snap.overwrite(orders.repartition(8, "o_custkey"), t, bloom_columns=["o_custkey"])
+        with open(done, "w") as f:
+            f.write("")
+    key = _t(spark, sf_dir, "orders").agg(F.min("o_custkey")).collect()[0][0]
+    pruned = snap.scan(spark, t, [("o_custkey", "=", int(key))])
+    return pruned.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        cents_sum("o_totalprice").alias("total_price"),
+    )

@@ -3164,3 +3164,84 @@ def kmeans_coreset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             fxr(F.lit(1.0) / (F.lit(_CS_M) * F.col("p")), 4).alias("weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means|| oversampling round (Bahmani et al., VLDB 2012)
+# ---------------------------------------------------------------------------
+
+_KMPP_L = 16  # oversampling factor l = 2k for the k=8 codebooks above
+_KMPP_HASH_DEN = 16_777_216.0  # first 24 bits of md5 -> uniform [0,1)
+
+_KMPP_SQL = f"""
+WITH q AS (SELECT vec_id, {_kc_qv_sql()} AS v FROM embeddings),
+c0 AS (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 1),
+d AS (SELECT q.vec_id, {_kc_dist_sql('q.v', 'c0.v')} AS d2 FROM q, c0),
+phi AS (SELECT CAST(sum(d2) AS BIGINT) AS phi FROM d),
+sel AS (
+  SELECT d.vec_id, d.d2
+  FROM d, phi
+  WHERE CAST(('0x' || substring(md5('kmpp1|' || CAST(d.vec_id AS VARCHAR)), 1, 6)) AS BIGINT)
+        / {_KMPP_HASH_DEN!r}
+        < {_KMPP_L}.0 * CAST(d.d2 AS DOUBLE) / CAST(phi.phi AS DOUBLE))
+SELECT vec_id, CAST(d2 AS BIGINT) AS sq_dist FROM sel
+UNION ALL
+SELECT vec_id, CAST(0 AS BIGINT) AS sq_dist FROM c0
+"""
+
+
+@query("kmeans_parallel_oversample", oracle=_KMPP_SQL)
+def kmeans_parallel_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means|| oversampling round (Bahmani et al., VLDB 2012 — the
+    init MLlib itself uses): from the seed center, every point enters the
+    candidate set independently with probability l*d^2(x)/phi. Unlike
+    k-means++'s inherently sequential k passes, each || round samples ~l
+    candidates in ONE distributed pass — the init that makes k-means
+    tractable on a 100 TB embedding store (a few rounds + a local
+    re-cluster of the ~l*rounds candidates replace k full scans).
+
+    Determinism: distances are exact int64 on the _KC_Q lattice; the
+    "coin flip" is the first 24 bits of md5('kmpp1|'||vec_id) — the
+    repo's portable-hash idiom (doc_train_test_split) — so both engines
+    select the identical candidate set, no RNG state involved.
+
+    Scale shape: one scan computing d2 (codebook is a literal), one
+    4-byte-aggregate for phi broadcast back, one filtered scan for the
+    sample — no shuffle wider than the candidate set itself."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {_KC_Q}.0 + 0.5) AS BIGINT))"
+        ).alias("v"),
+    )
+    seed = q.orderBy("vec_id").limit(1).collect()[0]
+    arr = "array(" + ",".join(str(int(x)) for x in seed["v"]) + ")"
+    d2 = F.expr(
+        f"aggregate(zip_with(v, CAST({arr} AS ARRAY<BIGINT>),"
+        " (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+    )
+    d = q.select("vec_id", d2.alias("d2"))
+    phi = d.agg(F.sum("d2").cast("bigint").alias("phi"))
+    hash_frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmpp1|"), F.col("vec_id").cast("string")).cast("binary")),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(_KMPP_HASH_DEN)
+    )
+    sel = (
+        d.crossJoin(F.broadcast(phi))
+        .filter(
+            hash_frac
+            < F.lit(float(_KMPP_L)) * F.col("d2").cast("double") / F.col("phi").cast("double")
+        )
+        .select("vec_id", F.col("d2").cast("bigint").alias("sq_dist"))
+    )
+    seed_row = spark.createDataFrame([(int(seed["vec_id"]), 0)], "vec_id bigint, sq_dist bigint")
+    return sel.unionAll(seed_row)

@@ -1,0 +1,430 @@
+"""Fraud-risk analytics widening the round-5 surface: transaction-velocity
+rules (trailing-window rate checks, the classic card-fraud signal),
+structuring/smurfing detection (many just-below-threshold amounts), user
+behavioral diversity (Simpson index over event-type mix), robust outlier
+flagging (median/MAD modified z-scores, the Iglewicz–Hoaglin rule),
+a trained logistic risk model (hard-sigmoid gradient descent, exactly
+reproducible), and threshold-sweep precision/recall readouts.
+
+Reference parity: savitaj-Fraud-detection-ETL flags fraud with two static
+row filters (lambda_function_aws.py:41-45 — amount > 10000 OR country
+mismatch); these queries are the windowed / aggregate / trained fraud
+signals a production risk pipeline layers on top, each one a SURVEY.md §2
+"beyond the reference" family. Contract as everywhere in plans/: JVM-side
+DataFrame plans (zero Python in any hot path) and DuckDB oracles that
+reproduce the same integers / quantized doubles bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fraud_detection_etl_project_spark.functions.rounding import fxr
+from fraud_detection_etl_project_spark.plans.registry import query
+from fraud_detection_etl_project_spark.sources.parquet import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Velocity rule: trailing 24h count + amount per user, flag bursts
+# ---------------------------------------------------------------------------
+
+_VEL_WINDOW_S = 86_399  # trailing 24h, inclusive frame
+_VEL_MIN_N = 6
+_VEL_MIN_CENTS = 60_000  # $600 in 24h
+
+_VELOCITY_SQL = f"""
+SELECT event_id, user_id, n_24h, CAST(amt_c AS DOUBLE) / 100.0 AS amt_24h
+FROM (
+  SELECT event_id, user_id,
+         CAST(count(*) OVER w AS BIGINT) AS n_24h,
+         sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS amt_c
+  FROM events
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN {_VEL_WINDOW_S} PRECEDING AND CURRENT ROW)
+)
+WHERE n_24h >= {_VEL_MIN_N} OR amt_c >= {_VEL_MIN_CENTS}
+"""
+
+
+@query("txn_velocity_flags", oracle=_VELOCITY_SQL)
+def txn_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-velocity rule: for every event, the trailing-24h event
+    count and amount for its user (RANGE frame over epoch seconds), flagging
+    rows that exceed either a rate or an amount threshold — the standard
+    card-fraud burst signal the reference's static row filters
+    (lambda_function_aws.py:41-45) cannot express.
+
+    Scale shape: one hash shuffle on user_id, then a sorted range-frame
+    scan per user — no self-join blowup (the naive formulation is an
+    O(n·w) inequality self-join; the frame computes the same thing in one
+    ordered pass). Amounts sum as exact int64 cents inside the frame, so
+    the flag boundary is summation-order-free."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-_VEL_WINDOW_S, 0)
+    )
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_24h"),
+            F.sum(cents).over(w).alias("amt_c"),
+        )
+        .filter((F.col("n_24h") >= _VEL_MIN_N) | (F.col("amt_c") >= _VEL_MIN_CENTS))
+        .select(
+            "event_id",
+            "user_id",
+            "n_24h",
+            (F.col("amt_c").cast("double") / F.lit(100.0)).alias("amt_24h"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structuring (smurfing): repeated just-below-threshold amounts per user-day
+# ---------------------------------------------------------------------------
+
+_STR_LO, _STR_HI = 40.0, 50.0  # "just below" the 50-unit reporting line
+_STR_MIN_N = 2
+
+_STRUCTURING_SQL = f"""
+SELECT user_id, CAST(ts AS DATE) AS day,
+       CAST(count(*) AS BIGINT) AS n_near_threshold,
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS near_total
+FROM events
+WHERE value >= {_STR_LO} AND value < {_STR_HI}
+GROUP BY 1, 2
+HAVING count(*) >= {_STR_MIN_N}
+"""
+
+
+@query("amount_structuring_daily", oracle=_STRUCTURING_SQL)
+def amount_structuring_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structuring/smurfing detector: users who place >= {n} transactions in
+    one day inside the band just below a reporting threshold — splitting one
+    large transfer into several sub-threshold ones is the canonical AML
+    pattern, and it is invisible to the reference's single-row amount rule
+    (``amount > 10000``, lambda_function_aws.py:41).
+
+    Scale shape: the band predicate pushes down to the parquet scan
+    (PushedFilters on value), then one partial-aggregated groupBy on
+    (user, day); output is bounded by flagged user-days, not events.
+    Cent-exact integer sums keep the HAVING boundary deterministic."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    return (
+        e.filter((F.col("value") >= _STR_LO) & (F.col("value") < _STR_HI))
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_near_threshold"),
+            (F.sum(cents).cast("double") / F.lit(100.0)).alias("near_total"),
+        )
+        .filter(F.col("n_near_threshold") >= _STR_MIN_N)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral diversity: Simpson index of the per-user event-type mix
+# ---------------------------------------------------------------------------
+
+_SIMPSON_SQL = """
+WITH per_type AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+per_user AS (
+  SELECT user_id,
+         CAST(sum(n) AS BIGINT) AS n_events,
+         CAST(sum(n * (n - 1)) AS BIGINT) AS same_pairs
+  FROM per_type GROUP BY 1)
+SELECT user_id, n_events,
+       floor((1.0 - CAST(same_pairs AS DOUBLE) / (CAST(n_events AS DOUBLE) * (CAST(n_events AS DOUBLE) - 1.0))) * 1000000000.0 + 0.5) / 1000000000.0
+         AS simpson_diversity
+FROM per_user
+WHERE n_events > 1
+"""
+
+
+@query("user_type_simpson_diversity", oracle=_SIMPSON_SQL)
+def user_type_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-fingerprint score: the Simpson diversity index
+    1 - sum(n_i*(n_i-1)) / (N*(N-1)) of each user's event-type mix — the
+    probability two of the user's events differ in type. Bot-like accounts
+    (one repeated action) score near 0, organic ones near the type-count
+    ceiling; unlike Shannon entropy this is a pure rational in the counts,
+    so it is exactly reproducible with integer sums and one quantized
+    division (no libm parity risk).
+
+    Scale shape: two partial-aggregated groupBys (user×type, then user) —
+    both map-side combinable; the type fan-in per user is the distinct
+    type count, so the intermediate is bounded."""
+    e = _t(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    per_user = per_type.groupBy("user_id").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum(F.col("n") * (F.col("n") - 1)).cast("bigint").alias("same_pairs"),
+    )
+    nd = F.col("n_events").cast("double")
+    div = F.lit(1.0) - F.col("same_pairs").cast("double") / (nd * (nd - F.lit(1.0)))
+    return per_user.filter(F.col("n_events") > 1).select(
+        "user_id",
+        "n_events",
+        (F.floor(div * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)).alias("simpson_diversity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers: median/MAD modified z-score (Iglewicz–Hoaglin) per type
+# ---------------------------------------------------------------------------
+
+# Work on exact int64 cents; a median of ints interpolates to at worst a
+# .5, which both engines represent and combine identically — this sidesteps
+# any engine difference in continuous-quantile interpolation on raw doubles.
+_MAD_Z = 3.5
+_MAD_K = 0.6745
+
+_MAD_SQL = f"""
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events),
+med AS (
+  SELECT event_type, median(cents) AS med_c FROM c GROUP BY 1),
+dev AS (
+  SELECT c.event_type, c.cents, m.med_c, abs(2.0 * c.cents - 2.0 * m.med_c) AS dev2
+  FROM c JOIN med m ON c.event_type = m.event_type),
+mad AS (
+  SELECT event_type, median(dev2) AS mad2 FROM dev GROUP BY 1)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       floor(any_value(d.med_c) / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS med_value,
+       floor(any_value(a.mad2) / 200.0 * 1000000.0 + 0.5) / 1000000.0 AS mad_value,
+       CAST(sum(CASE WHEN a.mad2 > 0
+                      AND abs({_MAD_K} * (2.0 * d.cents - 2.0 * d.med_c) / a.mad2) > {_MAD_Z}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d
+JOIN mad a ON d.event_type = a.event_type
+GROUP BY 1
+"""
+
+
+@query("value_mad_outlier_flags", oracle=_MAD_SQL)
+def value_mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier audit: modified z-score
+    0.6745*(x - median)/MAD with the Iglewicz–Hoaglin |z| > 3.5 rule —
+    unlike mean/stddev z-scores this survives the very outliers it hunts
+    (50% breakdown point). Values quantize to int64 cents first, so the
+    two median passes interpolate between integers (worst case a .5) and
+    every engine combines them bit-identically; deviations double to
+    ``|2x - 2·med|`` to stay integral.
+
+    Scale shape: two grouped exact medians over the type key (5 groups
+    here; at 100 TB swap ``percentile`` for ``percentile_approx`` — same
+    plan shape, bounded sketch memory) plus two broadcast joins of the
+    tiny per-type stats back onto the facts."""
+    e = _t(spark, sf_dir, "events")
+    c = e.select(
+        "event_type", F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long").alias("cents")
+    )
+    med = c.groupBy("event_type").agg(F.expr("percentile(cents, 0.5)").alias("med_c"))
+    dev = c.join(F.broadcast(med), "event_type").withColumn(
+        "dev2", F.abs(F.lit(2.0) * F.col("cents") - F.lit(2.0) * F.col("med_c"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(dev2, 0.5)").alias("mad2"))
+    z = F.lit(_MAD_K) * (F.lit(2.0) * F.col("cents") - F.lit(2.0) * F.col("med_c")) / F.col("mad2")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            fxr(F.first("med_c") / F.lit(100.0), 6).alias("med_value"),
+            fxr(F.first("mad2") / F.lit(200.0), 6).alias("mad_value"),
+            F.sum(
+                F.when((F.col("mad2") > 0) & (F.abs(z) > _MAD_Z), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trained logistic risk model: hard-sigmoid gradient descent, 2 exact steps
+# ---------------------------------------------------------------------------
+
+_LG_LR = 0.5
+_LG_Q = 1e9
+_LG_XSCALE = 100_000.0  # o_totalprice / 1e5 keeps z in the hard-sigmoid ramp
+
+
+def _lg_step_sql(i: int) -> str:
+    """One unrolled gradient step: residuals quantize row-wise to 1e-9
+    before the integer sum, so the aggregate is summation-order-free."""
+    return f"""
+g{i} AS (
+  SELECT sum(CAST(floor((y - s) * x1 * {_LG_Q!r} + 0.5) AS BIGINT)) AS g1_q,
+         sum(CAST(floor((y - s) * {_LG_Q!r} + 0.5) AS BIGINT)) AS g0_q,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT x1, y,
+               least(greatest(0.25 * (cw1 * x1 + cw0) + 0.5, 0.0), 1.0) AS s
+        FROM feats, wt{i - 1})),
+wt{i} AS (
+  SELECT cw1 + {_LG_LR!r} * (CAST(g1_q AS DOUBLE) / {_LG_Q!r}) / CAST(n AS DOUBLE) AS cw1,
+         cw0 + {_LG_LR!r} * (CAST(g0_q AS DOUBLE) / {_LG_Q!r}) / CAST(n AS DOUBLE) AS cw0
+  FROM g{i}, wt{i - 1})"""
+
+
+_LOGIT_SQL = f"""
+WITH feats AS (
+  SELECT o_totalprice / {_LG_XSCALE!r} AS x1,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1.0 ELSE 0.0 END AS y
+  FROM orders),
+wt0 AS (SELECT 0.0 AS cw1, 0.0 AS cw0),{_lg_step_sql(1)},{_lg_step_sql(2)}
+SELECT floor(cw1 * {_LG_Q!r} + 0.5) / {_LG_Q!r} AS w1_fit,
+       floor(cw0 * {_LG_Q!r} + 0.5) / {_LG_Q!r} AS w0_fit,
+       (SELECT CAST(sum(CASE WHEN least(greatest(0.25 * (w.cw1 * f.x1 + w.cw0) + 0.5, 0.0), 1.0) >= 0.5
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM feats f, wt2 w) AS n_pred_pos,
+       (SELECT CAST(count(*) AS BIGINT) FROM feats) AS n_rows
+FROM wt2
+"""
+
+
+@query("logit_priority_hardsigmoid", oracle=_LOGIT_SQL)
+def logit_priority_hardsigmoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained logistic risk model: two full-batch gradient-descent steps
+    predicting high-priority orders from price, with the hard-sigmoid link
+    clamp(0.25z + 0.5, 0, 1) — the piecewise-rational sigmoid used when
+    exact reproducibility matters (no exp(), so zero libm parity risk).
+    Per-row residuals quantize to 1e-9 and sum as int64 (order-free);
+    weights are driver-side scalars between steps, exactly the k·d-floats-
+    as-parameters discipline of embedding_kmeans_2iter.
+
+    Scale shape: each step is ONE scan + partial aggregate over the fact
+    (no shuffle wider than the 3-number gradient); a 1-row collect carries
+    the weights — parameters, not data. More features widen the gradient
+    tuple, not the plan."""
+    o = _t(spark, sf_dir, "orders")
+    feats = o.select(
+        (F.col("o_totalprice") / F.lit(_LG_XSCALE)).alias("x1"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+    w1, w0 = 0.0, 0.0
+    for _ in range(2):
+        s = F.least(
+            F.greatest(F.lit(0.25) * (F.lit(w1) * F.col("x1") + F.lit(w0)) + F.lit(0.5), F.lit(0.0)),
+            F.lit(1.0),
+        )
+        g = feats.select(
+            F.floor((F.col("y") - s) * F.col("x1") * F.lit(_LG_Q) + F.lit(0.5))
+            .cast("long")
+            .alias("g1"),
+            F.floor((F.col("y") - s) * F.lit(_LG_Q) + F.lit(0.5)).cast("long").alias("g0"),
+        ).agg(F.sum("g1").alias("g1_q"), F.sum("g0").alias("g0_q"), F.count(F.lit(1)).alias("n"))
+        row = g.collect()[0]
+        w1 = w1 + _LG_LR * (row["g1_q"] / _LG_Q) / float(row["n"])
+        w0 = w0 + _LG_LR * (row["g0_q"] / _LG_Q) / float(row["n"])
+    s_final = F.least(
+        F.greatest(F.lit(0.25) * (F.lit(w1) * F.col("x1") + F.lit(w0)) + F.lit(0.5), F.lit(0.0)),
+        F.lit(1.0),
+    )
+    return feats.agg(
+        F.lit(math_floor_q(w1, _LG_Q)).alias("w1_fit"),
+        F.lit(math_floor_q(w0, _LG_Q)).alias("w0_fit"),
+        F.sum(F.when(s_final >= 0.5, F.lit(1)).otherwise(F.lit(0))).cast("bigint").alias("n_pred_pos"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+
+
+def math_floor_q(x: float, q: float) -> float:
+    """floor(x*q + 0.5)/q on the driver — same formula as fxr/the oracles."""
+    import math
+
+    return math.floor(x * q + 0.5) / q
+
+
+# ---------------------------------------------------------------------------
+# Threshold-sweep PR metrics: precision/recall/F1 at fixed score cutoffs
+# ---------------------------------------------------------------------------
+
+_PR_THRESHOLDS = [2_000, 5_000, 10_000, 20_000, 30_000]  # score cutoffs, cents
+
+
+def _pr_sweep_sql() -> str:
+    vals = ", ".join(f"({t})" for t in _PR_THRESHOLDS)
+    return f"""
+WITH scored AS (
+  SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS score_c,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+  FROM events),
+thr(t) AS (VALUES {vals}),
+agg AS (
+  SELECT t,
+         CAST(sum(CASE WHEN score_c >= t AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN score_c >= t AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN score_c <  t AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM scored CROSS JOIN thr GROUP BY t)
+SELECT t AS threshold_c, tp, fp, fn,
+       floor(CAST(tp AS DOUBLE) / (tp + fp) * 1000000.0 + 0.5) / 1000000.0 AS precision_q,
+       floor(CAST(tp AS DOUBLE) / (tp + fn) * 1000000.0 + 0.5) / 1000000.0 AS recall_q,
+       floor(2.0 * CAST(tp AS DOUBLE) / (2.0 * tp + fp + fn) * 1000000.0 + 0.5) / 1000000.0 AS f1_q
+FROM agg
+WHERE tp + fp > 0 AND tp + fn > 0
+"""
+
+
+@query("threshold_sweep_pr_metrics", oracle=_pr_sweep_sql())
+def threshold_sweep_pr_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point selection for a risk rule: precision / recall / F1
+    at a sweep of score thresholds (score = amount, label = error events) —
+    the readout an analyst uses to pick the alert cutoff. Complements the
+    rank-based ROC-AUC (nb_en_score_auc) with the threshold-explicit PR
+    view that matters for imbalanced fraud classes.
+
+    Scale shape: the threshold list is a literal inline table CROSS JOINed
+    onto one scan (|thresholds| × partial-agg, map-side combined) — one
+    pass over the facts regardless of sweep size; counts are exact int64
+    so every ratio is reproducible."""
+    e = _t(spark, sf_dir, "events")
+    scored = e.select(
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long").alias("score_c"),
+        F.when(F.col("event_type") == "error", F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    thr = spark.createDataFrame([(t,) for t in _PR_THRESHOLDS], "t bigint")
+    agg = (
+        scored.crossJoin(F.broadcast(thr))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when((F.col("score_c") >= F.col("t")) & (F.col("y") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(F.when((F.col("score_c") >= F.col("t")) & (F.col("y") == 0), 1).otherwise(0))
+            .cast("bigint")
+            .alias("fp"),
+            F.sum(F.when((F.col("score_c") < F.col("t")) & (F.col("y") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias("fn"),
+        )
+    )
+    tp, fp, fn = F.col("tp").cast("double"), F.col("fp").cast("double"), F.col("fn").cast("double")
+    return (
+        agg.filter((F.col("tp") + F.col("fp") > 0) & (F.col("tp") + F.col("fn") > 0))
+        .select(
+            F.col("t").alias("threshold_c"),
+            "tp",
+            "fp",
+            "fn",
+            fxr(tp / (tp + fp), 6).alias("precision_q"),
+            fxr(tp / (tp + fn), 6).alias("recall_q"),
+            fxr(F.lit(2.0) * tp / (F.lit(2.0) * tp + fp + fn), 6).alias("f1_q"),
+        )
+    )

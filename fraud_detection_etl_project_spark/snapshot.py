@@ -153,11 +153,89 @@ def _file_stats(path: str) -> dict:
     }
 
 
-def _stage_data_files(df: DataFrame, table_path: str) -> tuple[list[str], dict]:
+_BLOOM_K = 7  # hash count; with >= 10 bits/key FPR is under ~1%
+_BLOOM_MIN_BITS = 256
+
+
+def _bloom_bits(value, m: int) -> list[int]:
+    """The k bit positions for a value: md5-based double hashing
+    (portable — no engine/runtime hash involved). Values canonicalize as
+    str(int) for ints and the raw string for strs, so the probe side and
+    the build side agree regardless of numpy/python int types."""
+    import hashlib
+
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        raise TypeError(f"bloom keys must be int or str, got {type(value).__name__}")
+    canon = str(int(value)) if isinstance(value, int) else value
+    h = hashlib.md5(canon.encode("utf-8")).hexdigest()
+    h1, h2 = int(h[:8], 16), int(h[8:16], 16) | 1
+    return [(h1 + i * h2) % m for i in range(_BLOOM_K)]
+
+
+def _file_bloom(path: str, columns: list[str]) -> dict:
+    """Per-column bloom filter over a data file's DISTINCT values, for
+    point-lookup ("=") file skipping where min/max ranges are useless
+    (high-cardinality keys spread across every file's range). Reads only
+    the requested columns (columnar); sized at ~10 bits per distinct key.
+    Only int/str columns are recorded — anything else is silently absent,
+    which plan_files treats as un-prunable (conservative)."""
+    import base64
+
+    import pyarrow.parquet as pq
+
+    out = {}
+    table = pq.read_table(path, columns=[c for c in columns if c])
+    for c in table.column_names:
+        vals = set(v for v in table.column(c).to_pylist() if v is not None)
+        if not vals:
+            continue
+        if all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
+            kind = "i"
+        elif all(isinstance(v, str) for v in vals):
+            kind = "s"
+        else:
+            continue  # floats / mixed / exotic: not bloom keys
+        m = max(_BLOOM_MIN_BITS, 10 * len(vals))
+        bits = bytearray((m + 7) // 8)
+        for v in vals:
+            for b in _bloom_bits(v, m):
+                bits[b >> 3] |= 1 << (b & 7)
+        out[c] = {
+            "m": m,
+            "k": _BLOOM_K,
+            "t": kind,
+            "b64": base64.b64encode(bytes(bits)).decode(),
+        }
+    return out
+
+
+def _bloom_maybe_contains(bloom: dict, value) -> bool:
+    """False means PROVABLY absent from the file; True means maybe.
+    The probe must match the bloom's recorded key type exactly — a
+    cross-type equality goes through the engine's cast semantics
+    ('0123' == 123 is true after cast) which the canonical string hash
+    cannot reproduce, so it never prunes."""
+    import base64
+
+    probe_kind = (
+        "i" if isinstance(value, int) and not isinstance(value, bool)
+        else "s" if isinstance(value, str)
+        else None
+    )
+    if probe_kind is None or probe_kind != bloom.get("t"):
+        return True  # type mismatch or unsupported probe: never prune
+    positions = _bloom_bits(value, bloom["m"])
+    bits = base64.b64decode(bloom["b64"])
+    return all(bits[b >> 3] & (1 << (b & 7)) for b in positions)
+
+
+def _stage_data_files(
+    df: DataFrame, table_path: str, bloom_columns: list[str] | None = None
+) -> tuple[list[str], dict]:
     """Write df's partitions as parquet under data/ with globally unique
     names (stage dir -> rename). Files are immutable once named; a
     failed job leaves only unreferenced staging garbage for vacuum.
-    Returns (names, {name: footer stats})."""
+    Returns (names, {name: footer stats [+ per-column blooms]})."""
     _, ddir = _paths(table_path)
     os.makedirs(ddir, exist_ok=True)
     stage = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
@@ -170,6 +248,8 @@ def _stage_data_files(df: DataFrame, table_path: str) -> tuple[list[str], dict]:
             os.replace(os.path.join(stage, f), final)
             names.append(unique)
             stats[unique] = _file_stats(final)
+            if bloom_columns:
+                stats[unique]["bloom"] = _file_bloom(final, bloom_columns)
     shutil.rmtree(stage, ignore_errors=True)
     return names, stats
 
@@ -221,11 +301,16 @@ def _publish(
     return version
 
 
-def overwrite(df: DataFrame, table_path: str) -> int:
+def overwrite(
+    df: DataFrame, table_path: str, bloom_columns: list[str] | None = None
+) -> int:
     """Commit a new version whose file set is exactly df — the previous
-    version's files stay readable via time travel. Returns the version."""
+    version's files stay readable via time travel. ``bloom_columns``
+    additionally records a per-file bloom filter for each named column,
+    enabling point-lookup file skipping in ``plan_files``/``scan``.
+    Returns the version."""
     parent = current_version(table_path)
-    files, stats = _stage_data_files(df, table_path)
+    files, stats = _stage_data_files(df, table_path, bloom_columns)
     return _publish(
         table_path, files, "overwrite", parent, stats, schema_json=df.schema.json()
     )
@@ -275,18 +360,23 @@ def committed_batch_ids(table_path: str) -> set[str]:
     return ids
 
 
-def append(df: DataFrame, table_path: str, batch_id: str | None = None) -> int:
+def append(
+    df: DataFrame,
+    table_path: str,
+    batch_id: str | None = None,
+    bloom_columns: list[str] | None = None,
+) -> int:
     """Commit a new version = parent's files + df's files. Returns the
     version. With ``batch_id``, the append is idempotent: a batch id
     already present in a live manifest makes this a no-op (returns the
     current version unchanged) — the exactly-once contract for
-    Structured Streaming retries."""
+    Structured Streaming retries. ``bloom_columns`` as in overwrite()."""
     if batch_id is not None and batch_id in committed_batch_ids(table_path):
         return current_version(table_path)  # replayed micro-batch: no-op
     parent = current_version(table_path)
     prev = _manifest_files(table_path, parent) if parent else ([], {})
     schema_json = _evolved_schema_json(table_path, parent, df)
-    files, stats = _stage_data_files(df, table_path)
+    files, stats = _stage_data_files(df, table_path, bloom_columns)
     return _publish(
         table_path,
         prev[0] + files,
@@ -347,9 +437,17 @@ def plan_files(
     kept = []
     for f in files:
         cols = stats.get(f, {}).get("columns", {})
+        blooms = stats.get(f, {}).get("bloom", {})
         rows = stats.get(f, {}).get("rows")
         ok = True
         for col, op, val in predicates:
+            # bloom check first: for point lookups on high-cardinality
+            # keys the min/max range almost never prunes (every file's
+            # range covers the probe) but the bloom usually does
+            if op in ("=", "==") and col in blooms:
+                if not _bloom_maybe_contains(blooms[col], val):
+                    ok = False  # provably absent from this file
+                    break
             s = cols.get(col)
             if s is None or op not in _OPS:
                 continue

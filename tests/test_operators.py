@@ -199,6 +199,38 @@ def test_pagerank_star_graph(spark):
     assert dist == r
 
 
+def test_personalized_pagerank_paths_and_semantics(spark):
+    from fraud_detection_etl_project_spark.operators.graph import personalized_pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "node long")
+    # 0 -> 1 -> 2 -> 3 chain plus an isolated 4 <-> 5 pair
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (2, 3, 1), (4, 5, 1), (5, 4, 1)],
+        "src long, dst long, weight long",
+    )
+    r = {
+        row["node"]: row["r"]
+        for row in personalized_pagerank(nodes, edges, seeds=[0], iterations=4).collect()
+    }
+    # mass decays with distance from the seed; unreachable pair gets none
+    assert r[0] > r[1] > r[2] > r[3] > 0
+    assert r[4] == 0.0 and r[5] == 0.0
+    # the distributed path (fast path bypassed) is bit-identical
+    dist = {
+        row["node"]: row["r"]
+        for row in personalized_pagerank(
+            nodes, edges, seeds=[0], iterations=4, local_edge_threshold=0
+        ).collect()
+    }
+    assert dist == r
+    # seeding elsewhere moves the mass: the pair cycle holds its rank
+    r2 = {
+        row["node"]: row["r"]
+        for row in personalized_pagerank(nodes, edges, seeds=[4, 5], iterations=4).collect()
+    }
+    assert r2[4] > 0 and r2[5] > 0 and r2[0] == 0.0
+
+
 def test_asof_join_forward(spark):
     trades = spark.createDataFrame(
         [(1, "A", _ts("2024-01-01T10:00:30")), (2, "A", _ts("2024-01-01T10:02:00")),

@@ -430,3 +430,56 @@ def test_snapshot_of_fixture_table_pushdown_intact(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,O)" in plan
     assert df.count() == orders.filter(F.col("o_orderstatus") == "O").count()
+
+
+def test_bloom_point_lookup_skipping(spark, tmp_path):
+    """Per-file bloom filters prune point lookups that min/max cannot:
+    keys hash-distributed across files make every file's [min, max]
+    cover every probe, yet the bloom skips all files but the ones that
+    really hold the key — and never skips a file that does hold it
+    (exhaustive check over the full key domain)."""
+    t = str(tmp_path / "tbl")
+    # hash-distribute keys so every file's min/max spans ~the full range
+    df = _nums(spark, 0, 2000).repartition(8, "n")
+    S.overwrite(df, t, bloom_columns=["n"])
+    m = S.read_manifest(t, 1)
+    assert len(m["files"]) == 8
+    for f in m["files"]:
+        assert "n" in m["stats"][f]["bloom"]
+    # min/max alone cannot prune a mid-range probe; bloom must
+    kept, total = S.plan_files(t, [("n", "=", 777)])
+    assert total == 8 and len(kept) < 8, (len(kept), total)
+    # correctness across the whole domain: the owning file is never pruned
+    for probe in range(0, 2000, 97):
+        assert S.scan(spark, t, [("n", "=", probe)]).count() == 1, probe
+    # absent key: still zero rows (post-prune filter is authoritative)
+    assert S.scan(spark, t, [("n", "=", 99_999)]).count() == 0
+    # non-equality ops ignore the bloom (stats path unchanged)
+    assert S.scan(spark, t, [("n", "<", 10)]).count() == 10
+
+
+def test_bloom_string_keys_and_unsupported_probe(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 400).select(
+        F.concat(F.lit("user-"), F.col("id").cast("string")).alias("k")
+    ).repartition(4, "k")
+    S.overwrite(df, t, bloom_columns=["k"])
+    kept, total = S.plan_files(t, [("k", "=", "user-123")])
+    assert total == 4 and len(kept) < 4
+    assert S.scan(spark, t, [("k", "=", "user-123")]).count() == 1
+    # probing a bloom'd string column with a non-str value: never prunes
+    kept2, _ = S.plan_files(t, [("k", "=", 123)])
+    assert len(kept2) == 4
+
+
+def test_bloom_absent_column_is_unprunable(spark, tmp_path):
+    """bloom_columns naming a float column records nothing (floats are
+    not bloom keys), and lookups on it keep every file."""
+    t = str(tmp_path / "tbl")
+    df = _nums(spark, 0, 100).select(
+        "n", (F.col("n").cast("double") / 7.0).alias("x")
+    ).repartition(4, "n")
+    S.overwrite(df, t, bloom_columns=["x"])
+    m = S.read_manifest(t, 1)
+    for f in m["files"]:
+        assert "x" not in m["stats"][f].get("bloom", {})
