@@ -186,9 +186,15 @@ def salted_pair_self_join(
     value-checks the salted one unchanged. Shared by the MinHash LSH
     band path and the SimHash pigeonhole band path.
     """
+    from pyspark.sql import Window
+
     keys = list(key_cols)
-    sizes = exploded.groupBy(*keys).agg(F.count(F.lit(1)).alias("sz"))
-    e = exploded.join(sizes, keys).persist()
+    # bucket size via a window count, not agg + re-join: one shuffle on the
+    # bucket key instead of two, and the window's output partitioning
+    # (hash on keys) is exactly what the cool self-join below requires, so
+    # that join adds NO further exchange on the cool side
+    sz = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    e = exploded.withColumn("sz", sz).persist()
 
     cool = e.filter(F.col("sz") <= bucket_cap).drop("sz")
     a, b = cool.alias("a"), cool.alias("b")
