@@ -93,6 +93,12 @@ from fraud_detection_etl_project_spark.plans import risk_queries  # noqa: F401,E
 # snapshot-versioned table format); bucketing stays covered in-window
 # by order_price_equidepth_approx, and orders_price_buckets remains
 # registered in the displaced section, oracle-verified.
+# Round-5 swap (2): order_fill_left_join -> txn_velocity_flags so the
+# driver's gate witnesses the round-5 fraud-risk family (trailing-window
+# velocity rule); the left-join shape stays covered in-window by
+# orders_without_lineitems (left anti) and the q-suite's outer joins,
+# and order_fill_left_join remains registered right after the prefix,
+# oracle-verified.
 # Round-3 swaps (4): multimodal_gif_stats -> multimodal_jpeg_stats in
 # the image-decode slot (JPEG is the first LOSSY codec: full T.81
 # Huffman+IDCT pipeline, conformance-tested both directions against
@@ -119,7 +125,7 @@ FAMILY_PREFIX = [
     "simhash128_hamming_pairs",
     "nation_trade_pagerank",
     "region_customer_rollup",
-    "order_fill_left_join",
+    "txn_velocity_flags",
     "multimodal_jpeg_stats",
     "neardup_pairs_salted",
     "customers_with_big_orders",
@@ -157,6 +163,7 @@ FAMILY_PREFIX = [
     # beyond the driver's 50-query sample window: displaced + newer
     # families, covered by tests/test_full_registry.py on every pytest run
     "avro_sink_roundtrip",
+    "order_fill_left_join",
     "distinct_user_event_pairs",
     "simhash_hamming_pairs",
     "doc_containment_pairs",
