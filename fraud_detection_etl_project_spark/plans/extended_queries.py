@@ -3074,3 +3074,33 @@ def surrogate_key_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         local.join(F.broadcast(offsets.select("pid", "off")), "pid")
         .select("c_custkey", (F.col("off") + F.col("lrank")).cast("bigint").alias("surrogate_key"))
     )
+
+
+_SVA_MIN_EVENTS = 8
+
+
+@query(
+    "stream_velocity_alerts",
+    oracle=f"""
+SELECT make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 43200) * 43200 - k * 43200) * 1000000)
+         AS window_start,
+       user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS window_amount
+FROM events, UNNEST([0, 1]) AS t(k)
+GROUP BY 1, 2
+HAVING count(*) >= {_SVA_MIN_EVENTS}
+""",
+)
+def stream_velocity_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming fraud-velocity rule: per-user counts + exact cent sums
+    over 24h/12h sliding event-time windows, alerting on window-user
+    cells with >= 8 events — the continuous counterpart of the batch
+    trailing-frame rule (txn_velocity_flags). Sliding cells are the
+    scale design: per-(window,user) state is watermark-GC'd, where a
+    per-event trailing frame on a stream would buffer unboundedly. The
+    batch oracle materializes the same epoch-aligned window assignment
+    with an explicit unnested slide offset."""
+    from fraud_detection_etl_project_spark.streaming.windows import user_velocity_alerts
+
+    return user_velocity_alerts(spark, sf_dir, min_events=_SVA_MIN_EVENTS)

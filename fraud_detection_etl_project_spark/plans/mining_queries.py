@@ -3368,3 +3368,122 @@ def snapshot_bloom_lookup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         cents_sum("o_totalprice").alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter probabilistic record linkage over blocked candidates
+# ---------------------------------------------------------------------------
+
+# m/u parameters (P[field agrees | match] / P[field agrees | non-match]) are
+# model inputs trained offline (EM over labeled pairs); here they are fixed
+# engine-shared constants, and every log-weight is PRECOMPUTED in Python so
+# no ln() runs at query time in either engine (zero libm parity risk).
+import math as _math
+
+_FS_FIELDS = [
+    # (label, m, u)
+    ("name", 0.95, 0.02),
+    ("balance_band", 0.80, 0.10),
+    ("id_proximity", 0.70, 0.01),
+]
+_FS_AGREE_W = {lab: _math.log(m / u) for lab, m, u in _FS_FIELDS}
+_FS_DISAGREE_W = {lab: _math.log((1 - m) / (1 - u)) for lab, m, u in _FS_FIELDS}
+_FS_LOWER = 0.0  # possible-link review threshold
+_FS_UPPER = 4.0  # auto-link threshold
+_FS_NAME_MAX = 2  # levenshtein agreement cutoff
+
+
+def _fs_score_sql(a: str, b: str) -> str:
+    terms = []
+    conds = {
+        "name": f"levenshtein({a}.c_name, {b}.c_name) <= {_FS_NAME_MAX}",
+        "balance_band": f"floor({a}.c_acctbal / 1000.0) = floor({b}.c_acctbal / 1000.0)",
+        "id_proximity": (
+            f"abs(CAST(regexp_extract({a}.c_name, '([0-9]+)$', 1) AS BIGINT)"
+            f" - CAST(regexp_extract({b}.c_name, '([0-9]+)$', 1) AS BIGINT)) <= 100"
+        ),
+    }
+    for lab, _, _ in _FS_FIELDS:
+        # CAST: a bare numeric literal parses as DECIMAL in some engines,
+        # and an all-DECIMAL CASE chain overflows on the quantize multiply;
+        # the weights are IEEE doubles by definition
+        terms.append(
+            f"(CASE WHEN {conds[lab]} THEN CAST({_FS_AGREE_W[lab]!r} AS DOUBLE)"
+            f" ELSE CAST({_FS_DISAGREE_W[lab]!r} AS DOUBLE) END)"
+        )
+    return " + ".join(terms)
+
+
+_FS_SQL = f"""
+SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+       floor(({_fs_score_sql('a', 'b')}) * 1000000.0 + 0.5) / 1000000.0 AS fs_score_q,
+       CASE WHEN ({_fs_score_sql('a', 'b')}) >= {_FS_UPPER!r} THEN 'link'
+            ELSE 'possible' END AS decision
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+ AND a.c_custkey < b.c_custkey
+WHERE ({_fs_score_sql('a', 'b')}) >= {_FS_LOWER!r}
+"""
+
+
+@query("fellegi_sunter_linkage", oracle=_FS_SQL)
+def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (Fellegi–Sunter, JASA 1969 — the model
+    under Splink and every production MDM dedupe): blocked candidate pairs
+    get a log-likelihood score summing per-field agreement weights
+    ln(m/u) / disagreement weights ln((1-m)/(1-u)) over three comparators
+    (name edit distance, balance band, id proximity), then classify
+    link / possible-link by thresholds. Upgrades the repo's deterministic
+    ER family (customer_er_matches' single edit-distance cutoff) to the
+    weighted-evidence model real linkage runs.
+
+    Determinism: m/u are engine-shared constants and every log-weight is
+    precomputed in Python — the score is a fixed-order sum of three
+    double literals selected by exact predicates, so no ln() and no
+    summation-order hazard at query time.
+
+    Scale shape: candidates come from the same equality blocking as the
+    ER family (nation × segment keys — never the n² cross join); the
+    score is a row-local expression over the pair, so cost is
+    O(candidates). Tighter blocking or an added LSH key bounds hot
+    blocks, exactly as documented for the dedup band joins."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    a, b = c.alias("a"), c.alias("b")
+    conds = {
+        "name": F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= _FS_NAME_MAX,
+        "balance_band": F.floor(F.col("a.c_acctbal") / F.lit(1000.0))
+        == F.floor(F.col("b.c_acctbal") / F.lit(1000.0)),
+        "id_proximity": F.abs(
+            F.regexp_extract(F.col("a.c_name"), r"([0-9]+)$", 1).cast("bigint")
+            - F.regexp_extract(F.col("b.c_name"), r"([0-9]+)$", 1).cast("bigint")
+        )
+        <= 100,
+    }
+    score = None
+    for lab, _, _ in _FS_FIELDS:
+        term = F.when(conds[lab], F.lit(_FS_AGREE_W[lab])).otherwise(F.lit(_FS_DISAGREE_W[lab]))
+        score = term if score is None else score + term
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    )
+    return (
+        pairs.select(
+            F.col("a.c_custkey").alias("a_key"),
+            F.col("b.c_custkey").alias("b_key"),
+            score.alias("score"),
+        )
+        .filter(F.col("score") >= _FS_LOWER)
+        .select(
+            "a_key",
+            "b_key",
+            (F.floor(F.col("score") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("fs_score_q"),
+            F.when(F.col("score") >= _FS_UPPER, F.lit("link"))
+            .otherwise(F.lit("possible"))
+            .alias("decision"),
+        )
+    )

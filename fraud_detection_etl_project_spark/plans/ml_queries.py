@@ -3245,3 +3245,134 @@ def kmeans_parallel_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seed_row = spark.createDataFrame([(int(seed["vec_id"]), 0)], "vec_id bigint, sq_dist bigint")
     return sel.unionAll(seed_row)
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction intervals with finite-sample coverage
+# ---------------------------------------------------------------------------
+
+# md5 bucket split (the repo's portable-hash idiom): 0-5 train, 6-7
+# calibration, 8-9 test. alpha = 0.1 -> the ceil((n_cal+1)*0.9)-th
+# smallest calibration residual is the interval half-width, computed with
+# the INTEGER formula ((n+1)*9 + 9) // 10 so both engines pick the same
+# order statistic without float ceil.
+_CF_BUCKET_SQL = (
+    "CAST(('0x' || substring(md5('conf1|' || CAST(event_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10"
+)
+
+_CONFORMAL_SQL = f"""
+WITH b AS (
+  SELECT event_id, event_type, value, {_CF_BUCKET_SQL} AS bucket FROM events),
+train AS (SELECT * FROM b WHERE bucket <= 5),
+cal AS (SELECT * FROM b WHERE bucket IN (6, 7)),
+test AS (SELECT * FROM b WHERE bucket >= 8),
+model AS (
+  SELECT event_type,
+         floor(CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS pred
+  FROM train GROUP BY 1),
+resid AS (
+  SELECT c.event_id,
+         CAST(floor(abs(c.value - m.pred) * 1000000.0 + 0.5) AS BIGINT) AS r_q
+  FROM cal c JOIN model m ON c.event_type = m.event_type),
+ranked AS (
+  SELECT r_q, CAST(row_number() OVER (ORDER BY r_q ASC, event_id ASC) AS BIGINT) AS rn FROM resid),
+ncal AS (SELECT CAST(count(*) AS BIGINT) AS n FROM resid),
+qhat AS (
+  SELECT r.r_q AS q FROM ranked r, ncal
+  WHERE r.rn = ((ncal.n + 1) * 9 + 9) // 10)
+SELECT t.event_type,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN CAST(floor(abs(t.value - m.pred) * 1000000.0 + 0.5) AS BIGINT) <= q.q
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       floor(CAST(sum(CASE WHEN CAST(floor(abs(t.value - m.pred) * 1000000.0 + 0.5) AS BIGINT) <= q.q
+                           THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5)
+         / 1000000.0 AS coverage_q,
+       CAST(any_value(q.q) AS BIGINT) AS qhat_units
+FROM test t
+JOIN model m ON t.event_type = m.event_type
+CROSS JOIN qhat q
+GROUP BY 1
+"""
+
+
+@query("conformal_value_intervals", oracle=_CONFORMAL_SQL)
+def conformal_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk; Lei et al.): fit a
+    point model on a train split (per-type mean), take the
+    ceil((n+1)(1-alpha))-th smallest absolute calibration residual as the
+    interval half-width, and report per-type empirical coverage on a held
+    -out test split — the distribution-free finite-sample-guaranteed
+    uncertainty wrapper production models ship with. alpha=0.1 targets
+    90% coverage.
+
+    Determinism: splits are md5-bucketed (portable hash); the model mean
+    is an exact int-cent sum divided once then quantized; residuals live
+    on a 1e-6 integer lattice so the order statistic — picked by an
+    INTEGER rank formula, no float ceil — is bit-identical in both
+    engines.
+
+    Scale shape: one grouped mean over the train split (map-side
+    combined), one residual scan, one k-th order statistic (a global
+    sort here, bounded by the calibration split's size by design — at
+    100 TB calibration is a fixed-size sample, or q-hat comes from
+    percentile_approx in the same plan shape), one broadcast of the
+    scalar back over the test scan."""
+    e = _t(spark, sf_dir, "events")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("conf1|"), F.col("event_id").cast("string")).cast("binary")),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+    )
+    b = e.select("event_id", "event_type", "value", bucket.alias("bucket")).persist()
+    train = b.filter(F.col("bucket") <= 5)
+    cal = b.filter(F.col("bucket").isin(6, 7))
+    test = b.filter(F.col("bucket") >= 8)
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    model = train.groupBy("event_type").agg(
+        (
+            F.floor(
+                F.sum(cents).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(100.0)
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("pred")
+    )
+    r_q = F.floor(F.abs(F.col("value") - F.col("pred")) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    resid = cal.join(F.broadcast(model), "event_type").select("event_id", r_q.alias("r_q"))
+    w = Window.orderBy(F.col("r_q").asc(), F.col("event_id").asc())
+    ranked = resid.select("r_q", F.row_number().over(w).cast("bigint").alias("rn"))
+    ncal = resid.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    qhat = (
+        ranked.crossJoin(F.broadcast(ncal))
+        .filter(F.col("rn") == F.floor(((F.col("n") + 1) * 9 + 9) / F.lit(10)).cast("bigint"))
+        .select(F.col("r_q").alias("q"))
+    )
+    covered = F.when(r_q <= F.col("q"), 1).otherwise(0)
+    return (
+        test.join(F.broadcast(model), "event_type")
+        .crossJoin(F.broadcast(qhat))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(covered).cast("bigint").alias("n_covered"),
+            (
+                F.floor(
+                    F.sum(covered).cast("double") / F.count(F.lit(1)).cast("double") * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("coverage_q"),
+            F.first("q").cast("bigint").alias("qhat_units"),
+        )
+    )

@@ -365,3 +365,47 @@ def sessionized_user_activity(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def user_velocity_alerts(
+    spark: SparkSession,
+    sf_dir: str,
+    size: str = "24 hours",
+    slide: str = "12 hours",
+    min_events: int = 8,
+) -> DataFrame:
+    """Streaming velocity rule: per-user event count + exact cent amount
+    over sliding event-time windows, emitting only window-user cells that
+    cross the burst threshold — the continuous version of the batch
+    txn_velocity_flags rule (plans/risk_queries.py). Sliding windows
+    (each event in size/slide cells) are how a stream bounds the
+    trailing-window semantics: state per (window, user) is GC'd by the
+    watermark, where a true per-event trailing frame would need unbounded
+    buffering. Complete-mode availableNow drain for determinism."""
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", size, slide).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(cents).alias("amt_c"),
+        )
+        .filter(F.col("n_events") >= min_events)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            "n_events",
+            (F.col("amt_c").cast("double") / F.lit(100.0)).alias("window_amount"),
+        )
+    )
+    name = f"velocity_alerts_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
