@@ -3487,3 +3487,65 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("decision"),
         )
     )
+
+
+@query(
+    "npy_source_embedding_rollup",
+    oracle="""
+WITH ordered AS (
+  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS idx, embedding
+  FROM embeddings)
+SELECT idx % 8 AS bucket,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS dim0_q_sum
+FROM ordered
+GROUP BY 1
+""",
+)
+def npy_source_embedding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NumPy ``.npy`` source (sources/npy.py, ``format("pynpy")``): the
+    embeddings table is staged once as a genuine ``np.save`` matrix
+    (rows ordered by vec_id — numpy itself writes the fixture, so this
+    query is a live conformance check against the canonical
+    implementation), then read back through the Python DataSource —
+    header-only planning, equal-byte row splits, memory-mapped
+    columnar batches — and rolled up by idx bucket with an exact
+    quantized first-dimension sum. The oracle derives the identical
+    idx from the parquet fixture by rank, so a wrong split boundary,
+    a dropped row, or a misordered idx breaks the value hash.
+
+    Scale: planning is O(#files) header reads; each task faults in only
+    its own row range; rows reach the JVM as Arrow batches (zero
+    per-row Python)."""
+    import numpy as np
+
+    from fraud_detection_etl_project_spark.sources import npy as npy_src
+
+    tag = _fixture_tag(sf_dir, "embeddings")
+    d = os.path.join(tempfile.gettempdir(), f"npy_src_{tag}")
+    path = os.path.join(d, "embeddings.npy")
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        rows = (
+            _t(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .collect()
+        )
+        mat = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float32)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:  # file handle: np.save must not rename
+            np.save(f, mat)
+        os.replace(tmp, path)
+    npy_src.register(spark)
+    df = spark.read.format("pynpy").option("path", path).load()
+    dim0_q = F.floor(F.element_at("vec", 1).cast("double") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return (
+        df.select((F.col("idx") % 8).alias("bucket"), dim0_q.alias("d0"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum("d0").cast("bigint").alias("dim0_q_sum"),
+        )
+    )
