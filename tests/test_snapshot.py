@@ -193,8 +193,8 @@ def test_optimistic_conflict_detected(spark, tmp_path, monkeypatch):
 
     real_stage = S._stage_data_files
 
-    def stage_and_race(df, table_path):
-        files = real_stage(df, table_path)
+    def stage_and_race(df, table_path, bloom_columns=None):
+        files = real_stage(df, table_path, bloom_columns)
         # another writer commits between this writer's stage and publish
         if not getattr(stage_and_race, "raced", False):
             stage_and_race.raced = True
