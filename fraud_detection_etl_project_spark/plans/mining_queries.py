@@ -3549,3 +3549,66 @@ def npy_source_embedding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("d0").cast("bigint").alias("dim0_q_sum"),
         )
     )
+
+
+@query(
+    "tfrecord_source_doc_rollup",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(length(text)) AS BIGINT) AS chars_total
+FROM documents
+GROUP BY 1
+""",
+)
+def tfrecord_source_doc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord + tf.train.Example source (sources/tfrecord.py,
+    ``format("pytfrecord")``, no TensorFlow dependency): the documents
+    table is staged once as 4 TFRecord shards of Examples
+    (bytes_features text/lang, int64_features doc_id) through the
+    engine's own sink — real record framing with masked-CRC32C spec
+    checksums (pinned to published Castagnoli vectors in
+    tests/test_tfrecord.py) — then read back through the source and
+    rolled up per language. The oracle recomputes straight from
+    parquet, so any asymmetric encode/frame/decode defect, dropped
+    record, or shard misread breaks the value hash.
+
+    Scale: TFRecord has no sync markers — the FILE is the format's unit
+    of parallelism (why real corpora ship as -NNNNN-of-MMMMM shards);
+    one task streams one shard, one record in memory at a time, CRCs
+    verified per record (corruption is a hard error, never silent)."""
+    from fraud_detection_etl_project_spark.sources import tfrecord as tfr
+
+    tfr.register(spark)
+    tag = _fixture_tag(sf_dir, "documents")
+    d = os.path.join(tempfile.gettempdir(), f"tfrec_src_{tag}")
+    done = os.path.join(d, "_SUCCESS")
+    if not os.path.exists(done):
+        docs = _t(spark, sf_dir, "documents").repartition(4)
+        staged = docs.select(
+            F.create_map(
+                F.lit("text"),
+                F.array(F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8")),
+                F.lit("lang"),
+                F.array(F.encode(F.coalesce(F.col("lang"), F.lit("")), "utf-8")),
+            ).alias("bytes_features"),
+            F.create_map().cast("map<string,array<float>>").alias("float_features"),
+            F.create_map(F.lit("doc_id"), F.array(F.col("doc_id").cast("long"))).alias(
+                "int64_features"
+            ),
+        )
+        staged.write.format("pytfrecord").option("path", d).mode("overwrite").save()
+    df = spark.read.format("pytfrecord").option("path", d).load()
+    text = F.element_at(F.col("bytes_features"), "text")[0].cast("string")
+    lang = F.element_at(F.col("bytes_features"), "lang")[0].cast("string")
+    doc_id = F.element_at(F.col("int64_features"), "doc_id")[0]
+    return (
+        df.select(lang.alias("lang"), doc_id.alias("doc_id"), F.length(text).alias("chars"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+            F.sum("chars").cast("bigint").alias("chars_total"),
+        )
+    )
