@@ -3296,7 +3296,7 @@ GROUP BY 1
 """
 
 
-@query("conformal_value_intervals", oracle=_CONFORMAL_SQL)
+@query("conformal_value_intervals", oracle=_CONFORMAL_SQL, bench=True)
 def conformal_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-conformal prediction intervals (Vovk; Lei et al.): fit a
     point model on a train split (per-type mean), take the

@@ -52,7 +52,7 @@ WHERE n_24h >= {_VEL_MIN_N} OR amt_c >= {_VEL_MIN_CENTS}
 """
 
 
-@query("txn_velocity_flags", oracle=_VELOCITY_SQL)
+@query("txn_velocity_flags", oracle=_VELOCITY_SQL, bench=True)
 def txn_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transaction-velocity rule: for every event, the trailing-24h event
     count and amount for its user (RANGE frame over epoch seconds), flagging

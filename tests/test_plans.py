@@ -748,6 +748,7 @@ _BNLJ_OK: set[str] = {
     "nb_lang_confusion",  # class priors / vocab totals: k-row parameter frames
     "tfidf_cosine_pairs",  # corpus doc-count nn: 1 row
     "tfidf_top_terms",  # corpus doc-count nn: 1 row
+    "conformal_value_intervals",  # n_cal count + q-hat scalar: 1 row each
 }
 
 # Queries with an unpartitioned (global) Window in the optimized plan.
@@ -757,6 +758,12 @@ _BNLJ_OK: set[str] = {
 _GLOBAL_WINDOW_OK: dict[str, str] = {
     "sliding_weekly_active_users": "window over per-day aggregate (~days rows)",
     "urgent_price_skyline": "cummax over per-day max-price frame (~days rows)",
+    "conformal_value_intervals": (
+        "residual rank over the CALIBRATION split only — a fixed-size "
+        "sample by design (split-conformal needs one order statistic of "
+        "it; the 100 TB path caps the sample or swaps percentile_approx, "
+        "same plan shape — see the query docstring)"
+    ),
 }
 
 
