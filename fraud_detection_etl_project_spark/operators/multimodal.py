@@ -904,3 +904,93 @@ def extract_jpeg_features(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(run, schema=PPM_FEATURES_SCHEMA)
+
+
+def resize_ppm_nn(payload: bytes, out_h: int, out_w: int) -> bytes:
+    """REAL nearest-neighbor image resize over the decoded pixel grid
+    (source index = floor(dst * src_dim / out_dim) — the standard NN
+    mapping), re-encoded as binary PPM so resized media flows through
+    every downstream decode operator. This replaces resize_stub's
+    byte-sampling fake for PPM payloads with actual decode -> sample ->
+    re-encode; the batch plumbing is unchanged."""
+    w, h, rgb = decode_ppm(payload)
+    out = bytearray()
+    for y in range(out_h):
+        sy = (y * h) // out_h
+        for x in range(out_w):
+            sx = (x * w) // out_w
+            k = (sy * w + sx) * 3
+            out += rgb[k : k + 3]
+    header = f"P6\n{out_w} {out_h}\n255\n".encode()
+    return header + bytes(out)
+
+
+def resize_ppm_media(media: DataFrame, h: int = 8, w: int = 8) -> DataFrame:
+    """Arrow-batched REAL resize over a PPM media table (mapInPandas);
+    output keeps the opaque-payload-plus-metadata contract so the result
+    is itself a valid media table (and a valid PPM per row)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [resize_ppm_nn(bytes(p), h, w) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": resized,
+                    "n_bytes": [len(r) for r in resized],
+                    "target_h": h,
+                    "target_w": w,
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def resample_wav_nn(payload: bytes, out_rate: int) -> bytes:
+    """REAL audio sample-rate conversion (zero-order hold / nearest
+    neighbor): decode PCM16, pick source sample floor(i*in_rate/out_rate)
+    for each output sample, re-encode as a minimal RIFF/WAVE — the audio
+    twin of resize_ppm_nn, and the decimation step of audio curation
+    (match a corpus to the model's expected rate before featurizing).
+    Mono PCM16 only (the decoder's contract)."""
+    import struct
+
+    rate, channels, samples = decode_wav(payload)
+    if channels != 1:
+        raise ValueError("resample_wav_nn supports mono only")
+    n_out = max(1, (len(samples) * out_rate) // rate)
+    out = [samples[(i * rate) // out_rate] for i in range(n_out)]
+    data = struct.pack(f"<{len(out)}h", *out)
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, out_rate, out_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def resample_wav_media(media: DataFrame, out_rate: int) -> DataFrame:
+    """Arrow-batched REAL resample over a WAV media table (mapInPandas);
+    output stays a valid media table of valid WAVs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resampled = [resample_wav_nn(bytes(p), out_rate) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": resampled,
+                    "n_bytes": [len(r) for r in resampled],
+                    "target_h": 0,
+                    "target_w": out_rate,
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)

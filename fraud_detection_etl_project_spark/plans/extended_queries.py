@@ -3104,3 +3104,107 @@ def stream_velocity_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fraud_detection_etl_project_spark.streaming.windows import user_velocity_alerts
 
     return user_velocity_alerts(spark, sf_dir, min_events=_SVA_MIN_EVENTS)
+
+
+@query(
+    "multimodal_ppm_resize_stats",
+    oracle="""
+WITH t AS (SELECT doc_id,
+                  md5(text) || md5(text || 'x') || md5(text || 'y') AS hx
+           FROM documents),
+-- 4x4 image, NN-resized to 2x2: sampled source pixels are
+-- (sy, sx) in {0,2}^2 -> row-major pixel indices {0, 2, 8, 10}
+s AS (SELECT doc_id,
+             list_transform([0, 2, 8, 10],
+                            p -> [CAST(('0x' || substring(hx, 6*p + 1, 2)) AS INT),
+                                  CAST(('0x' || substring(hx, 6*p + 3, 2)) AS INT),
+                                  CAST(('0x' || substring(hx, 6*p + 5, 2)) AS INT)]) AS px
+      FROM t)
+SELECT doc_id AS media_id,
+       CAST(2 AS BIGINT) AS width,
+       CAST(2 AS BIGINT) AS height,
+       CAST(4 AS BIGINT) AS n_pixels,
+       CAST(list_sum(list_transform(px, q -> q[1])) AS DOUBLE) / 4.0 AS mean_r,
+       CAST(list_sum(list_transform(px, q -> q[2])) AS DOUBLE) / 4.0 AS mean_g,
+       CAST(list_sum(list_transform(px, q -> q[3])) AS DOUBLE) / 4.0 AS mean_b,
+       CAST(list_max(list_transform(px, q -> list_max(q))) AS BIGINT) AS max_byte,
+       CAST(list_min(list_transform(px, q -> list_min(q))) AS BIGINT) AS min_byte
+FROM s
+""",
+)
+def multimodal_ppm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize in the decode chain: each document renders as a
+    4×4 binary PPM (48 md5-derived pixel bytes, packed JVM-side), then
+    decode → nearest-neighbor resize to 2×2 over the PIXEL GRID
+    (operators/multimodal.resize_ppm_nn: src = floor(dst·src_dim/out),
+    re-encoded as PPM) → decode again → channel stats. Upgrades the
+    north-star "resize" step from the documented byte-sampling stub to
+    an actual pixel-space operator for the format with a real decoder;
+    the oracle re-derives the exact sampled pixel indices ({0,2,8,10}
+    for 4×4→2×2) straight from the md5 hex, so an off-by-one in the NN
+    index math, row order, or the re-encode header breaks the value
+    hash.
+
+    Scale: two Arrow-batched mapInPandas hops (resize, then feature
+    extract) — the decode stays columnar-batched, stats aggregate
+    JVM-side, and the resized table keeps the opaque-payload contract so
+    it composes with every other media operator."""
+    d = _t(spark, sf_dir, "documents")
+    hx = F.unhex(
+        F.concat(
+            F.md5(F.col("text").cast("binary")),
+            F.md5(F.concat(F.col("text"), F.lit("x")).cast("binary")),
+            F.md5(F.concat(F.col("text"), F.lit("y")).cast("binary")),
+        )
+    )
+    ppm = F.concat(F.lit("P6\n4 4\n255\n").cast("binary"), hx)
+    media = M.to_media_table(d.withColumn("payload", ppm), "doc_id", "payload", "image")
+    resized = M.resize_ppm_media(media, h=2, w=2)
+    return M.extract_ppm_features(resized)
+
+
+@query(
+    "multimodal_wav_resample_stats",
+    oracle="""
+WITH t AS (SELECT doc_id, md5(text) AS hx FROM documents),
+b AS (SELECT doc_id,
+             list_transform(range(0, 16), i -> CAST(('0x' || substring(hx, 2*i + 1, 2)) AS INT)) AS bs
+      FROM t),
+-- 8 samples at 8 kHz zero-order-held to 4 kHz: output i takes source
+-- sample floor(i*8000/4000) = 2i -> indices {0, 2, 4, 6}
+s AS (SELECT doc_id,
+             list_transform([0, 2, 4, 6], j ->
+               CASE WHEN bs[2*j + 1] + 256 * bs[2*j + 2] >= 32768
+                    THEN bs[2*j + 1] + 256 * bs[2*j + 2] - 65536
+                    ELSE bs[2*j + 1] + 256 * bs[2*j + 2] END) AS sm
+      FROM b)
+SELECT doc_id AS media_id,
+       CAST(4000 AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(4 AS BIGINT) AS n_samples,
+       CAST(list_sum(sm) AS DOUBLE) / 4.0 AS mean_sample,
+       CAST(list_min(sm) AS BIGINT) AS min_sample,
+       CAST(list_max(sm) AS BIGINT) AS max_sample,
+       CAST(list_sum(list_transform(sm, v -> v * v)) AS BIGINT) AS abs_energy
+FROM s
+""",
+)
+def multimodal_wav_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio sample-rate conversion in the decode chain: each
+    document's 8-sample 8 kHz PCM16 WAV is decoded, zero-order-hold
+    resampled to 4 kHz (operators/multimodal.resample_wav_nn — output i
+    takes source sample floor(i·in_rate/out_rate), the decimation step
+    that matches a corpus to a model's expected rate), re-encoded as a
+    valid RIFF/WAVE, and decoded AGAIN for stats. The oracle re-derives
+    the exact kept sample indices ({0,2,4,6}) from the md5 hex, so an
+    off-by-one in the rate math, a wrong header field, or a sign error
+    in the re-encode breaks the value hash.
+
+    Scale: two Arrow-batched mapInPandas hops; Python touches payload
+    bytes only, stats aggregate JVM-side, and the resampled table keeps
+    the media contract so it composes with the spectral featurizer."""
+    d = _t(spark, sf_dir, "documents")
+    payload = F.concat(F.lit(_wav_header_8s()), F.unhex(F.md5(F.col("text").cast("binary"))))
+    media = M.to_media_table(d.withColumn("payload", payload), "doc_id", "payload", "audio")
+    resampled = M.resample_wav_media(media, out_rate=4000)
+    return M.extract_wav_features(resampled)

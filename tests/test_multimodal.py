@@ -405,3 +405,49 @@ def test_gif_decoder_reject_paths():
         decode_gif(b"PNG9aXXXX")
     with pytest.raises(ValueError, match="truncated|trailer|unknown"):
         decode_gif(b"GIF87a" + b"\x04\x00\x02\x00\x00\x00\x00" + b"\x3b")
+
+
+def test_resize_ppm_nn_exact_indices():
+    """4x4 -> 2x2 NN must sample source pixels (0,0),(0,2),(2,0),(2,2);
+    the resized payload is itself a valid PPM."""
+    from fraud_detection_etl_project_spark.operators.multimodal import (
+        decode_ppm,
+        resize_ppm_nn,
+    )
+
+    rgb = bytes(range(48))  # pixel p has bytes (3p, 3p+1, 3p+2)
+    payload = b"P6\n4 4\n255\n" + rgb
+    out = resize_ppm_nn(payload, 2, 2)
+    w, h, out_rgb = decode_ppm(out)
+    assert (w, h) == (2, 2)
+    expect = b"".join(rgb[3 * p : 3 * p + 3] for p in (0, 2, 8, 10))
+    assert out_rgb == expect
+    # upscale: 2x2 -> 4x4 replicates each pixel into a 2x2 block
+    up = resize_ppm_nn(out, 4, 4)
+    _w, _h, up_rgb = decode_ppm(up)
+    assert up_rgb[0:3] == up_rgb[3:6] == out_rgb[0:3]
+
+
+def test_resample_wav_nn_exact_indices_and_valid_output():
+    import struct
+
+    from fraud_detection_etl_project_spark.operators.multimodal import (
+        decode_wav,
+        resample_wav_nn,
+    )
+
+    samples = [100, -200, 300, -400, 500, -600, 700, -800]
+    data = struct.pack("<8h", *samples)
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    out = resample_wav_nn(hdr + data, 4000)
+    rate, ch, got = decode_wav(out)
+    assert (rate, ch) == (4000, 1)
+    assert got == [100, 300, 500, 700]  # zero-order hold keeps 2i
+    # upsample doubles by repetition
+    rate2, _ch, up = decode_wav(resample_wav_nn(out, 8000))
+    assert rate2 == 8000 and up == [100, 100, 300, 300, 500, 500, 700, 700]
