@@ -704,12 +704,16 @@ def _gif_lzw_decode(data: bytes, mcs: int, npix: int) -> list[int]:
     return out[:npix]
 
 
-def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
-    """Pure-Python GIF87a/89a decoder for the first image: walks the
-    header, global/local color tables, extension blocks and data
-    sub-blocks, then LZW-decompresses the index stream and maps it
-    through the active palette. Returns (width, height, rgb bytes).
-    Handles the 4-pass interlace (javax.imageio's writer default)."""
+def decode_gif_frames(payload: bytes) -> list[tuple[int, int, bytes]]:
+    """Pure-Python GIF87a/89a decoder for EVERY image block in the file
+    (an animated GIF is just repeated image descriptors, optionally
+    preceded by graphic-control extensions): walks the header,
+    global/local color tables, extension blocks and data sub-blocks,
+    LZW-decompresses each index stream and maps it through the active
+    palette. Returns [(width, height, rgb bytes), ...] in stream order.
+    Handles the 4-pass interlace (javax.imageio's writer default).
+    Frames decode independently (no disposal compositing — each fixture
+    frame is a full raster, the common case for generated media)."""
     import struct
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -722,6 +726,7 @@ def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
         n = 2 << (packed & 7)
         gct = payload[pos : pos + 3 * n]
         pos += 3 * n
+    frames: list[tuple[int, int, bytes]] = []
     while pos < len(payload):
         b = payload[pos]
         if b == 0x21:  # extension: label byte then sub-blocks
@@ -746,6 +751,7 @@ def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
                 ln = payload[pos]
                 data += payload[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
+            pos += 1  # the sub-block terminator
             idx = _gif_lzw_decode(bytes(data), mcs, iw * ih)
             if len(idx) < iw * ih:
                 raise ValueError("LZW stream ended before the raster filled")
@@ -767,27 +773,29 @@ def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
             rgb = bytearray()
             for i in idx:
                 rgb += pal[3 * i : 3 * i + 3]
-            return iw, ih, bytes(rgb)
+            frames.append((iw, ih, bytes(rgb)))
         elif b == 0x3B:
-            raise ValueError("GIF trailer reached without image data")
+            if not frames:
+                raise ValueError("GIF trailer reached without image data")
+            return frames
         else:
             raise ValueError(f"unknown GIF block 0x{b:02x}")
+    if frames:
+        return frames
     raise ValueError("truncated GIF")
 
 
-def encode_gif(w: int, h: int, palette: bytes, indices: list[int]) -> bytes:
-    """Minimal GIF87a encoder for fixture generation: one image, global
-    color table, REAL LZW compression (dictionary growth + code-width
-    bumps, clear upfront, EOI at the end). Round-trips against
-    decode_gif, whose conventions are themselves conformance-tested
-    against javax.imageio output."""
-    import struct
+def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
+    """First frame of the GIF (see decode_gif_frames)."""
+    return decode_gif_frames(payload)[0]
 
-    n_colors = len(palette) // 3
-    exp = max(1, (n_colors - 1).bit_length())  # table size 2^exp entries
-    mcs = max(2, exp)
+
+def _gif_lzw_encode_blocks(indices: list[int], mcs: int) -> bytes:
+    """REAL LZW compression of an index raster (dictionary growth +
+    code-width bumps, clear upfront, EOI at the end), packaged as GIF
+    data sub-blocks with the terminator — the per-frame payload shared
+    by the single- and multi-frame encoders."""
     clear, eoi = 1 << mcs, (1 << mcs) + 1
-
     bits: list[int] = []
 
     def emit(code: int, width: int) -> None:
@@ -826,20 +834,39 @@ def encode_gif(w: int, h: int, palette: bytes, indices: list[int]) -> bytes:
         blocks.append(len(chunk))
         blocks += chunk
     blocks.append(0)
+    return bytes(blocks)
 
+
+def encode_gif_frames(w: int, h: int, palette: bytes, frames: list[list[int]]) -> bytes:
+    """Minimal multi-frame (animated) GIF87a encoder for fixture
+    generation: one global color table, one full-raster image descriptor
+    per frame, each REAL-LZW-compressed. Round-trips against
+    decode_gif_frames, whose LZW/interlace conventions are themselves
+    conformance-tested against javax.imageio output."""
+    import struct
+
+    n_colors = len(palette) // 3
+    exp = max(1, (n_colors - 1).bit_length())  # table size 2^exp entries
+    mcs = max(2, exp)
     full_pal = palette + b"\x00" * (3 * ((1 << exp) - n_colors))
-    return (
-        b"GIF87a"
-        + struct.pack("<HH", w, h)
-        + bytes([0x80 | ((exp - 1) & 7), 0, 0])
-        + full_pal
-        + b"\x2C"
-        + struct.pack("<HHHH", 0, 0, w, h)
-        + b"\x00"
-        + bytes([mcs])
-        + bytes(blocks)
-        + b"\x3B"
+    out = bytearray(
+        b"GIF87a" + struct.pack("<HH", w, h) + bytes([0x80 | ((exp - 1) & 7), 0, 0]) + full_pal
     )
+    for indices in frames:
+        out += (
+            b"\x2C"
+            + struct.pack("<HHHH", 0, 0, w, h)
+            + b"\x00"
+            + bytes([mcs])
+            + _gif_lzw_encode_blocks(indices, mcs)
+        )
+    out += b"\x3B"
+    return bytes(out)
+
+
+def encode_gif(w: int, h: int, palette: bytes, indices: list[int]) -> bytes:
+    """Single-image GIF87a encoder (see encode_gif_frames)."""
+    return encode_gif_frames(w, h, palette, [indices])
 
 
 def gif_pixel_features(payload: bytes) -> dict:
@@ -994,3 +1021,61 @@ def resample_wav_media(media: DataFrame, out_rate: int) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+GIF_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+    ]
+)
+
+
+def sample_gif_frames(media: DataFrame, n_out: int = 2) -> DataFrame:
+    """REAL video-style frame sampling: decode EVERY frame of an animated
+    GIF (the multi-image container we have a real, conformance-tested
+    codec for), keep ``n_out`` evenly-spaced frames (kept frame i is
+    source frame floor(i*F/n_out) — the same NN rule as the resize/
+    resample operators), and emit per-frame channel stats. Replaces the
+    byte-window frame stub for GIF payloads; 1:N row fan-out happens
+    inside Arrow-batched mapInPandas, exactly the shape an ffmpeg
+    keyframe extractor would use."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, nfr, ws, hs, mr, mg, mb = [], [], [], [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                frames = decode_gif_frames(bytes(p))
+                total = len(frames)
+                for i in range(min(n_out, total)):
+                    k = (i * total) // n_out
+                    w, h, rgb = frames[k]
+                    n = w * h
+                    ids.append(mid)
+                    fidx.append(k)
+                    nfr.append(total)
+                    ws.append(w)
+                    hs.append(h)
+                    mr.append(sum(rgb[0::3]) / n)
+                    mg.append(sum(rgb[1::3]) / n)
+                    mb.append(sum(rgb[2::3]) / n)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": fidx,
+                    "n_frames": nfr,
+                    "width": ws,
+                    "height": hs,
+                    "mean_r": mr,
+                    "mean_g": mg,
+                    "mean_b": mb,
+                }
+            )
+
+    return media.mapInPandas(run, schema=GIF_FRAME_SCHEMA)

@@ -3376,3 +3376,75 @@ def conformal_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("q").cast("bigint").alias("qhat_units"),
         )
     )
+
+
+_GIF_FS_FRAMES = 4  # fixture animation length
+_GIF_FS_KEEP = 2  # evenly-spaced frames kept: indices {0, 2}
+
+_GIF_FRAME_ORACLE = f"""
+WITH t AS (SELECT doc_id, text FROM documents),
+f AS (SELECT doc_id, k, md5(text || 'f' || CAST(k AS VARCHAR)) AS hx
+      FROM t, UNNEST([0, 2]) AS u(k)),
+b AS (SELECT doc_id, k,
+             list_transform(range(0, 16),
+                            i -> CAST(('0x' || substring(hx, 2*i + 1, 2)) AS INT) % 8) AS ix
+      FROM f),
+p AS (SELECT doc_id, k,
+             list_transform(ix, i -> CAST({_GIF_PR} AS BIGINT[])[i + 1]) AS rs,
+             list_transform(ix, i -> CAST({_GIF_PG} AS BIGINT[])[i + 1]) AS gs,
+             list_transform(ix, i -> CAST({_GIF_PB} AS BIGINT[])[i + 1]) AS bs
+      FROM b)
+SELECT doc_id AS media_id,
+       CAST(k AS BIGINT) AS frame_idx,
+       CAST({_GIF_FS_FRAMES} AS BIGINT) AS n_frames,
+       CAST(4 AS BIGINT) AS width,
+       CAST(4 AS BIGINT) AS height,
+       CAST(list_sum(rs) AS DOUBLE) / 16.0 AS mean_r,
+       CAST(list_sum(gs) AS DOUBLE) / 16.0 AS mean_g,
+       CAST(list_sum(bs) AS DOUBLE) / 16.0 AS mean_b
+FROM p
+"""
+
+
+@query("multimodal_gif_frame_sample", oracle=_GIF_FRAME_ORACLE)
+def multimodal_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-style frame sampling: each document renders as a 4-frame
+    ANIMATED GIF (one full-raster image descriptor per frame, each
+    REAL-LZW-compressed; frame f's pixels are md5(text||'f{{f}}') bytes mod
+    8 through the literal palette), then the multi-frame decoder
+    (operators/multimodal.decode_gif_frames) parses every frame and the
+    sampler keeps 2 evenly spaced ones (floor(i·F/n) → frames {{0, 2}})
+    with per-frame channel stats — upgrading the north-star
+    "frame-sample" step from the byte-window stub to an actual
+    multi-image container walk on the codec that is conformance-tested
+    against javax.imageio. The oracle re-derives both kept frames'
+    statistics from the md5 hex, so a frame-boundary error, a wrong
+    sub-block terminator skip, or an off-by-one in the sampling rule
+    breaks the value hash.
+
+    Scale: encode and decode are the two Arrow-batched pandas hops (LZW
+    is not a SQL expression — that's what makes it a real codec test);
+    the 1:N frame fan-out happens inside the batch, the shape an ffmpeg
+    keyframe extractor uses."""
+    import hashlib
+
+    from pyspark.sql.types import BinaryType
+
+    from fraud_detection_etl_project_spark.operators import multimodal as M
+
+    pal_bytes = bytes(c for rgb in _GIF_PAL for c in rgb)
+
+    @F.pandas_udf(BinaryType())
+    def make_animated_gif(texts: pd.Series) -> pd.Series:
+        out = []
+        for txt in texts:
+            frames = []
+            for f in range(_GIF_FS_FRAMES):
+                digest = hashlib.md5(f"{txt}f{f}".encode()).digest()
+                frames.append([b % 8 for b in digest])
+            out.append(M.encode_gif_frames(4, 4, pal_bytes, frames))
+        return pd.Series(out)
+
+    d = _t(spark, sf_dir, "documents").withColumn("payload", make_animated_gif(F.col("text")))
+    media = M.to_media_table(d, "doc_id", "payload", "image")
+    return M.sample_gif_frames(media, n_out=_GIF_FS_KEEP)

@@ -451,3 +451,31 @@ def test_resample_wav_nn_exact_indices_and_valid_output():
     # upsample doubles by repetition
     rate2, _ch, up = decode_wav(resample_wav_nn(out, 8000))
     assert rate2 == 8000 and up == [100, 100, 300, 300, 500, 500, 700, 700]
+
+
+def test_animated_gif_roundtrip_and_frame_order():
+    from fraud_detection_etl_project_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+
+    pal = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    frames = [[0, 1, 2, 3], [3, 2, 1, 0], [1, 1, 2, 2]]
+    payload = encode_gif_frames(2, 2, pal, frames)
+    got = decode_gif_frames(payload)
+    assert len(got) == 3
+    for (w, h, rgb), idx in zip(got, frames):
+        assert (w, h) == (2, 2)
+        assert rgb == b"".join(pal[3 * i : 3 * i + 3] for i in idx)
+
+
+def test_single_frame_decode_is_first_frame():
+    from fraud_detection_etl_project_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif_frames,
+    )
+
+    pal = bytes([1, 2, 3, 4, 5, 6])
+    payload = encode_gif_frames(1, 1, pal, [[0], [1]])
+    w, h, rgb = decode_gif(payload)
+    assert (w, h, rgb) == (1, 1, bytes([1, 2, 3]))
