@@ -3612,3 +3612,186 @@ def tfrecord_source_doc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chars").cast("bigint").alias("chars_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter EM: learn m/u/p from agreement-pattern sufficient stats
+# ---------------------------------------------------------------------------
+
+# init (engine-shared literals) and the quantization grid that keeps both
+# engines' EM trajectories bit-identical: params re-quantize to 1e-12
+# between iterations; per-pattern expectation terms quantize to 1e-6
+# units and sum as exact int64 (8 patterns -> order-free).
+_EM_P0 = 0.1
+_EM_M0 = (0.9, 0.8, 0.7)
+_EM_U0 = (0.1, 0.1, 0.1)
+_EM_ITERS = 2
+_EM_PQ = 1e12  # param grid
+_EM_TQ = 1e6  # expectation-term grid
+
+
+def _em_py(counts: dict[tuple[int, int, int], int]) -> tuple[float, list, list, int]:
+    """The EM recurrence on the 8-pattern sufficient statistics — plain
+    Python floats (IEEE doubles), every operation mirrored 1:1 by the
+    oracle's CTE chain: same multiply order, same quantize points."""
+    import math
+
+    def q(x: float, grid: float) -> float:
+        return math.floor(x * grid + 0.5) / grid
+
+    n_total = sum(counts.values())
+    p, m, u = _EM_P0, list(_EM_M0), list(_EM_U0)
+    for _ in range(_EM_ITERS):
+        t_sum = 0  # int 1e-6 units of sum n_k * w_k
+        tm = [0, 0, 0]  # per-field agreeing match mass
+        tu = [0, 0, 0]  # per-field agreeing non-match mass
+        for g, n_k in sorted(counts.items()):
+            a = p
+            b = 1.0 - p
+            for j in range(3):
+                a = a * (m[j] if g[j] else 1.0 - m[j])
+                b = b * (u[j] if g[j] else 1.0 - u[j])
+            w = a / (a + b)
+            t = int(math.floor(n_k * w * _EM_TQ + 0.5))
+            t_non = n_k * int(_EM_TQ) - t
+            t_sum += t
+            for j in range(3):
+                if g[j]:
+                    tm[j] += t
+                    tu[j] += t_non
+        denom_m = float(t_sum)
+        denom_u = float(n_total) * _EM_TQ - t_sum
+        p = q(t_sum / (float(n_total) * _EM_TQ), _EM_PQ)
+        m = [q(tm[j] / denom_m, _EM_PQ) for j in range(3)]
+        u = [q(tu[j] / denom_u, _EM_PQ) for j in range(3)]
+    return p, m, u, n_total
+
+
+def _em_oracle() -> str:
+    conds = {
+        "name": f"levenshtein(a.c_name, b.c_name) <= {_FS_NAME_MAX}",
+        "balance_band": "floor(a.c_acctbal / 1000.0) = floor(b.c_acctbal / 1000.0)",
+        "id_proximity": (
+            "abs(CAST(regexp_extract(a.c_name, '([0-9]+)$', 1) AS BIGINT)"
+            " - CAST(regexp_extract(b.c_name, '([0-9]+)$', 1) AS BIGINT)) <= 100"
+        ),
+    }
+    head = f"""
+WITH pats AS (
+  SELECT CASE WHEN {conds['name']} THEN 1 ELSE 0 END AS g1,
+         CASE WHEN {conds['balance_band']} THEN 1 ELSE 0 END AS g2,
+         CASE WHEN {conds['id_proximity']} THEN 1 ELSE 0 END AS g3
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey),
+cnt AS (SELECT g1, g2, g3, CAST(count(*) AS BIGINT) AS n_k FROM pats GROUP BY 1, 2, 3),
+tot AS (SELECT CAST(sum(n_k) AS BIGINT) AS n_total FROM cnt),
+it0 AS (SELECT CAST({_EM_P0!r} AS DOUBLE) AS p,
+               CAST({_EM_M0[0]!r} AS DOUBLE) AS m1, CAST({_EM_M0[1]!r} AS DOUBLE) AS m2,
+               CAST({_EM_M0[2]!r} AS DOUBLE) AS m3,
+               CAST({_EM_U0[0]!r} AS DOUBLE) AS u1, CAST({_EM_U0[1]!r} AS DOUBLE) AS u2,
+               CAST({_EM_U0[2]!r} AS DOUBLE) AS u3)"""
+    steps = []
+    for i in range(1, _EM_ITERS + 1):
+        steps.append(f"""
+e{i} AS (
+  SELECT c.g1, c.g2, c.g3, c.n_k,
+         CAST(floor(c.n_k * (
+             (it.p * (CASE c.g1 WHEN 1 THEN it.m1 ELSE 1.0 - it.m1 END)
+                    * (CASE c.g2 WHEN 1 THEN it.m2 ELSE 1.0 - it.m2 END)
+                    * (CASE c.g3 WHEN 1 THEN it.m3 ELSE 1.0 - it.m3 END))
+             / ((it.p * (CASE c.g1 WHEN 1 THEN it.m1 ELSE 1.0 - it.m1 END)
+                       * (CASE c.g2 WHEN 1 THEN it.m2 ELSE 1.0 - it.m2 END)
+                       * (CASE c.g3 WHEN 1 THEN it.m3 ELSE 1.0 - it.m3 END))
+                + ((1.0 - it.p) * (CASE c.g1 WHEN 1 THEN it.u1 ELSE 1.0 - it.u1 END)
+                                * (CASE c.g2 WHEN 1 THEN it.u2 ELSE 1.0 - it.u2 END)
+                                * (CASE c.g3 WHEN 1 THEN it.u3 ELSE 1.0 - it.u3 END)))
+         ) * {_EM_TQ!r} + 0.5) AS BIGINT) AS t
+  FROM cnt c, it{i - 1} it),
+s{i} AS (
+  SELECT CAST(sum(t) AS BIGINT) AS t_sum,
+         CAST(sum(CASE WHEN g1 = 1 THEN t ELSE 0 END) AS BIGINT) AS tm1,
+         CAST(sum(CASE WHEN g2 = 1 THEN t ELSE 0 END) AS BIGINT) AS tm2,
+         CAST(sum(CASE WHEN g3 = 1 THEN t ELSE 0 END) AS BIGINT) AS tm3,
+         CAST(sum(CASE WHEN g1 = 1 THEN n_k * CAST({int(_EM_TQ)} AS BIGINT) - t ELSE 0 END) AS BIGINT) AS tu1,
+         CAST(sum(CASE WHEN g2 = 1 THEN n_k * CAST({int(_EM_TQ)} AS BIGINT) - t ELSE 0 END) AS BIGINT) AS tu2,
+         CAST(sum(CASE WHEN g3 = 1 THEN n_k * CAST({int(_EM_TQ)} AS BIGINT) - t ELSE 0 END) AS BIGINT) AS tu3
+  FROM e{i}),
+it{i} AS (
+  SELECT floor(CAST(s.t_sum AS DOUBLE) / (CAST(t.n_total AS DOUBLE) * {_EM_TQ!r}) * {_EM_PQ!r} + 0.5) / {_EM_PQ!r} AS p,
+         floor(CAST(s.tm1 AS DOUBLE) / CAST(s.t_sum AS DOUBLE) * {_EM_PQ!r} + 0.5) / {_EM_PQ!r} AS m1,
+         floor(CAST(s.tm2 AS DOUBLE) / CAST(s.t_sum AS DOUBLE) * {_EM_PQ!r} + 0.5) / {_EM_PQ!r} AS m2,
+         floor(CAST(s.tm3 AS DOUBLE) / CAST(s.t_sum AS DOUBLE) * {_EM_PQ!r} + 0.5) / {_EM_PQ!r} AS m3,
+         floor(CAST(s.tu1 AS DOUBLE) / (CAST(t.n_total AS DOUBLE) * {_EM_TQ!r} - CAST(s.t_sum AS DOUBLE)) * {_EM_PQ!r} + 0.5) / {_EM_PQ!r} AS u1,
+         floor(CAST(s.tu2 AS DOUBLE) / (CAST(t.n_total AS DOUBLE) * {_EM_TQ!r} - CAST(s.t_sum AS DOUBLE)) * {_EM_PQ!r} + 0.5) / {_EM_PQ!r} AS u2,
+         floor(CAST(s.tu3 AS DOUBLE) / (CAST(t.n_total AS DOUBLE) * {_EM_TQ!r} - CAST(s.t_sum AS DOUBLE)) * {_EM_PQ!r} + 0.5) / {_EM_PQ!r} AS u3
+  FROM s{i} s, tot t)""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+SELECT t.n_total AS n_pairs, it.p AS em_p,
+       it.m1, it.m2, it.m3, it.u1, it.u2, it.u3
+FROM it{_EM_ITERS} it, tot t
+"""
+    )
+
+
+@query("fellegi_sunter_em_params", oracle=_em_oracle())
+def fellegi_sunter_em_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED record-linkage parameters: the EM fit (Winkler's
+    unsupervised estimation for the Fellegi–Sunter model, the algorithm
+    inside Splink/FEBRL) of match proportion p and per-field m/u
+    probabilities, under conditional independence. The distributed pass
+    reduces the blocked pair space to its SUFFICIENT STATISTICS — counts
+    of the 2^3 agreement patterns — and EM then runs on 8 rows, so the
+    iterations are parameters-not-data work (driver floats here, an
+    unrolled CTE chain in the oracle, mirrored operation-for-operation:
+    same multiply order, params re-quantized to 1e-12 between
+    iterations, expectation terms as exact 1e-6-unit int64 sums — the
+    8-term sums are order-free).
+
+    Complements fellegi_sunter_linkage (which scores with fixed trained
+    weights): this is where those weights come from.
+
+    Scale shape: one blocked pair scan + an 8-group aggregate; every EM
+    iteration afterward costs nothing at any corpus size — the textbook
+    reduce-to-sufficient-statistics discipline (same as ols_price_
+    quantity_fit's Gram reduction)."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    a, b = c.alias("a"), c.alias("b")
+    conds = {
+        "g1": (F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= _FS_NAME_MAX),
+        "g2": (
+            F.floor(F.col("a.c_acctbal") / F.lit(1000.0))
+            == F.floor(F.col("b.c_acctbal") / F.lit(1000.0))
+        ),
+        "g3": (
+            F.abs(
+                F.regexp_extract(F.col("a.c_name"), r"([0-9]+)$", 1).cast("bigint")
+                - F.regexp_extract(F.col("b.c_name"), r"([0-9]+)$", 1).cast("bigint")
+            )
+            <= 100
+        ),
+    }
+    pats = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        *[F.when(cond, F.lit(1)).otherwise(F.lit(0)).alias(g) for g, cond in conds.items()]
+    )
+    cnt = pats.groupBy("g1", "g2", "g3").agg(F.count(F.lit(1)).cast("bigint").alias("n_k"))
+    counts = {
+        (int(r["g1"]), int(r["g2"]), int(r["g3"])): int(r["n_k"]) for r in cnt.collect()
+    }
+    p, m, u, n_total = _em_py(counts)
+    return spark.createDataFrame(
+        [(n_total, p, m[0], m[1], m[2], u[0], u[1], u[2])],
+        "n_pairs bigint, em_p double, m1 double, m2 double, m3 double, "
+        "u1 double, u2 double, u3 double",
+    )
