@@ -986,7 +986,8 @@ def resample_wav_nn(payload: bytes, out_rate: int) -> bytes:
     rate, channels, samples = decode_wav(payload)
     if channels != 1:
         raise ValueError("resample_wav_nn supports mono only")
-    n_out = max(1, (len(samples) * out_rate) // rate)
+    # an empty data chunk resamples to an empty clip, not an IndexError
+    n_out = (len(samples) * out_rate) // rate if samples else 0
     out = [samples[(i * rate) // out_rate] for i in range(n_out)]
     data = struct.pack(f"<{len(out)}h", *out)
     hdr = (
@@ -1053,8 +1054,11 @@ def sample_gif_frames(media: DataFrame, n_out: int = 2) -> DataFrame:
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 frames = decode_gif_frames(bytes(p))
                 total = len(frames)
-                for i in range(min(n_out, total)):
-                    k = (i * total) // n_out
+                eff = min(n_out, total)  # denominator must match the loop
+                # bound, or n_out > total duplicates frame 0 and drops the
+                # tail (k = i*total//n_out stalls at 0)
+                for i in range(eff):
+                    k = (i * total) // eff
                     w, h, rgb = frames[k]
                     n = w * h
                     ids.append(mid)

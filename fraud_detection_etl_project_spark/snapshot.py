@@ -184,7 +184,14 @@ def _file_bloom(path: str, columns: list[str]) -> dict:
     import pyarrow.parquet as pq
 
     out = {}
-    table = pq.read_table(path, columns=[c for c in columns if c])
+    # intersect with the file's actual columns: a bloom column missing
+    # from this commit's frame (typo, or schema evolution mid-append)
+    # must degrade to "absent -> un-prunable", not abort the commit
+    present = set(pq.ParquetFile(path).schema_arrow.names)
+    wanted = [c for c in columns if c in present]
+    if not wanted:
+        return out
+    table = pq.read_table(path, columns=wanted)
     for c in table.column_names:
         vals = set(v for v in table.column(c).to_pylist() if v is not None)
         if not vals:

@@ -73,14 +73,6 @@ _SPARK_TO_DESCR = {
     IntegerType(): "<i4",
     LongType(): "<i8",
 }
-_DESCR_TO_ARROW = {
-    "<f4": pa.float32(),
-    "<f8": pa.float64(),
-    "<i4": pa.int32(),
-    "<i8": pa.int64(),
-}
-
-
 def read_header(path: str) -> tuple[str, tuple[int, ...]]:
     """(descr, shape) from a .npy header — metadata-only (no data pages).
     Rejects fortran order and >2-D arrays: those are a layout rewrite,
@@ -155,8 +147,13 @@ class NpyReader(DataSourceReader):
         if partition.hi <= partition.lo:
             return
         arr = np.load(partition.path, mmap_mode="r")
-        for lo in range(partition.lo, partition.hi, self.batch_rows):
-            hi = min(lo + self.batch_rows, partition.hi)
+        # list<T> carries int32 offsets: cap the batch so rows*width stays
+        # under 2^31 elements (a 40k-wide embedding matrix at the default
+        # batch_rows would otherwise wrap the offsets negative)
+        width = arr.shape[1] if arr.ndim == 2 else 1
+        step = min(self.batch_rows, max(1, (2**31 - 1) // max(1, width)))
+        for lo in range(partition.lo, partition.hi, step):
+            hi = min(lo + step, partition.hi)
             chunk = np.ascontiguousarray(arr[lo:hi])
             idx = pa.array(
                 np.arange(partition.base_idx + lo, partition.base_idx + hi, dtype=np.int64)
@@ -317,8 +314,12 @@ class NpyDataSource(DataSource):
         return "pynpy"
 
     def schema(self):
-        first = _data_files(self.options["path"])[0]
-        descr, shape = read_header(first)
+        files = _data_files(self.options["path"])
+        if not files:
+            raise FileNotFoundError(
+                f"no .npy files under {self.options['path']!r}"
+            )
+        descr, shape = read_header(files[0])
         t = _DESCR_TO_SPARK[descr]
         # everything nullable: Spark's Arrow ingest is strict about type
         # parity and lenient-nullable is the safe declaration for batches

@@ -288,27 +288,59 @@ class TFRecordFilePartition(InputPartition):
         self.base_idx = base_idx
 
 
+def count_records(path: str) -> int:
+    """Record count by SEEKING over the framing (8-byte length -> skip
+    payload+CRCs) — headers only, no payload bytes read or CRC-verified;
+    this is the cheapest count the format allows (no index, no sync
+    markers). Truncated framing still raises."""
+    import os as _os
+
+    n = 0
+    size = _os.path.getsize(path)
+    with open(path, "rb") as f:
+        pos = 0
+        while pos < size:
+            header = f.read(8)
+            if len(header) < 8:
+                raise ValueError(f"truncated length at offset {pos}: {path}")
+            (ln,) = struct.unpack("<Q", header)
+            pos += 8 + 4 + ln + 4
+            if pos > size:
+                raise ValueError(f"truncated record at offset {pos - 8 - 4 - ln - 4}: {path}")
+            f.seek(pos)
+            n += 1
+    return n
+
+
 class TFRecordReader(DataSourceReader):
     """One partition per shard file: TFRecord carries no sync markers, so
     the file IS the format's unit of parallelism (real corpora shard as
     name-NNNNN-of-MMMMM for exactly this reason). ``idx`` is the global
-    record offset in file order — deterministic, computed from a cheap
-    pre-count pass only when more than one shard exists."""
+    record offset in file order, whose per-file bases need record counts:
+    those come from a header-SEEK pass (count_records — length fields
+    only, no payload bytes, no CRC work) and only when more than one
+    shard exists. Set ``idx_bases=false`` to skip even that and get
+    file-local idx (0-based per shard) with zero planning I/O."""
 
     def __init__(self, options: dict):
         self.path = options["path"]
+        self.idx_bases = str(options.get("idx_bases", "true")).lower() != "false"
 
     def partitions(self):
         files = _data_files(self.path)
+        if not files:
+            return [TFRecordFilePartition("", 0)]  # empty dir -> empty frame
         base = 0
         parts = []
         for f in files:
             parts.append(TFRecordFilePartition(f, base))
-            if len(files) > 1:
-                base += sum(1 for _ in iter_records(f))
-        return parts or [TFRecordFilePartition(self.path, 0)]
+            if self.idx_bases and len(files) > 1:
+                base += count_records(f)
+        return parts
 
     def read(self, partition: TFRecordFilePartition):
+        if not partition.path:
+            return
         for i, payload in enumerate(iter_records(partition.path)):
             bf, ff, i64f = decode_example(payload)
             yield (partition.base_idx + i, bf, ff, i64f)

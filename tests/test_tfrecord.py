@@ -130,3 +130,24 @@ def test_sink_append_additive(reg, tmp_path):
     df.write.format("pytfrecord").option("path", out).mode("append").save()
     assert len([f for f in os.listdir(out) if f.endswith(".tfrecord")]) == 2
     assert reg.read.format("pytfrecord").option("path", out).load().count() == 10
+
+
+def test_count_records_seeks_headers_only(tmp_path):
+    p = tmp_path / "x.tfrecord"
+    with open(p, "wb") as f:
+        for i in range(25):
+            T.write_record(f, b"p" * (i * 7))
+    assert T.count_records(str(p)) == 25
+    # truncation still surfaces
+    data = open(p, "rb").read()
+    open(p, "wb").write(data[:-3])
+    with pytest.raises(ValueError, match="truncated"):
+        T.count_records(str(p))
+
+
+def test_empty_directory_reads_as_empty_frame(reg, tmp_path):
+    d = tmp_path / "empty"
+    d.mkdir()
+    df = reg.read.format("pytfrecord").option("path", str(d)).load()
+    assert df.count() == 0
+    assert df.columns[0] == "idx"
