@@ -2331,3 +2331,125 @@ def part_harmonic_centrality_3hop(spark: SparkSession, sf_dir: str) -> DataFrame
         "n3",
         (F.floor(harmonic * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)).alias("harmonic_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Link-prediction evaluation: common-neighbor scores vs held-out edges
+# ---------------------------------------------------------------------------
+
+_LP_TEST_MOD = 5  # md5 bucket == 0 -> test edge (20% holdout)
+_LP_MIN_COMMON = 2
+
+_LP_SQL = f"""
+WITH ew AS ({_PPR_EW_SQL}),
+split AS (
+  SELECT src, dst,
+         CAST(('0x' || substring(md5('lp1|' || CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR)), 1, 6)) AS BIGINT)
+           % {_LP_TEST_MOD} = 0 AS is_test
+  FROM ew),
+train AS (SELECT src, dst FROM split WHERE NOT is_test),
+test AS (SELECT src, dst FROM split WHERE is_test),
+nbrs AS (SELECT src AS node, dst AS nbr FROM train UNION ALL SELECT dst AS node, src AS nbr FROM train),
+cand AS (
+  SELECT a.node AS u, b.node AS v, CAST(count(*) AS BIGINT) AS common
+  FROM nbrs a JOIN nbrs b ON a.nbr = b.nbr AND a.node < b.node
+  GROUP BY 1, 2
+  HAVING count(*) >= {_LP_MIN_COMMON}),
+pred AS (  -- predictions = scored non-train pairs
+  SELECT c.u, c.v, c.common FROM cand c
+  LEFT JOIN train t ON t.src = c.u AND t.dst = c.v
+  WHERE t.src IS NULL),
+hit AS (
+  SELECT count(*) AS n_hits FROM pred p JOIN test e ON e.src = p.u AND e.dst = p.v)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM train) AS n_train,
+       (SELECT CAST(count(*) AS BIGINT) FROM test) AS n_test,
+       (SELECT CAST(count(*) AS BIGINT) FROM pred) AS n_predictions,
+       CAST(h.n_hits AS BIGINT) AS n_hits,
+       floor(CAST(h.n_hits AS DOUBLE) / (SELECT CAST(count(*) AS DOUBLE) FROM test) * 1000000.0 + 0.5) / 1000000.0 AS recall_q,
+       floor(CAST(h.n_hits AS DOUBLE) / (SELECT CAST(count(*) AS DOUBLE) FROM pred) * 1000000.0 + 0.5) / 1000000.0 AS precision_q
+FROM hit h
+"""
+
+
+@query("copurchase_linkpred_eval", oracle=_LP_SQL)
+def copurchase_linkpred_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction evaluation, the standard graph-ML benchmark loop:
+    hold out 20% of copurchase edges (portable md5 split on the edge
+    key), score NON-edges of the training graph by common-neighbor count
+    (the classic baseline predictor — the same wedge machinery as
+    part_neighborhood_jaccard), and report recall (held-out edges the
+    predictor recovers) and precision (predictions that were real
+    held-out edges) as one summary row. This is the evaluation harness a
+    recommender's candidate generator is judged by before anything
+    fancier than common-neighbors is attempted.
+
+    Scale shape: the wedge self-join is bounded by the support-threshold
+    train graph (degree-cap/orientation remedies documented on the
+    triangle path apply unchanged); the train-edge anti-join and
+    test-edge join are key-sparse; the output is a single row of exact
+    counts plus two quantized ratios."""
+    ew = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .alias("a")
+        .join(
+            _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct().alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _EDGE_SUPPORT)
+        .select("src", "dst")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("lp1|"),
+                        F.col("src").cast("string"),
+                        F.lit("|"),
+                        F.col("dst").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _LP_TEST_MOD
+    )
+    split = ew.withColumn("is_test", bucket == 0).persist()
+    train = split.filter(~F.col("is_test")).select("src", "dst")
+    test = split.filter(F.col("is_test")).select("src", "dst")
+    nbrs = train.select(F.col("src").alias("node"), F.col("dst").alias("nbr")).unionAll(
+        train.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+    )
+    a, b = nbrs.alias("a"), nbrs.alias("b")
+    cand = (
+        a.join(b, (F.col("a.nbr") == F.col("b.nbr")) & (F.col("a.node") < F.col("b.node")))
+        .groupBy(F.col("a.node").alias("u"), F.col("b.node").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+        .filter(F.col("common") >= _LP_MIN_COMMON)
+    )
+    pred = cand.join(
+        train.select(F.col("src").alias("u"), F.col("dst").alias("v")), ["u", "v"], "left_anti"
+    ).persist()
+    n_train = train.count()
+    n_test = test.count()
+    n_pred = pred.count()
+    n_hits = pred.join(
+        test.select(F.col("src").alias("u"), F.col("dst").alias("v")), ["u", "v"], "left_semi"
+    ).count()
+    import math
+
+    recall_q = math.floor(n_hits / n_test * 1e6 + 0.5) / 1e6 if n_test else 0.0
+    precision_q = math.floor(n_hits / n_pred * 1e6 + 0.5) / 1e6 if n_pred else 0.0
+    return spark.createDataFrame(
+        [(n_train, n_test, n_pred, n_hits, recall_q, precision_q)],
+        "n_train bigint, n_test bigint, n_predictions bigint, n_hits bigint, "
+        "recall_q double, precision_q double",
+    )

@@ -428,3 +428,144 @@ def threshold_sweep_pr_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             fxr(F.lit(2.0) * tp / (F.lit(2.0) * tp + fp + fn), 6).alias("f1_q"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Interarrival burstiness: the Goh–Barabási B = (σ−μ)/(σ+μ) per user
+# ---------------------------------------------------------------------------
+
+_BURST_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events),
+stats AS (
+  SELECT user_id,
+         CAST(count(gap) AS BIGINT) AS n_gaps,
+         CAST(sum(gap) AS BIGINT) AS s1,
+         CAST(sum(gap * gap) AS BIGINT) AS s2
+  FROM gaps WHERE gap IS NOT NULL GROUP BY 1)
+SELECT user_id, n_gaps,
+       floor(CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS mean_gap_q,
+       floor(sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                           - (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                             * (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 0.0))
+             * 1000000.0 + 0.5) / 1000000.0 AS std_gap_q,
+       floor((sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                            - (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                              * (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 0.0))
+              - CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+             / (sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                              - (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                                * (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 0.0))
+                + CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS burstiness_q
+FROM stats
+WHERE n_gaps >= 5
+"""
+
+
+@query("user_interarrival_burstiness", oracle=_BURST_SQL)
+def user_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interarrival burstiness (Goh & Barabási 2008): B = (σ−μ)/(σ+μ)
+    over each user's event gaps — B→−1 for metronome-regular (scripted/
+    bot) activity, B→+1 for extreme bursts, ~0 for Poisson-random human
+    traffic. The temporal fingerprint beside the type-mix one
+    (user_type_simpson_diversity).
+
+    Determinism: gaps are exact integer epoch-second diffs from one
+    per-user ordered window (ties broken by event_id); σ comes from the
+    (n, Σx, Σx²) sufficient statistics as int64, and the only
+    transcendental is sqrt — which IEEE 754 requires to be correctly
+    rounded, so unlike ln/exp it is bit-identical across engines.
+
+    Scale shape: one user-keyed sorted window for the lag, one
+    map-side-combinable aggregate for three int64 cells per user."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("long")
+    gaps = e.select("user_id", (sec - F.lag(sec).over(w)).alias("gap")).filter(
+        F.col("gap").isNotNull()
+    )
+    stats = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("gap").cast("bigint").alias("s1"),
+        F.sum(F.col("gap") * F.col("gap")).cast("bigint").alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n_gaps").cast("double")
+    var = F.greatest(F.col("s2").cast("double") / F.col("n_gaps").cast("double") - mu * mu, F.lit(0.0))
+    sd = F.sqrt(var)
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return stats.filter(F.col("n_gaps") >= 5).select(
+        "user_id",
+        "n_gaps",
+        q6(mu).alias("mean_gap_q"),
+        q6(sd).alias("std_gap_q"),
+        q6((sd - mu) / (sd + mu)).alias("burstiness_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day concentration: scripted accounts act on a clock
+# ---------------------------------------------------------------------------
+
+_HOUR_SQL = """
+WITH h AS (
+  SELECT user_id, CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+u AS (
+  SELECT user_id,
+         CAST(sum(n) AS BIGINT) AS n_events,
+         CAST(max(n) AS BIGINT) AS peak_n,
+         CAST(min(CASE WHEN n = peak THEN hr END) AS BIGINT) AS peak_hour,
+         CAST(count(*) AS BIGINT) AS active_hours
+  FROM (SELECT *, max(n) OVER (PARTITION BY user_id) AS peak FROM h)
+  GROUP BY 1)
+SELECT user_id, n_events, peak_hour, peak_n, active_hours,
+       floor(CAST(peak_n AS DOUBLE) / CAST(n_events AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+         AS peak_share_q
+FROM u
+WHERE n_events >= 10
+"""
+
+
+@query("user_hour_concentration", oracle=_HOUR_SQL)
+def user_hour_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day concentration profile: per user, the peak activity
+    hour (UTC), how much of their traffic lands in it, and how many
+    distinct hours they are active in — cron-driven accounts concentrate
+    in one or two hours where organic users spread across a waking day.
+    Completes the behavioral-fingerprint trio (type mix, temporal
+    burstiness, clock profile).
+
+    Determinism: pure integer counts and one quantized ratio; the peak
+    hour ties break to the earliest hour in both engines. Scale shape:
+    one (user × 24)-bounded groupBy with map-side combine, then a
+    per-user fold over at most 24 rows."""
+    e = _t(spark, sf_dir, "events")
+    h = e.groupBy("user_id", F.hour("ts").cast("bigint").alias("hr")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wpk = Window.partitionBy("user_id")
+    u = (
+        h.withColumn("peak", F.max("n").over(wpk))
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.max("n").cast("bigint").alias("peak_n"),
+            F.min(F.when(F.col("n") == F.col("peak"), F.col("hr"))).cast("bigint").alias("peak_hour"),
+            F.count(F.lit(1)).cast("bigint").alias("active_hours"),
+        )
+    )
+    share = F.col("peak_n").cast("double") / F.col("n_events").cast("double")
+    return u.filter(F.col("n_events") >= 10).select(
+        "user_id",
+        "n_events",
+        "peak_hour",
+        "peak_n",
+        "active_hours",
+        (F.floor(share * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("peak_share_q"),
+    )
