@@ -19,6 +19,7 @@ from fraud_detection_etl_project_spark.plans import analytics_queries  # noqa: F
 from fraud_detection_etl_project_spark.plans import ml_queries  # noqa: F401,E402
 from fraud_detection_etl_project_spark.plans import governance_queries  # noqa: F401,E402
 from fraud_detection_etl_project_spark.plans import risk_queries  # noqa: F401,E402
+from fraud_detection_etl_project_spark.plans import experiment_queries  # noqa: F401,E402
 
 # Harnesses that sample the registry take a prefix in insertion order, so the
 # first entries must span every operator family (one representative each):
