@@ -548,3 +548,84 @@ def hits(nodes: DataFrame, edges: DataFrame, iterations: int = 2, quant: int = 1
         hub = _l1norm(_quantsum("auth", "src", "dst"))  # hub <- auths pointed at
         scores = scores.drop("hub").join(hub.withColumnRenamed("score", "hub"), "node")
     return scores.select("node", "hub", "auth")
+
+
+def katz_centrality(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 3,
+    alpha: float = 0.05,
+    quant: int = 9,
+    local_edge_threshold: int = 100_000,
+) -> DataFrame:
+    """Katz centrality: x <- 1 + alpha * A^T x, iterated from x = 1 — the
+    walk-counting prestige score (node v accrues alpha^k mass for every
+    length-k walk ending at v). Unlike PageRank it does not normalize by
+    out-degree, so high-fanout hubs transmit full influence; alpha must sit
+    below 1/lambda_max for convergence (0.05 is safely inside for the
+    aggregated product graphs this repo feeds it).
+
+    Deterministic by the repo's quantized-iteration contract: scores live
+    on the 1e-quant int64 lattice; each iteration sums neighbor lattice
+    units exactly in int64 (associative, order-free), applies the alpha
+    multiply as one IEEE double op, and re-quantizes — so a fixed-iteration
+    unrolled-CTE oracle reproduces every bit. Int64 headroom: with
+    alpha=0.05, scores stay O(1 + alpha*deg)^iters; lattice units ~1e9 *
+    score, and per-node neighbor sums stay far under 2^63 for any graph
+    whose max degree fits memory anyway.
+
+    Scale: same shuffle shape as pagerank — one src-keyed join + one
+    dst-keyed grouped sum per iteration over the (aggregated) edge list,
+    with the probe-bounded local path for graphs small enough to fold on
+    the driver (identical recurrence, bit-identical result).
+    """
+    import math
+    from collections import defaultdict
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    scale = float(10**quant)
+    probe = edges.limit(local_edge_threshold + 1).collect()
+    if len(probe) <= local_edge_threshold:
+        edge_rows = [(r["src"], r["dst"]) for r in probe]
+        node_list = [r["node"] for r in nodes.collect()]
+        x = {v: 1.0 for v in node_list}
+        for _ in range(iterations):
+            acc: dict = defaultdict(int)
+            for s, d in edge_rows:
+                if s in x:
+                    acc[d] += int(math.floor(x[s] * scale + 0.5))
+            x = {
+                v: math.floor((1.0 + alpha * (acc.get(v, 0) / scale)) * scale + 0.5) / scale
+                for v in node_list
+            }
+        id_type = nodes.schema["node"].dataType
+        return nodes.sparkSession.createDataFrame(
+            sorted(x.items()),
+            StructType([StructField("node", id_type), StructField("katz", DoubleType())]),
+        )
+
+    e = edges.select("src", "dst").persist()
+    x_df = nodes.select("node", F.lit(1.0).alias("katz"))
+    for _ in range(iterations):
+        acc = (
+            e.join(x_df.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                (
+                    F.sum(F.floor(F.col("katz") * F.lit(scale) + F.lit(0.5)).cast("long"))
+                    / F.lit(scale)
+                ).alias("in_x")
+            )
+        )
+        x_df = nodes.join(acc, "node", "left").select(
+            "node",
+            (
+                F.floor(
+                    (F.lit(1.0) + F.lit(alpha) * F.coalesce("in_x", F.lit(0.0))) * F.lit(scale)
+                    + F.lit(0.5)
+                )
+                / F.lit(scale)
+            ).alias("katz"),
+        )
+    return x_df

@@ -1083,3 +1083,165 @@ def sample_gif_frames(media: DataFrame, n_out: int = 2) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=GIF_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# AVI / MJPEG video container (RIFF): the first VIDEO container — real
+# chunk-level parse, frames decoded by the repo's own T.81 JPEG codec.
+# ---------------------------------------------------------------------------
+
+
+def _u32(n: int) -> bytes:
+    return int(n).to_bytes(4, "little")
+
+
+def encode_avi_mjpeg(w: int, h: int, frames: list[bytes], fps: int = 10) -> bytes:
+    """Minimal standard AVI (RIFF 'AVI ') wrapping Motion-JPEG frames:
+    LIST hdrl (avih main header + one 'vids'/'MJPG' stream: strh + strf
+    BITMAPINFOHEADER), LIST movi with one word-aligned '00dc' chunk per
+    frame (JPEG bytes stored VERBATIM — MJPEG is just framed baseline
+    JPEG), and an idx1 keyframe index. Fixture writer for the decoder —
+    the layout follows the public msdn/OpenDML RIFF-AVI description."""
+    if not frames:
+        raise ValueError("AVI needs at least one frame")
+    n = len(frames)
+    avih = b"avih" + _u32(56) + b"".join(
+        _u32(x)
+        for x in (
+            1_000_000 // fps,  # dwMicroSecPerFrame
+            0, 0, 0x10,        # maxbytes, padding, AVIF_HASINDEX
+            n, 0, 1,           # total frames, initial, streams
+            max(len(f) for f in frames),
+            w, h, 0, 0, 0, 0,
+        )
+    )
+    strh = b"strh" + _u32(56) + b"vids" + b"MJPG" + b"".join(
+        _u32(x)
+        for x in (0, 0, 0, 1, fps, 0, n, max(len(f) for f in frames), 0xFFFFFFFF, 0)
+    ) + _u32(0) + (w).to_bytes(2, "little") + (h).to_bytes(2, "little")
+    strf = b"strf" + _u32(40) + b"".join(
+        _u32(x) for x in (40, w, h)
+    ) + (1).to_bytes(2, "little") + (24).to_bytes(2, "little") + b"MJPG" + b"".join(
+        _u32(x) for x in (w * h * 3, 0, 0, 0, 0)
+    )
+    strl = b"LIST" + _u32(4 + len(strh) + len(strf)) + b"strl" + strh + strf
+    hdrl = b"LIST" + _u32(4 + len(avih) + len(strl)) + b"hdrl" + avih + strl
+    movi_body = bytearray(b"movi")
+    idx = bytearray(b"idx1")
+    entries = bytearray()
+    for f in frames:
+        offset = len(movi_body)  # relative to 'movi' fourcc start
+        movi_body += b"00dc" + _u32(len(f)) + f
+        if len(f) % 2:
+            movi_body += b"\x00"  # RIFF chunks are word-aligned
+        entries += b"00dc" + _u32(0x10) + _u32(offset) + _u32(len(f))
+    idx += _u32(len(entries)) + entries
+    movi = b"LIST" + _u32(len(movi_body)) + bytes(movi_body)
+    body = b"AVI " + hdrl + movi + bytes(idx)
+    return b"RIFF" + _u32(len(body)) + body
+
+
+def decode_avi_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Parse a RIFF-AVI container and return (width, height, [frame
+    payloads]) — the '00dc'/'00db' chunk bodies of the movi list in
+    stream order (for MJPEG each body is a complete baseline JPEG). A
+    real chunk walker: validates the RIFF/AVI magic, honors declared
+    sizes and word padding, reads width/height/frame count from the avih
+    main header, and cross-checks the frame count. Rejects malformed
+    input loudly rather than guessing."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF AVI container")
+    riff_size = int.from_bytes(payload[4:8], "little")
+    if 8 + riff_size > len(payload):
+        raise ValueError("RIFF size exceeds payload")
+    w = h = total = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal w, h, total
+        while pos + 8 <= end:
+            ckid = buf[pos : pos + 4]
+            sz = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+            body_start = pos + 8
+            body_end = body_start + sz
+            if body_end > end:
+                raise ValueError(f"chunk {ckid!r} overruns its parent")
+            if ckid == b"LIST":
+                ltype = buf[body_start : body_start + 4]
+                if ltype in (b"hdrl", b"movi", b"strl"):
+                    walk(buf, body_start + 4, body_end)
+            elif ckid == b"avih":
+                if sz < 56:
+                    raise ValueError("avih header too short")
+                total = int.from_bytes(buf[body_start + 16 : body_start + 20], "little")
+                w = int.from_bytes(buf[body_start + 32 : body_start + 36], "little")
+                h = int.from_bytes(buf[body_start + 36 : body_start + 40], "little")
+            elif ckid[2:4] in (b"dc", b"db") and ckid[:2].isdigit():
+                frames.append(bytes(buf[body_start:body_end]))
+            pos = body_end + (sz % 2)  # word alignment
+
+    walk(payload, 12, 8 + riff_size)
+    if w is None:
+        raise ValueError("AVI missing avih main header")
+    if total is not None and total != len(frames):
+        raise ValueError(f"avih declares {total} frames, movi carries {len(frames)}")
+    return w, h, frames
+
+
+AVI_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("n_sampled", LongType()),
+        StructField("mean_luma", DoubleType()),
+        StructField("max_byte", LongType()),
+        StructField("min_byte", LongType()),
+    ]
+)
+
+
+def avi_frame_features(payload: bytes, stride: int = 2) -> dict:
+    """Container parse + strided frame sampling + REAL per-frame JPEG
+    decode: the canonical video-curation shape (decode only every k-th
+    frame; a 100 TB video corpus is mostly frames you never look at).
+    Statistics are over the sampled frames' decoded pixels."""
+    from fraud_detection_etl_project_spark.operators.jpeg import decode_jpeg
+
+    w, h, frames = decode_avi_frames(payload)
+    sampled = frames[::stride]
+    tot = 0
+    n_px = 0
+    mx, mn = 0, 255
+    for f in sampled:
+        fw, fh, rgb = decode_jpeg(f)
+        lum = rgb[0::3]  # grayscale MJPEG: R carries luma
+        tot += sum(lum)
+        n_px += fw * fh
+        mx = max(mx, max(lum))
+        mn = min(mn, min(lum))
+    return {
+        "width": w,
+        "height": h,
+        "n_frames": len(frames),
+        "n_sampled": len(sampled),
+        "mean_luma": tot / n_px,
+        "max_byte": mx,
+        "min_byte": mn,
+    }
+
+
+def extract_avi_features(media: DataFrame, stride: int = 2) -> DataFrame:
+    """Video feature extraction over AVI/MJPEG payloads (Arrow-batched
+    mapInPandas; Python touches payload bytes only, stats aggregate
+    JVM-side downstream — the multimodal seam's contract)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [avi_frame_features(bytes(p), stride) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.mapInPandas(run, schema=AVI_FEATURES_SCHEMA)

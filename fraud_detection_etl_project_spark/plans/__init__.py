@@ -107,11 +107,17 @@ from fraud_detection_etl_project_spark.plans import experiment_queries  # noqa: 
 # registered right after the prefix). avro_source_rollup added to the
 # format-source block (pure-Python Avro OCF spec codec as a Python
 # DataSource, JVM-conformance-tested).
+# Round-5 swap (3): snapshot_time_travel_rollup ->
+# snapshot_mor_delete_rollup in the table-format slot — the
+# merge-on-read equality-delete query drives the same manifest/read
+# machinery PLUS delete files, the sequence rule, and a 4-version
+# history; time travel stays registered right after the prefix,
+# oracle-verified.
 FAMILY_PREFIX = [
     "flagship_inconsistent_orders",
     "fraud_valid_txns",
     "fraud_flagged_txns",
-    "snapshot_time_travel_rollup",
+    "snapshot_mor_delete_rollup",
     "customer_string_funcs",
     "monthly_order_stats",
     "events_json_extract",

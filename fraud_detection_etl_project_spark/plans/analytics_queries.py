@@ -2643,3 +2643,269 @@ def daily_value_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("mean_right") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("mean_right_q"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley sequential drift detection (daily mean series per event type)
+# ---------------------------------------------------------------------------
+
+_PH_LAMBDA_CENTS = 5_000  # alarm threshold: 50 dollars of accumulated drift
+
+
+@query(
+    "value_page_hinkley_drift",
+    oracle=f"""
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(floor(CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                    / count(*) + 0.5) AS BIGINT) AS x_cents
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, day, x_cents,
+         CAST(row_number() OVER w AS BIGINT) AS t,
+         CAST(sum(x_cents) OVER w AS BIGINT) AS cum_x
+  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+m AS (
+  SELECT event_type, day, t, x_cents,
+         CAST(sum(CAST(floor((x_cents - CAST(cum_x AS DOUBLE) / t) * 1000000.0 + 0.5) AS BIGINT))
+              OVER w AS BIGINT) AS m_t
+  FROM r WINDOW w AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, t, x_cents,
+       CAST(m_t - min(m_t) OVER (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ph_micro,
+       m_t - min(m_t) OVER (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         > CAST({_PH_LAMBDA_CENTS} AS BIGINT) * 1000000 AS alarm
+FROM m
+""",
+)
+def value_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley sequential drift test over each event type's daily
+    mean-value series — the streaming-ML drift detector (Gama et al.)
+    beside the repo's CUSUM: accumulate deviations of each observation
+    from the RUNNING mean, m_T = sum_t (x_t - xbar_t - delta), and alarm
+    when m_T rises lambda above its historical minimum (a level shift
+    makes deviations systematically positive).
+
+    Exactness: daily means land on the integer-cent lattice (exact int64
+    cent sums divided once, floored); each deviation x_t - cum_x/t
+    quantizes to int64 micro-cents BEFORE the cumulative sum, so m_T and
+    its running minimum are exact integers in both engines — the same
+    prefix-scan drawdown identity the CUSUM rewrite uses, with the
+    reference mean running instead of fixed.
+
+    Scale: the fact table reduces to (event_type, day) in one map-side-
+    combinable pass; every window (row_number, two cumulative sums, one
+    cumulative min) runs over that ~30-row-per-key reduced frame,
+    partitioned by event_type — no fact-sized window, no pandas hop."""
+    e = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    d = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.floor(
+            F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            + 0.5
+        )
+        .cast("long")
+        .alias("x_cents")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = d.select(
+        "event_type",
+        "day",
+        "x_cents",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("day")).cast("long").alias("t"),
+        F.sum("x_cents").over(w).cast("long").alias("cum_x"),
+    )
+    m = r.select(
+        "event_type",
+        "day",
+        "t",
+        "x_cents",
+        F.sum(
+            F.floor(
+                (F.col("x_cents") - F.col("cum_x").cast("double") / F.col("t")) * 1000000.0 + 0.5
+            ).cast("long")
+        )
+        .over(w)
+        .cast("long")
+        .alias("m_t"),
+    )
+    ph = (F.col("m_t") - F.min("m_t").over(w)).cast("long")
+    return m.select(
+        "event_type",
+        "day",
+        "t",
+        "x_cents",
+        ph.alias("ph_micro"),
+        (ph > _PH_LAMBDA_CENTS * 1000000).alias("alarm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subsequence motif counting (non-contiguous ordered patterns per user)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "user_subsequence_motifs",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id,
+         CAST(count(*) FILTER (WHERE event_type = 'view')
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS v_before,
+         CAST(count(*) FILTER (WHERE event_type = 'purchase')
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS BIGINT) AS p_after
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_views,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_clicks,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases,
+       CAST(coalesce(sum(CASE WHEN event_type = 'click'
+                              THEN v_before * p_after END), 0) AS BIGINT) AS n_motifs
+FROM e GROUP BY 1
+""",
+)
+def user_subsequence_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-contiguous ordered-subsequence motif counting: per user, the
+    number of (view, click, purchase) triples in strict time order with
+    ANY events in between — the complex-event-processing / behavioral-
+    motif primitive that adjacent-trigram mining
+    (frequent_event_sequences) cannot see. The naive formulation is a
+    triple self-join (O(n^3) pairs per user); the identity
+    count = sum over clicks of (#views strictly before x #purchases
+    strictly after) computes it with TWO window passes and zero joins —
+    the standard prefix-count trick for subsequence counting.
+
+    Exactness: everything is int64 counting; no floats anywhere.
+
+    Scale: both windows are partitioned by user_id and ordered within the
+    key (per-key frames, never a global sort); one shuffle on user_id
+    serves the windows and the final grouped rollup. Motif counts are
+    bounded by n_views * n_clicks * n_purchases per user — int64-safe to
+    millions of events per key."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wa = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    x = e.select(
+        "user_id",
+        "event_type",
+        F.count(F.when(F.col("event_type") == "view", 1)).over(wb).cast("long").alias("v_before"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).over(wa).cast("long").alias("p_after"),
+    )
+    return x.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).cast("long").alias("n_views"),
+        F.count(F.when(F.col("event_type") == "click", 1)).cast("long").alias("n_clicks"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).cast("long").alias("n_purchases"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "click", F.col("v_before") * F.col("p_after"))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_motifs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HBOS: histogram-based outlier scoring (density product over features)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_hbos_outliers",
+    oracle="""
+WITH f AS (
+  SELECT event_id,
+         CAST(hour(ts) AS BIGINT) AS b_hour,
+         least(CAST(floor(CAST(floor(value * 100.0 + 0.5) AS BIGINT) / 5000.0) AS BIGINT),
+               CAST(19 AS BIGINT)) AS b_val,
+         CAST(dayofweek(ts) AS BIGINT) AS b_dow
+  FROM events
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM f),
+h1 AS (SELECT b_hour, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY 1),
+h2 AS (SELECT b_val, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY 1),
+h3 AS (SELECT b_dow, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY 1)
+SELECT event_id, b_hour, b_val, b_dow,
+       floor((CAST(n.total AS DOUBLE) / h1.c)
+             * (CAST(n.total AS DOUBLE) / h2.c)
+             * (CAST(n.total AS DOUBLE) / h3.c) * 1000000.0 + 0.5) / 1000000.0 AS hbos_score
+FROM f
+JOIN h1 USING (b_hour) JOIN h2 USING (b_val) JOIN h3 USING (b_dow)
+CROSS JOIN n
+ORDER BY hbos_score DESC, event_id ASC
+LIMIT 20
+""",
+)
+def event_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBOS — Histogram-Based Outlier Score (Goldstein & Dengel 2012):
+    per-feature histograms (hour of day, 20-band value, day of week),
+    score = product over features of inverse bin density N/n(bin) —
+    the linear-time unsupervised outlier detector that scales where
+    isolation forests and kNN-based detectors need trees or joins.
+    Reports the top-20 rarest events (deterministic tie-break on
+    event_id).
+
+    Exactness: bins are integer arithmetic on the cent lattice; bin
+    counts are exact int64; the score is formed from those integers by
+    one identical IEEE expression in both engines (no libm — plain
+    multiply/divide), quantized 1e-6.
+
+    Scale: three map-side-combinable histogram aggregations (24 + 20 + 7
+    rows), broadcast back onto ONE fact scan — no fact-sized shuffle at
+    all; the final top-20 is TakeOrderedAndProject (per-partition heads,
+    never a global sort)."""
+    e = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    f = e.select(
+        "event_id",
+        F.hour("ts").cast("long").alias("b_hour"),
+        F.least(
+            F.floor(F.floor(F.col("value") * 100.0 + 0.5).cast("long") / 5000).cast("long"),
+            F.lit(19).cast("long"),
+        ).alias("b_val"),
+        (F.dayofweek("ts") - F.lit(1)).cast("long").alias("b_dow"),
+    )
+    n = f.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    h1 = f.groupBy("b_hour").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    h2 = f.groupBy("b_val").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    h3 = f.groupBy("b_dow").agg(F.count(F.lit(1)).cast("long").alias("c3"))
+    tot = F.col("total").cast("double")
+    score = (tot / F.col("c1")) * (tot / F.col("c2")) * (tot / F.col("c3"))
+    return (
+        f.join(F.broadcast(h1), "b_hour")
+        .join(F.broadcast(h2), "b_val")
+        .join(F.broadcast(h3), "b_dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_id",
+            "b_hour",
+            "b_val",
+            "b_dow",
+            (F.floor(score * 1000000.0 + 0.5) / 1000000.0).alias("hbos_score"),
+        )
+        .orderBy(F.col("hbos_score").desc(), F.col("event_id").asc())
+        .limit(20)
+    )

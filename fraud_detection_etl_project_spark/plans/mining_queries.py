@@ -3795,3 +3795,291 @@ def fellegi_sunter_em_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs bigint, em_p double, m1 double, m2 double, m3 double, "
         "u1 double, u2 double, u3 double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Theta-sketch set algebra: distinct-count intersection/union estimation
+# ---------------------------------------------------------------------------
+
+_THETA_K = 64
+_THETA_DOM = 281474976710656.0  # 2^48: md5's first 12 hex chars span [0, 2^48)
+_THETA_EXACT = 281474976710657  # 2^48 + 1: "theta = 1", every hash retained
+
+
+@query(
+    "theta_user_set_ops",
+    oracle=f"""
+WITH du AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE event_type IN ('view', 'purchase')
+),
+h AS (
+  SELECT event_type,
+         CAST(('0x' || substring(md5('theta|' || CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+  FROM du
+),
+rk AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM h
+),
+sk AS (SELECT event_type, h, n FROM rk WHERE rn <= {_THETA_K}),
+th AS (
+  SELECT event_type,
+         CASE WHEN min(n) < {_THETA_K} THEN CAST({_THETA_EXACT} AS BIGINT)
+              ELSE max(h) END AS theta_raw
+  FROM sk GROUP BY 1
+),
+tm AS (
+  SELECT least(max(CASE WHEN event_type = 'view' THEN theta_raw END),
+               max(CASE WHEN event_type = 'purchase' THEN theta_raw END)) AS theta_min
+  FROM th
+),
+ic AS (
+  SELECT CAST(count(*) AS BIGINT) AS c
+  FROM sk a JOIN sk b ON a.h = b.h CROSS JOIN tm
+  WHERE a.event_type = 'view' AND b.event_type = 'purchase' AND a.h < tm.theta_min
+),
+uc AS (
+  SELECT CAST(count(DISTINCT h) AS BIGINT) AS c
+  FROM sk CROSS JOIN tm WHERE h < tm.theta_min
+),
+ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_union,
+         CAST(sum(CASE WHEN has_v AND has_p THEN 1 ELSE 0 END) AS BIGINT) AS exact_intersection
+  FROM (
+    SELECT user_id,
+           bool_or(event_type = 'view') AS has_v,
+           bool_or(event_type = 'purchase') AS has_p
+    FROM du GROUP BY user_id)
+)
+SELECT CAST({_THETA_K} AS BIGINT) AS k,
+       floor(tm.theta_min / {_THETA_DOM!r} * 1000000000.0 + 0.5) / 1000000000.0 AS theta,
+       floor(ic.c / (tm.theta_min / {_THETA_DOM!r}) * 1000.0 + 0.5) / 1000.0 AS est_intersection,
+       ex.exact_intersection,
+       floor(uc.c / (tm.theta_min / {_THETA_DOM!r}) * 1000.0 + 0.5) / 1000.0 AS est_union,
+       ex.exact_union
+FROM tm, ic, uc, ex
+""",
+)
+def theta_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra (the Apache DataSketches model): bounded
+    KMV sketches of the 'view' and 'purchase' distinct-user sets, then
+    INTERSECTION and UNION cardinality estimated from the sketches alone —
+    the composable distinct-count algebra (audience overlap, funnel
+    intersection) that plain HLL cannot do. theta = min of the two
+    sketches' k-th-smallest normalized hashes; every retained hash below
+    theta is an inclusion-probability-theta sample, so |sample|/theta
+    estimates the true cardinality. Sketches smaller than k are exact
+    (theta = 1). True counts ride along for the error readout.
+
+    Determinism: the hash is the first 48 bits of md5('theta|' || user) —
+    identical integers in both engines; theta and both estimates are
+    single IEEE divisions of those integers.
+
+    Scale: the whole point of the sketch — per type, the k smallest hashes
+    are found by a two-level tournament (k-min per salt bucket via
+    sorted-slice aggregation, then k-min of the <=32*k survivors), a
+    map-side-combinable shape with no per-type global sort or window; any
+    partitioning yields the same global k-minimum, so the salt is not a
+    correctness input. The fact table is touched once for the sketch pass
+    and once for the exact-truth columns."""
+    K = _THETA_K
+    du = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    h = du.select(
+        "event_type",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("theta|"), F.col("user_id").cast("string")).cast("binary")),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+        "user_id",
+    )
+    lvl1 = (
+        h.groupBy("event_type", (F.col("h") % 32).alias("salt"))
+        .agg(F.slice(F.sort_array(F.collect_list("h")), 1, K).alias("hs"))
+    )
+    sk = (
+        lvl1.groupBy("event_type")
+        .agg(F.slice(F.sort_array(F.flatten(F.collect_list("hs"))), 1, K).alias("sketch"))
+        .select(
+            "event_type",
+            "sketch",
+            F.when(F.size("sketch") < K, F.lit(_THETA_EXACT).cast("long"))
+            .otherwise(F.element_at("sketch", K).cast("long"))
+            .alias("theta_raw"),
+        )
+    )
+    v = sk.filter(F.col("event_type") == "view").select(
+        F.col("sketch").alias("sv"), F.col("theta_raw").alias("tv")
+    )
+    p = sk.filter(F.col("event_type") == "purchase").select(
+        F.col("sketch").alias("sp"), F.col("theta_raw").alias("tp")
+    )
+    ex = (
+        du.groupBy("user_id")
+        .agg(
+            F.max(F.col("event_type") == "view").alias("has_v"),
+            F.max(F.col("event_type") == "purchase").alias("has_p"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("exact_union"),
+            F.sum(F.when(F.col("has_v") & F.col("has_p"), 1).otherwise(0))
+            .cast("long")
+            .alias("exact_intersection"),
+        )
+    )
+    j = v.crossJoin(p).crossJoin(F.broadcast(ex))
+    theta_min = F.least(F.col("tv"), F.col("tp"))
+    below = lambda arr: F.size(F.filter(arr, lambda x: x < theta_min))  # noqa: E731
+    theta_norm = theta_min / F.lit(_THETA_DOM)
+    ic = below(F.array_intersect(F.col("sv"), F.col("sp")))
+    uc = below(F.array_union(F.col("sv"), F.col("sp")))
+    q = lambda c, s: F.floor(c * F.lit(s) + 0.5) / F.lit(s)  # noqa: E731
+    return j.select(
+        F.lit(K).cast("long").alias("k"),
+        q(theta_norm, 1000000000.0).alias("theta"),
+        q(ic / theta_norm, 1000.0).alias("est_intersection"),
+        "exact_intersection",
+        q(uc / theta_norm, 1000.0).alias("est_union"),
+        "exact_union",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot table: merge-on-read equality deletes (Iceberg-v2 delete files)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "snapshot_mor_delete_rollup",
+    oracle=f"""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {cents_sum_sql('o_totalprice')} AS total_price
+FROM orders
+WHERE (o_orderkey % 3 IN (0, 1) AND o_orderkey % 5 <> 0)
+   OR o_orderkey % 3 = 2
+GROUP BY 1
+""",
+)
+def snapshot_mor_delete_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read equality DELETE on the snapshot table (snapshot.py,
+    the Iceberg-v2 delete-file model): v1 commits the o_orderkey%3==0
+    slice of orders, v2 appends the %3==1 slice, v3 equality-deletes all
+    %5==0 keys as a METADATA-ONLY commit (no data file rewritten — the
+    keys land in a delete file readers anti-join at scan time), v4
+    appends the %3==2 slice — whose %5==0 keys must SURVIVE, because the
+    delete's sequence number only masks files committed before it. The
+    oracle replays those semantics as one predicate over the fixture:
+    slices 0/1 minus the %5==0 keys, slice 2 intact — so a wrong
+    sequence rule (delete leaking onto v4, or v1/v2 rows escaping)
+    breaks the value hash, not just a count.
+
+    Scale: the delete commit is O(delete keys) write cost at ANY table
+    size — the only affordable row-level retention (GDPR) story for a
+    100 TB lake — and the read-time price is one broadcast anti-join of
+    the delete file(s), applied before any aggregation. Sequence-rule,
+    compaction-materialization, change-feed, and CoW-guard behaviors are
+    unit-tested in tests/test_snapshot.py."""
+    from fraud_detection_etl_project_spark import snapshot as snap
+
+    tag = _fixture_tag(sf_dir, "orders")
+    t = os.path.join(tempfile.gettempdir(), f"snap_mor_{tag}")
+    done = os.path.join(t, "_STAGED")
+    if not os.path.exists(done):
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        )
+        snap.overwrite(orders.filter(F.col("o_orderkey") % 3 == 0), t)       # v1
+        snap.append(orders.filter(F.col("o_orderkey") % 3 == 1), t)          # v2
+        snap.delete_keys_mor(                                                # v3
+            spark, t, orders.filter(F.col("o_orderkey") % 5 == 0).select("o_orderkey")
+        )
+        snap.append(orders.filter(F.col("o_orderkey") % 3 == 2), t)          # v4
+        with open(done, "w") as f:
+            f.write("")
+    return snap.read(spark, t).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        cents_sum("o_totalprice").alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot table: write-audit-publish via branch refs + fast-forward
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "snapshot_wap_publish_rollup",
+    oracle=f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {cents_sum_sql('o_totalprice')} AS total_price
+FROM orders
+GROUP BY 1
+""",
+)
+def snapshot_wap_publish_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish on the snapshot table (snapshot.py refs — the
+    Iceberg branch/WAP pattern): v1 commits the o_orderkey%3==0 slice to
+    MAIN; the %3==1 slice is appended to a fork named 'audit' (v2 —
+    invisible to main readers, whose CURRENT still names v1); the staged
+    branch is audited (here: non-empty and key-disjoint from main — the
+    stand-in for a DQ suite) and PUBLISHED by fast_forward, a pure
+    metadata CURRENT flip; then v3 appends the %3==2 slice to main as
+    normal. The oracle is the full-orders rollup, so a publish that lost
+    the branch rows (or leaked them early into a parent the audit query
+    then double-reads) breaks the value hash.
+
+    Scale: this is how a 100 TB lake takes risky writes — stage on a
+    branch at full production scale, run the audit against the branch
+    ref, and promote with an O(1) pointer move (no file is copied,
+    rewritten, or re-listed); a failed audit is drop_ref, also O(1).
+    Branch isolation, non-fast-forward refusal, per-ref concurrency,
+    chain-walking change feed/stream, and ref-aware vacuum are
+    unit-tested in tests/test_snapshot.py."""
+    from fraud_detection_etl_project_spark import snapshot as snap
+
+    tag = _fixture_tag(sf_dir, "orders")
+    t = os.path.join(tempfile.gettempdir(), f"snap_wap_{tag}")
+    done = os.path.join(t, "_STAGED")
+    if not os.path.exists(done):
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        snap.overwrite(orders.filter(F.col("o_orderkey") % 3 == 0), t)       # v1 main
+        snap.create_branch(t, "audit")
+        snap.append(orders.filter(F.col("o_orderkey") % 3 == 1), t, branch="audit")  # v2
+        # audit gate: the branch's STAGED INCREMENT (its change feed since
+        # the fork — not the inherited main rows) must be non-empty and
+        # add no key already on main (the minimal WAP DQ check)
+        staged = snap.read_changes(
+            spark, t, from_version=1, to_version=snap.branch_version(t, "audit")
+        )
+        main_now = snap.read(spark, t)
+        n_staged = staged.count()
+        n_overlap = staged.join(main_now, "o_orderkey", "left_semi").count()
+        if n_staged == 0 or n_overlap > 0:
+            snap.drop_ref(t, "audit")
+            raise ValueError("WAP audit failed; branch dropped")
+        snap.fast_forward(t, "audit")
+        snap.append(orders.filter(F.col("o_orderkey") % 3 == 2), t)          # v3 main
+        with open(done, "w") as f:
+            f.write("")
+    return snap.read(spark, t).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        cents_sum("o_totalprice").alias("total_price"),
+    )

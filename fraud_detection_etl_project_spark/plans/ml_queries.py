@@ -3448,3 +3448,360 @@ def multimodal_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").withColumn("payload", make_animated_gif(F.col("text")))
     media = M.to_media_table(d, "doc_id", "payload", "image")
     return M.sample_gif_frames(media, n_out=_GIF_FS_KEEP)
+
+
+# ---------------------------------------------------------------------------
+# ALS half-step: closed-form per-user factors against fixed item factors
+# ---------------------------------------------------------------------------
+
+_ALS_LAMBDA = 10  # ridge regularizer, integer so the normal matrix stays int64
+
+
+@query(
+    "als_halfstep_factors",
+    oracle=f"""
+WITH r AS (
+  SELECT o.o_custkey AS custkey, p.p_brand AS brand,
+         CAST(sum(CAST(floor(l.l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS r
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+f AS (
+  SELECT brand, r,
+         1 + CAST(('0x' || substring(md5('alsf1|' || brand), 1, 6)) AS BIGINT) % 7 AS v1,
+         1 + CAST(('0x' || substring(md5('alsf2|' || brand), 1, 6)) AS BIGINT) % 7 AS v2,
+         custkey
+  FROM r
+),
+s AS (
+  SELECT custkey,
+         CAST(count(*) AS BIGINT) AS n_brands,
+         CAST({_ALS_LAMBDA} + sum(v1 * v1) AS BIGINT) AS a11,
+         CAST(sum(v1 * v2) AS BIGINT) AS a12,
+         CAST({_ALS_LAMBDA} + sum(v2 * v2) AS BIGINT) AS a22,
+         CAST(sum(v1 * r) AS BIGINT) AS b1,
+         CAST(sum(v2 * r) AS BIGINT) AS b2
+  FROM f GROUP BY 1
+)
+SELECT custkey, n_brands,
+       floor(CAST(b1 * a22 - b2 * a12 AS DOUBLE) / (a11 * a22 - a12 * a12)
+             * 1000000000.0 + 0.5) / 1000000000.0 AS w1,
+       floor(CAST(a11 * b2 - a12 * b1 AS DOUBLE) / (a11 * a22 - a12 * a12)
+             * 1000000000.0 + 0.5) / 1000000000.0 AS w2
+FROM s
+""",
+)
+def als_halfstep_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One ALS half-step of a rank-2 matrix factorization (the recommender
+    primitive): with item (brand) factors FIXED, each user's optimal
+    factor vector has the closed form w_u = (V_u^T V_u + lambda I)^-1
+    V_u^T r_u — for k = 2 that inverse is Cramer's rule, so the whole
+    "solve" is four integer cross-products and one division. This is
+    exactly the step a full distributed ALS alternates (Koren et al.;
+    Spark MLlib's ALS does the same per-user solve), expressed as pure
+    DataFrame aggregation.
+
+    Determinism: ratings are exact integer quantity sums; item factors are
+    small integers derived from md5(brand) (1..7, the deterministic
+    stand-in for the previous iteration's factors); the normal-equation
+    cells (lambda + sum v^2, sum v1 v2, sum v r) are exact int64 sufficient
+    statistics, and Cramer's determinant/numerators stay int64 — the only
+    doubles are the two final divisions, quantized at 1e-9.
+
+    Scale: ratings reduce fact-side in one (custkey, brand)-keyed
+    map-side-combinable pass; the factor join is a 25-row broadcast
+    (md5 exprs, not data); the per-user solve is a second grouped
+    aggregation producing SIX int64 cells per user — the entire shuffle.
+    No matrix library, no per-row Python, no driver-side solve loop."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    r = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("o_custkey").alias("custkey"), F.col("p_brand").alias("brand"))
+        .agg(F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long")).cast("long").alias("r"))
+    )
+
+    def _fac(salt: str):
+        return 1 + F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col("brand")).cast("binary")), 1, 6), 16, 10
+        ).cast("long") % 7
+
+    f = r.select("custkey", "r", _fac("alsf1|").alias("v1"), _fac("alsf2|").alias("v2"))
+    lam = F.lit(_ALS_LAMBDA).cast("long")
+    s = f.groupBy("custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_brands"),
+        (lam + F.sum(F.col("v1") * F.col("v1"))).cast("long").alias("a11"),
+        F.sum(F.col("v1") * F.col("v2")).cast("long").alias("a12"),
+        (lam + F.sum(F.col("v2") * F.col("v2"))).cast("long").alias("a22"),
+        F.sum(F.col("v1") * F.col("r")).cast("long").alias("b1"),
+        F.sum(F.col("v2") * F.col("r")).cast("long").alias("b2"),
+    )
+    det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    q9 = lambda c: F.floor(c * 1000000000.0 + 0.5) / 1000000000.0  # noqa: E731
+    return s.select(
+        "custkey",
+        "n_brands",
+        q9((F.col("b1") * F.col("a22") - F.col("b2") * F.col("a12")).cast("double") / det).alias("w1"),
+        q9((F.col("a11") * F.col("b2") - F.col("a12") * F.col("b1")).cast("double") / det).alias("w2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# AVI / MJPEG video: container walk + strided frame sampling + real decode
+# ---------------------------------------------------------------------------
+
+_AVI_ORACLE = f"""
+WITH t AS (SELECT doc_id, md5(text) AS hx FROM documents),
+-- frames 0 and 2 of 4 are sampled (stride 2); frame f's four 8x8 tiles
+-- are digest bytes 4f..4f+3 -> hex char positions 2i+1 for i in
+-- {{0,1,2,3, 8,9,10,11}}
+g AS (SELECT doc_id,
+             list_transform([0, 1, 2, 3, 8, 9, 10, 11],
+                            i -> CAST(('0x' || substring(hx, 2*i + 1, 2)) AS INT)) AS vs
+      FROM t),
+r AS (SELECT doc_id,
+             list_transform(vs, v -> {_JPEG_RECON}) AS rec
+      FROM g)
+SELECT doc_id AS media_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(4 AS BIGINT) AS n_frames,
+       CAST(2 AS BIGINT) AS n_sampled,
+       CAST(list_sum(rec) AS DOUBLE) / 8.0 AS mean_luma,
+       CAST(list_max(rec) AS BIGINT) AS max_byte,
+       CAST(list_min(rec) AS BIGINT) AS min_byte
+FROM r
+"""
+
+
+@query("multimodal_avi_stats", oracle=_AVI_ORACLE, bench=False)
+def multimodal_avi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first VIDEO container: each document rendered as a 4-frame
+    16x16 Motion-JPEG AVI (a real RIFF container — LIST hdrl/avih/strl
+    headers, word-aligned '00dc' chunks, idx1 index — written by
+    operators/multimodal.encode_avi_mjpeg, each frame a REAL baseline
+    JPEG from operators/jpeg.py), then processed the way a 100 TB video
+    curation pipeline would: parse the container, sample every 2nd frame,
+    and fully decode ONLY the sampled frames (Huffman → dequantize → IDCT)
+    inside Arrow-batched mapInPandas.
+
+    The oracle re-derives every sampled pixel in SQL via the same DC-only
+    closed form as multimodal_jpeg_stats — frame f's quadrant tiles are
+    md5-digest bytes 4f..4f+3, so a wrong chunk walk (bad size/padding
+    arithmetic sliding into the wrong frame), a stride error, or any JPEG
+    decode defect shifts which bytes are reconstructed and breaks the
+    value hash. Container roundtrip/reject paths are unit-tested in
+    tests/test_multimodal_avi.py.
+
+    Scale: strided decode is the whole economics of video curation —
+    container metadata is O(frames) to walk but only 1/stride of the
+    pixel work is paid; both stages are narrow per-row Arrow batches, no
+    shuffle, stats aggregated JVM-side downstream."""
+    import hashlib
+
+    from pyspark.sql.types import BinaryType
+
+    from fraud_detection_etl_project_spark.operators import multimodal as M
+    from fraud_detection_etl_project_spark.operators.jpeg import encode_jpeg
+
+    @F.pandas_udf(BinaryType())
+    def make_avi(texts: pd.Series) -> pd.Series:
+        out = []
+        for txt in texts:
+            digest = hashlib.md5(txt.encode()).digest()
+            frames = []
+            for f in range(4):
+                vs = digest[4 * f : 4 * f + 4]
+                rows = bytearray()
+                for y in range(16):
+                    for x in range(16):
+                        v = vs[2 * (y // 8) + (x // 8)]
+                        rows += bytes((v, v, v))
+                frames.append(encode_jpeg(16, 16, bytes(rows), quant=16))
+            out.append(M.encode_avi_mjpeg(16, 16, frames))
+        return pd.Series(out)
+
+    d = _t(spark, sf_dir, "documents").withColumn("payload", make_avi(F.col("text")))
+    media = M.to_media_table(d, "doc_id", "payload", "video")
+    return M.extract_avi_features(media, stride=2)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization + asymmetric distance (the IVF-PQ memory-scale path)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4    # subspaces (64 dims -> 4 x 16)
+_PQ_KC = 8   # centroids per subspace
+_PQ_SUB = 16  # dims per subspace
+
+
+def _pq_oracle() -> str:
+    qv = _kc_qv_sql()
+    dist16 = (
+        "CAST(list_sum(list_transform(range(1, 17),"
+        " i -> (a.sv[i] - b.cv[i]) * (a.sv[i] - b.cv[i]))) AS BIGINT)"
+    )
+    return f"""
+WITH q AS (SELECT vec_id, {qv} AS v FROM embeddings),
+qid AS (SELECT min(vec_id) AS id FROM q),
+cb AS (SELECT vec_id, v,
+              row_number() OVER (ORDER BY md5('pq|' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c
+       FROM q),
+cbk AS (SELECT c, v FROM cb WHERE c < {_PQ_KC}),
+ss AS (SELECT unnest(range({_PQ_M})) AS s),
+cent AS (SELECT ss.s, cbk.c,
+                list_slice(cbk.v, ss.s * {_PQ_SUB} + 1, ss.s * {_PQ_SUB} + {_PQ_SUB}) AS cv
+         FROM cbk, ss),
+qvec AS (SELECT q.v FROM q, qid WHERE q.vec_id = qid.id),
+qs AS (SELECT ss.s,
+              list_slice(qvec.v, ss.s * {_PQ_SUB} + 1, ss.s * {_PQ_SUB} + {_PQ_SUB}) AS sv
+       FROM qvec, ss),
+dq AS (SELECT b.s, b.c, {dist16} AS d
+       FROM qs a JOIN cent b ON a.s = b.s),
+sub AS (SELECT q.vec_id, ss.s,
+               list_slice(q.v, ss.s * {_PQ_SUB} + 1, ss.s * {_PQ_SUB} + {_PQ_SUB}) AS sv
+        FROM q, ss),
+codes AS (SELECT vec_id, s, c FROM (
+            SELECT a.vec_id, a.s, b.c,
+                   row_number() OVER (PARTITION BY a.vec_id, a.s
+                                      ORDER BY {dist16} ASC, b.c ASC) AS rn
+            FROM sub a JOIN cent b ON a.s = b.s) WHERE rn = 1),
+adc AS (SELECT codes.vec_id, CAST(sum(dq.d) AS BIGINT) AS adc_dist
+        FROM codes JOIN dq ON codes.s = dq.s AND codes.c = dq.c
+        GROUP BY 1),
+ex AS (SELECT q.vec_id,
+              CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+                   i -> (q.v[i] - qvec.v[i]) * (q.v[i] - qvec.v[i]))) AS BIGINT) AS exact_dist
+       FROM q, qvec),
+ext10 AS (SELECT ex.vec_id FROM ex, qid WHERE ex.vec_id <> qid.id
+          ORDER BY ex.exact_dist ASC, ex.vec_id ASC LIMIT 10)
+SELECT CAST(row_number() OVER (ORDER BY adc.adc_dist ASC, adc.vec_id ASC) AS BIGINT) AS rank,
+       adc.vec_id, adc.adc_dist, ex.exact_dist,
+       adc.vec_id IN (SELECT vec_id FROM ext10) AS in_exact_top10
+FROM adc JOIN ex ON adc.vec_id = ex.vec_id CROSS JOIN qid
+WHERE adc.vec_id <> qid.id
+ORDER BY adc.adc_dist ASC, adc.vec_id ASC
+LIMIT 10
+"""
+
+
+@query("pq_adc_ann_top10", oracle=_pq_oracle())
+def pq_adc_ann_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization with asymmetric-distance search (Jégou et al.
+    2011 — the FAISS IVF-PQ memory path): vectors split into 4 subspaces
+    of 16 dims; each subspace has an 8-entry codebook (deterministic
+    md5-ranked sample of the corpus, the stand-in for a trained k-means
+    codebook); every vector compresses to 4 one-byte codes (64 floats ->
+    4 bytes, the 64x memory reduction that makes billion-vector indexes
+    fit in RAM); a query is answered from a 32-entry lookup table — the
+    asymmetric distance sum(dq[s][code_s(x)]) — without ever touching
+    the original vectors. The exact distance and the exact-top-10
+    membership flag ride along as the recall readout.
+
+    Exactness: embeddings quantize to the 1e-6 int64 lattice (_KC_Q);
+    codebook choice, code assignment (argmin with tie-break on centroid
+    id), the ADC table, and the final ranking are all integer-exact in
+    both engines.
+
+    Scale: encoding is one scan — each vector meets 8 centroids per
+    subspace via a 32-row broadcast, argmin by grouped min-struct (no
+    shuffle of vectors); search touches only the (vec_id, codes) frame
+    joined to the 32-entry broadcast ADC table — at 100 TB the codes
+    frame is ~1/64 the corpus bytes and the original embeddings are
+    read zero times per query. Top-10 is TakeOrderedAndProject."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {_KC_Q}.0 + 0.5) AS BIGINT))"
+        ).alias("v"),
+    ).persist()
+
+    # codebook: 8 md5-ranked corpus vectors (parameters: one k-row collect)
+    cb_rows = (
+        q.orderBy(
+            F.md5(F.concat(F.lit("pq|"), F.col("vec_id").cast("string")).cast("binary")),
+            F.col("vec_id"),
+        )
+        .limit(_PQ_KC)
+        .collect()
+    )
+    qid_row = q.orderBy("vec_id").limit(1).collect()[0]
+    qid, qv = int(qid_row["vec_id"]), [int(x) for x in qid_row["v"]]
+
+    cents = []  # (s, c, centroid subvector)
+    dq = []  # (s, c, squared distance from query subvector)
+    for c, r in enumerate(cb_rows):
+        full = [int(x) for x in r["v"]]
+        for s in range(_PQ_M):
+            cv = full[s * _PQ_SUB : (s + 1) * _PQ_SUB]
+            qsv = qv[s * _PQ_SUB : (s + 1) * _PQ_SUB]
+            cents.append((s, c, cv))
+            dq.append((s, c, sum((a - b) * (a - b) for a, b in zip(qsv, cv))))
+    cent_df = spark.createDataFrame(cents, "s int, c int, cv array<bigint>")
+    dq_df = spark.createDataFrame(dq, "s int, c int, d bigint")
+
+    sub = q.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.slice("v", s * _PQ_SUB + 1, _PQ_SUB) for s in range(_PQ_M)])),
+    ).select("vec_id", F.col("pos").alias("s"), F.col("col").alias("sv"))
+    d2 = F.expr(
+        "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+    )
+    codes = (
+        sub.join(F.broadcast(cent_df), "s")
+        .select("vec_id", "s", F.struct(d2.alias("d"), F.col("c")).alias("dc"))
+        .groupBy("vec_id", "s")
+        .agg(F.min("dc").alias("best"))
+        .select("vec_id", "s", F.col("best.c").alias("c"))
+    )
+    adc = (
+        codes.join(F.broadcast(dq_df), ["s", "c"])
+        .groupBy("vec_id")
+        .agg(F.sum("d").cast("long").alias("adc_dist"))
+    )
+    qarr = "array(" + ",".join(str(x) for x in qv) + ")"
+    exact = q.select(
+        "vec_id",
+        F.expr(
+            f"aggregate(zip_with(v, CAST({qarr} AS ARRAY<BIGINT>),"
+            " (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+        )
+        .cast("long")
+        .alias("exact_dist"),
+    )
+    ext10 = (
+        exact.filter(F.col("vec_id") != qid)
+        .orderBy(F.col("exact_dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select(F.col("vec_id").alias("ex_id"))
+    )
+    top = (
+        adc.filter(F.col("vec_id") != qid)
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .join(exact, "vec_id")
+        .join(F.broadcast(ext10), adc["vec_id"] == F.col("ex_id"), "left")
+        .select(
+            "vec_id",
+            "adc_dist",
+            "exact_dist",
+            F.col("ex_id").isNotNull().alias("in_exact_top10"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    return top.select(
+        F.row_number()
+        .over(W.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc()))
+        .cast("long")
+        .alias("rank"),
+        "vec_id",
+        "adc_dist",
+        "exact_dist",
+        "in_exact_top10",
+    )

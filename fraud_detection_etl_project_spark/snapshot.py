@@ -35,6 +35,19 @@ files with atomic version commits — the minimal table-format layer
   (file-granularity CoW); untouched files are carried into the new
   manifest by name. Inserts (unmatched source keys) land in the
   rewritten file set. Duplicate source keys are rejected up front.
+- **Merge-on-read equality deletes.** ``delete_keys_mor`` commits the
+  deleted KEYS as a delete file — a metadata-cost write at any table
+  size; readers apply one broadcast anti-join gated by per-file
+  sequence numbers (a key re-appended after the delete survives);
+  ``compact`` materializes live deletes and retires the files. The
+  write-cheap complement to copy-on-write ``delete``.
+- **Branches, tags, write-audit-publish.** Named refs fork writable
+  branches (``create_branch`` + ``append(..., branch=)``) whose commits
+  are invisible to main until ``fast_forward`` flips CURRENT to the
+  branch head (true-ancestor-checked, O(1) metadata); ``create_tag``
+  pins immutable versions. Version numbers are table-global; lineage is
+  the manifest PARENT CHAIN, which the change feed, the streaming
+  source, and vacuum all walk instead of numeric ranges.
 - **Exactly-once ingestion.** ``append(df, path, batch_id=...)`` is
   idempotent per batch id: a retried foreachBatch micro-batch whose id
   already appears in a live manifest becomes a no-op, giving
@@ -105,6 +118,116 @@ def read_manifest(table_path: str, version: int) -> dict:
     mdir, _ = _paths(table_path)
     with open(os.path.join(mdir, _manifest_name(version))) as f:
         return json.load(f)
+
+
+# ---------------------------------------------------------------------------
+# Refs: named branches and tags (the Iceberg refs / write-audit-publish model)
+# ---------------------------------------------------------------------------
+
+_REFS = "refs"
+
+
+def _ref_path(table_path: str, name: str) -> str:
+    if not name or "/" in name or name.startswith("."):
+        raise ValueError(f"invalid ref name: {name!r}")
+    mdir, _ = _paths(table_path)
+    return os.path.join(mdir, _REFS, name)
+
+
+def _set_ref(table_path: str, name: str, version: int) -> None:
+    p = _ref_path(table_path, name)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = p + f".tmp{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(_manifest_name(version))
+    os.replace(tmp, p)
+
+
+def branch_version(table_path: str, name: str) -> int | None:
+    """The version a named ref (branch or tag) points at, or None."""
+    p = _ref_path(table_path, name)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return _parse_version(f.read().strip())
+
+
+def _next_version(table_path: str) -> int:
+    """Version numbers are table-global and monotone across ALL refs:
+    branch histories diverge by PARENT pointer, never by reusing a
+    number (a branch commit while main is at v5 becomes v6 even though
+    its parent is v3)."""
+    mdir, _ = _paths(table_path)
+    if not os.path.isdir(mdir):
+        return 1
+    vs = [
+        _parse_version(m)
+        for m in os.listdir(mdir)
+        if m.startswith("v") and m.endswith(".json")
+    ]
+    return (max(vs) + 1) if vs else 1
+
+
+def create_branch(table_path: str, name: str, version: int | None = None) -> int:
+    """Fork a writable branch at ``version`` (CURRENT if None): the WAP
+    staging line — commits to the branch are invisible to main readers
+    until ``fast_forward`` publishes them. Pure metadata (one ref file)."""
+    v = current_version(table_path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"snapshot table has no committed version: {table_path}")
+    if branch_version(table_path, name) is not None:
+        raise ValueError(f"ref {name!r} already exists")
+    _set_ref(table_path, name, v)
+    return v
+
+
+def create_tag(table_path: str, name: str, version: int | None = None) -> int:
+    """An immutable named pointer (release / reproducibility pin). Tags
+    and branches share the ref namespace; tags are enforced immutable at
+    this API (nothing ever flips them — only drop_ref removes one)."""
+    return create_branch(table_path, name, version)
+
+
+def drop_ref(table_path: str, name: str) -> None:
+    p = _ref_path(table_path, name)
+    if os.path.exists(p):
+        os.remove(p)
+
+
+def _chain(table_path: str, head: int) -> list[int]:
+    """head's ancestor chain [head, parent, ..., root] via manifest
+    parent pointers — version RANGES are meaningless once branches
+    exist, lineage is the chain."""
+    out = []
+    v: int | None = head
+    while v is not None:
+        out.append(v)
+        v = read_manifest(table_path, v).get("parent")
+    return out
+
+
+def fast_forward(table_path: str, branch: str) -> int:
+    """Publish a branch: flip CURRENT to the branch head — the
+    write-audit-publish commit, a pure metadata move (no file is copied
+    or rewritten). Requires a TRUE fast-forward: main's current head
+    must be an ancestor of the branch head (otherwise main has moved
+    since the fork and the publish needs a rebase/merge, which this
+    model deliberately refuses). Returns the published version."""
+    head = branch_version(table_path, branch)
+    if head is None:
+        raise ValueError(f"no such branch: {branch!r}")
+    cur = current_version(table_path)
+    if cur is not None and cur not in _chain(table_path, head):
+        raise SnapshotConflictError(
+            f"CURRENT v{cur} is not an ancestor of branch {branch!r} head "
+            f"v{head} — not a fast-forward; rebase the branch"
+        )
+    mdir, _ = _paths(table_path)
+    ctmp = os.path.join(mdir, _CURRENT + f".tmp{uuid.uuid4().hex}")
+    with open(ctmp, "w") as f:
+        f.write(_manifest_name(head))
+    os.replace(ctmp, os.path.join(mdir, _CURRENT))
+    return head
 
 
 _STAT_KINDS = (int, float, str, bool)
@@ -269,18 +392,37 @@ def _publish(
     stats: dict | None = None,
     batch_id: str | None = None,
     schema_json: str | None = None,
+    delete_files: list[dict] | str = "inherit",
+    branch: str | None = None,
 ) -> int:
     """Write manifest v(parent+1) and flip CURRENT atomically, with the
-    optimistic re-check."""
+    optimistic re-check.
+
+    Sequence-number bookkeeping (merge-on-read support): every data file
+    gets a ``file_seq`` entry — the version that first committed it
+    (carried files keep their parent-recorded seq; new files get THIS
+    version). An equality-delete file at seq s applies only to data files
+    with seq < s, so a row appended AFTER a delete of its key survives.
+
+    ``delete_files``: the version's live equality-delete list. The default
+    ``"inherit"`` carries the parent's list unchanged (append & friends);
+    operations that replace or materialize rows (overwrite/compact) pass
+    ``[]``; ``delete_keys_mor`` passes parent's + its new entry."""
     mdir, _ = _paths(table_path)
     os.makedirs(mdir, exist_ok=True)
-    version = 1 if parent is None else parent + 1
+    version = _next_version(table_path) if parent is not None else 1
+    parent_m = read_manifest(table_path, parent) if parent is not None else {}
+    parent_seq = parent_m.get("file_seq", {})
+    if delete_files == "inherit":
+        delete_files = parent_m.get("delete_files", [])
     manifest = {
         "version": version,
         "parent": parent,
         "operation": operation,
         "files": files,
         "stats": stats or {},
+        "file_seq": {f: parent_seq.get(f, version) for f in files},
+        "delete_files": delete_files,
     }
     if batch_id is not None:
         manifest["batch_id"] = batch_id
@@ -295,16 +437,23 @@ def _publish(
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     os.replace(tmp, mpath)
-    # CURRENT flip with parent re-check (optimistic concurrency)
-    if current_version(table_path) != parent:
+    # ref flip with parent re-check (optimistic concurrency): main commits
+    # flip CURRENT; branch commits flip their ref file — each ref is its
+    # own writer-wins line
+    head_now = current_version(table_path) if branch is None else branch_version(table_path, branch)
+    if head_now != parent:
         os.remove(mpath)
+        who = "CURRENT" if branch is None else f"branch {branch!r}"
         raise SnapshotConflictError(
-            f"CURRENT moved past v{parent} during commit — replan and retry"
+            f"{who} moved past v{parent} during commit — replan and retry"
         )
-    ctmp = os.path.join(mdir, _CURRENT + f".tmp{uuid.uuid4().hex}")
-    with open(ctmp, "w") as f:
-        f.write(_manifest_name(version))
-    os.replace(ctmp, os.path.join(mdir, _CURRENT))
+    if branch is None:
+        ctmp = os.path.join(mdir, _CURRENT + f".tmp{uuid.uuid4().hex}")
+        with open(ctmp, "w") as f:
+            f.write(_manifest_name(version))
+        os.replace(ctmp, os.path.join(mdir, _CURRENT))
+    else:
+        _set_ref(table_path, branch, version)
     return version
 
 
@@ -319,7 +468,13 @@ def overwrite(
     parent = current_version(table_path)
     files, stats = _stage_data_files(df, table_path, bloom_columns)
     return _publish(
-        table_path, files, "overwrite", parent, stats, schema_json=df.schema.json()
+        table_path,
+        files,
+        "overwrite",
+        parent,
+        stats,
+        schema_json=df.schema.json(),
+        delete_files=[],  # all rows replaced; prior-era deletes retired
     )
 
 
@@ -372,15 +527,23 @@ def append(
     table_path: str,
     batch_id: str | None = None,
     bloom_columns: list[str] | None = None,
+    branch: str | None = None,
 ) -> int:
     """Commit a new version = parent's files + df's files. Returns the
     version. With ``batch_id``, the append is idempotent: a batch id
     already present in a live manifest makes this a no-op (returns the
     current version unchanged) — the exactly-once contract for
-    Structured Streaming retries. ``bloom_columns`` as in overwrite()."""
+    Structured Streaming retries. ``bloom_columns`` as in overwrite().
+    With ``branch``, the commit's parent is the BRANCH head and only the
+    branch ref advances — main readers never see it until fast_forward
+    publishes the branch (write-audit-publish)."""
     if batch_id is not None and batch_id in committed_batch_ids(table_path):
         return current_version(table_path)  # replayed micro-batch: no-op
-    parent = current_version(table_path)
+    parent = (
+        current_version(table_path) if branch is None else branch_version(table_path, branch)
+    )
+    if branch is not None and parent is None:
+        raise ValueError(f"no such branch: {branch!r} (create_branch first)")
     prev = _manifest_files(table_path, parent) if parent else ([], {})
     schema_json = _evolved_schema_json(table_path, parent, df)
     files, stats = _stage_data_files(df, table_path, bloom_columns)
@@ -392,6 +555,7 @@ def append(
         {**prev[1], **stats},
         batch_id,
         schema_json,
+        branch=branch,
     )
 
 
@@ -482,11 +646,13 @@ def scan(
     post-prune file set returns an empty frame with the table schema."""
     kept, _total = plan_files(table_path, predicates, version)
     v = current_version(table_path) if version is None else version
-    schema_json = read_manifest(table_path, v).get("schema")
+    m = read_manifest(table_path, v)
     if not kept:
         base = read(spark, table_path, version).limit(0)
     else:
-        base = _read_files(spark, table_path, kept, schema_json)
+        base = _apply_mor_deletes(
+            spark, table_path, _read_files(spark, table_path, kept, m.get("schema")), m
+        )
     return base.filter(_pred_expr(predicates))
 
 
@@ -502,6 +668,108 @@ def _pred_expr(predicates: list[tuple[str, str, object]]):
     return expr
 
 
+def _apply_mor_deletes(
+    spark: SparkSession, table_path: str, df: DataFrame, manifest: dict
+) -> DataFrame:
+    """Apply a version's live equality-delete files to a data-file read —
+    the merge-on-read half of the Iceberg-v2 delete model. Each data row
+    is tagged with its file's commit sequence (a metadata-sized literal
+    map over ``_metadata.file_path``); each delete key carries its delete
+    file's sequence; one left-anti join on (key columns match AND
+    delete_seq > row_seq) removes exactly the rows the delete targeted —
+    rows re-appended after the delete keep their higher seq and survive.
+
+    Scale: the delete frame is the union of the delete FILES (bounded by
+    deleted-key volume, not table volume) and is broadcast; the data side
+    is never rewritten or shuffled — this is the O(deletes) read-time
+    price that makes deletes O(1) at write time. NULL key values never
+    match (SQL equality), so NULL-keyed rows are not deletable by an
+    equality delete — documented, matching Iceberg."""
+    dels = manifest.get("delete_files") or []
+    if not dels or not manifest["files"]:
+        return df  # nothing to delete (or no data rows to delete from)
+    on = dels[0]["on"]
+    fseq = manifest.get("file_seq", {})
+    pairs: list = []
+    for f in manifest["files"]:
+        pairs.append(F.lit(f))
+        pairs.append(F.lit(int(fseq.get(f, 0))))
+    seq_col = F.element_at(
+        F.create_map(*pairs), F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    )
+    keys = None
+    for d in dels:
+        k = _read_files(spark, table_path, [d["name"]], None).withColumn(
+            "__dseq", F.lit(int(d["seq"])).cast("long")
+        )
+        keys = k if keys is None else keys.unionByName(k)
+    rows = df.withColumn("__seq", seq_col.cast("long")).alias("__r")
+    kk = F.broadcast(keys.alias("__k"))
+    cond = F.col("__k.__dseq") > F.col("__r.__seq")
+    for c in on:
+        cond = cond & (F.col(f"__r.{c}") == F.col(f"__k.{c}"))
+    return rows.join(kk, cond, "left_anti").drop("__seq")
+
+
+def delete_keys_mor(spark: SparkSession, table_path: str, keys: DataFrame) -> int:
+    """Merge-on-read equality DELETE (the Iceberg v2 delete-file model):
+    commit the distinct key rows of ``keys`` as a DELETE FILE — no data
+    file is rewritten — and let readers anti-join it at scan time. The
+    delete applies to rows in data files committed BEFORE this version
+    (file_seq < this seq): appending a deleted key afterwards resurrects
+    it, exactly once, per the sequence-number rule. ``compact`` later
+    materializes live deletes into clean data files and retires them.
+
+    All delete files of a table must share one key-column set (the
+    table's logical primary key) — enforced here so readers apply a
+    single anti-join. Returns the new version.
+
+    This is the write-cheap half of the delete trade-off: copy-on-write
+    ``delete`` pays at write time (rewrite candidate files) and keeps
+    reads pristine; merge-on-read pays O(delete keys) at read time and
+    makes the delete itself a metadata commit — at 100 TB, the only
+    affordable way to honor row-level retention (GDPR) against a mostly
+    immutable lake."""
+    parent = current_version(table_path)
+    if parent is None:
+        raise FileNotFoundError(f"snapshot table has no committed version: {table_path}")
+    m = read_manifest(table_path, parent)
+    on = sorted(keys.columns)
+    prior = m.get("delete_files", [])
+    if prior and sorted(prior[0]["on"]) != on:
+        raise ValueError(
+            f"delete key columns {on} differ from the table's existing "
+            f"delete-file keys {sorted(prior[0]['on'])}"
+        )
+    names, _stats = _stage_data_files(keys.select(*on).distinct(), table_path)
+    version_guess = parent + 1
+    entries = [{"name": n, "on": on, "seq": version_guess} for n in names]
+    return _publish(
+        table_path,
+        m["files"],
+        "mor-delete",
+        parent,
+        m.get("stats", {}),
+        schema_json=m.get("schema"),
+        delete_files=prior + entries,
+    )
+
+
+def _require_no_mor_deletes(table_path: str, parent: int, op: str) -> dict:
+    """Copy-on-write rewrites (merge / CoW delete) are ambiguous while
+    merge-on-read delete files are live (a rewritten file would change its
+    seq and escape deletes that targeted it). Refuse with instructions
+    rather than risk wrong rows — ``compact`` materializes the deletes
+    first."""
+    m = read_manifest(table_path, parent)
+    if m.get("delete_files"):
+        raise ValueError(
+            f"{op} on a table with live merge-on-read delete files is "
+            "ambiguous — run compact() to materialize deletes first"
+        )
+    return m
+
+
 def delete(
     spark: SparkSession, table_path: str, predicates: list[tuple[str, str, object]]
 ) -> int:
@@ -514,7 +782,7 @@ def delete(
     parent = current_version(table_path)
     if parent is None:
         raise FileNotFoundError(f"snapshot table has no committed version: {table_path}")
-    m = read_manifest(table_path, parent)
+    m = _require_no_mor_deletes(table_path, parent, "copy-on-write DELETE")
     files, stats = m["files"], m.get("stats", {})
     candidates, _total = plan_files(table_path, predicates, parent)
     candidates = [f for f in files if f in set(candidates)]
@@ -559,7 +827,7 @@ def merge(
         raise FileNotFoundError(f"snapshot table has no committed version: {table_path}")
     if source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count():
         raise ValueError("MERGE source has duplicate keys on " + ",".join(on))
-    m = read_manifest(table_path, parent)
+    m = _require_no_mor_deletes(table_path, parent, "MERGE")
     files, stats, schema_json = m["files"], m.get("stats", {}), m.get("schema")
     cur = _read_files(spark, table_path, files, schema_json)
     keys = source.select(*on).distinct()
@@ -644,15 +912,29 @@ def _read_files(
     return spark.read.schema(schema).parquet(*paths)
 
 
-def read(spark: SparkSession, table_path: str, version: int | None = None) -> DataFrame:
+def read(
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    ref: str | None = None,
+) -> DataFrame:
     """Read a snapshot (CURRENT if version is None) as a DataFrame. The
     explicit file list keeps pushdown/pruning intact and pins the plan
-    to the snapshot even if CURRENT advances mid-query."""
+    to the snapshot even if CURRENT advances mid-query. ``ref`` reads a
+    named branch/tag head instead (mutually exclusive with version)."""
+    if ref is not None:
+        if version is not None:
+            raise ValueError("pass version or ref, not both")
+        version = branch_version(table_path, ref)
+        if version is None:
+            raise ValueError(f"no such ref: {ref!r}")
     v = current_version(table_path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"snapshot table has no committed version: {table_path}")
     m = read_manifest(table_path, v)
-    return _read_files(spark, table_path, m["files"], m.get("schema"))
+    return _apply_mor_deletes(
+        spark, table_path, _read_files(spark, table_path, m["files"], m.get("schema")), m
+    )
 
 
 _Z_BITS = 10  # 10 bits/dimension -> 20-bit Morton keys
@@ -711,6 +993,7 @@ def compact(
     return _publish(
         table_path, files, "compact", parent, stats,
         schema_json=read_manifest(table_path, parent).get("schema"),
+        delete_files=[],  # read() applied live MoR deletes -> materialized
     )
 
 
@@ -731,9 +1014,32 @@ def read_changes(
     hi = current_version(table_path) if to_version is None else to_version
     if hi is None or from_version > hi:
         raise ValueError(f"empty change range: ({from_version}, {to_version}]")
+    # lineage is the PARENT CHAIN, not the version-number range: once
+    # branches exist, numeric ranges interleave other branches' commits
+    chain = _chain(table_path, hi)
+    if from_version not in chain:
+        raise ValueError(
+            f"v{from_version} is not an ancestor of v{hi} — the versions "
+            "are on different branches"
+        )
+    lineage = sorted(v for v in chain if v > from_version)
     parts = []
-    for v in range(from_version + 1, hi + 1):
+    for v in lineage:
         m = read_manifest(table_path, v)
+        if m["operation"] == "mor-delete":
+            # An equality delete IS an exact row-level change record: the
+            # new delete files (seq == v) carry the deleted keys — emit
+            # them as 'delete' rows (key columns only; non-key columns of
+            # the feed are NULL via unionByName). CoW rewrites stay
+            # refused below: their file diffs can't name rows.
+            new_dels = [d["name"] for d in m.get("delete_files", []) if d["seq"] == v]
+            if new_dels:
+                parts.append(
+                    _read_files(spark, table_path, new_dels, None)
+                    .withColumn("_commit_version", F.lit(v).cast("int"))
+                    .withColumn("_change_type", F.lit("delete"))
+                )
+            continue
         if m["operation"] != "append":
             raise ValueError(
                 f"v{v} is {m['operation']!r}: change feed requires append-only history"
@@ -767,10 +1073,20 @@ def vacuum(table_path: str, keep_versions: int = 1) -> list[str]:
     cur = current_version(table_path)
     if cur is None:
         return []
-    keep = set(range(max(1, cur - keep_versions + 1), cur + 1))
+    # keep the newest keep_versions along CURRENT's ancestor CHAIN, plus
+    # every named ref head (branches/tags stay readable after vacuum)
+    keep = set(_chain(table_path, cur)[:keep_versions])
+    refs_dir = os.path.join(mdir, _REFS)
+    if os.path.isdir(refs_dir):
+        for r in os.listdir(refs_dir):
+            rv = branch_version(table_path, r)
+            if rv is not None:
+                keep.add(rv)
     referenced: set[str] = set()
     for v in keep:
-        referenced.update(read_manifest(table_path, v)["files"])
+        m = read_manifest(table_path, v)
+        referenced.update(m["files"])
+        referenced.update(d["name"] for d in m.get("delete_files", []))
     deleted = []
     for f in sorted(os.listdir(ddir)):
         if f not in referenced:

@@ -101,7 +101,19 @@ class SnapshotStreamReader(DataSourceStreamReader):
         if v is None:
             return {"version": self.start_version}
         if self.max_versions_per_trigger is not None:
-            v = min(v, self._last_planned + self.max_versions_per_trigger)
+            # cap along MAIN's parent chain (numeric `last + N` could name
+            # a branch commit once refs exist): take the N oldest
+            # not-yet-planned commits of CURRENT's lineage
+            pending: list[int] = []
+            x: int | None = v
+            while x is not None and x > self._last_planned:
+                pending.append(x)
+                x = _manifest(self.table_path, x).get("parent")
+            pending.sort()
+            if pending:
+                v = pending[min(self.max_versions_per_trigger, len(pending)) - 1]
+            else:
+                v = self._last_planned
         # never report an offset below startingVersion: a start ahead of
         # CURRENT would otherwise regress the checkpoint and later emit
         # the versions the caller asked to skip
@@ -115,8 +127,22 @@ class SnapshotStreamReader(DataSourceStreamReader):
         self._last_planned = max(self._last_planned, end["version"])
         parts: list[SnapshotFilePartition] = []
         ddir = os.path.join(self.table_path, _DATA_DIR)
-        for v in range(start["version"] + 1, end["version"] + 1):
+        # walk MAIN's parent chain, not the numeric range: with branch
+        # refs in play, interleaved version numbers can belong to other
+        # branches — a numeric walk would leak unpublished branch files
+        # into the stream (and its manifests may not even exist after a
+        # branch is dropped)
+        lineage: list[int] = []
+        v: int | None = end["version"]
+        while v is not None and v > start["version"]:
+            lineage.append(v)
+            v = _manifest(self.table_path, v).get("parent")
+        for v in sorted(lineage):
             m = _manifest(self.table_path, v)
+            if m["operation"] == "mor-delete":
+                continue  # metadata-only commit: adds no data files, and
+                # this stream's contract is insert-rows-only (the delete
+                # keys are exposed via snapshot.read_changes instead)
             if m["operation"] != "append" and m["parent"] is not None:
                 raise ValueError(
                     f"v{v} is {m['operation']!r}: streaming a snapshot table "

@@ -497,3 +497,291 @@ def test_bloom_missing_column_degrades_not_crashes(spark, tmp_path):
     kept, total = S.plan_files(t, [("typo", "=", 7)])
     assert len(kept) == total == 2
     assert S.scan(spark, t, [("n", "=", 7)]).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read equality deletes (Iceberg-v2 delete-file model)
+# ---------------------------------------------------------------------------
+
+
+def test_mor_delete_is_metadata_only_and_read_applies(spark, tmp_path):
+    """delete_keys_mor rewrites NO data file — the commit adds only a
+    delete file — yet reads drop the targeted rows."""
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 10), t)
+    before = S.read_manifest(t, 1)["files"]
+    keys = spark.createDataFrame([(3,), (7,)], "n: long")
+    v = S.delete_keys_mor(spark, t, keys)
+    m = S.read_manifest(t, v)
+    assert m["operation"] == "mor-delete"
+    assert m["files"] == before, "data files must carry over untouched"
+    assert len(m["delete_files"]) == 1 and m["delete_files"][0]["on"] == ["n"]
+    assert sorted(r["n"] for r in S.read(spark, t).collect()) == [0, 1, 2, 4, 5, 6, 8, 9]
+
+
+def test_mor_delete_sequence_rule_append_resurrects(spark, tmp_path):
+    """A row appended AFTER the delete keeps its higher file_seq and
+    survives the anti-join; the pre-delete copy stays deleted."""
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 5), t)                       # v1: 0..4
+    S.delete_keys_mor(spark, t, spark.createDataFrame([(2,)], "n: long"))  # v2
+    S.append(_nums(spark, 2, 3), t)                          # v3: re-adds 2
+    got = sorted(r["n"] for r in S.read(spark, t).collect())
+    assert got == [0, 1, 2, 3, 4], got
+    # exactly one copy of 2: the old one is still masked
+    assert [r["n"] for r in S.read(spark, t).collect()].count(2) == 1
+    # time travel: v1 shows the original, v2 hides key 2
+    assert sorted(r["n"] for r in S.read(spark, t, version=1).collect()) == [0, 1, 2, 3, 4]
+    assert sorted(r["n"] for r in S.read(spark, t, version=2).collect()) == [0, 1, 3, 4]
+
+
+def test_mor_deletes_stack_and_scan_applies_them(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 20), t)
+    S.delete_keys_mor(spark, t, spark.createDataFrame([(1,), (2,)], "n: long"))
+    S.delete_keys_mor(spark, t, spark.createDataFrame([(10,)], "n: long"))
+    got = sorted(r["n"] for r in S.scan(spark, t, [("n", "<", 12)]).collect())
+    assert got == [0, 3, 4, 5, 6, 7, 8, 9, 11]
+
+
+def test_mor_compact_materializes_deletes(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 100).repartition(4), t)
+    S.delete_keys_mor(spark, t, spark.createDataFrame([(i,) for i in range(0, 100, 9)], "n: long"))
+    expect = sorted(r["n"] for r in S.read(spark, t).collect())
+    v = S.compact(spark, t, 2)
+    m = S.read_manifest(t, v)
+    assert m["delete_files"] == [], "compaction must retire the delete files"
+    assert sorted(r["n"] for r in S.read(spark, t).collect()) == expect
+    # and CoW operations work again after materialization
+    S.delete(spark, t, [("n", "<", 5)])
+    assert min(r["n"] for r in S.read(spark, t).collect()) >= 5
+
+
+def test_mor_blocks_cow_until_materialized(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 10), t)
+    S.delete_keys_mor(spark, t, spark.createDataFrame([(1,)], "n: long"))
+    with pytest.raises(ValueError, match="materialize"):
+        S.delete(spark, t, [("n", "<", 3)])
+    with pytest.raises(ValueError, match="materialize"):
+        S.merge(spark, t, _nums(spark, 0, 2), on=["n"])
+
+
+def test_mor_key_column_set_is_pinned(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 10).withColumn("m", F.col("n") * 2), t)
+    S.delete_keys_mor(spark, t, spark.createDataFrame([(1,)], "n: long"))
+    with pytest.raises(ValueError, match="key columns"):
+        S.delete_keys_mor(spark, t, spark.createDataFrame([(4,)], "m: long"))
+
+
+def test_mor_change_feed_emits_delete_rows(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 5), t)                                      # v1
+    S.append(_nums(spark, 10, 12), t)                                       # v2
+    S.delete_keys_mor(spark, t, spark.createDataFrame([(0,), (10,)], "n: long"))  # v3
+    ch = S.read_changes(spark, t, from_version=1).collect()
+    ins = sorted(r["n"] for r in ch if r["_change_type"] == "insert")
+    del_ = sorted(r["n"] for r in ch if r["_change_type"] == "delete")
+    assert ins == [10, 11]
+    assert del_ == [0, 10]
+    assert {r["_commit_version"] for r in ch if r["_change_type"] == "delete"} == {3}
+
+
+def test_mor_overwrite_retires_deletes(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 5), t)
+    S.delete_keys_mor(spark, t, spark.createDataFrame([(1,)], "n: long"))
+    S.overwrite(_nums(spark, 0, 3), t)
+    m = S.read_manifest(t, S.current_version(t))
+    assert m["delete_files"] == []
+    assert sorted(r["n"] for r in S.read(spark, t).collect()) == [0, 1, 2]
+
+
+def test_vacuum_keeps_live_delete_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 10), t)
+    S.delete_keys_mor(spark, t, spark.createDataFrame([(4,)], "n: long"))
+    S.vacuum(t, keep_versions=1)
+    # the delete file referenced by the surviving manifest must remain
+    assert sorted(r["n"] for r in S.read(spark, t).collect()) == [0, 1, 2, 3, 5, 6, 7, 8, 9]
+
+
+def test_mor_stream_skips_metadata_only_commits(spark, tmp_path):
+    """The snapshot streaming source tolerates a mor-delete commit in the
+    history (adds no files -> empty batch), preserving insert-only
+    semantics."""
+    from fraud_detection_etl_project_spark.sources.snapshot_stream import register as reg_stream
+
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 3), t)                                  # v1
+    S.delete_keys_mor(spark, t, spark.createDataFrame([(0,)], "n: long"))  # v2
+    S.append(_nums(spark, 5, 7), t)                                     # v3
+    reg_stream(spark)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    (
+        spark.readStream.format("pysnapshot")
+        .option("path", t)
+        .option("startingVersion", 1)
+        .load()
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ck)
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = sorted(r["n"] for r in spark.read.parquet(out).collect())
+    assert got == [5, 6], got  # v3's rows only (v1 = startingVersion base, v2 adds none)
+
+
+# ---------------------------------------------------------------------------
+# Refs: branches, tags, write-audit-publish
+# ---------------------------------------------------------------------------
+
+
+def test_branch_commits_invisible_until_fast_forward(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 5), t)                    # v1 on main
+    S.create_branch(t, "audit")
+    vb = S.append(_nums(spark, 10, 13), t, branch="audit")  # v2 on audit
+    # main untouched; branch sees the staged rows
+    assert S.current_version(t) == 1
+    assert sorted(r["n"] for r in S.read(spark, t).collect()) == [0, 1, 2, 3, 4]
+    assert sorted(r["n"] for r in S.read(spark, t, ref="audit").collect()) == [
+        0, 1, 2, 3, 4, 10, 11, 12,
+    ]
+    # publish: CURRENT flips to the branch head, a pure metadata move
+    assert S.fast_forward(t, "audit") == vb
+    assert S.current_version(t) == vb
+    assert sorted(r["n"] for r in S.read(spark, t).collect()) == [
+        0, 1, 2, 3, 4, 10, 11, 12,
+    ]
+
+
+def test_fast_forward_refused_when_main_moved(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 3), t)
+    S.create_branch(t, "wip")
+    S.append(_nums(spark, 10, 11), t, branch="wip")
+    S.append(_nums(spark, 20, 21), t)  # main advances past the fork
+    with pytest.raises(S.SnapshotConflictError, match="not a fast-forward"):
+        S.fast_forward(t, "wip")
+
+
+def test_branch_version_numbers_are_global_and_disjoint(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 2), t)                       # v1
+    S.create_branch(t, "b")
+    vb = S.append(_nums(spark, 5, 6), t, branch="b")         # v2 (parent v1)
+    vm = S.append(_nums(spark, 9, 10), t)                    # v3 (parent v1, main)
+    assert vb == 2 and vm == 3
+    assert S.read_manifest(t, vb)["parent"] == 1
+    assert S.read_manifest(t, vm)["parent"] == 1
+    # main lineage excludes the branch commit
+    assert sorted(r["n"] for r in S.read(spark, t).collect()) == [0, 1, 9]
+
+
+def test_change_feed_follows_parent_chain_not_numbers(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 2), t)                       # v1
+    S.create_branch(t, "b")
+    S.append(_nums(spark, 100, 102), t, branch="b")          # v2 (branch)
+    S.append(_nums(spark, 5, 7), t)                          # v3 (main)
+    ch = S.read_changes(spark, t, from_version=1)
+    assert sorted(r["n"] for r in ch.collect()) == [5, 6]  # branch rows excluded
+    with pytest.raises(ValueError, match="different branches"):
+        S.read_changes(spark, t, from_version=2)  # v2 not an ancestor of main
+
+
+def test_tag_pins_a_version_and_is_immutable(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 3), t)
+    S.create_tag(t, "release-1")
+    S.overwrite(_nums(spark, 50, 52), t)
+    assert sorted(r["n"] for r in S.read(spark, t, ref="release-1").collect()) == [0, 1, 2]
+    with pytest.raises(ValueError, match="already exists"):
+        S.create_tag(t, "release-1")
+    with pytest.raises(ValueError, match="no such ref"):
+        S.read(spark, t, ref="nope")
+
+
+def test_vacuum_preserves_ref_heads(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 3), t)        # v1
+    S.create_tag(t, "keepme")                 # pins v1
+    S.overwrite(_nums(spark, 10, 12), t)      # v2
+    S.overwrite(_nums(spark, 20, 22), t)      # v3
+    S.vacuum(t, keep_versions=1)
+    # v1 survives because the tag references it; v2 is gone
+    assert sorted(r["n"] for r in S.read(spark, t, ref="keepme").collect()) == [0, 1, 2]
+    with pytest.raises(FileNotFoundError):
+        S.read_manifest(t, 2)
+
+
+def test_branch_concurrency_check_is_per_ref(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 2), t)
+    S.create_branch(t, "b")
+    S.append(_nums(spark, 5, 6), t, branch="b")
+    # a main commit does not conflict with the branch line, and vice versa
+    S.append(_nums(spark, 9, 10), t)
+    S.append(_nums(spark, 7, 8), t, branch="b")
+    assert sorted(r["n"] for r in S.read(spark, t, ref="b").collect()) == [0, 1, 5, 7]
+    assert sorted(r["n"] for r in S.read(spark, t).collect()) == [0, 1, 9]
+
+
+def test_stream_ignores_branch_commits(spark, tmp_path):
+    """A capped stream over main never ingests interleaved branch files."""
+    from fraud_detection_etl_project_spark.sources.snapshot_stream import register as reg_stream
+
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 2), t)                       # v1
+    S.create_branch(t, "side")
+    S.append(_nums(spark, 100, 103), t, branch="side")       # v2 (branch)
+    S.append(_nums(spark, 5, 7), t)                          # v3 (main)
+    S.append(_nums(spark, 8, 9), t)                          # v4 (main)
+    reg_stream(spark)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    (
+        spark.readStream.format("pysnapshot")
+        .option("path", t)
+        .option("startingVersion", 1)
+        .load()
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ck)
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = sorted(r["n"] for r in spark.read.parquet(out).collect())
+    assert got == [5, 6, 8], got
+
+
+def test_stream_rate_cap_walks_main_chain(spark, tmp_path):
+    """maxVersionsPerTrigger counts MAIN-chain commits: the capped offset
+    must never name an interleaved branch version (which would leak its
+    files into partitions())."""
+    from fraud_detection_etl_project_spark.sources.snapshot_stream import (
+        SnapshotStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 2), t)                       # v1
+    S.create_branch(t, "side")
+    S.append(_nums(spark, 100, 103), t, branch="side")       # v2 (branch)
+    S.append(_nums(spark, 5, 7), t)                          # v3 (main)
+    S.append(_nums(spark, 8, 9), t)                          # v4 (main)
+    r = SnapshotStreamReader(
+        {"path": t, "startingversion": "1", "maxversionspertrigger": "1"}
+    )
+    o1 = r.latestOffset()
+    assert o1 == {"version": 3}, o1  # one MAIN commit past v1 is v3, not v2
+    files = [p.path for p in r.partitions({"version": 1}, o1)]
+    assert files, "v3's files must be planned"
+    o2 = r.latestOffset()
+    assert o2 == {"version": 4}, o2
