@@ -107,6 +107,11 @@ from fraud_detection_etl_project_spark.plans import experiment_queries  # noqa: 
 # registered right after the prefix). avro_source_rollup added to the
 # format-source block (pure-Python Avro OCF spec codec as a Python
 # DataSource, JVM-conformance-tested).
+# Round-5 swap (4): ivf_trained_ann_top10 -> pq_adc_ann_top10 in the
+# vector-index slot — PQ+ADC is the memory-scale half of IVF-PQ (64
+# floats -> 4 bytes, table-lookup search) and its query carries the
+# same recall readout; the trained-IVF query stays registered right
+# after the prefix, oracle-verified by the committed full witness.
 # Round-5 swap (3): snapshot_time_travel_rollup ->
 # snapshot_mor_delete_rollup in the table-format slot — the
 # merge-on-read equality-delete query drives the same manifest/read
@@ -136,7 +141,7 @@ FAMILY_PREFIX = [
     "multimodal_jpeg_stats",
     "neardup_pairs_salted",
     "customers_with_big_orders",
-    "ivf_trained_ann_top10",
+    "pq_adc_ann_top10",
     "semdedup_cluster_stats",
     "event_value_bands",
     "asof_purchase_signup",

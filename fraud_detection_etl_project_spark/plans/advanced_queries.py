@@ -2518,3 +2518,160 @@ def copurchase_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         katz_centrality(nodes, sym, iterations=_KATZ_ITERS, alpha=_KATZ_ALPHA, quant=9)
         .select(F.col("node").alias("part"), "katz")
     )
+
+
+# ---------------------------------------------------------------------------
+# Betweenness centrality (Brandes dependency accumulation, 3-hop horizon)
+# ---------------------------------------------------------------------------
+
+_BC_SEEDS = 4
+_BC_SCALE = 1000000000.0
+
+_BC_SQL = f"""
+WITH ew AS ({_PPR_EW_SQL}),
+nbrs AS (SELECT src AS node, dst AS nbr FROM ew UNION ALL SELECT dst AS node, src AS nbr FROM ew),
+seeds AS (SELECT DISTINCT node FROM nbrs ORDER BY node ASC LIMIT {_BC_SEEDS}),
+l0 AS (SELECT node AS seed, node, CAST(1 AS BIGINT) AS sigma FROM seeds),
+l1 AS (
+  SELECT l0.seed, n.nbr AS node, CAST(sum(l0.sigma) AS BIGINT) AS sigma
+  FROM l0 JOIN nbrs n ON n.node = l0.node
+  WHERE n.nbr <> l0.seed
+  GROUP BY 1, 2),
+l2 AS (
+  SELECT x.seed, x.node, CAST(sum(x.sigma) AS BIGINT) AS sigma FROM (
+    SELECT l1.seed, n.nbr AS node, l1.sigma
+    FROM l1 JOIN nbrs n ON n.node = l1.node) x
+  LEFT JOIN l1 p ON p.seed = x.seed AND p.node = x.node
+  WHERE p.node IS NULL AND x.node <> x.seed
+  GROUP BY 1, 2),
+l3 AS (
+  SELECT x.seed, x.node, CAST(sum(x.sigma) AS BIGINT) AS sigma FROM (
+    SELECT l2.seed, n.nbr AS node, l2.sigma
+    FROM l2 JOIN nbrs n ON n.node = l2.node) x
+  LEFT JOIN l1 p1 ON p1.seed = x.seed AND p1.node = x.node
+  LEFT JOIN l2 p2 ON p2.seed = x.seed AND p2.node = x.node
+  WHERE p1.node IS NULL AND p2.node IS NULL AND x.node <> x.seed
+  GROUP BY 1, 2),
+d2 AS (
+  SELECT v.seed, v.node,
+         CAST(coalesce(sum(CAST(floor(CAST(v.sigma AS DOUBLE) * {_BC_SCALE!r} / w.sigma + 0.5)
+                                 AS BIGINT)), 0) AS BIGINT) AS dq
+  FROM l2 v
+  LEFT JOIN nbrs n ON n.node = v.node
+  LEFT JOIN l3 w ON w.seed = v.seed AND w.node = n.nbr
+  GROUP BY 1, 2),
+d1 AS (
+  SELECT v.seed, v.node,
+         CAST(coalesce(sum(CAST(floor(CAST(v.sigma AS DOUBLE)
+                                      * ({_BC_SCALE!r} + coalesce(w.dq, 0)) / w2.sigma + 0.5)
+                                 AS BIGINT)), 0) AS BIGINT) AS dq
+  FROM l1 v
+  LEFT JOIN nbrs n ON n.node = v.node
+  LEFT JOIN l2 w2 ON w2.seed = v.seed AND w2.node = n.nbr
+  LEFT JOIN d2 w ON w.seed = v.seed AND w.node = n.nbr
+  GROUP BY 1, 2),
+allq AS (SELECT node, dq FROM d1 UNION ALL SELECT node, dq FROM d2)
+SELECT node AS part, CAST(sum(dq) AS BIGINT) AS bc_q,
+       sum(dq) / {_BC_SCALE!r} AS betweenness
+FROM allq GROUP BY 1 HAVING sum(dq) > 0
+"""
+
+
+@query("part_betweenness_3hop", oracle=_BC_SQL)
+def part_betweenness_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Betweenness centrality by Brandes dependency accumulation from a
+    deterministic seed panel with a 3-hop horizon — the sampled/bounded
+    variant production systems run (exact betweenness is all-pairs): the
+    forward sweep is per-seed BFS carrying shortest-path COUNTS sigma
+    (exact int64 sums over predecessor frontiers); the backward sweep
+    accumulates delta(v) = sum over successors w of sigma_v/sigma_w *
+    (1 + delta(w)), truncated at the horizon. Nodes that broker many
+    shortest paths score high — the bridge/chokepoint detector beside
+    degree (pagerank) and proximity (harmonic) measures.
+
+    Exactness: sigma is exact int64 throughout; each per-successor
+    dependency term quantizes to int64 nano-units BEFORE summation
+    (floor(sigma_v * (1e9 + delta_q(w)) / sigma_w + 0.5) — identical
+    IEEE expression over identical integers in both engines), so the
+    accumulated delta and the final cross-seed sum are exact integer
+    arithmetic with one division at the end.
+
+    Scale: per level one frontier⋈edges join + grouped sigma sum with a
+    (seed, node) anti-join against settled levels — frontier-sized
+    shuffles; the backward sweep is one join per level over the level
+    frames. The seed panel multiplies frontiers, not the graph; at web
+    scale the panel shards and bc sums associatively across panels
+    (Riondato-Kornaropoulos sampling gives the error bound)."""
+    ew = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .alias("a")
+        .join(
+            _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct().alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _EDGE_SUPPORT)
+        .select("src", "dst")
+    )
+    nbrs = ew.select(F.col("src").alias("node"), F.col("dst").alias("nbr")).unionAll(
+        ew.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+    ).persist()
+    seeds = nbrs.select("node").distinct().orderBy("node").limit(_BC_SEEDS)
+    l0 = seeds.select(F.col("node").alias("seed"), "node", F.lit(1).cast("long").alias("sigma"))
+
+    def expand(frontier: DataFrame, *settled: DataFrame) -> DataFrame:
+        x = (
+            frontier.join(nbrs, "node")
+            .select("seed", F.col("nbr").alias("node"), "sigma")
+            .filter(F.col("node") != F.col("seed"))
+        )
+        for s in settled:
+            x = x.join(s.select("seed", "node"), ["seed", "node"], "left_anti")
+        return x.groupBy("seed", "node").agg(F.sum("sigma").cast("long").alias("sigma"))
+
+    l1 = expand(l0).persist()
+    l2 = expand(l1, l1).persist()
+    l3 = expand(l2, l1, l2).persist()
+
+    def backward(level: DataFrame, nxt: DataFrame, nxt_delta: DataFrame | None) -> DataFrame:
+        succ = nxt.select(
+            "seed", F.col("node").alias("nbr"), F.col("sigma").alias("w_sigma")
+        )
+        if nxt_delta is not None:
+            succ = succ.join(
+                nxt_delta.select("seed", F.col("node").alias("nbr"), "dq"),
+                ["seed", "nbr"],
+                "left",
+            ).select("seed", "nbr", "w_sigma", F.coalesce("dq", F.lit(0)).alias("wdq"))
+        else:
+            succ = succ.withColumn("wdq", F.lit(0).cast("long"))
+        term = F.floor(
+            F.col("sigma").cast("double")
+            * (F.lit(_BC_SCALE) + F.col("wdq"))
+            / F.col("w_sigma")
+            + 0.5
+        ).cast("long")
+        return (
+            level.join(nbrs, "node", "left")
+            .join(succ, ["seed", "nbr"], "left")
+            .groupBy("seed", "node")
+            .agg(
+                F.coalesce(F.sum(F.when(F.col("w_sigma").isNotNull(), term)), F.lit(0))
+                .cast("long")
+                .alias("dq")
+            )
+        )
+
+    d2 = backward(l2, l3, None).persist()
+    d1 = backward(l1, l2, d2)
+    allq = d1.select("node", "dq").unionAll(d2.select("node", "dq"))
+    return (
+        allq.groupBy(F.col("node").alias("part"))
+        .agg(F.sum("dq").cast("long").alias("bc_q"))
+        .filter(F.col("bc_q") > 0)
+        .select("part", "bc_q", (F.col("bc_q") / F.lit(_BC_SCALE)).alias("betweenness"))
+    )

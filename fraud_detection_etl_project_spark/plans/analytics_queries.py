@@ -2909,3 +2909,109 @@ def event_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("hbos_score").desc(), F.col("event_id").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample histogram drift (chi-square homogeneity between periods)
+# ---------------------------------------------------------------------------
+
+_DRIFT_BOUNDARY = "2024-01-16 00:00:00"
+_DRIFT_CRIT_DF19 = 30.143527  # chi-square 95% critical value, df = 20 - 1
+
+
+@query(
+    "value_histogram_drift",
+    oracle=f"""
+WITH f AS (
+  SELECT event_type,
+         least(CAST(floor(CAST(floor(value * 100.0 + 0.5) AS BIGINT) / 5000.0) AS BIGINT),
+               CAST(19 AS BIGINT)) AS b,
+         CASE WHEN ts < TIMESTAMP '{_DRIFT_BOUNDARY}' THEN 1 ELSE 2 END AS period
+  FROM events
+),
+h AS (
+  SELECT event_type, b,
+         CAST(count(*) FILTER (WHERE period = 1) AS BIGINT) AS n1,
+         CAST(count(*) FILTER (WHERE period = 2) AS BIGINT) AS n2
+  FROM f GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, CAST(sum(n1) AS BIGINT) AS t1, CAST(sum(n2) AS BIGINT) AS t2,
+         CAST(count(*) AS BIGINT) AS n_bins
+  FROM h GROUP BY 1
+),
+c AS (
+  SELECT h.event_type, t.t1, t.t2, t.n_bins,
+         sum(
+           (h.n1 - CAST(t.t1 AS DOUBLE) * (h.n1 + h.n2) / (t.t1 + t.t2))
+           * (h.n1 - CAST(t.t1 AS DOUBLE) * (h.n1 + h.n2) / (t.t1 + t.t2))
+           / (CAST(t.t1 AS DOUBLE) * (h.n1 + h.n2) / (t.t1 + t.t2))
+           + (h.n2 - CAST(t.t2 AS DOUBLE) * (h.n1 + h.n2) / (t.t1 + t.t2))
+           * (h.n2 - CAST(t.t2 AS DOUBLE) * (h.n1 + h.n2) / (t.t1 + t.t2))
+           / (CAST(t.t2 AS DOUBLE) * (h.n1 + h.n2) / (t.t1 + t.t2))
+         ) AS chi
+  FROM h JOIN t ON h.event_type = t.event_type
+  GROUP BY 1, 2, 3, 4
+)
+SELECT event_type, t1 AS n_first, t2 AS n_second, n_bins,
+       floor(chi * 1000000.0 + 0.5) / 1000000.0 AS chi_sq,
+       chi > {_DRIFT_CRIT_DF19} AS drift_flag
+FROM c
+""",
+)
+def value_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample chi-square homogeneity test between the first and
+    second half of the month, per event type, over the 20-band value
+    histogram — the standard production DRIFT MONITOR for a model input
+    (has the feature's distribution moved since training?), the
+    frequentist sibling of PSI that needs no logarithm (libm-free, per
+    the repo's cross-engine parity policy). Flags types whose chi-square
+    exceeds the 95% critical value at df = 19.
+
+    Exactness note: bin counts are exact int64 and each per-bin term is
+    the same IEEE expression over them in both engines; the chi-square
+    is a sum of <=20 such doubles, which is order-dependent in principle.
+    All terms are positive and of similar magnitude, so the order
+    variance is ~1e-13 relative — many orders below the 1e-6 comparison
+    quantum. This is the repo's documented bounded exception to the
+    exact-lattice rule (the same class as Welch's variance outputs),
+    taken here because no integer reformulation of a sum of squared
+    residual ratios exists.
+
+    Scale: one scan -> (event_type, band, period) conditional counts
+    (map-side combinable, <=200 rows total), then 5-row arithmetic. No
+    windows, no joins beyond the tiny histogram-total broadcast."""
+    e = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    boundary = F.lit(_DRIFT_BOUNDARY).cast("timestamp")
+    f = e.select(
+        "event_type",
+        F.least(
+            F.floor(F.floor(F.col("value") * 100.0 + 0.5).cast("long") / 5000).cast("long"),
+            F.lit(19).cast("long"),
+        ).alias("b"),
+        F.when(F.col("ts") < boundary, 1).otherwise(2).alias("period"),
+    )
+    h = f.groupBy("event_type", "b").agg(
+        F.count(F.when(F.col("period") == 1, 1)).cast("long").alias("n1"),
+        F.count(F.when(F.col("period") == 2, 1)).cast("long").alias("n2"),
+    )
+    t = h.groupBy("event_type").agg(
+        F.sum("n1").cast("long").alias("t1"),
+        F.sum("n2").cast("long").alias("t2"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+    )
+    j = h.join(F.broadcast(t), "event_type")
+    e1 = F.col("t1").cast("double") * (F.col("n1") + F.col("n2")) / (F.col("t1") + F.col("t2"))
+    e2 = F.col("t2").cast("double") * (F.col("n1") + F.col("n2")) / (F.col("t1") + F.col("t2"))
+    term = (F.col("n1") - e1) * (F.col("n1") - e1) / e1 + (F.col("n2") - e2) * (
+        F.col("n2") - e2
+    ) / e2
+    c = j.groupBy("event_type", "t1", "t2", "n_bins").agg(F.sum(term).alias("chi"))
+    return c.select(
+        "event_type",
+        F.col("t1").alias("n_first"),
+        F.col("t2").alias("n_second"),
+        "n_bins",
+        (F.floor(F.col("chi") * 1000000.0 + 0.5) / 1000000.0).alias("chi_sq"),
+        (F.col("chi") > _DRIFT_CRIT_DF19).alias("drift_flag"),
+    )
