@@ -10,7 +10,7 @@ counts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fraud_detection_etl_project_spark.functions import text as T
@@ -2418,3 +2418,126 @@ def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction (stopword-delimited candidates, deg/freq scores)
+# ---------------------------------------------------------------------------
+
+_RAKE_MAX_LEN = 3
+_RAKE_TOP = 15
+
+
+@query(
+    "doc_rake_keyphrases",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+t AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(tk) + 1),
+                                   i -> struct_pack(pos := i, tok := tk[i]))) AS u
+      FROM toks),
+t2 AS (SELECT doc_id, u.pos AS pos, u.tok AS tok,
+              CASE WHEN u.tok IN ({_STOP_LIST_SQL}) OR u.tok = '' THEN 1 ELSE 0 END AS is_stop
+       FROM t),
+g AS (SELECT doc_id, pos, tok, is_stop,
+             CAST(sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+      FROM t2),
+w AS (SELECT doc_id, grp, pos, tok FROM g WHERE is_stop = 0),
+ph AS (SELECT doc_id, grp,
+              string_agg(tok, ' ' ORDER BY pos) AS phrase,
+              CAST(count(*) AS BIGINT) AS n_words
+       FROM w GROUP BY 1, 2
+       HAVING count(*) BETWEEN 1 AND {_RAKE_MAX_LEN}),
+wp AS (SELECT w.tok, ph.n_words
+       FROM w JOIN ph ON w.doc_id = ph.doc_id AND w.grp = ph.grp),
+ws AS (SELECT tok,
+              CAST(floor(CAST(sum(n_words) AS DOUBLE) * 1000000.0 / count(*) + 0.5)
+                   AS BIGINT) AS ws_q
+       FROM wp GROUP BY 1),
+po AS (SELECT phrase, n_words, CAST(count(*) AS BIGINT) AS n_occurrences
+       FROM ph GROUP BY 1, 2),
+pw AS (SELECT po.phrase, unnest(string_split(po.phrase, ' ')) AS tok FROM po),
+sc AS (SELECT pw.phrase, CAST(sum(ws.ws_q) AS BIGINT) AS score_q
+       FROM pw JOIN ws ON pw.tok = ws.tok GROUP BY 1)
+SELECT po.phrase, po.n_words, po.n_occurrences,
+       sc.score_q / 1000000.0 AS rake_score
+FROM po JOIN sc ON po.phrase = sc.phrase
+ORDER BY sc.score_q DESC, po.phrase ASC
+LIMIT {_RAKE_TOP}
+""",
+)
+def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs (capped at 3 words); every word
+    scores degree/frequency — degree counts co-occurrence mass (the sum
+    of lengths of phrases containing the word), frequency its raw count —
+    and a phrase scores the sum of its words' scores, so multi-word
+    domain terms outrank common single words. Corpus-level top-15.
+
+    Exactness: word scores quantize to int64 micro-units BEFORE the
+    phrase sum (deg*1e6/freq floored — identical expression both
+    engines), so phrase scores are exact integer sums; tokenizer and
+    stopword list are the repo's shared parity pair (functions.text
+    tokens/STOPWORDS == TOKS_SQL/_STOP_LIST_SQL).
+
+    Scale: phrase segmentation is a per-document window over token
+    positions (per-key frames after one explode — no global sort); word
+    and phrase statistics are two map-side-combinable aggregations over
+    the exploded runs; the final top-15 is TakeOrderedAndProject. Text
+    never fans out beyond the single token explode."""
+    from fraud_detection_etl_project_spark.functions import text as T
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.posexplode(T.tokens(F.col("text"))).alias("pos", "tok"))
+    is_stop = (F.col("tok").isin(T.STOPWORDS) | (F.col("tok") == "")).cast("int")
+    g = t.select(
+        "doc_id",
+        "pos",
+        "tok",
+        is_stop.alias("is_stop"),
+        F.sum(is_stop)
+        .over(
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("long")
+        .alias("grp"),
+    )
+    w = g.filter(F.col("is_stop") == 0).select("doc_id", "grp", "pos", "tok")
+    ph = (
+        w.groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+        )
+        .filter(F.col("n_words").between(1, _RAKE_MAX_LEN))
+    )
+    wp = w.join(ph.select("doc_id", "grp", "n_words"), ["doc_id", "grp"])
+    ws = wp.groupBy("tok").agg(
+        F.floor(F.sum("n_words").cast("double") * 1000000.0 / F.count(F.lit(1)) + 0.5)
+        .cast("long")
+        .alias("ws_q")
+    )
+    po = ph.groupBy("phrase", "n_words").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    pw = po.select("phrase", F.explode(F.split("phrase", " ")).alias("tok"))
+    sc = pw.join(ws, "tok").groupBy("phrase").agg(F.sum("ws_q").cast("long").alias("score_q"))
+    return (
+        po.join(sc, "phrase")
+        .orderBy(F.col("score_q").desc(), F.col("phrase").asc())
+        .limit(_RAKE_TOP)
+        .select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            (F.col("score_q") / 1000000.0).alias("rake_score"),
+        )
+    )

@@ -3805,3 +3805,319 @@ def pq_adc_ann_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_dist",
         "in_exact_top10",
     )
+
+
+# ---------------------------------------------------------------------------
+# Isolation forest (deterministic md5-driven trees, exact integer splits)
+# ---------------------------------------------------------------------------
+
+_IF_TREES = 3
+_IF_DEPTH = 5
+_IF_SUBMOD = 50  # subsample: md5(event) % 50 == tree -> ~2% of rows per tree
+_IF_FRAC = 16777216  # 2^24: threshold interpolation denominator
+
+
+def _if_oracle() -> str:
+    md5i = lambda s: f"CAST(('0x' || substring(md5({s}), 1, 6)) AS BIGINT)"  # noqa: E731
+    key = "'|' || CAST(tree AS VARCHAR) || '|' || CAST(node AS VARCHAR)"
+    ctes = [
+        f"""trees AS (SELECT unnest(range({_IF_TREES})) AS tree),
+feat AS (SELECT event_id,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS f0,
+                CAST(hour(ts) AS BIGINT) AS f1
+         FROM events),
+sub AS (SELECT t.tree, f.event_id, f.f0, f.f1 FROM feat f, trees t
+        WHERE {md5i("'ifs|' || CAST(f.event_id AS VARCHAR)")} % {_IF_SUBMOD} = t.tree),
+cur0 AS (SELECT tree, event_id, f0, f1, CAST(1 AS BIGINT) AS node FROM sub)"""
+    ]
+    for d in range(_IF_DEPTH):
+        ctes.append(f"""
+st{d} AS (SELECT tree, node, CAST(count(*) AS BIGINT) AS cnt,
+                 min(f0) AS mn0, max(f0) AS mx0, min(f1) AS mn1, max(f1) AS mx1
+          FROM cur{d} GROUP BY 1, 2),
+sp{d} AS (SELECT tree, node, dim,
+                 CASE dim WHEN 0 THEN mn0 + ((mx0 - mn0) * fn) // {_IF_FRAC}
+                          ELSE mn1 + ((mx1 - mn1) * fn) // {_IF_FRAC} END AS thresh
+          FROM (SELECT st{d}.*,
+                       {md5i(f"'ifd' || {key}")} % 2 AS dim,
+                       {md5i(f"'ift' || {key}")} % {_IF_FRAC} AS fn
+                FROM st{d})
+          WHERE cnt > 1 AND (CASE dim WHEN 0 THEN mx0 > mn0 ELSE mx1 > mn1 END)),
+cur{d + 1} AS (SELECT c.tree, c.event_id, c.f0, c.f1,
+                      c.node * 2 + CASE WHEN (CASE s.dim WHEN 0 THEN c.f0 ELSE c.f1 END)
+                                             > s.thresh THEN 1 ELSE 0 END AS node
+               FROM cur{d} c JOIN sp{d} s ON c.tree = s.tree AND c.node = s.node)"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM sp{d}" for d in range(_IF_DEPTH))
+    ctes.append(f"""
+splits AS ({union}),
+sc0 AS (SELECT t.tree, f.event_id, f.f0, f.f1,
+               CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+        FROM feat f, trees t)""")
+    for d in range(_IF_DEPTH):
+        ctes.append(f"""
+sc{d + 1} AS (SELECT c.tree, c.event_id, c.f0, c.f1,
+                     CASE WHEN s.node IS NULL THEN c.node
+                          ELSE c.node * 2 + CASE WHEN (CASE s.dim WHEN 0 THEN c.f0
+                                                       ELSE c.f1 END) > s.thresh
+                                            THEN 1 ELSE 0 END END AS node,
+                     CASE WHEN s.node IS NULL THEN c.depth ELSE c.depth + 1 END AS depth
+              FROM sc{d} c LEFT JOIN splits s ON s.tree = c.tree AND s.node = c.node)"""
+        )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f""",
+agg AS (SELECT event_id, CAST(sum(depth) AS BIGINT) AS sum_depth
+        FROM sc{_IF_DEPTH} GROUP BY 1)
+SELECT event_id, sum_depth,
+       floor(sum_depth / {float(_IF_TREES)!r} * 1000000.0 + 0.5) / 1000000.0 AS avg_depth
+FROM agg ORDER BY sum_depth ASC, event_id ASC LIMIT 20
+"""
+    )
+
+
+@query("event_isolation_forest_top20", oracle=_if_oracle())
+def event_isolation_forest_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isolation forest (Liu, Ting & Zhou 2008), derandomized for
+    cross-engine parity: 3 trees, each grown to depth 5 on a disjoint
+    ~2% md5-subsample over (value-cents, hour) features; at every node
+    the split DIMENSION and the split POINT's position inside the node's
+    [min, max] both come from md5(tree|node) — the deterministic stand-in
+    for the paper's uniform draws — so the whole forest is a pure
+    function of the data. Anomalies isolate in few splits, so the score
+    reported is the summed path depth across trees (ascending = most
+    anomalous; the paper's 2^-E(h)/c(psi) normalization is monotone in
+    it, and skipping it keeps the query libm-free). Top-20 by depth, ties
+    to event_id.
+
+    Exactness: features, node stats, and thresholds
+    (mn + (mx - mn) * frac // 2^24) are exact int64; tree construction
+    and the scoring walk are bit-identical to the oracle's unrolled
+    level-by-level CTE chain.
+
+    Scale: construction aggregates the subsample level by level (grouped
+    min/max/count — map-side combinable) and collects only the <=
+    trees * 2^depth SPLIT rows per level (parameters, the k-center
+    policy); scoring is the fact scan joined to a <=96-row broadcast
+    split table once per level — no shuffle of events anywhere except
+    the final per-event depth sum, and the trees themselves never leave
+    the driver as anything bigger than the split list."""
+    import hashlib
+
+    def md5i(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:6], 16)
+
+    ev = _t(spark, sf_dir, "events")
+    feat = ev.select(
+        "event_id",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("f0"),
+        F.hour("ts").cast("long").alias("f1"),
+    )
+    tree_col = F.explode(F.array(*[F.lit(t) for t in range(_IF_TREES)])).alias("tree")
+    with_tree = feat.select("event_id", "f0", "f1", tree_col)
+    sub_hash = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ifs|"), F.col("event_id").cast("string")).cast("binary")),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _IF_SUBMOD
+    )
+    cur = (
+        with_tree.filter(sub_hash == F.col("tree"))
+        .withColumn("node", F.lit(1).cast("long"))
+        .persist()
+    )
+    splits: list[tuple[int, int, int, int]] = []
+    for _d in range(_IF_DEPTH):
+        stats = cur.groupBy("tree", "node").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("f0").alias("mn0"),
+            F.max("f0").alias("mx0"),
+            F.min("f1").alias("mn1"),
+            F.max("f1").alias("mx1"),
+        ).collect()  # <= trees * 2^depth rows: split parameters, not data
+        level = []
+        for r in sorted(stats, key=lambda r: (r["tree"], r["node"])):
+            t, n = int(r["tree"]), int(r["node"])
+            dim = md5i(f"ifd|{t}|{n}") % 2
+            mn, mx = (r["mn0"], r["mx0"]) if dim == 0 else (r["mn1"], r["mx1"])
+            if int(r["cnt"]) > 1 and mx > mn:
+                fn_ = md5i(f"ift|{t}|{n}") % _IF_FRAC
+                level.append((t, n, dim, int(mn) + (int(mx) - int(mn)) * fn_ // _IF_FRAC))
+        if not level:
+            break
+        splits.extend(level)
+        sp_df = spark.createDataFrame(level, "tree int, node bigint, dim int, thresh bigint")
+        bit = F.when(
+            F.when(F.col("dim") == 0, F.col("f0")).otherwise(F.col("f1")) > F.col("thresh"), 1
+        ).otherwise(0)
+        nxt = (
+            cur.join(F.broadcast(sp_df), ["tree", "node"])
+            .select(
+                "tree",
+                "event_id",
+                "f0",
+                "f1",
+                (F.col("node") * 2 + bit).cast("long").alias("node"),
+            )
+            .persist()
+        )
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+
+    allsp = spark.createDataFrame(splits, "tree int, node bigint, dim int, thresh bigint")
+    sc = with_tree.withColumn("node", F.lit(1).cast("long")).withColumn(
+        "depth", F.lit(0).cast("long")
+    )
+    for _d in range(_IF_DEPTH):
+        bit = F.when(
+            F.when(F.col("dim") == 0, F.col("f0")).otherwise(F.col("f1")) > F.col("thresh"), 1
+        ).otherwise(0)
+        sc = (
+            sc.join(F.broadcast(allsp), ["tree", "node"], "left")
+            .select(
+                "tree",
+                "event_id",
+                "f0",
+                "f1",
+                F.when(F.col("dim").isNull(), F.col("node"))
+                .otherwise(F.col("node") * 2 + bit)
+                .cast("long")
+                .alias("node"),
+                F.when(F.col("dim").isNull(), F.col("depth"))
+                .otherwise(F.col("depth") + 1)
+                .cast("long")
+                .alias("depth"),
+            )
+        )
+    agg = sc.groupBy("event_id").agg(F.sum("depth").cast("long").alias("sum_depth"))
+    return (
+        agg.orderBy(F.col("sum_depth").asc(), F.col("event_id").asc())
+        .limit(20)
+        .select(
+            "event_id",
+            "sum_depth",
+            (
+                F.floor(F.col("sum_depth") / F.lit(float(_IF_TREES)) * 1000000.0 + 0.5)
+                / 1000000.0
+            ).alias("avg_depth"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Association rules, size-3 (A-priori level 2: lattice-pruned triples)
+# ---------------------------------------------------------------------------
+
+_AR3_MIN_SUPP = 5  # absolute basket-count floor for a frequent triple
+
+
+@query(
+    "basket_brand_triples",
+    oracle=f"""
+WITH b AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS item
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM b),
+supp1 AS (SELECT item, CAST(count(*) AS BIGINT) AS s FROM b GROUP BY 1),
+fp AS (SELECT a.item AS x, c.item AS y, CAST(count(*) AS BIGINT) AS s2
+       FROM b a JOIN b c ON a.ok = c.ok AND a.item < c.item
+       GROUP BY 1, 2
+       HAVING count(*) >= {_AR_MIN_SUPP}),
+bp AS (SELECT a.ok, a.item AS x, c.item AS y
+       FROM b a JOIN b c ON a.ok = c.ok AND a.item < c.item
+       JOIN fp ON fp.x = a.item AND fp.y = c.item),
+tri AS (SELECT bp.x, bp.y, d.item AS z, CAST(count(*) AS BIGINT) AS s3
+        FROM bp JOIN b d ON d.ok = bp.ok AND d.item > bp.y
+        JOIN fp f2 ON f2.x = bp.y AND f2.y = d.item
+        JOIN fp f3 ON f3.x = bp.x AND f3.y = d.item
+        GROUP BY 1, 2, 3
+        HAVING count(*) >= {_AR3_MIN_SUPP})
+SELECT t.x AS ante1, t.y AS ante2, t.z AS cons, t.s3 AS triple_support,
+       floor(CAST(t.s3 AS DOUBLE) / fp.s2 * 10000.0 + 0.5) / 10000.0 AS confidence,
+       floor(CAST(t.s3 AS DOUBLE) * n.n_baskets / (fp.s2 * s1.s) * 10000.0 + 0.5) / 10000.0 AS lift
+FROM tri t
+JOIN fp ON fp.x = t.x AND fp.y = t.y
+JOIN supp1 s1 ON s1.item = t.z
+CROSS JOIN n
+""",
+)
+def basket_brand_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori level 2 — frequent TRIPLES and the rules {x,y} -> z: the
+    downward-closure lattice prune in full (a triple is enumerated only
+    through baskets' frequent-pair occurrences, and extensions keep only
+    items whose OTHER two pairs are also frequent), so candidate volume
+    is bounded by the frequent-pair lattice rather than basket-size^3 —
+    the property that makes A-priori viable at 100 TB where naive triple
+    enumeration explodes. Confidence is against the pair antecedent,
+    lift against the consequent's base rate.
+
+    Exactness: supports are exact int64 basket counts; confidence/lift
+    are single divisions of those integers, quantized 1e-4 (the same
+    contract as basket_brand_rules, whose pair lattice this reuses at
+    the same support floor).
+
+    Scale: baskets dedup to (order, brand) in one pass; the pair pass is
+    the size-2 query's basket-keyed self-join; the extension join is
+    basket-keyed against the SEMI-pruned pair occurrences with two
+    broadcast hash probes into the frequent-pair list (25-brand
+    vocabulary -> at most 2,300 pairs, parameters-sized). Output is
+    support-floored, never all-triples."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("item"))
+        .distinct()
+        .persist()
+    )
+    n = b.agg(F.countDistinct("ok").cast("long").alias("n_baskets"))
+    supp1 = b.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("s"))
+    pairs_all = (
+        b.alias("a")
+        .join(b.alias("c"), (F.col("a.ok") == F.col("c.ok")) & (F.col("a.item") < F.col("c.item")))
+        .select(F.col("a.ok").alias("ok"), F.col("a.item").alias("x"), F.col("c.item").alias("y"))
+    )
+    fp = (
+        pairs_all.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("s2"))
+        .filter(F.col("s2") >= _AR_MIN_SUPP)
+        .persist()
+    )
+    bp = pairs_all.join(F.broadcast(fp.select("x", "y")), ["x", "y"]).alias("bp")
+    tri = (
+        bp.join(
+            b.alias("d"),
+            (F.col("d.ok") == F.col("bp.ok")) & (F.col("d.item") > F.col("bp.y")),
+        )
+        .select(F.col("bp.ok").alias("ok"), "x", "y", F.col("d.item").alias("z"))
+        .join(
+            F.broadcast(fp.select(F.col("x").alias("y"), F.col("y").alias("z"))), ["y", "z"]
+        )
+        .join(
+            F.broadcast(fp.select(F.col("x"), F.col("y").alias("z"))), ["x", "z"]
+        )
+        .groupBy("x", "y", "z")
+        .agg(F.count(F.lit(1)).cast("long").alias("s3"))
+        .filter(F.col("s3") >= _AR3_MIN_SUPP)
+    )
+    q4 = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0  # noqa: E731
+    return (
+        tri.join(fp, ["x", "y"])
+        .join(supp1.select(F.col("item").alias("z"), F.col("s").alias("s1")), "z")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("x").alias("ante1"),
+            F.col("y").alias("ante2"),
+            F.col("z").alias("cons"),
+            F.col("s3").alias("triple_support"),
+            q4(F.col("s3").cast("double") / F.col("s2")).alias("confidence"),
+            q4(F.col("s3").cast("double") * F.col("n_baskets") / (F.col("s2") * F.col("s1"))).alias("lift"),
+        )
+    )
