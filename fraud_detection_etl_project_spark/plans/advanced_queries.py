@@ -2675,3 +2675,152 @@ def part_betweenness_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bc_q") > 0)
         .select("part", "bc_q", (F.col("bc_q") / F.lit(_BC_SCALE)).alias("betweenness"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SimRank (brand graph, 2 quantized iterations)
+# ---------------------------------------------------------------------------
+
+_SR_C = 0.8
+_SR_SCALE = 1000000000.0
+_SR_SUPPORT = 10  # min co-purchase orders for a brand-brand edge
+_SR_TOP = 15
+
+_SR_EDGES = f"""
+SELECT a.brand AS src, b.brand AS dst
+FROM (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey) a
+JOIN (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey) b
+  ON a.ok = b.ok AND a.brand < b.brand
+GROUP BY 1, 2 HAVING count(*) >= {_SR_SUPPORT}
+"""
+
+
+def _simrank_oracle() -> str:
+    scale = int(_SR_SCALE)
+    def step(out: str, prev: str) -> str:
+        return f"""
+{out} AS (
+  SELECT ea.node AS a, eb.node AS b,
+         CAST(floor({_SR_C} * CAST(sum(s.q) AS DOUBLE) / (da.deg * CAST(db.deg AS DOUBLE))
+                    + 0.5) AS BIGINT) AS q
+  FROM sym ea
+  JOIN {prev} s ON s.a = ea.nbr
+  JOIN sym eb ON eb.nbr = s.b
+  JOIN deg da ON da.node = ea.node
+  JOIN deg db ON db.node = eb.node
+  WHERE ea.node <> eb.node
+  GROUP BY ea.node, eb.node, da.deg, db.deg)"""
+    return f"""
+WITH e AS ({_SR_EDGES}),
+sym AS (SELECT src AS node, dst AS nbr FROM e UNION ALL SELECT dst AS node, src AS nbr FROM e),
+nodes AS (SELECT DISTINCT node FROM sym),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+s0 AS (SELECT node AS a, node AS b, CAST({scale} AS BIGINT) AS q FROM nodes),
+{step('s1', 's0').lstrip()},
+f1 AS (SELECT a, b, q FROM s1 UNION ALL SELECT node, node, CAST({scale} AS BIGINT) FROM nodes),
+{step('s2', 'f1').lstrip()}
+SELECT s2.a AS brand_a, s2.b AS brand_b,
+       s2.q / {_SR_SCALE!r} AS simrank,
+       coalesce(s1.q, 0) / {_SR_SCALE!r} AS simrank_iter1
+FROM s2 LEFT JOIN s1 ON s1.a = s2.a AND s1.b = s2.b
+WHERE s2.a < s2.b
+ORDER BY s2.q DESC, s2.a ASC, s2.b ASC
+LIMIT {_SR_TOP}
+"""
+
+
+@query("brand_simrank_pairs", oracle=_simrank_oracle())
+def brand_simrank_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimRank (Jeh & Widom 2002) on the brand co-purchase graph, two
+    iterations: "two brands are similar if their neighbors are similar"
+    — s(a,b) = C/(|N(a)||N(b)|) * sum over neighbor pairs of s(i,j),
+    from s0 = identity. Iteration 1 reduces to scaled common-neighbor
+    counting; iteration 2 is where SimRank starts seeing 2-hop
+    structural equivalence that Jaccard (part_neighborhood_jaccard)
+    cannot. Top-15 pairs with both iterations' scores.
+
+    Exactness: scores live on the 1e-9 int64 lattice; each iteration
+    sums neighbor-pair lattice units exactly in int64 and applies the
+    C/(deg*deg) scaling as one IEEE expression, re-quantizing — the
+    oracle unrolls both iterations as identical CTEs.
+
+    Scale: the similarity matrix is quadratic in NODES, so this runs on
+    the AGGREGATED brand graph (vocabulary-bounded, here 25 nodes ->
+    <=625 pair rows; the fact table only builds edges). For large node
+    sets the same recurrence restricts to a candidate pair set (e.g.
+    LSH-blocked), which this join shape accepts unchanged — the pair
+    frame is the driver of cost, and it is explicit, never implicit
+    all-pairs."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    e = (
+        ob.alias("a")
+        .join(ob.alias("b"), (F.col("a.ok") == F.col("b.ok")) & (F.col("a.brand") < F.col("b.brand")))
+        .groupBy(F.col("a.brand").alias("src"), F.col("b.brand").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _SR_SUPPORT)
+        .select("src", "dst")
+    )
+    sym = e.select(F.col("src").alias("node"), F.col("dst").alias("nbr")).unionAll(
+        e.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+    ).persist()
+    nodes = sym.select("node").distinct()
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    scale_l = F.lit(int(_SR_SCALE)).cast("long")
+    diag = nodes.select(F.col("node").alias("a"), F.col("node").alias("b"), scale_l.alias("q"))
+
+    def step(s_prev: DataFrame) -> DataFrame:
+        ea = sym.select(F.col("node").alias("na"), F.col("nbr").alias("a"))
+        eb = sym.select(F.col("node").alias("nb"), F.col("nbr").alias("b"))
+        da = deg.select(F.col("node").alias("na"), F.col("deg").alias("dega"))
+        db = deg.select(F.col("node").alias("nb"), F.col("deg").alias("degb"))
+        return (
+            ea.join(s_prev, "a")
+            .join(eb, "b")
+            .filter(F.col("na") != F.col("nb"))
+            .groupBy("na", "nb")
+            .agg(F.sum("q").cast("long").alias("sq"))
+            .join(da, "na")
+            .join(db, "nb")
+            .select(
+                F.col("na").alias("a"),
+                F.col("nb").alias("b"),
+                F.floor(
+                    F.lit(_SR_C) * F.col("sq").cast("double")
+                    / (F.col("dega") * F.col("degb").cast("double"))
+                    + 0.5
+                )
+                .cast("long")
+                .alias("q"),
+            )
+        )
+
+    s1 = step(diag).persist()
+    s2 = step(s1.unionAll(diag))
+    out = (
+        s2.filter(F.col("a") < F.col("b"))
+        .alias("s2")
+        .join(
+            s1.select(F.col("a"), F.col("b"), F.col("q").alias("q1")),
+            ["a", "b"],
+            "left",
+        )
+        .select(
+            F.col("a").alias("brand_a"),
+            F.col("b").alias("brand_b"),
+            (F.col("q") / F.lit(_SR_SCALE)).alias("simrank"),
+            (F.coalesce(F.col("q1"), F.lit(0)) / F.lit(_SR_SCALE)).alias("simrank_iter1"),
+            F.col("q").alias("_qsort"),
+        )
+        .orderBy(F.col("_qsort").desc(), F.col("brand_a").asc(), F.col("brand_b").asc())
+        .limit(_SR_TOP)
+        .drop("_qsort")
+    )
+    return out

@@ -3015,3 +3015,277 @@ def value_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("chi") * 1000000.0 + 0.5) / 1000000.0).alias("chi_sq"),
         (F.col("chi") > _DRIFT_CRIT_DF19).alias("drift_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function (lags 1..7) of the daily value series
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+
+@query(
+    "daily_value_acf",
+    oracle=f"""
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(floor(CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                    / 100.0) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, x,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS rn
+  FROM d
+),
+lags AS (SELECT unnest(range(1, {_ACF_MAX_LAG} + 1)) AS lag),
+j AS (
+  SELECT a.event_type, l.lag, a.x AS x, b.x AS y
+  FROM r a JOIN lags l ON TRUE
+  JOIN r b ON b.event_type = a.event_type AND b.rn = a.rn - l.lag
+),
+s AS (
+  SELECT event_type, lag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+  FROM j GROUP BY 1, 2
+)
+SELECT event_type, CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+       floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             * 1000000.0 + 0.5) / 1000000.0 AS acf
+FROM s
+""",
+)
+def daily_value_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation function of each event type's daily value
+    series at lags 1..7 — the seasonality/persistence diagnostic read
+    before fitting any forecaster (a weekly cycle shows as a lag-7
+    peak), extending the per-user lag-1 screen (user_value_autocorr) to
+    the full multi-lag ACF over the aggregated series.
+
+    Exactness: daily totals land on an integer-DOLLAR lattice (cent sums
+    floored once — dollars keep sum-of-products within int64 through
+    sf100); every moment is an exact int64 sufficient statistic; the
+    Pearson ratio is one identical IEEE expression (sqrt is correctly
+    rounded by IEEE 754, hence engine-identical), quantized 1e-6.
+
+    Scale: the fact reduces to (type, day) in one map-side-combinable
+    pass; the lag join runs on that calendar-sized frame (30 rows/key)
+    against a 7-row literal — never on facts."""
+    e = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    d = e.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.floor(
+            F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long")).cast("double") / 100.0
+        )
+        .cast("long")
+        .alias("x")
+    )
+    r = d.select(
+        "event_type",
+        "x",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("day")).cast("long").alias("rn"),
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").cast("long").alias("lag"))
+    a, b = r.alias("a"), r.alias("b")
+    j = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.rn") == F.col("a.rn") - F.col("lag")),
+        )
+        .select(F.col("a.event_type").alias("event_type"), "lag", F.col("a.x").alias("x"), F.col("b.x").alias("y"))
+    )
+    s = j.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return s.select(
+        "event_type",
+        "lag",
+        F.col("n").alias("n_pairs"),
+        (F.floor(num / den * 1000000.0 + 0.5) / 1000000.0).alias("acf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test (time-to-first-purchase survival between assignment arms)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "logrank_retention_test",
+    oracle="""
+WITH span AS (SELECT max(CAST(ts AS DATE)) AS horizon FROM events),
+u AS (
+  SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+         min(CAST(ts AS DATE)) AS d0,
+         min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END) AS dp
+  FROM events GROUP BY user_id
+),
+uu AS (
+  SELECT arm,
+         CASE WHEN dp IS NOT NULL THEN date_diff('day', d0, dp)
+              ELSE date_diff('day', d0, (SELECT horizon FROM span)) END AS dur,
+         CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END AS observed
+  FROM u
+),
+t AS (
+  SELECT dur,
+         CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS c1,
+         CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS c2,
+         CAST(count(*) FILTER (WHERE arm = 0 AND observed = 1) AS BIGINT) AS d1,
+         CAST(count(*) FILTER (WHERE arm = 1 AND observed = 1) AS BIGINT) AS d2
+  FROM uu GROUP BY 1
+),
+rk AS (
+  SELECT dur, d1, d2,
+         CAST(sum(c1) OVER (ORDER BY dur DESC ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS BIGINT) AS n1,
+         CAST(sum(c2) OVER (ORDER BY dur DESC ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS BIGINT) AS n2
+  FROM t
+),
+q AS (
+  SELECT dur, d1,
+         CAST(floor(CAST(d1 + d2 AS DOUBLE) * n1 / (n1 + n2) * 1000000.0 + 0.5)
+              AS BIGINT) AS e1_q,
+         CASE WHEN n1 + n2 > 1 THEN
+           CAST(floor(CAST(d1 + d2 AS DOUBLE) * n1 / (n1 + n2)
+                      * n2 / (n1 + n2)
+                      * (n1 + n2 - d1 - d2) / (n1 + n2 - 1) * 1000000.0 + 0.5) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS v_q
+  FROM rk WHERE d1 + d2 > 0
+),
+s AS (
+  SELECT CAST(coalesce(sum(d1), 0) AS BIGINT) AS o1,
+         CAST(coalesce(sum(e1_q), 0) AS BIGINT) AS e1s_q,
+         CAST(coalesce(sum(v_q), 0) AS BIGINT) AS vs_q
+  FROM q
+),
+arms AS (
+  SELECT CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_a,
+         CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_b,
+         CAST(count(*) FILTER (WHERE observed = 1) AS BIGINT) AS n_events
+  FROM uu
+),
+fin AS (
+  SELECT arms.n_a, arms.n_b, arms.n_events, s.o1,
+         s.e1s_q / 1000000.0 AS expected1,
+         CASE WHEN s.vs_q > 0 THEN
+           (s.o1 - s.e1s_q / 1000000.0) * (s.o1 - s.e1s_q / 1000000.0)
+             / (s.vs_q / 1000000.0)
+         ELSE 0.0 END AS chi
+  FROM s, arms
+)
+SELECT n_a, n_b, n_events, o1, expected1,
+       floor(chi * 1000000.0 + 0.5) / 1000000.0 AS chi_sq,
+       chi > 3.841459 AS significant
+FROM fin
+""",
+)
+def logrank_retention_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test on TIME-TO-FIRST-PURCHASE between the
+    two assignment arms — the survival-analysis companion to the
+    Kaplan-Meier estimator (kaplan_meier_retention) and the right tool
+    when the conversion metric is a censored duration (users who never
+    purchase are censored at the horizon, informing risk sets without
+    ever counting as events): at each distinct conversion day the
+    observed arm-A conversions are compared with their hypergeometric
+    expectation given the risk sets, chi^2 = (sum(O - E))^2 / sum(V).
+
+    Exactness: risk sets are reverse-cumulative int64 counts over the
+    duration-domain table (calendar-bounded, <=31 rows); each E and V
+    term quantizes to int64 micro-units BEFORE summation, so the
+    accumulated statistics are exact integers; the final ratio is one
+    identical expression, quantized 1e-6, with the zero-variance
+    degenerate case pinned to chi = 0 in both engines.
+
+    Scale: one scan reduces users to (arm, duration, observed); every
+    window runs on the duration-domain frame; the statistic is a 1-row
+    fold. The single-partition window is over <=31 rows — a reduced
+    frame, not a fact-sized sort."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("date").alias("day")
+    )
+    horizon = ev.agg(F.max("day").alias("horizon"))
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("day").alias("d0"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("day"))).alias("dp"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("arm"),
+            F.when(F.col("dp").isNotNull(), F.datediff("dp", "d0"))
+            .otherwise(F.datediff("horizon", "d0"))
+            .cast("long")
+            .alias("dur"),
+            F.when(F.col("dp").isNotNull(), 1).otherwise(0).alias("observed"),
+        )
+    )
+    t = u.groupBy("dur").agg(
+        F.count(F.when(F.col("arm") == 0, 1)).cast("long").alias("c1"),
+        F.count(F.when(F.col("arm") == 1, 1)).cast("long").alias("c2"),
+        F.count(F.when((F.col("arm") == 0) & (F.col("observed") == 1), 1)).cast("long").alias("d1"),
+        F.count(F.when((F.col("arm") == 1) & (F.col("observed") == 1), 1)).cast("long").alias("d2"),
+    )
+    wdesc = Window.orderBy(F.col("dur").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rk = t.select(
+        "dur",
+        "d1",
+        "d2",
+        F.sum("c1").over(wdesc).cast("long").alias("n1"),
+        F.sum("c2").over(wdesc).cast("long").alias("n2"),
+    )
+    d = F.col("d1") + F.col("d2")
+    n = F.col("n1") + F.col("n2")
+    e1 = d.cast("double") * F.col("n1") / n
+    v = d.cast("double") * F.col("n1") / n * F.col("n2") / n * (n - d) / (n - 1)
+    q = rk.filter(d > 0).select(
+        "d1",
+        F.floor(e1 * 1000000.0 + 0.5).cast("long").alias("e1_q"),
+        F.when(n > 1, F.floor(v * 1000000.0 + 0.5).cast("long"))
+        .otherwise(F.lit(0))
+        .alias("v_q"),
+    )
+    s = q.agg(
+        F.coalesce(F.sum("d1"), F.lit(0)).cast("long").alias("o1"),
+        F.coalesce(F.sum("e1_q"), F.lit(0)).cast("long").alias("e1s_q"),
+        F.coalesce(F.sum("v_q"), F.lit(0)).cast("long").alias("vs_q"),
+    )
+    arms = u.agg(
+        F.count(F.when(F.col("arm") == 0, 1)).cast("long").alias("n_a"),
+        F.count(F.when(F.col("arm") == 1, 1)).cast("long").alias("n_b"),
+        F.count(F.when(F.col("observed") == 1, 1)).cast("long").alias("n_events"),
+    )
+    diff = F.col("o1") - F.col("e1s_q") / 1000000.0
+    chi = F.when(F.col("vs_q") > 0, diff * diff / (F.col("vs_q") / 1000000.0)).otherwise(
+        F.lit(0.0)
+    )
+    return s.crossJoin(F.broadcast(arms)).select(
+        "n_a",
+        "n_b",
+        "n_events",
+        "o1",
+        (F.col("e1s_q") / 1000000.0).alias("expected1"),
+        (F.floor(chi * 1000000.0 + 0.5) / 1000000.0).alias("chi_sq"),
+        (chi > 3.841459).alias("significant"),
+    )
