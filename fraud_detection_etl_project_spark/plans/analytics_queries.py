@@ -3289,3 +3289,151 @@ def logrank_retention_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(chi * 1000000.0 + 0.5) / 1000000.0).alias("chi_sq"),
         (chi > 3.841459).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shapley-value channel attribution (exact over the 4-channel coalition set)
+# ---------------------------------------------------------------------------
+
+_SHAP_CHANNELS = ["view", "click", "signup", "error"]  # bit i = channel i
+# weight numerators |S|!(n-|S|-1)! for n=4: |S| in {0,1,2,3} -> {6,2,2,6};
+# the common denominator 4! = 24 divides once at the end
+_SHAP_W = {0: 6, 1: 2, 2: 2, 3: 6}
+
+
+def _shap_pairs() -> list[tuple[int, int, int, int]]:
+    """(channel_idx, mask_without, mask_with, weight) for every channel and
+    every coalition S of the OTHER channels — 4 * 8 = 32 rows."""
+    rows = []
+    n = len(_SHAP_CHANNELS)
+    for i in range(n):
+        others = [j for j in range(n) if j != i]
+        for bits in range(1 << (n - 1)):
+            mask = sum(1 << others[k] for k in range(n - 1) if bits >> k & 1)
+            size = bin(mask).count("1")
+            rows.append((i, mask, mask | (1 << i), _SHAP_W[size]))
+    return rows
+
+
+def _shap_oracle() -> str:
+    pairs = ", ".join(f"({i}, {m0}, {m1}, {w})" for i, m0, m1, w in _shap_pairs())
+    names = ", ".join(f"('{c}', {i})" for i, c in enumerate(_SHAP_CHANNELS))
+    bits = " + ".join(
+        f"(CASE WHEN max(CASE WHEN event_type = '{c}' AND (fp IS NULL OR ts < fp)"
+        f" THEN 1 ELSE 0 END) = 1 THEN {1 << i} ELSE 0 END)"
+        for i, c in enumerate(_SHAP_CHANNELS)
+    )
+    return f"""
+WITH fp AS (
+  SELECT user_id, min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+  FROM events GROUP BY 1
+),
+u AS (
+  SELECT e.user_id, {bits} AS mask,
+         CAST(max(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS converted
+  FROM (SELECT ev.*, fp.fp FROM events ev JOIN fp ON ev.user_id = fp.user_id) e
+  GROUP BY 1
+),
+g AS (
+  SELECT mask, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(converted) AS BIGINT) AS n_conv,
+         CAST(floor(CAST(sum(converted) AS DOUBLE) * 1000000000.0 / count(*) + 0.5)
+              AS BIGINT) AS v_q
+  FROM u GROUP BY 1
+),
+cp AS (SELECT * FROM (VALUES {pairs}) AS t(ch, m0, m1, w)),
+terms AS (
+  SELECT cp.ch,
+         CAST(cp.w * (coalesce(g1.v_q, 0) - coalesce(g0.v_q, 0)) AS BIGINT) AS t_q
+  FROM cp
+  LEFT JOIN g g0 ON g0.mask = cp.m0
+  LEFT JOIN g g1 ON g1.mask = cp.m1
+),
+nm AS (SELECT * FROM (VALUES {names}) AS t(channel, ch))
+SELECT nm.channel, CAST(sum(t.t_q) AS BIGINT) AS shapley_q,
+       sum(t.t_q) / 24.0 / 1000000000.0 AS shapley
+FROM terms t JOIN nm ON nm.ch = t.ch
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("purchase_shapley_attribution", oracle=_shap_oracle())
+def purchase_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value marketing attribution over the four
+    non-purchase channels: each user's pre-conversion exposure set (event
+    types seen strictly before the first purchase; all types for
+    non-converters) defines a coalition; v(S) = observed conversion rate
+    of users with exposure exactly S; each channel's Shapley value
+    averages its marginal contribution v(S+i) - v(S) over all coalition
+    orderings with the closed-form weights |S|!(n-|S|-1)!/n!. With 4
+    channels the 2^4 coalition lattice is enumerable, so this is the
+    game-theoretically fair attribution computed EXACTLY — no sampling —
+    the upgrade from the heuristic position-based credit
+    (purchase_touch_attribution). Unobserved coalitions contribute
+    v = 0 (documented; at this fixture's density every mask is
+    populated).
+
+    Exactness: conversion rates quantize to int64 nano-units per
+    coalition; marginal differences, weights (integers 6/2/2/6), and the
+    32-term sums are pure int64; the single division by 24e9 happens
+    once at the end — zero float accumulation anywhere.
+
+    Scale: one fact scan -> per-user exposure bitmask + converted flag
+    (map-side-combinable conditional max), one 16-row coalition rollup,
+    then a 32-row broadcast lattice join. The 2^n lattice is the only
+    exponential and n is the channel vocabulary, not data."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    fp = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("fp")
+    )
+    j = ev.join(fp, "user_id")
+    pre = F.col("fp").isNull() | (F.col("ts") < F.col("fp"))
+    mask = None
+    for i, c in enumerate(_SHAP_CHANNELS):
+        bit = F.when(
+            F.max(F.when((F.col("event_type") == c) & pre, 1).otherwise(0)) == 1,
+            F.lit(1 << i),
+        ).otherwise(0)
+        mask = bit if mask is None else mask + bit
+    u = j.groupBy("user_id").agg(
+        mask.alias("mask"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("converted"),
+    )
+    g = u.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_conv"),
+        F.floor(
+            F.sum("converted").cast("double") * 1000000000.0 / F.count(F.lit(1)) + 0.5
+        )
+        .cast("long")
+        .alias("v_q"),
+    )
+    cp = spark.createDataFrame(_shap_pairs(), "ch int, m0 int, m1 int, w int")
+    nm = spark.createDataFrame(
+        [(c, i) for i, c in enumerate(_SHAP_CHANNELS)], "channel string, ch int"
+    )
+    g0 = g.select(F.col("mask").alias("m0"), F.col("v_q").alias("v0"))
+    g1 = g.select(F.col("mask").alias("m1"), F.col("v_q").alias("v1"))
+    terms = (
+        cp.join(F.broadcast(g0), "m0", "left")
+        .join(F.broadcast(g1), "m1", "left")
+        .select(
+            "ch",
+            (
+                F.col("w").cast("long")
+                * (F.coalesce(F.col("v1"), F.lit(0)) - F.coalesce(F.col("v0"), F.lit(0)))
+            ).alias("t_q"),
+        )
+    )
+    return (
+        terms.groupBy("ch")
+        .agg(F.sum("t_q").cast("long").alias("shapley_q"))
+        .join(F.broadcast(nm), "ch")
+        .select(
+            "channel", "shapley_q", (F.col("shapley_q") / 24.0 / 1000000000.0).alias("shapley")
+        )
+        .orderBy("channel")
+    )
