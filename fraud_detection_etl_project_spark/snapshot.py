@@ -48,6 +48,9 @@ files with atomic version commits — the minimal table-format layer
   pins immutable versions. Version numbers are table-global; lineage is
   the manifest PARENT CHAIN, which the change feed, the streaming
   source, and vacuum all walk instead of numeric ranges.
+- **Rollback.** ``rollback(path, v)`` restores an ancestor version's
+  state as a NEW commit — the Iceberg/Delta RESTORE: pure metadata,
+  append-only history, the bad versions stay readable for forensics.
 - **Exactly-once ingestion.** ``append(df, path, batch_id=...)`` is
   idempotent per batch id: a retried foreachBatch micro-batch whose id
   already appears in a live manifest becomes a no-op, giving
@@ -394,6 +397,7 @@ def _publish(
     schema_json: str | None = None,
     delete_files: list[dict] | str = "inherit",
     branch: str | None = None,
+    file_seq: dict | None = None,
 ) -> int:
     """Write manifest v(parent+1) and flip CURRENT atomically, with the
     optimistic re-check.
@@ -421,7 +425,11 @@ def _publish(
         "operation": operation,
         "files": files,
         "stats": stats or {},
-        "file_seq": {f: parent_seq.get(f, version) for f in files},
+        "file_seq": (
+            file_seq
+            if file_seq is not None
+            else {f: parent_seq.get(f, version) for f in files}
+        ),
         "delete_files": delete_files,
     }
     if batch_id is not None:
@@ -1100,3 +1108,35 @@ def vacuum(table_path: str, keep_versions: int = 1) -> list[str]:
             shutil.rmtree(os.path.join(table_path, d), ignore_errors=True)
             deleted.append(d)
     return deleted
+
+
+def rollback(table_path: str, to_version: int) -> int:
+    """Metadata-only undo: commit a NEW version whose file list, stats,
+    schema, and delete files are exactly ``to_version``'s — the
+    Iceberg/Delta RESTORE. History stays append-only (the bad versions
+    remain readable for forensics until vacuumed); no data file is
+    copied or rewritten. ``to_version`` must be on CURRENT's ancestor
+    chain — restoring another branch's state is a fast_forward/rebase
+    decision, not a rollback. Returns the new version."""
+    cur = current_version(table_path)
+    if cur is None:
+        raise FileNotFoundError(f"snapshot table has no committed version: {table_path}")
+    if to_version not in _chain(table_path, cur):
+        raise ValueError(
+            f"v{to_version} is not an ancestor of CURRENT v{cur} — not a rollback"
+        )
+    m = read_manifest(table_path, to_version)
+    return _publish(
+        table_path,
+        m["files"],
+        "rollback",
+        cur,
+        m.get("stats", {}),
+        schema_json=m.get("schema"),
+        delete_files=m.get("delete_files", []),
+        # restore the target's sequence numbers VERBATIM: recomputing from
+        # CURRENT would assign fresh (higher) seqs to restored files that
+        # CURRENT no longer lists (rollback past an overwrite/compact),
+        # silently un-applying the restored version's MoR delete files
+        file_seq=m.get("file_seq", {}),
+    )

@@ -110,3 +110,91 @@ def test_shapley_weights_satisfy_efficiency(spark):
     got = [s / 24.0 / 1e9 for s in shap]
     assert got == [1.0] * n, got
     assert sum(got) == v[(1 << n) - 1] / 1e9 - v[0] / 1e9  # efficiency
+
+
+# ---------------------------------------------------------------------------
+# Math-identity properties (pure Python, no Spark): the identities the
+# session-3 plans rely on, checked against brute force on random inputs
+# ---------------------------------------------------------------------------
+
+
+def test_subsequence_motif_prefix_count_identity():
+    """sum over clicks of (#views before * #purchases after) must equal
+    the brute-force count of (i<j<k) view<click<purchase triples."""
+    import itertools
+    import random
+
+    rng = random.Random(42)
+    for _ in range(200):
+        seq = [rng.choice("vcpse") for _ in range(rng.randint(0, 25))]
+        brute = sum(
+            1
+            for i, j, k in itertools.combinations(range(len(seq)), 3)
+            if (seq[i], seq[j], seq[k]) == ("v", "c", "p")
+        )
+        fast = sum(
+            seq[:j].count("v") * seq[j + 1 :].count("p")
+            for j, t in enumerate(seq)
+            if t == "c"
+        )
+        assert fast == brute, seq
+
+
+def test_mannwhitney_grouped_midrank_identity():
+    """The grouped half-unit-lattice formulation (midrank2 = 2*cum_before
+    + t + 1, U = (R2 - n_a(n_a+1))/2) must equal scipy-free brute-force
+    mid-ranking over raw values."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(7)
+    for _ in range(100):
+        a = [rng.randint(0, 8) for _ in range(rng.randint(1, 20))]
+        b = [rng.randint(0, 8) for _ in range(rng.randint(1, 20))]
+        # brute force: average ranks over the pooled sample
+        pooled = sorted(a + b)
+        ranks = {}
+        for v in set(pooled):
+            idx = [i + 1 for i, x in enumerate(pooled) if x == v]
+            ranks[v] = sum(idx) / len(idx)
+        u_brute = sum(ranks[x] for x in a) - len(a) * (len(a) + 1) / 2
+        # grouped-lattice formulation (the plan's arithmetic)
+        cnt = Counter(a + b)
+        cnt_a = Counter(a)
+        cum = 0
+        r2a = 0
+        for v in sorted(cnt):
+            midrank2 = 2 * cum + cnt[v] + 1
+            r2a += cnt_a.get(v, 0) * midrank2
+            cum += cnt[v]
+        u_fast = (r2a - len(a) * (len(a) + 1)) / 2
+        assert u_fast == u_brute, (a, b)
+
+
+def test_cuped_moment_algebra_identity():
+    """mean/var of the adjusted metric computed by ALGEBRA from the
+    sufficient statistics must equal materializing Y' per row."""
+    import random
+
+    rng = random.Random(3)
+    for _ in range(50):
+        n = rng.randint(3, 40)
+        xs = [rng.randint(0, 1000) for _ in range(n)]
+        ys = [rng.randint(0, 1000) for _ in range(n)]
+        theta = rng.uniform(-2, 2)
+        mx = sum(xs) / n
+        yadj = [y - theta * (x - mx) for x, y in zip(xs, ys)]
+        mean_direct = sum(yadj) / n
+        var_direct = sum((v - mean_direct) ** 2 for v in yadj) / (n - 1)
+        # algebra from moments (the plan's path)
+        sy, sx = sum(ys), sum(xs)
+        syy = sum(y * y for y in ys)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        mean_alg = (sy - theta * (sx - n * mx)) / n
+        var_alg = (
+            syy - 2 * theta * sxy + theta * theta * sxx
+            - (sy - theta * sx) ** 2 / n
+        ) / (n - 1)
+        assert abs(mean_alg - mean_direct) < 1e-6 * max(1, abs(mean_direct))
+        assert abs(var_alg - var_direct) < 1e-6 * max(1, abs(var_direct))

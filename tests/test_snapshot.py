@@ -785,3 +785,44 @@ def test_stream_rate_cap_walks_main_chain(spark, tmp_path):
     assert files, "v3's files must be planned"
     o2 = r.latestOffset()
     assert o2 == {"version": 4}, o2
+
+
+def test_rollback_restores_old_state_as_new_version(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 5), t)            # v1
+    S.append(_nums(spark, 50, 55), t)             # v2: the "bad" commit
+    v3 = S.rollback(t, 1)
+    assert v3 == 3 and S.current_version(t) == 3
+    assert sorted(r["n"] for r in S.read(spark, t).collect()) == list(range(5))
+    # the bad version stays readable for forensics
+    assert S.read(spark, t, version=2).count() == 10
+    # appends continue from the restored state
+    S.append(_nums(spark, 9, 10), t)
+    assert sorted(r["n"] for r in S.read(spark, t).collect()) == [0, 1, 2, 3, 4, 9]
+
+
+def test_rollback_preserves_mor_deletes_and_rejects_foreign_versions(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 6), t)                                   # v1
+    S.delete_keys_mor(spark, t, spark.createDataFrame([(2,)], "n: long"))  # v2
+    S.append(_nums(spark, 20, 22), t)                                    # v3
+    S.rollback(t, 2)                                                     # v4 == v2 state
+    assert sorted(r["n"] for r in S.read(spark, t).collect()) == [0, 1, 3, 4, 5]
+    S.create_branch(t, "b")
+    vb = S.append(_nums(spark, 90, 91), t, branch="b")                   # branch commit
+    with pytest.raises(ValueError, match="not a rollback"):
+        S.rollback(t, vb)
+
+
+def test_rollback_past_overwrite_keeps_mor_delete_semantics(spark, tmp_path):
+    """Restored files must keep their ORIGINAL sequence numbers: a
+    rollback past an overwrite re-lists files CURRENT no longer knows,
+    and fresh seqs would silently un-apply the restored version's MoR
+    deletes (deleted rows resurfacing)."""
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 6), t)                                    # v1
+    S.delete_keys_mor(spark, t, spark.createDataFrame([(2,), (4,)], "n: long"))  # v2
+    S.overwrite(_nums(spark, 100, 103), t)                                # v3
+    S.rollback(t, 2)                                                      # v4 == v2 state
+    got = sorted(r["n"] for r in S.read(spark, t).collect())
+    assert got == [0, 1, 3, 5], got  # 2 and 4 stay deleted after restore
