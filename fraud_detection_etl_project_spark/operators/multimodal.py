@@ -1211,6 +1211,11 @@ def avi_frame_features(payload: bytes, stride: int = 2) -> dict:
 
     w, h, frames = decode_avi_frames(payload)
     sampled = frames[::stride]
+    if not sampled:
+        # reject loudly (the container contract) instead of a 0/0 inside
+        # the Arrow batch: a zero-frame AVI is structurally valid RIFF
+        # but has nothing to featurize
+        raise ValueError("AVI contains no frames to sample")
     tot = 0
     n_px = 0
     mx, mn = 0, 255

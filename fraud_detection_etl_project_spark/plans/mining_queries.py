@@ -4057,6 +4057,12 @@ def snapshot_wap_publish_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = os.path.join(tempfile.gettempdir(), f"snap_wap_{tag}")
     done = os.path.join(t, "_STAGED")
     if not os.path.exists(done):
+        # crash recovery: a half-staged run leaves the 'audit' ref on
+        # disk, which would make the create_branch below fail forever —
+        # staging is idempotent only from a clean slate
+        import shutil
+
+        shutil.rmtree(t, ignore_errors=True)
         orders = _t(spark, sf_dir, "orders").select(
             "o_orderkey", "o_totalprice", "o_orderpriority"
         )

@@ -137,22 +137,28 @@ def _ref_path(table_path: str, name: str) -> str:
     return os.path.join(mdir, _REFS, name)
 
 
-def _set_ref(table_path: str, name: str, version: int) -> None:
+def _set_ref(table_path: str, name: str, version: int, kind: str = "branch") -> None:
     p = _ref_path(table_path, name)
     os.makedirs(os.path.dirname(p), exist_ok=True)
     tmp = p + f".tmp{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
-        f.write(_manifest_name(version))
+        f.write(f"{_manifest_name(version)} {kind}")
     os.replace(tmp, p)
 
 
-def branch_version(table_path: str, name: str) -> int | None:
-    """The version a named ref (branch or tag) points at, or None."""
+def _read_ref(table_path: str, name: str) -> tuple[int, str] | None:
     p = _ref_path(table_path, name)
     if not os.path.exists(p):
         return None
     with open(p) as f:
-        return _parse_version(f.read().strip())
+        parts = f.read().strip().split()
+    return _parse_version(parts[0]), (parts[1] if len(parts) > 1 else "branch")
+
+
+def branch_version(table_path: str, name: str) -> int | None:
+    """The version a named ref (branch or tag) points at, or None."""
+    r = _read_ref(table_path, name)
+    return None if r is None else r[0]
 
 
 def _next_version(table_path: str) -> int:
@@ -171,7 +177,9 @@ def _next_version(table_path: str) -> int:
     return (max(vs) + 1) if vs else 1
 
 
-def create_branch(table_path: str, name: str, version: int | None = None) -> int:
+def create_branch(
+    table_path: str, name: str, version: int | None = None, kind: str = "branch"
+) -> int:
     """Fork a writable branch at ``version`` (CURRENT if None): the WAP
     staging line — commits to the branch are invisible to main readers
     until ``fast_forward`` publishes them. Pure metadata (one ref file)."""
@@ -180,15 +188,17 @@ def create_branch(table_path: str, name: str, version: int | None = None) -> int
         raise FileNotFoundError(f"snapshot table has no committed version: {table_path}")
     if branch_version(table_path, name) is not None:
         raise ValueError(f"ref {name!r} already exists")
-    _set_ref(table_path, name, v)
+    _set_ref(table_path, name, v, kind)
     return v
 
 
 def create_tag(table_path: str, name: str, version: int | None = None) -> int:
     """An immutable named pointer (release / reproducibility pin). Tags
-    and branches share the ref namespace; tags are enforced immutable at
-    this API (nothing ever flips them — only drop_ref removes one)."""
-    return create_branch(table_path, name, version)
+    and branches share the ref namespace; the recorded kind makes the
+    immutability ENFORCED: a commit addressed at a tag
+    (``append(..., branch=<tag>)``) is refused, not silently applied —
+    only drop_ref removes a tag."""
+    return create_branch(table_path, name, version, kind="tag")
 
 
 def drop_ref(table_path: str, name: str) -> None:
@@ -198,14 +208,23 @@ def drop_ref(table_path: str, name: str) -> None:
 
 
 def _chain(table_path: str, head: int) -> list[int]:
-    """head's ancestor chain [head, parent, ..., root] via manifest
-    parent pointers — version RANGES are meaningless once branches
-    exist, lineage is the chain."""
+    """head's ancestor chain [head, parent, ..., root-or-vacuum-horizon]
+    via manifest parent pointers — version RANGES are meaningless once
+    branches exist, lineage is the chain. The walk stops (without error)
+    at the first manifest vacuum has removed: callers see the REACHABLE
+    chain, so vacuum stays idempotent and ancestor checks treat
+    beyond-horizon versions as not-ancestors (refusing is the safe
+    answer for rollback/fast_forward; read_changes raises its own
+    explicit message)."""
     out = []
     v: int | None = head
     while v is not None:
+        try:
+            m = read_manifest(table_path, v)
+        except FileNotFoundError:
+            break  # ancestor vacuumed: the chain is truncated here
         out.append(v)
-        v = read_manifest(table_path, v).get("parent")
+        v = m.get("parent")
     return out
 
 
@@ -411,14 +430,23 @@ def _publish(
     ``delete_files``: the version's live equality-delete list. The default
     ``"inherit"`` carries the parent's list unchanged (append & friends);
     operations that replace or materialize rows (overwrite/compact) pass
-    ``[]``; ``delete_keys_mor`` passes parent's + its new entry."""
+    ``[]``; ``delete_keys_mor`` passes parent's + its new entry (with
+    ``seq=None``, stamped to the actually-committed version here — the
+    caller cannot know it under concurrency)."""
     mdir, _ = _paths(table_path)
     os.makedirs(mdir, exist_ok=True)
+    if branch is not None:
+        r = _read_ref(table_path, branch)
+        if r is not None and r[1] == "tag":
+            raise ValueError(f"ref {branch!r} is a TAG — tags are immutable")
     version = _next_version(table_path) if parent is not None else 1
     parent_m = read_manifest(table_path, parent) if parent is not None else {}
     parent_seq = parent_m.get("file_seq", {})
     if delete_files == "inherit":
         delete_files = parent_m.get("delete_files", [])
+    delete_files = [
+        {**d, "seq": version} if d.get("seq") is None else d for d in delete_files
+    ]
     manifest = {
         "version": version,
         "parent": parent,
@@ -437,14 +465,22 @@ def _publish(
     if schema_json is not None:
         manifest["schema"] = schema_json
     mpath = os.path.join(mdir, _manifest_name(version))
-    if os.path.exists(mpath):
-        raise SnapshotConflictError(
-            f"manifest v{version} already exists — another writer committed"
-        )
     tmp = mpath + f".tmp{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
-    os.replace(tmp, mpath)
+    # EXCLUSIVE publish of the version number: os.link fails atomically if
+    # another writer (possibly on a DIFFERENT ref — both compute the same
+    # _next_version) already claimed it; os.replace here would silently
+    # clobber their complete manifest with ours
+    try:
+        os.link(tmp, mpath)
+    except FileExistsError:
+        os.remove(tmp)
+        raise SnapshotConflictError(
+            f"manifest v{version} already exists — another writer committed; "
+            "replan and retry"
+        )
+    os.remove(tmp)
     # ref flip with parent re-check (optimistic concurrency): main commits
     # flip CURRENT; branch commits flip their ref file — each ref is its
     # own writer-wins line
@@ -546,7 +582,13 @@ def append(
     branch ref advances — main readers never see it until fast_forward
     publishes the branch (write-audit-publish)."""
     if batch_id is not None and batch_id in committed_batch_ids(table_path):
-        return current_version(table_path)  # replayed micro-batch: no-op
+        # replayed micro-batch: no-op, reporting the head of the TARGETED
+        # line (main's version would be wrong for a branch append)
+        return (
+            current_version(table_path)
+            if branch is None
+            else branch_version(table_path, branch)
+        )
     parent = (
         current_version(table_path) if branch is None else branch_version(table_path, branch)
     )
@@ -750,8 +792,11 @@ def delete_keys_mor(spark: SparkSession, table_path: str, keys: DataFrame) -> in
             f"delete-file keys {sorted(prior[0]['on'])}"
         )
     names, _stats = _stage_data_files(keys.select(*on).distinct(), table_path)
-    version_guess = parent + 1
-    entries = [{"name": n, "on": on, "seq": version_guess} for n in names]
+    # seq=None: _publish stamps the ACTUAL committed version — guessing
+    # parent+1 here would desynchronize seq from the manifest number as
+    # soon as branch commits interleave the global numbering, silently
+    # dropping these keys from read_changes' delete feed
+    entries = [{"name": n, "on": on, "seq": None} for n in names]
     return _publish(
         table_path,
         m["files"],
@@ -1023,12 +1068,14 @@ def read_changes(
     if hi is None or from_version > hi:
         raise ValueError(f"empty change range: ({from_version}, {to_version}]")
     # lineage is the PARENT CHAIN, not the version-number range: once
-    # branches exist, numeric ranges interleave other branches' commits
+    # branches exist, numeric ranges interleave other branches' commits.
+    # from_version=0 is the conventional "from the very beginning" offset
+    # (the root has no version 0 to find in the chain).
     chain = _chain(table_path, hi)
-    if from_version not in chain:
+    if from_version != 0 and from_version not in chain:
         raise ValueError(
             f"v{from_version} is not an ancestor of v{hi} — the versions "
-            "are on different branches"
+            "are on different branches, or that history has been vacuumed"
         )
     lineage = sorted(v for v in chain if v > from_version)
     parts = []

@@ -90,8 +90,23 @@ class SnapshotStreamReader(DataSourceStreamReader):
         mvpt = options.get("maxversionspertrigger")
         self.max_versions_per_trigger = int(mvpt) if mvpt is not None else None
         self._last_planned = self.start_version
+        # manifests are immutable, so version -> parent memoizes safely;
+        # without it every capped latestOffset re-walks O(history)
+        # manifest files per trigger on a long-lived table
+        self._parent_cache: dict[int, int | None] = {}
         schema_json = _schema_json(self.table_path)
         self.field_names = [f["name"] for f in json.loads(schema_json)["fields"]]
+
+    def _parent(self, v: int) -> int | None:
+        """Cached parent pointer; None also when the manifest itself has
+        been vacuumed (chain truncates at the retention horizon — the
+        versions below it are unreadable either way)."""
+        if v not in self._parent_cache:
+            try:
+                self._parent_cache[v] = _manifest(self.table_path, v).get("parent")
+            except FileNotFoundError:
+                self._parent_cache[v] = None
+        return self._parent_cache[v]
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
@@ -108,7 +123,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
             x: int | None = v
             while x is not None and x > self._last_planned:
                 pending.append(x)
-                x = _manifest(self.table_path, x).get("parent")
+                x = self._parent(x)
             pending.sort()
             if pending:
                 v = pending[min(self.max_versions_per_trigger, len(pending)) - 1]
@@ -136,7 +151,16 @@ class SnapshotStreamReader(DataSourceStreamReader):
         v: int | None = end["version"]
         while v is not None and v > start["version"]:
             lineage.append(v)
-            v = _manifest(self.table_path, v).get("parent")
+            nxt = self._parent(v)
+            if nxt is None and v > start["version"] + 1:
+                # the chain broke before reaching the committed offset:
+                # those versions' data is needed, not skippable
+                raise ValueError(
+                    f"snapshot history between v{start['version']} and v{v} "
+                    "has been vacuumed — the stream checkpoint is older than "
+                    "the table's retention window"
+                )
+            v = nxt
         for v in sorted(lineage):
             m = _manifest(self.table_path, v)
             if m["operation"] == "mor-delete":

@@ -76,3 +76,20 @@ def test_stride_one_decodes_everything():
     feats = avi_frame_features(avi, stride=1)
     assert feats["n_sampled"] == 2
     assert feats["mean_luma"] == pytest.approx((_recon(10) + _recon(245)) / 2)
+
+
+def test_zero_frame_avi_rejected_in_features():
+    """A structurally valid RIFF AVI with zero frames must raise the
+    contract ValueError, not divide by zero inside an Arrow batch."""
+    avih = b"avih" + (56).to_bytes(4, "little") + b"".join(
+        int(x).to_bytes(4, "little")
+        for x in (100000, 0, 0, 0x10, 0, 0, 1, 4, 16, 16, 0, 0, 0, 0)
+    )
+    hdrl = b"LIST" + (4 + len(avih)).to_bytes(4, "little") + b"hdrl" + avih
+    movi = b"LIST" + (4).to_bytes(4, "little") + b"movi"
+    body = b"AVI " + hdrl + movi
+    payload = b"RIFF" + len(body).to_bytes(4, "little") + body
+    w, h, frames = decode_avi_frames(payload)
+    assert (w, h, frames) == (16, 16, [])
+    with pytest.raises(ValueError, match="no frames"):
+        avi_frame_features(payload, stride=2)

@@ -826,3 +826,90 @@ def test_rollback_past_overwrite_keeps_mor_delete_semantics(spark, tmp_path):
     S.rollback(t, 2)                                                      # v4 == v2 state
     got = sorted(r["n"] for r in S.read(spark, t).collect())
     assert got == [0, 1, 3, 5], got  # 2 and 4 stay deleted after restore
+
+
+# ---------------------------------------------------------------------------
+# Review-hardening regressions (session-3 adversarial review findings)
+# ---------------------------------------------------------------------------
+
+
+def test_vacuum_is_idempotent_and_chain_walkers_survive_it(spark, tmp_path):
+    """_chain truncates at the vacuum horizon instead of crashing: a
+    second vacuum, read_changes inside the window, and rollback all keep
+    working after ancestors are gone."""
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 3), t)       # v1
+    S.append(_nums(spark, 10, 12), t)        # v2
+    S.append(_nums(spark, 20, 22), t)        # v3
+    S.vacuum(t, keep_versions=2)             # drops v1's manifest
+    S.vacuum(t, keep_versions=2)             # idempotent, no crash
+    ch = S.read_changes(spark, t, from_version=2)
+    assert sorted(r["n"] for r in ch.collect()) == [20, 21]
+    S.rollback(t, 2)                         # ancestor within the horizon
+    assert sorted(r["n"] for r in S.read(spark, t).collect()) == [0, 1, 2, 10, 11]
+    with pytest.raises(ValueError, match="not an ancestor"):
+        S.rollback(t, 1)                     # beyond the horizon: refused
+
+
+def test_mor_delete_seq_correct_with_interleaved_branch_commits(spark, tmp_path):
+    """delete-file seq must equal the ACTUAL committed version even when
+    branch commits interleave the global numbering — else the change
+    feed silently drops the delete rows."""
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 5), t)                       # v1
+    S.create_branch(t, "side")
+    S.append(_nums(spark, 100, 101), t, branch="side")       # v2 (branch)
+    v3 = S.delete_keys_mor(spark, t, spark.createDataFrame([(1,)], "n: long"))
+    m = S.read_manifest(t, v3)
+    assert m["delete_files"][0]["seq"] == v3 == 3
+    ch = S.read_changes(spark, t, from_version=1).collect()
+    assert [r["n"] for r in ch if r["_change_type"] == "delete"] == [1]
+    assert sorted(r["n"] for r in S.read(spark, t).collect()) == [0, 2, 3, 4]
+
+
+def test_concurrent_cross_ref_commits_cannot_share_a_version(spark, tmp_path, monkeypatch):
+    """Two writers on DIFFERENT refs that allocate the same version
+    number: the second manifest publish must conflict, never silently
+    clobber the first (os.link exclusivity)."""
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 2), t)       # v1
+    S.create_branch(t, "b")
+    real_next = S._next_version
+    # force both upcoming commits to claim version 2
+    monkeypatch.setattr(S, "_next_version", lambda p: 2)
+    S.append(_nums(spark, 10, 11), t, branch="b")            # claims v2
+    with pytest.raises(S.SnapshotConflictError, match="already exists"):
+        S.append(_nums(spark, 20, 21), t)                    # main also claims v2
+    monkeypatch.setattr(S, "_next_version", real_next)
+    # after the conflict, a normal retry lands on the next free number
+    S.append(_nums(spark, 20, 21), t)
+    assert sorted(r["n"] for r in S.read(spark, t).collect()) == [0, 1, 20]
+    assert sorted(r["n"] for r in S.read(spark, t, ref="b").collect()) == [0, 1, 10]
+
+
+def test_tags_are_enforced_immutable(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 2), t)
+    S.create_tag(t, "release-1")
+    with pytest.raises(ValueError, match="TAG"):
+        S.append(_nums(spark, 5, 6), t, branch="release-1")
+    # the tag still pins v1
+    assert sorted(r["n"] for r in S.read(spark, t, ref="release-1").collect()) == [0, 1]
+
+
+def test_change_feed_from_version_zero_means_everything(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.append(_nums(spark, 0, 2), t)          # v1: append-first table
+    S.append(_nums(spark, 10, 12), t)        # v2
+    ch = S.read_changes(spark, t, from_version=0)
+    assert sorted(r["n"] for r in ch.collect()) == [0, 1, 10, 11]
+    assert {r["_commit_version"] for r in ch.collect()} == {1, 2}
+
+
+def test_branch_append_with_batch_id_replay_reports_branch_head(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 2), t)       # v1
+    S.create_branch(t, "b")
+    vb = S.append(_nums(spark, 10, 11), t, branch="b", batch_id="x1")  # v2
+    replay = S.append(_nums(spark, 10, 11), t, branch="b", batch_id="x1")
+    assert replay == vb == S.branch_version(t, "b")
