@@ -79,14 +79,17 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .fileio import FileIO, resolve_io
+
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 _CURRENT = "CURRENT"
+_HEADS = "heads"
 
 
 class SnapshotConflictError(RuntimeError):
-    """CURRENT moved between plan and publish — retry against the new
-    current version."""
+    """The targeted ref moved between plan and publish — retry against
+    the new head."""
 
 
 def _manifest_name(version: int) -> str:
@@ -97,16 +100,93 @@ def _paths(table_path: str) -> tuple[str, str]:
     return os.path.join(table_path, _MANIFEST_DIR), os.path.join(table_path, _DATA_DIR)
 
 
+# ---------------------------------------------------------------------------
+# Ref heads: CAS'd generation pointers (the commit protocol's only mutable
+# state). A ref's head lives as empty marker files
+# ``_manifests/heads/<ref>/g<gen>-v<version>``; the head is the highest
+# generation. Moving the head from (gen, parent) is ONE conditional create of
+# ``g<gen+1>-v<new>`` — two writers racing the same transition collide on the
+# same object name and exactly one wins (FileIO.put_if_absent). This encodes
+# (ref, parent) in the atomic claim, so two same-parent writers can never
+# both succeed even though manifest version numbers are table-global — the
+# lost-update race a bare version-number claim leaves open. No rename, link,
+# or directory atomicity is required beyond conditional create + list, which
+# is exactly what S3-class stores offer (see fileio.py).
+# ---------------------------------------------------------------------------
+
+
+def _heads_dir(table_path: str, ref: str) -> str:
+    return os.path.join(table_path, _MANIFEST_DIR, _HEADS, ref)
+
+
+def _gen_name(gen: int) -> str:
+    # the claim name is the generation ALONE: two writers superseding the
+    # same generation must race for the SAME object name regardless of
+    # which manifest version each is publishing — the version rides in the
+    # claim file's content, which put_if_absent makes all-or-nothing
+    return f"g{gen:010d}"
+
+
+def _parse_gen(name: str) -> int:
+    return int(name[1:])
+
+
+def _gen_head(table_path: str, ref: str) -> tuple[int, int | None]:
+    """(generation, version) of a ref's CAS log head; (0, None) if the
+    ref has no generation entries (unborn, or a pre-upgrade table). The
+    list-then-read is retried because vacuum may prune a generation entry
+    between the listing and the content read (it always keeps the
+    current max, so a retry converges)."""
+    io = resolve_io(table_path)
+    d = _heads_dir(table_path, ref)
+    for _attempt in range(64):
+        gens = [_parse_gen(n) for n in io.listdir(d) if n.startswith("g")]
+        if not gens:
+            return 0, None
+        g = max(gens)
+        try:
+            return g, _parse_version(io.read_text(os.path.join(d, _gen_name(g))).strip())
+        except FileNotFoundError:
+            continue  # pruned under us — relist
+    raise RuntimeError(f"ref {ref!r} head unreadable after retries: {d}")
+
+
+def _head(table_path: str, ref: str) -> tuple[int, int | None]:
+    """A ref's head as (generation, version), falling back to the
+    legacy single-file pointers (CURRENT / refs/<name>) for tables
+    written before the CAS log existed — their first new-format commit
+    starts the generation log at g1."""
+    gen, v = _gen_head(table_path, ref)
+    if v is not None:
+        return gen, v
+    io = resolve_io(table_path)
+    if ref == _CURRENT:
+        cur = os.path.join(table_path, _MANIFEST_DIR, _CURRENT)
+        if io.exists(cur):
+            return 0, _parse_version(io.read_text(cur).strip())
+        return 0, None
+    p = _ref_path(table_path, ref)
+    if io.exists(p):
+        return 0, _parse_version(io.read_text(p).strip().split()[0])
+    return 0, None
+
+
+def _cas_head(table_path: str, ref: str, gen: int, new_version: int) -> bool:
+    """Atomically move ``ref`` from generation ``gen`` to ``gen+1`` =
+    ``new_version``. False means another writer claimed the transition
+    first (the caller must abort/retry — its parent is stale)."""
+    io = resolve_io(table_path)
+    d = _heads_dir(table_path, ref)
+    io.makedirs(d)
+    return io.put_text_if_absent(
+        os.path.join(d, _gen_name(gen + 1)), _manifest_name(new_version)
+    )
+
+
 def current_version(table_path: str) -> int | None:
     """The committed version CURRENT points at, or None for an empty /
     uninitialized table."""
-    mdir, _ = _paths(table_path)
-    cur = os.path.join(mdir, _CURRENT)
-    if not os.path.exists(cur):
-        return None
-    with open(cur) as f:
-        name = f.read().strip()
-    return _parse_version(name)
+    return _head(table_path, _CURRENT)[1]
 
 
 def _parse_version(manifest_name: str) -> int:
@@ -119,8 +199,12 @@ def _parse_version(manifest_name: str) -> int:
 
 def read_manifest(table_path: str, version: int) -> dict:
     mdir, _ = _paths(table_path)
-    with open(os.path.join(mdir, _manifest_name(version))) as f:
-        return json.load(f)
+    io = resolve_io(table_path)
+    p = os.path.join(mdir, _manifest_name(version))
+    try:
+        return json.loads(io.read_text(p))
+    except FileNotFoundError:
+        raise FileNotFoundError(p) from None
 
 
 # ---------------------------------------------------------------------------
@@ -131,28 +215,26 @@ _REFS = "refs"
 
 
 def _ref_path(table_path: str, name: str) -> str:
-    if not name or "/" in name or name.startswith("."):
+    if not name or "/" in name or name.startswith(".") or name == _CURRENT:
         raise ValueError(f"invalid ref name: {name!r}")
     mdir, _ = _paths(table_path)
     return os.path.join(mdir, _REFS, name)
 
 
-def _set_ref(table_path: str, name: str, version: int, kind: str = "branch") -> None:
-    p = _ref_path(table_path, name)
-    os.makedirs(os.path.dirname(p), exist_ok=True)
-    tmp = p + f".tmp{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        f.write(f"{_manifest_name(version)} {kind}")
-    os.replace(tmp, p)
-
-
 def _read_ref(table_path: str, name: str) -> tuple[int, str] | None:
+    """(head version, kind) of a named ref. The refs/<name> file is the
+    ref's immutable BIRTH RECORD (version at creation + kind, written
+    once with put_if_absent); the movable head lives in the CAS
+    generation log and takes precedence once the ref has commits."""
+    io = resolve_io(table_path)
     p = _ref_path(table_path, name)
-    if not os.path.exists(p):
+    if not io.exists(p):
         return None
-    with open(p) as f:
-        parts = f.read().strip().split()
-    return _parse_version(parts[0]), (parts[1] if len(parts) > 1 else "branch")
+    parts = io.read_text(p).strip().split()
+    birth = _parse_version(parts[0])
+    kind = parts[1] if len(parts) > 1 else "branch"
+    _gen, v = _gen_head(table_path, name)
+    return (birth if v is None else v), kind
 
 
 def branch_version(table_path: str, name: str) -> int | None:
@@ -166,12 +248,11 @@ def _next_version(table_path: str) -> int:
     branch histories diverge by PARENT pointer, never by reusing a
     number (a branch commit while main is at v5 becomes v6 even though
     its parent is v3)."""
+    io = resolve_io(table_path)
     mdir, _ = _paths(table_path)
-    if not os.path.isdir(mdir):
-        return 1
     vs = [
         _parse_version(m)
-        for m in os.listdir(mdir)
+        for m in io.listdir(mdir)
         if m.startswith("v") and m.endswith(".json")
     ]
     return (max(vs) + 1) if vs else 1
@@ -182,13 +263,17 @@ def create_branch(
 ) -> int:
     """Fork a writable branch at ``version`` (CURRENT if None): the WAP
     staging line — commits to the branch are invisible to main readers
-    until ``fast_forward`` publishes them. Pure metadata (one ref file)."""
+    until ``fast_forward`` publishes them. Pure metadata (one ref birth
+    record, created with put_if_absent so two racing create_branch calls
+    for the same name cannot both succeed)."""
     v = current_version(table_path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"snapshot table has no committed version: {table_path}")
-    if branch_version(table_path, name) is not None:
+    io = resolve_io(table_path)
+    p = _ref_path(table_path, name)
+    io.makedirs(os.path.dirname(p))
+    if not io.put_text_if_absent(p, f"{_manifest_name(v)} {kind}"):
         raise ValueError(f"ref {name!r} already exists")
-    _set_ref(table_path, name, v, kind)
     return v
 
 
@@ -202,9 +287,11 @@ def create_tag(table_path: str, name: str, version: int | None = None) -> int:
 
 
 def drop_ref(table_path: str, name: str) -> None:
-    p = _ref_path(table_path, name)
-    if os.path.exists(p):
-        os.remove(p)
+    io = resolve_io(table_path)
+    io.remove(_ref_path(table_path, name))
+    d = _heads_dir(table_path, name)
+    for g in io.listdir(d):
+        io.remove(os.path.join(d, g))
 
 
 def _chain(table_path: str, head: int) -> list[int]:
@@ -238,18 +325,33 @@ def fast_forward(table_path: str, branch: str) -> int:
     head = branch_version(table_path, branch)
     if head is None:
         raise ValueError(f"no such branch: {branch!r}")
-    cur = current_version(table_path)
+    gen, cur = _head(table_path, _CURRENT)
     if cur is not None and cur not in _chain(table_path, head):
         raise SnapshotConflictError(
             f"CURRENT v{cur} is not an ancestor of branch {branch!r} head "
             f"v{head} — not a fast-forward; rebase the branch"
         )
-    mdir, _ = _paths(table_path)
-    ctmp = os.path.join(mdir, _CURRENT + f".tmp{uuid.uuid4().hex}")
-    with open(ctmp, "w") as f:
-        f.write(_manifest_name(head))
-    os.replace(ctmp, os.path.join(mdir, _CURRENT))
+    # the flip is the same atomic CAS as _publish: claiming generation
+    # gen+1 proves CURRENT is still at (gen, cur) — a main commit landing
+    # between the ancestor check and here makes the claim fail, instead of
+    # being silently discarded by an unconditional pointer overwrite
+    if not _cas_head(table_path, _CURRENT, gen, head):
+        raise SnapshotConflictError(
+            f"CURRENT moved past v{cur} during fast-forward of {branch!r} "
+            "— replan and retry"
+        )
+    _mirror_current(table_path, head)
     return head
+
+
+def _mirror_current(table_path: str, version: int) -> None:
+    """Best-effort legacy CURRENT file for humans and pre-upgrade
+    readers. NON-AUTHORITATIVE: the CAS generation log is the head; this
+    mirror may lag or regress under concurrency and nothing reads it
+    once a generation entry exists."""
+    io = resolve_io(table_path)
+    mdir, _ = _paths(table_path)
+    io.write_text_atomic(os.path.join(mdir, _CURRENT), _manifest_name(version))
 
 
 _STAT_KINDS = (int, float, str, bool)
@@ -418,8 +520,29 @@ def _publish(
     branch: str | None = None,
     file_seq: dict | None = None,
 ) -> int:
-    """Write manifest v(parent+1) and flip CURRENT atomically, with the
-    optimistic re-check.
+    """Write a new manifest and move the target ref to it with a
+    compare-and-swap on the ref's generation log.
+
+    Commit protocol (every step maps to a conditional object-store PUT —
+    see fileio.py):
+
+    1. Read the ref head as (generation, version); refuse immediately if
+       the version is not the parent this commit planned against.
+    2. Claim a table-global manifest number with ``put_if_absent`` of
+       ``v<N>.json`` — cross-ref writers that picked the same number
+       collide here (one wins, the other replans).
+    3. CAS the ref: ``put_if_absent`` of ``heads/<ref>/g<gen+1>-v<N>``.
+       Because the claim name encodes the generation being superseded,
+       two writers that both planned against the SAME parent race for
+       the SAME object and exactly one succeeds — the loser removes its
+       manifest and raises SnapshotConflictError. This is what a bare
+       version-number claim cannot give once numbers are table-global:
+       same-parent writers would claim different numbers and both "win",
+       silently orphaning one commit off the parent chain.
+
+    A crash between 2 and 3 leaves an orphan manifest (garbage for
+    vacuum), never a wedged ref — the generation log only ever moves by
+    completed commits.
 
     Sequence-number bookkeeping (merge-on-read support): every data file
     gets a ``file_seq`` entry — the version that first committed it
@@ -433,13 +556,20 @@ def _publish(
     ``[]``; ``delete_keys_mor`` passes parent's + its new entry (with
     ``seq=None``, stamped to the actually-committed version here — the
     caller cannot know it under concurrency)."""
+    io = resolve_io(table_path)
     mdir, _ = _paths(table_path)
-    os.makedirs(mdir, exist_ok=True)
+    io.makedirs(mdir)
+    ref = _CURRENT if branch is None else branch
     if branch is not None:
         r = _read_ref(table_path, branch)
         if r is not None and r[1] == "tag":
             raise ValueError(f"ref {branch!r} is a TAG — tags are immutable")
-    version = _next_version(table_path) if parent is not None else 1
+    gen, head_now = _head(table_path, ref)
+    if head_now != parent:
+        raise SnapshotConflictError(
+            f"{ref} moved past v{parent} during commit — replan and retry"
+        )
+    version = _next_version(table_path)
     parent_m = read_manifest(table_path, parent) if parent is not None else {}
     parent_seq = parent_m.get("file_seq", {})
     if delete_files == "inherit":
@@ -465,39 +595,26 @@ def _publish(
     if schema_json is not None:
         manifest["schema"] = schema_json
     mpath = os.path.join(mdir, _manifest_name(version))
-    tmp = mpath + f".tmp{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    # EXCLUSIVE publish of the version number: os.link fails atomically if
-    # another writer (possibly on a DIFFERENT ref — both compute the same
-    # _next_version) already claimed it; os.replace here would silently
-    # clobber their complete manifest with ours
-    try:
-        os.link(tmp, mpath)
-    except FileExistsError:
-        os.remove(tmp)
+    # EXCLUSIVE claim of the version number: another writer (possibly on
+    # a DIFFERENT ref — both compute the same _next_version) may already
+    # hold it; an unconditional write would silently clobber their
+    # complete manifest with ours
+    if not io.put_text_if_absent(mpath, json.dumps(manifest)):
         raise SnapshotConflictError(
             f"manifest v{version} already exists — another writer committed; "
             "replan and retry"
         )
-    os.remove(tmp)
-    # ref flip with parent re-check (optimistic concurrency): main commits
-    # flip CURRENT; branch commits flip their ref file — each ref is its
-    # own writer-wins line
-    head_now = current_version(table_path) if branch is None else branch_version(table_path, branch)
-    if head_now != parent:
-        os.remove(mpath)
-        who = "CURRENT" if branch is None else f"branch {branch!r}"
+    # atomic ref move: claim generation gen+1 — the claim NAME encodes the
+    # parent generation, so two same-parent writers collide here even
+    # though they hold different manifest numbers (each ref is its own
+    # writer-wins line; main and branch commits never conflict)
+    if not _cas_head(table_path, ref, gen, version):
+        io.remove(mpath)
         raise SnapshotConflictError(
-            f"{who} moved past v{parent} during commit — replan and retry"
+            f"{ref} moved past v{parent} during commit — replan and retry"
         )
     if branch is None:
-        ctmp = os.path.join(mdir, _CURRENT + f".tmp{uuid.uuid4().hex}")
-        with open(ctmp, "w") as f:
-            f.write(_manifest_name(version))
-        os.replace(ctmp, os.path.join(mdir, _CURRENT))
-    else:
-        _set_ref(table_path, branch, version)
+        _mirror_current(table_path, version)
     return version
 
 
@@ -550,17 +667,35 @@ def _evolved_schema_json(table_path: str, parent: int | None, df: DataFrame) -> 
     return StructType(fields).json()
 
 
+# (table_path, version) -> batch_id | None. Manifests are immutable, so the
+# cache never goes stale; it also keeps a vacuumed-but-already-seen batch id
+# in the horizon for the life of the process (conservative for exactly-once).
+_BATCH_ID_CACHE: dict[tuple[str, int], str | None] = {}
+
+
 def committed_batch_ids(table_path: str) -> set[str]:
-    """Batch ids recorded in every live (non-vacuumed) manifest — the
-    exactly-once dedup horizon."""
+    """Batch ids on the REACHABLE history of every ref head — the
+    exactly-once dedup horizon. Reachability (parent-chain walk from
+    CURRENT and each named ref) rather than a raw manifest listing means
+    an ORPHAN manifest — a crashed commit that wrote its manifest but
+    never won the ref CAS — cannot make a replayed batch look already
+    committed: its rows are not in any readable version, so the replay
+    must re-commit them."""
+    io = resolve_io(table_path)
     mdir, _ = _paths(table_path)
+    heads = [current_version(table_path)]
+    for r in io.listdir(os.path.join(mdir, _REFS)):
+        if not r.startswith("."):
+            heads.append(branch_version(table_path, r))
     ids: set[str] = set()
-    if not os.path.isdir(mdir):
-        return ids
-    for m in os.listdir(mdir):
-        if m.startswith("v") and m.endswith(".json"):
-            with open(os.path.join(mdir, m)) as f:
-                b = json.load(f).get("batch_id")
+    for h in heads:
+        if h is None:
+            continue
+        for v in _chain(table_path, h):
+            key = (table_path, v)
+            if key not in _BATCH_ID_CACHE:
+                _BATCH_ID_CACHE[key] = read_manifest(table_path, v).get("batch_id")
+            b = _BATCH_ID_CACHE[key]
             if b is not None:
                 ids.add(b)
     return ids
@@ -581,19 +716,18 @@ def append(
     With ``branch``, the commit's parent is the BRANCH head and only the
     branch ref advances — main readers never see it until fast_forward
     publishes the branch (write-audit-publish)."""
-    if batch_id is not None and batch_id in committed_batch_ids(table_path):
-        # replayed micro-batch: no-op, reporting the head of the TARGETED
-        # line (main's version would be wrong for a branch append)
-        return (
-            current_version(table_path)
-            if branch is None
-            else branch_version(table_path, branch)
-        )
+    # resolve and validate the target line FIRST: a replayed batch aimed
+    # at a nonexistent/mistyped branch must raise the same ValueError the
+    # non-replay path does, not silently return None
     parent = (
         current_version(table_path) if branch is None else branch_version(table_path, branch)
     )
     if branch is not None and parent is None:
         raise ValueError(f"no such branch: {branch!r} (create_branch first)")
+    if batch_id is not None and batch_id in committed_batch_ids(table_path):
+        # replayed micro-batch: no-op, reporting the head of the TARGETED
+        # line (main's version would be wrong for a branch append)
+        return parent
     prev = _manifest_files(table_path, parent) if parent else ([], {})
     schema_json = _evolved_schema_json(table_path, parent, df)
     files, stats = _stage_data_files(df, table_path, bloom_columns)
@@ -1123,34 +1257,56 @@ def vacuum(table_path: str, keep_versions: int = 1) -> list[str]:
     """Drop manifests older than the newest ``keep_versions`` and delete
     data files no surviving manifest references (plus any orphaned
     staging dirs). Returns the deleted file names. Time travel reaches
-    only surviving versions afterwards."""
+    only surviving versions afterwards.
+
+    The keep set is the newest ``keep_versions`` of CURRENT's ancestor
+    chain PLUS the FULL reachable ancestor chain of every named ref head
+    — not just the head manifests. Keeping only heads would truncate
+    ``_chain`` at the first deleted intermediate, permanently refusing
+    ``fast_forward`` for every in-flight WAP branch (its fork-point
+    lineage gone); the chain manifests are metadata-only JSON, so the
+    cost is the data files they pin — exactly the retention a live
+    branch/tag promises."""
+    io = resolve_io(table_path)
     mdir, ddir = _paths(table_path)
     cur = current_version(table_path)
     if cur is None:
         return []
-    # keep the newest keep_versions along CURRENT's ancestor CHAIN, plus
-    # every named ref head (branches/tags stay readable after vacuum)
     keep = set(_chain(table_path, cur)[:keep_versions])
-    refs_dir = os.path.join(mdir, _REFS)
-    if os.path.isdir(refs_dir):
-        for r in os.listdir(refs_dir):
-            rv = branch_version(table_path, r)
-            if rv is not None:
-                keep.add(rv)
+    for r in io.listdir(os.path.join(mdir, _REFS)):
+        if r.startswith("."):
+            continue
+        rv = branch_version(table_path, r)
+        if rv is not None:
+            keep.update(_chain(table_path, rv))
     referenced: set[str] = set()
     for v in keep:
         m = read_manifest(table_path, v)
         referenced.update(m["files"])
         referenced.update(d["name"] for d in m.get("delete_files", []))
+        referenced.update(m.get("stats_shards", []))
     deleted = []
-    for f in sorted(os.listdir(ddir)):
+    for f in sorted(io.listdir(ddir)):
         if f not in referenced:
-            os.remove(os.path.join(ddir, f))
+            io.remove(os.path.join(ddir, f))
             deleted.append(f)
-    for m in sorted(os.listdir(mdir)):
+    for m in sorted(io.listdir(mdir)):
         if m.startswith("v") and m.endswith(".json") and _parse_version(m) not in keep:
-            os.remove(os.path.join(mdir, m))
-    for d in os.listdir(table_path):
+            io.remove(os.path.join(mdir, m))
+        elif m.endswith(".ndjson") and m not in referenced:
+            io.remove(os.path.join(mdir, m))  # orphaned stats shards
+    # prune the ref CAS logs: only each ref's highest generation carries
+    # state, and new generations are only ever ADDED — deleting the lower
+    # ones can never race a reader into seeing an empty log
+    heads_root = os.path.join(mdir, _HEADS)
+    for ref in io.listdir(heads_root):
+        gens = sorted(
+            _parse_gen(g) for g in io.listdir(os.path.join(heads_root, ref))
+            if g.startswith("g")
+        )
+        for g in gens[:-1]:
+            io.remove(os.path.join(heads_root, ref, _gen_name(g)))
+    for d in io.listdir(table_path):
         if d.startswith("_staging_"):
             shutil.rmtree(os.path.join(table_path, d), ignore_errors=True)
             deleted.append(d)

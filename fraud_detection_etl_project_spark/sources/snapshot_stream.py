@@ -55,6 +55,24 @@ _CURRENT = "CURRENT"
 
 
 def _current_version(table_path: str) -> int | None:
+    # authoritative head = highest generation in the CAS log (mirrors
+    # snapshot._head; duplicated because this module ships self-contained
+    # to the Python data-source worker). The plain CURRENT file is a
+    # non-authoritative mirror kept only as a pre-upgrade fallback.
+    heads = os.path.join(table_path, _MANIFEST_DIR, "heads", _CURRENT)
+    for _attempt in range(64):
+        try:
+            gens = [int(g[1:]) for g in os.listdir(heads) if g.startswith("g")]
+        except FileNotFoundError:
+            gens = []
+        if not gens:
+            break
+        try:  # retry: vacuum may prune a non-max entry between list and read
+            with open(os.path.join(heads, f"g{max(gens):010d}")) as f:
+                name = f.read().strip()
+            return int(name[1 : name.index(".")])
+        except FileNotFoundError:
+            continue
     cur = os.path.join(table_path, _MANIFEST_DIR, _CURRENT)
     if not os.path.exists(cur):
         return None

@@ -339,7 +339,11 @@ def test_version_numbers_past_five_digits(spark, tmp_path):
     m["version"], m["parent"] = 123456, None
     with open(_os.path.join(mdir, big), "w") as f:
         json.dump(m, f)
-    with open(_os.path.join(mdir, "CURRENT"), "w") as f:
+    # advance the ref CAS log to the fabricated version (gen names carry
+    # the same unpadded-growth property: g<gen>-v123456 must parse)
+    hdir = _os.path.join(mdir, "heads", "CURRENT")
+    _os.makedirs(hdir, exist_ok=True)
+    with open(_os.path.join(hdir, S._gen_name(2)), "w") as f:
         f.write(big)
     assert S.current_version(t) == 123456
     assert S.read(spark, t).count() == 3
@@ -904,6 +908,17 @@ def test_change_feed_from_version_zero_means_everything(spark, tmp_path):
     ch = S.read_changes(spark, t, from_version=0)
     assert sorted(r["n"] for r in ch.collect()) == [0, 1, 10, 11]
     assert {r["_commit_version"] for r in ch.collect()} == {1, 2}
+
+
+def test_batch_replay_to_missing_branch_still_raises(spark, tmp_path):
+    """The batch-id replay short-circuit must not mask a bad branch
+    name: a replayed batch aimed at a nonexistent branch raises the
+    same ValueError the first attempt would, never returns None."""
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 2), t)
+    S.append(_nums(spark, 5, 6), t, batch_id="b1")  # id now committed
+    with pytest.raises(ValueError, match="no such branch"):
+        S.append(_nums(spark, 5, 6), t, branch="typo", batch_id="b1")
 
 
 def test_branch_append_with_batch_id_replay_reports_branch_head(spark, tmp_path):

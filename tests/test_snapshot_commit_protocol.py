@@ -1,0 +1,229 @@
+"""Commit-protocol concurrency proofs for the snapshot table, run
+against the OBJECT-STORE FileIO model (fileio.MemoryFileIO): a flat
+key space with conditional PUT and list — no rename, no hard link, no
+directory atomicity. Every test here is metadata-only (no Spark, no
+parquet): _publish/fast_forward/vacuum are driven with fabricated file
+lists, and MemoryFileIO.before_put_if_absent injects a competing
+writer at the exact instant a lost update would occur on a
+check-then-act protocol.
+
+What these tests pin down (the round-5 advisor findings):
+
+- Two writers that planned against the SAME parent can never both
+  return success: the ref CAS claim name encodes the generation being
+  superseded, so they collide on one object and exactly one wins —
+  even though their manifest version numbers differ (table-global
+  numbering).
+- fast_forward cannot silently discard a main commit that lands
+  between its ancestor check and its pointer flip.
+- vacuum keeps the full ancestor chain of every ref head, so an
+  in-flight write-audit-publish branch stays fast-forwardable after
+  routine housekeeping.
+- An orphan manifest (crash between manifest write and ref CAS) never
+  makes a replayed batch id look committed.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+
+import fraud_detection_etl_project_spark.snapshot as S
+from fraud_detection_etl_project_spark.fileio import MEMORY_IO
+
+
+@pytest.fixture()
+def mem_table():
+    t = f"mem://tbl-{uuid.uuid4().hex}"
+    yield t
+    MEMORY_IO.before_put_if_absent = None
+
+
+def _commit(t: str, parent: int | None, op: str = "append", branch=None, batch_id=None):
+    files = [f"f-{uuid.uuid4().hex}.parquet"]
+    prev = S.read_manifest(t, parent)["files"] if parent is not None else []
+    return S._publish(t, prev + files, op, parent, {}, batch_id=batch_id, branch=branch)
+
+
+def test_same_parent_writers_cannot_both_succeed(mem_table):
+    """ADVICE r5 (high): the lost-update race. Writer B plans against
+    v1; at the instant B's ref CAS PUT is in flight, writer A's full
+    commit (also against v1) lands. Exactly one returns success, the
+    other raises; the loser's manifest is removed and the survivor is
+    the head — no commit is ever silently orphaned off the chain."""
+    t = mem_table
+    assert _commit(t, None, "overwrite") == 1
+    state = {"fired": False, "a_version": None}
+
+    def interleave(path: str):
+        # fire once, on B's attempt to claim CURRENT generation 2
+        if state["fired"] or not path.endswith("heads/CURRENT/g0000000002"):
+            return
+        state["fired"] = True
+        state["a_version"] = _commit(t, 1)  # writer A wins the transition
+
+    MEMORY_IO.before_put_if_absent = interleave
+    with pytest.raises(S.SnapshotConflictError):
+        _commit(t, 1)  # writer B: same parent, loses the CAS
+    MEMORY_IO.before_put_if_absent = None
+
+    # B allocated manifest number 2 before A ran, so A landed as v3; B's
+    # CAS then lost, its v2 manifest was removed, and A is the head
+    assert state["a_version"] == 3
+    assert S.current_version(t) == 3
+    with pytest.raises(FileNotFoundError):
+        S.read_manifest(t, 2)  # the loser's manifest was cleaned up
+    assert S._chain(t, 3) == [3, 1]
+    # and a well-formed retry against the new head succeeds
+    assert _commit(t, 3) == 4
+
+
+def test_stale_parent_refused_before_any_write(mem_table):
+    t = mem_table
+    _commit(t, None, "overwrite")            # v1
+    _commit(t, 1)                            # v2
+    with pytest.raises(S.SnapshotConflictError, match="moved past"):
+        _commit(t, 1)                        # parent is stale
+    assert S.current_version(t) == 2
+
+
+def test_fast_forward_race_raises_not_discards(mem_table):
+    """ADVICE r5 (medium): a main commit landing between fast_forward's
+    ancestor check and its CURRENT flip must surface as a conflict —
+    never be silently jumped over."""
+    t = mem_table
+    _commit(t, None, "overwrite")            # v1
+    S.create_branch(t, "wap")
+    _commit(t, 1, branch="wap")              # v2 on wap
+    state = {"fired": False}
+
+    def interleave(path: str):
+        if state["fired"] or not path.endswith("heads/CURRENT/g0000000002"):
+            return
+        state["fired"] = True
+        _commit(t, 1)                        # main advances to v3
+
+    MEMORY_IO.before_put_if_absent = interleave
+    with pytest.raises(S.SnapshotConflictError, match="fast-forward"):
+        S.fast_forward(t, "wap")
+    MEMORY_IO.before_put_if_absent = None
+
+    # the interleaved main commit is intact and is the head
+    assert S.current_version(t) == 3
+    assert state["fired"]
+
+
+def test_fast_forward_succeeds_atomically_when_unraced(mem_table):
+    t = mem_table
+    _commit(t, None, "overwrite")            # v1
+    S.create_branch(t, "wap")
+    v2 = _commit(t, 1, branch="wap")
+    v3 = _commit(t, v2, branch="wap")
+    assert S.current_version(t) == 1
+    assert S.fast_forward(t, "wap") == v3
+    assert S.current_version(t) == v3
+
+
+def test_create_branch_race_single_winner(mem_table):
+    t = mem_table
+    _commit(t, None, "overwrite")
+    state = {"fired": False}
+
+    def interleave(path: str):
+        if state["fired"] or "/refs/dup" not in path:
+            return
+        state["fired"] = True
+        S.create_branch(t, "dup")            # competitor wins the name
+
+    MEMORY_IO.before_put_if_absent = interleave
+    with pytest.raises(ValueError, match="already exists"):
+        S.create_branch(t, "dup")
+    MEMORY_IO.before_put_if_absent = None
+    assert S.branch_version(t, "dup") == 1
+
+
+def test_vacuum_keeps_branch_lineage_fast_forwardable(mem_table):
+    """ADVICE r5 (medium): with keep_versions=1, the manifests BETWEEN a
+    branch head and its fork point must survive vacuum — otherwise
+    _chain(branch_head) truncates and every in-flight WAP branch is
+    permanently un-publishable."""
+    t = mem_table
+    _commit(t, None, "overwrite")            # v1 (main head, fork point)
+    S.create_branch(t, "wap")
+    v2 = _commit(t, 1, branch="wap")
+    v3 = _commit(t, v2, branch="wap")
+    S.vacuum(t, keep_versions=1)
+    # intermediate v2 retained (it is on the branch head's chain)
+    assert S.read_manifest(t, v2)["version"] == v2
+    assert S._chain(t, v3) == [v3, v2, 1]
+    assert S.fast_forward(t, "wap") == v3
+
+
+def test_vacuum_prunes_gen_log_but_never_the_head(mem_table):
+    t = mem_table
+    v = _commit(t, None, "overwrite")
+    for _ in range(5):
+        v = _commit(t, v)
+    hdir = S._heads_dir(t, "CURRENT")
+    assert len(MEMORY_IO.listdir(hdir)) == 6
+    S.vacuum(t, keep_versions=1)
+    assert MEMORY_IO.listdir(hdir) == [S._gen_name(6)]
+    assert S.current_version(t) == 6
+    # and the table still commits normally afterwards
+    assert _commit(t, 6) == 7
+
+
+def test_orphan_manifest_does_not_fake_batch_completion(mem_table):
+    """A crashed commit that wrote its manifest but never won the ref
+    CAS is unreadable garbage; its batch id must NOT dedup a replay."""
+    t = mem_table
+    _commit(t, None, "overwrite")
+    _commit(t, 1, batch_id="landed")
+    # fabricate the orphan: manifest v9 exists, no ref reaches it
+    import json
+    import os
+
+    mdir, _ = S._paths(t)
+    MEMORY_IO.write_text_atomic(
+        os.path.join(mdir, S._manifest_name(9)),
+        json.dumps({"version": 9, "parent": 2, "operation": "append",
+                    "files": [], "stats": {}, "batch_id": "crashed",
+                    "file_seq": {}, "delete_files": []}),
+    )
+    ids = S.committed_batch_ids(t)
+    assert "landed" in ids and "crashed" not in ids
+
+
+def test_concurrent_threads_on_object_store_lose_nothing(mem_table):
+    """Thundering-herd check on the conditional-PUT model: 4 threads ×
+    5 commits with a retry loop — every commit lands exactly once and
+    the final chain length equals the total commit count."""
+    import threading
+
+    t = mem_table
+    _commit(t, None, "overwrite")
+    errors: list[Exception] = []
+
+    def writer():
+        for _ in range(5):
+            for _attempt in range(200):
+                try:
+                    _commit(t, S.current_version(t))
+                    break
+                except S.SnapshotConflictError:
+                    continue
+            else:
+                errors.append(RuntimeError("commit never succeeded"))
+
+    threads = [threading.Thread(target=writer) for _ in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    head = S.current_version(t)
+    chain = S._chain(t, head)
+    assert len(chain) == 21  # 1 initial + 20 thread commits, none lost
+    # files accumulate one per commit along the chain (append semantics)
+    assert len(S.read_manifest(t, head)["files"]) == 21
