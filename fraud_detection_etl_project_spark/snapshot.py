@@ -483,28 +483,60 @@ def _bloom_maybe_contains(bloom: dict, value) -> bool:
     return all(bits[b >> 3] & (1 << (b & 7)) for b in positions)
 
 
+# commits touching more files than this compute footer stats with a Spark
+# job instead of a driver loop — at 10^5-10^6 staged files (a 100 TB
+# overwrite) the footer reads are the commit's critical path and they
+# parallelize trivially (each is an independent ~8 KB metadata read)
+_DISTRIBUTED_STATS_MIN = 33
+
+# a commit recording more NEW stat entries than this moves them to an
+# NDJSON shard (see _publish) so manifests stay small and planning stays
+# off the driver. Deliberately small enough that a 100 TB table (10^5+
+# files) is sharded from its first commit.
+_INLINE_STATS_MAX = 512
+
+
+def _stats_for_file(path: str, bloom_columns: list[str] | None) -> dict:
+    s = _file_stats(path)
+    if bloom_columns:
+        s["bloom"] = _file_bloom(path, bloom_columns)
+    return s
+
+
 def _stage_data_files(
     df: DataFrame, table_path: str, bloom_columns: list[str] | None = None
 ) -> tuple[list[str], dict]:
     """Write df's partitions as parquet under data/ with globally unique
     names (stage dir -> rename). Files are immutable once named; a
     failed job leaves only unreferenced staging garbage for vacuum.
-    Returns (names, {name: footer stats [+ per-column blooms]})."""
+    Returns (names, {name: footer stats [+ per-column blooms]}).
+
+    Footer stats for large commits are computed by a Spark job over the
+    file list (one task per file batch), never a driver loop — the
+    collected result is the manifest's own metadata (O(#files) small
+    dicts), which the driver must hold anyway to write the manifest."""
     _, ddir = _paths(table_path)
     os.makedirs(ddir, exist_ok=True)
     stage = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(stage)
-    names, stats = [], {}
+    names, paths = [], []
     for f in sorted(os.listdir(stage)):
         if f.endswith(".parquet") and not f.startswith("_") and not f.startswith("."):
             unique = f"{uuid.uuid4().hex}-{f}"
             final = os.path.join(ddir, unique)
             os.replace(os.path.join(stage, f), final)
             names.append(unique)
-            stats[unique] = _file_stats(final)
-            if bloom_columns:
-                stats[unique]["bloom"] = _file_bloom(final, bloom_columns)
+            paths.append(final)
     shutil.rmtree(stage, ignore_errors=True)
+    if len(names) >= _DISTRIBUTED_STATS_MIN:
+        sc = df.sparkSession.sparkContext
+        bc = bloom_columns
+        pairs = sc.parallelize(
+            list(zip(names, paths)), min(len(names), 4 * sc.defaultParallelism)
+        ).map(lambda np: (np[0], _stats_for_file(np[1], bc))).collect()
+        stats = dict(pairs)
+    else:
+        stats = {n: _stats_for_file(p, bloom_columns) for n, p in zip(names, paths)}
     return names, stats
 
 
@@ -519,6 +551,7 @@ def _publish(
     delete_files: list[dict] | str = "inherit",
     branch: str | None = None,
     file_seq: dict | None = None,
+    stats_shards: list[str] | str = "inherit",
 ) -> int:
     """Write a new manifest and move the target ref to it with a
     compare-and-swap on the ref's generation log.
@@ -577,12 +610,35 @@ def _publish(
     delete_files = [
         {**d, "seq": version} if d.get("seq") is None else d for d in delete_files
     ]
+    # stats sharding: a commit recording more than _INLINE_STATS_MAX NEW
+    # per-file stat entries writes them as an immutable NDJSON sidecar
+    # (one JSON object per file) instead of inlining them — the manifest
+    # stays O(#file names) and plan_files prunes over the shards with a
+    # Spark job, never a 10^6-iteration driver loop. Shards are carried
+    # by name like data files (append-only log; entries for files that
+    # later leave the table are harmless — planning intersects with the
+    # live file list). Operations that replace the file set pass
+    # stats_shards=[] to reset the log.
+    if stats_shards == "inherit":
+        stats_shards = list(parent_m.get("stats_shards", []))
+    parent_inline = parent_m.get("stats", {})
+    stats = dict(stats or {})
+    new_entries = {f: s for f, s in stats.items() if f not in parent_inline}
+    if len(new_entries) > _INLINE_STATS_MAX:
+        shard = f"stats-{uuid.uuid4().hex}.ndjson"
+        lines = [
+            json.dumps({"f": f, **s}, separators=(",", ":"))
+            for f, s in new_entries.items()
+        ]
+        io.put_text_if_absent(os.path.join(mdir, shard), "\n".join(lines) + "\n")
+        stats_shards = stats_shards + [shard]
+        stats = {f: s for f, s in stats.items() if f in parent_inline}
     manifest = {
         "version": version,
         "parent": parent,
         "operation": operation,
         "files": files,
-        "stats": stats or {},
+        "stats": stats,
         "file_seq": (
             file_seq
             if file_seq is not None
@@ -590,6 +646,8 @@ def _publish(
         ),
         "delete_files": delete_files,
     }
+    if stats_shards:
+        manifest["stats_shards"] = stats_shards
     if batch_id is not None:
         manifest["batch_id"] = batch_id
     if schema_json is not None:
@@ -636,6 +694,7 @@ def overwrite(
         stats,
         schema_json=df.schema.json(),
         delete_files=[],  # all rows replaced; prior-era deletes retired
+        stats_shards=[],  # ...and prior-era stats shards retired with them
     )
 
 
@@ -775,47 +834,172 @@ _OPS = {
 }
 
 
+def _keep_by_stats(file_stats: dict | None, predicates) -> bool:
+    """The single keep/prune rule: a file is kept unless some predicate
+    is provably unsatisfiable on its recorded stats (missing stats ->
+    kept; pruning is an optimization, never a filter). Used verbatim by
+    the driver path and as the oracle the Spark shard path must match."""
+    if not file_stats:
+        return True
+    cols = file_stats.get("columns") or {}
+    blooms = file_stats.get("bloom") or {}
+    rows = file_stats.get("rows")
+    for col, op, val in predicates:
+        # bloom check first: for point lookups on high-cardinality keys
+        # the min/max range almost never prunes (every file's range
+        # covers the probe) but the bloom usually does
+        if op in ("=", "==") and col in blooms:
+            if not _bloom_maybe_contains(blooms[col], val):
+                return False  # provably absent from this file
+        s = cols.get(col)
+        if s is None or op not in _OPS:
+            continue
+        mn, mx = s["min"], s["max"]
+        if isinstance(val, str) != isinstance(mn, str):
+            continue  # str/numeric mismatch: don't risk a wrong prune
+        all_null = s["nulls"] is not None and rows is not None and s["nulls"] == rows
+        if all_null or not _OPS[op](mn, mx, val):
+            return False  # no row in this file can satisfy the predicate
+    return True
+
+
 def plan_files(
     table_path: str,
     predicates: list[tuple[str, str, object]],
     version: int | None = None,
+    spark: SparkSession | None = None,
 ) -> tuple[list[str], int]:
     """Resolve the file list for a scan, pruned by manifest stats.
-    Returns (kept file names, total files in the snapshot). A file is
-    kept unless some predicate is provably unsatisfiable on its
-    [min, max] stat range (files lacking stats for the column are
-    always kept — pruning is an optimization, never a filter)."""
+    Returns (kept file names, total files in the snapshot).
+
+    Small tables (inline stats) prune with a driver loop over the
+    manifest dict; sharded tables (see _publish) evaluate the prune
+    predicate as a Spark filter over the NDJSON stat shards — one row
+    per file, JVM-side range logic, Arrow-batched bloom probes — so
+    planning a 10^6-file table is a metadata-scale Spark job, not a
+    per-file Python loop. Both paths implement _keep_by_stats exactly;
+    files without shard entries are kept (conservative)."""
     v = current_version(table_path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"snapshot table has no committed version: {table_path}")
-    files, stats = _manifest_files(table_path, v)
-    kept = []
-    for f in files:
-        cols = stats.get(f, {}).get("columns", {})
-        blooms = stats.get(f, {}).get("bloom", {})
-        rows = stats.get(f, {}).get("rows")
-        ok = True
-        for col, op, val in predicates:
-            # bloom check first: for point lookups on high-cardinality
-            # keys the min/max range almost never prunes (every file's
-            # range covers the probe) but the bloom usually does
-            if op in ("=", "==") and col in blooms:
-                if not _bloom_maybe_contains(blooms[col], val):
-                    ok = False  # provably absent from this file
-                    break
-            s = cols.get(col)
-            if s is None or op not in _OPS:
-                continue
-            mn, mx = s["min"], s["max"]
-            if isinstance(val, str) != isinstance(mn, str):
-                continue  # str/numeric mismatch: don't risk a wrong prune
-            all_null = s["nulls"] is not None and rows is not None and s["nulls"] == rows
-            if all_null or not _OPS[op](mn, mx, val):
-                ok = False  # no row in this file can satisfy the predicate
-                break
-        if ok:
-            kept.append(f)
+    m = read_manifest(table_path, v)
+    files, stats = m["files"], m.get("stats", {})
+    shards = m.get("stats_shards", [])
+    if shards and predicates:
+        pruned = _pruned_by_shards(table_path, shards, predicates, spark)
+    else:
+        pruned = set()
+    kept = [
+        f for f in files
+        if f not in pruned and _keep_by_stats(stats.get(f), predicates)
+    ]
     return kept, len(files)
+
+
+def _pruned_by_shards(
+    table_path: str,
+    shards: list[str],
+    predicates,
+    spark: SparkSession | None,
+) -> set[str]:
+    """File names a stat shard PROVES cannot match — evaluated as a
+    Spark filter over the shard rows. Names no longer in the live file
+    list may appear (shards are an append-only log); the caller's
+    intersection with the manifest's files handles them."""
+    mdir, _ = _paths(table_path)
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    if spark is None or table_path.startswith("mem://"):
+        # no session / object-store-model table: stream the shard lines
+        # through the same rule on the driver (correctness fallback)
+        io = resolve_io(table_path)
+        pruned: set[str] = set()
+        for sh in shards:
+            for line in io.read_text(os.path.join(mdir, sh)).splitlines():
+                e = json.loads(line)
+                if not _keep_by_stats(e, predicates):
+                    pruned.add(e["f"])
+        return pruned
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructType
+
+    df = spark.read.json([os.path.join(mdir, sh) for sh in shards])
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    cols_t = fields.get("columns")
+    bloom_t = fields.get("bloom")
+    rows_c = F.col("rows") if "rows" in fields else F.lit(None).cast("long")
+    miss = F.lit(False)
+    for col, op, val in predicates:
+        if op in ("=", "==") and isinstance(bloom_t, StructType) and col in bloom_t.names:
+            probe_kind = (
+                "i" if isinstance(val, int) and not isinstance(val, bool)
+                else "s" if isinstance(val, str) else None
+            )
+            if probe_kind is not None:
+                b = F.col("bloom").getField(col)
+                miss = miss | (
+                    b.isNotNull()
+                    & (b.getField("t") == probe_kind)
+                    & _bloom_miss_udf(val, probe_kind)(b.getField("b64"), b.getField("m"))
+                )
+        if not (isinstance(cols_t, StructType) and col in cols_t.names):
+            continue
+        sub_t = cols_t[col].dataType
+        if not isinstance(sub_t, StructType) or "min" not in sub_t.names:
+            continue
+        min_t = sub_t["min"].dataType
+        # mirror the driver rule's type guard: only prune when the probe
+        # and the recorded stat are the same kind (string vs numeric)
+        if isinstance(val, bool) or op not in _OPS:
+            continue
+        if isinstance(val, str) != isinstance(min_t, StringType):
+            continue
+        if not isinstance(val, str) and not isinstance(min_t, (LongType, DoubleType)):
+            continue
+        s = F.col("columns").getField(col)
+        mn, mx = s.getField("min"), s.getField("max")
+        rng = {
+            "<": mn < F.lit(val),
+            "<=": mn <= F.lit(val),
+            ">": mx > F.lit(val),
+            ">=": mx >= F.lit(val),
+            "=": (mn <= F.lit(val)) & (mx >= F.lit(val)),
+            "==": (mn <= F.lit(val)) & (mx >= F.lit(val)),
+        }[op]
+        nulls = s.getField("nulls")
+        all_null = nulls.isNotNull() & rows_c.isNotNull() & (nulls == rows_c)
+        miss = miss | (
+            s.isNotNull() & (all_null | ~F.coalesce(rng, F.lit(True)))
+        )
+    return {r["f"] for r in df.filter(miss).select("f").collect()}
+
+
+def _bloom_miss_udf(val, probe_kind: str):
+    """Arrow-batched bloom probe for the shard plan path: True when the
+    file's bloom PROVES the probe value absent. The probe's k bit
+    positions depend on each file's bloom size m, so the test runs per
+    row — but vectorized over Arrow batches of metadata rows, never on
+    the driver."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def fn(b64, m):
+        out = []
+        for bb, mm in zip(b64, m):
+            if bb is None or mm is None:
+                out.append(False)
+            else:
+                out.append(
+                    not _bloom_maybe_contains(
+                        {"m": int(mm), "k": _BLOOM_K, "t": probe_kind, "b64": bb}, val
+                    )
+                )
+        return pd.Series(out)
+
+    # annotation OBJECTS, not strings: this module's `from __future__
+    # import annotations` would otherwise leave 'pd.Series' unresolvable
+    # for pyspark's eval-type inference (pd is function-local here)
+    fn.__annotations__ = {"b64": pd.Series, "m": pd.Series, "return": pd.Series}
+    return pandas_udf(fn, "boolean")
 
 
 def scan(
@@ -828,7 +1012,7 @@ def scan(
     the predicates as ordinary Spark filters (pushed to the parquet
     scan) so results are correct even with absent/stale stats. An empty
     post-prune file set returns an empty frame with the table schema."""
-    kept, _total = plan_files(table_path, predicates, version)
+    kept, _total = plan_files(table_path, predicates, version, spark)
     v = current_version(table_path) if version is None else version
     m = read_manifest(table_path, v)
     if not kept:
@@ -971,7 +1155,7 @@ def delete(
         raise FileNotFoundError(f"snapshot table has no committed version: {table_path}")
     m = _require_no_mor_deletes(table_path, parent, "copy-on-write DELETE")
     files, stats = m["files"], m.get("stats", {})
-    candidates, _total = plan_files(table_path, predicates, parent)
+    candidates, _total = plan_files(table_path, predicates, parent, spark)
     candidates = [f for f in files if f in set(candidates)]
     untouched = [f for f in files if f not in set(candidates)]
     survivors = _read_files(spark, table_path, candidates, m.get("schema")).filter(
@@ -1181,6 +1365,7 @@ def compact(
         table_path, files, "compact", parent, stats,
         schema_json=read_manifest(table_path, parent).get("schema"),
         delete_files=[],  # read() applied live MoR deletes -> materialized
+        stats_shards=[],  # fresh file set -> fresh stats log
     )
 
 
@@ -1342,4 +1527,5 @@ def rollback(table_path: str, to_version: int) -> int:
         # CURRENT no longer lists (rollback past an overwrite/compact),
         # silently un-applying the restored version's MoR delete files
         file_seq=m.get("file_seq", {}),
+        stats_shards=m.get("stats_shards", []),
     )
