@@ -3260,6 +3260,8 @@ _CF_BUCKET_SQL = (
     "CAST(('0x' || substring(md5('conf1|' || CAST(event_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10"
 )
 
+_CF_HIST_WIDTH = 4096  # micro-units per histogram cell (phase-1 rank selection)
+
 _CONFORMAL_SQL = f"""
 WITH b AS (
   SELECT event_id, event_type, value, {_CF_BUCKET_SQL} AS bucket FROM events),
@@ -3313,11 +3315,18 @@ def conformal_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.
 
     Scale shape: one grouped mean over the train split (map-side
-    combined), one residual scan, one k-th order statistic (a global
-    sort here, bounded by the calibration split's size by design — at
-    100 TB calibration is a fixed-size sample, or q-hat comes from
-    percentile_approx in the same plan shape), one broadcast of the
-    scalar back over the test scan."""
+    combined), one residual scan, then the k-th order statistic via the
+    two-phase HISTOGRAM-RANK selection (same pattern as
+    exact_median_twopass): phase 1 reduces the calibration residuals to
+    a bounded bucket histogram (map-side combined) and locates the
+    bucket containing rank k with a row-local aggregate() scan over the
+    collected histogram array (parameter-sized, like the k-means
+    codebooks); phase 2 ranks ONLY inside that bucket. The calibration
+    split is a fixed FRACTION of the fact (md5 buckets 6-7, ~20%), so a
+    global row_number sort over it — the round-5 shape — was a
+    single-partition sort that grew linearly with the data; the
+    histogram path shuffles a histogram plus one bucket and has NO
+    unpartitioned window at all."""
     e = _t(spark, sf_dir, "events")
     bucket = (
         F.conv(
@@ -3350,12 +3359,57 @@ def conformal_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r_q = F.floor(F.abs(F.col("value") - F.col("pred")) * F.lit(1e6) + F.lit(0.5)).cast("long")
     resid = cal.join(F.broadcast(model), "event_type").select("event_id", r_q.alias("r_q"))
-    w = Window.orderBy(F.col("r_q").asc(), F.col("event_id").asc())
-    ranked = resid.select("r_q", F.row_number().over(w).cast("bigint").alias("rn"))
-    ncal = resid.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # k-th order statistic by histogram-rank selection — no fact-scaled
+    # global sort (see docstring). Bucket width 4096 micro-units keeps the
+    # phase-1 histogram bounded by residual-range/4096 cells.
+    hb = (F.col("r_q") / F.lit(_CF_HIST_WIDTH)).cast("long")
+    hist = resid.groupBy(hb.alias("hb")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    # fold the (bounded) histogram into one sorted array and locate the
+    # bucket containing rank k with a row-local aggregate() — no Window,
+    # no fact-scaled single-partition sort; the collect_list input is the
+    # aggregated histogram, the same parameter-sized class as codebooks
+    cells = hist.agg(
+        F.sort_array(F.collect_list(F.struct(F.col("hb"), F.col("cnt")))).alias("cells")
+    ).withColumn(
+        "k",
+        F.floor(
+            (
+                (
+                    F.aggregate(
+                        "cells", F.lit(0).cast("long"), lambda a, c: a + c["cnt"]
+                    )
+                    + 1
+                )
+                * 9
+                + 9
+            )
+            / F.lit(10)
+        ).cast("bigint"),
+    )
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("run"),
+        F.lit(-1).cast("long").alias("hb"),
+        F.lit(0).cast("long").alias("before"),
+    )
+
+    def _scan(a, c):
+        crossing = (a["hb"] == -1) & (a["run"] + c["cnt"] >= F.col("k"))
+        return F.struct(
+            (a["run"] + c["cnt"]).alias("run"),
+            F.when(crossing, c["hb"]).otherwise(a["hb"]).alias("hb"),
+            F.when(crossing, a["run"]).otherwise(a["before"]).alias("before"),
+        )
+
+    target = cells.select(
+        F.aggregate("cells", acc0, _scan).alias("t"), "k"
+    ).select(F.col("t.hb").alias("hb"), F.col("t.before").alias("before"), "k")
+    wrank = Window.partitionBy("hb").orderBy(F.col("r_q").asc(), F.col("event_id").asc())
     qhat = (
-        ranked.crossJoin(F.broadcast(ncal))
-        .filter(F.col("rn") == F.floor(((F.col("n") + 1) * 9 + 9) / F.lit(10)).cast("bigint"))
+        resid.join(F.broadcast(target), hb == F.col("hb"))
+        .withColumn("rn", F.row_number().over(wrank).cast("bigint"))
+        .filter(F.col("rn") == F.col("k") - F.col("before"))
         .select(F.col("r_q").alias("q"))
     )
     covered = F.when(r_q <= F.col("q"), 1).otherwise(0)

@@ -569,3 +569,184 @@ def user_hour_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "active_hours",
         (F.floor(share * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("peak_share_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Scored + calibrated fraud readout: hard-sigmoid logit wrapped in
+# split-conformal intervals (composition of the two round-5 model families)
+# ---------------------------------------------------------------------------
+
+_CFR_BUCKET_SQL = (
+    "CAST(('0x' || substring(md5('cfr1|' || CAST(o_orderkey AS VARCHAR)), 1, 6)) AS BIGINT) % 10"
+)
+_CFR_HIST_WIDTH = 4096  # micro-units per histogram cell (rank selection)
+
+_CONFORMAL_RISK_SQL = f"""
+WITH b AS (
+  SELECT o_orderkey, o_orderpriority,
+         o_totalprice / {_LG_XSCALE!r} AS x1,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1.0 ELSE 0.0 END AS y,
+         {_CFR_BUCKET_SQL} AS bucket
+  FROM orders),
+feats AS (SELECT x1, y FROM b WHERE bucket <= 5),
+wt0 AS (SELECT 0.0 AS cw1, 0.0 AS cw0),{_lg_step_sql(1)},{_lg_step_sql(2)},
+resid AS (
+  SELECT c.o_orderkey,
+         CAST(floor(abs(c.y - least(greatest(0.25 * (w.cw1 * c.x1 + w.cw0) + 0.5, 0.0), 1.0))
+                    * 1000000.0 + 0.5) AS BIGINT) AS r_q
+  FROM (SELECT * FROM b WHERE bucket IN (6, 7)) c, wt2 w),
+ranked AS (
+  SELECT r_q, CAST(row_number() OVER (ORDER BY r_q ASC, o_orderkey ASC) AS BIGINT) AS rn
+  FROM resid),
+ncal AS (SELECT CAST(count(*) AS BIGINT) AS n FROM resid),
+qhat AS (SELECT r.r_q AS q FROM ranked r, ncal WHERE r.rn = ((ncal.n + 1) * 9 + 9) // 10)
+SELECT t.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN CAST(floor(abs(t.y - least(greatest(0.25 * (w.cw1 * t.x1 + w.cw0) + 0.5, 0.0), 1.0))
+                                    * 1000000.0 + 0.5) AS BIGINT) <= q.q
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       floor(CAST(sum(CASE WHEN CAST(floor(abs(t.y - least(greatest(0.25 * (w.cw1 * t.x1 + w.cw0) + 0.5, 0.0), 1.0))
+                                          * 1000000.0 + 0.5) AS BIGINT) <= q.q
+                           THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS coverage_q,
+       CAST(any_value(q.q) AS BIGINT) AS qhat_units
+FROM (SELECT * FROM b WHERE bucket >= 8) t, wt2 w
+CROSS JOIN qhat q
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("conformal_risk_scores", oracle=_CONFORMAL_RISK_SQL)
+def conformal_risk_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The realistic 'scored + calibrated' fraud readout: the trained
+    hard-sigmoid logit (logit_priority_hardsigmoid's exact two-step fit,
+    trained on md5 buckets 0-5 of orders) wrapped in split-conformal
+    intervals — the ceil((n+1)(1-alpha))-th smallest calibration residual
+    (buckets 6-7) becomes the model's distribution-free error budget, and
+    the held-out test split (buckets 8-9) reports per-priority coverage.
+    alpha=0.1 targets 90% marginal coverage; per-band coverage shows where
+    the single global interval under/over-covers (the standard conditional
+    -coverage diagnostic).
+
+    Composition: model family = risk_queries hard-sigmoid GD (exact int64
+    gradients, weights as driver-side scalars); calibration = ml_queries
+    split-conformal with the HISTOGRAM-RANK k-th order statistic — a
+    bounded bucket histogram folded into one sorted array, scanned with a
+    row-local aggregate(), then a rank inside the single target bucket.
+    No unpartitioned window, no fact-scaled single-partition sort.
+
+    Scale shape: 2 gradient scans (3-number aggregates) + 1 histogram
+    aggregate + 1 in-bucket rank + 2 broadcast-scalar joins over the test
+    scan. Everything fact-sized is map-side combined."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cfr1|"), F.col("o_orderkey").cast("string")).cast("binary")),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+    )
+    b = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice") / F.lit(_LG_XSCALE)).alias("x1"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+        bucket.alias("bucket"),
+    ).persist()
+    train = b.filter(F.col("bucket") <= 5)
+    w1, w0 = 0.0, 0.0
+    for _ in range(2):
+        s = F.least(
+            F.greatest(F.lit(0.25) * (F.lit(w1) * F.col("x1") + F.lit(w0)) + F.lit(0.5), F.lit(0.0)),
+            F.lit(1.0),
+        )
+        g = train.select(
+            F.floor((F.col("y") - s) * F.col("x1") * F.lit(_LG_Q) + F.lit(0.5))
+            .cast("long")
+            .alias("g1"),
+            F.floor((F.col("y") - s) * F.lit(_LG_Q) + F.lit(0.5)).cast("long").alias("g0"),
+        ).agg(F.sum("g1").alias("g1_q"), F.sum("g0").alias("g0_q"), F.count(F.lit(1)).alias("n"))
+        row = g.collect()[0]
+        w1 = w1 + _LG_LR * (row["g1_q"] / _LG_Q) / float(row["n"])
+        w0 = w0 + _LG_LR * (row["g0_q"] / _LG_Q) / float(row["n"])
+    s_fit = F.least(
+        F.greatest(F.lit(0.25) * (F.lit(w1) * F.col("x1") + F.lit(w0)) + F.lit(0.5), F.lit(0.0)),
+        F.lit(1.0),
+    )
+    r_q = F.floor(F.abs(F.col("y") - s_fit) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    resid = b.filter(F.col("bucket").isin(6, 7)).select(
+        "o_orderkey", r_q.alias("r_q")
+    )
+    # histogram-rank selection of the ceil((n+1)*0.9)-th smallest residual
+    # (same pattern as conformal_value_intervals — see its docstring)
+    hb = (F.col("r_q") / F.lit(_CFR_HIST_WIDTH)).cast("long")
+    hist = resid.groupBy(hb.alias("hb")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    cells = hist.agg(
+        F.sort_array(F.collect_list(F.struct(F.col("hb"), F.col("cnt")))).alias("cells")
+    ).withColumn(
+        "k",
+        F.floor(
+            (
+                (
+                    F.aggregate("cells", F.lit(0).cast("long"), lambda a, c: a + c["cnt"])
+                    + 1
+                )
+                * 9
+                + 9
+            )
+            / F.lit(10)
+        ).cast("bigint"),
+    )
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("run"),
+        F.lit(-1).cast("long").alias("hb"),
+        F.lit(0).cast("long").alias("before"),
+    )
+
+    def _scan(a, c):
+        crossing = (a["hb"] == -1) & (a["run"] + c["cnt"] >= F.col("k"))
+        return F.struct(
+            (a["run"] + c["cnt"]).alias("run"),
+            F.when(crossing, c["hb"]).otherwise(a["hb"]).alias("hb"),
+            F.when(crossing, a["run"]).otherwise(a["before"]).alias("before"),
+        )
+
+    target = cells.select(F.aggregate("cells", acc0, _scan).alias("t"), "k").select(
+        F.col("t.hb").alias("hb"), F.col("t.before").alias("before"), "k"
+    )
+    wrank = Window.partitionBy("hb").orderBy(F.col("r_q").asc(), F.col("o_orderkey").asc())
+    qhat = (
+        resid.join(F.broadcast(target), hb == F.col("hb"))
+        .withColumn("rn", F.row_number().over(wrank).cast("bigint"))
+        .filter(F.col("rn") == F.col("k") - F.col("before"))
+        .select(F.col("r_q").alias("q"))
+    )
+    covered = F.when(r_q <= F.col("q"), 1).otherwise(0)
+    return (
+        b.filter(F.col("bucket") >= 8)
+        .crossJoin(F.broadcast(qhat))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(covered).cast("bigint").alias("n_covered"),
+            (
+                F.floor(
+                    F.sum(covered).cast("double") / F.count(F.lit(1)).cast("double") * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("coverage_q"),
+            F.first("q").cast("bigint").alias("qhat_units"),
+        )
+        .orderBy("o_orderpriority")
+    )

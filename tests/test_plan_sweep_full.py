@@ -33,7 +33,7 @@ SF = "/root/testdata/sf0.001"
 BNLJ_OK = {
     "basket_brand_triples", "benford_digit_audit", "bigram_collocation_lift",
     "bm25_search_top20", "bpe_merge_training", "bpe_tokenize_apply",
-    "churn_label_generation", "conformal_value_intervals",
+    "churn_label_generation", "conformal_risk_scores", "conformal_value_intervals",
     "copurchase_brand_modularity", "copurchase_triangle_count",
     "cuped_adjusted_lift", "daily_anomaly_scores", "daily_value_acf",
     "daily_value_changepoint", "doc_lm_quality_scores",
@@ -56,10 +56,15 @@ BNLJ_OK = {
     "value_hdr_quantiles",
 }
 
-# unpartitioned Window over a REDUCED frame (calendar/domain-bounded or
-# sample-bounded row counts) — audited 2026-08-15 over the full registry.
+# unpartitioned Window over a REDUCED frame (calendar/domain-bounded
+# aggregates, fixed-size samples, k-row candidate sets, or aggregated
+# histograms) — re-audited 2026-08-15 over the full registry.
+# conformal_value_intervals was REMOVED: its calibration rank was a
+# fact-scaled single-partition sort mislabeled as sample-bounded; it now
+# uses histogram-rank selection with constant-partitioned windows and
+# needs no exemption.
 GLOBAL_WINDOW_OK = {
-    "bootstrap_value_ci", "conformal_value_intervals", "daily_anomaly_scores",
+    "bootstrap_value_ci", "daily_anomaly_scores",
     "daily_new_users_running", "daily_value_changepoint",
     "daily_value_seasonal_decomp", "event_dow_chi2", "exact_median_twopass",
     "hybrid_search_rrf", "kaplan_meier_retention", "logrank_retention_test",
