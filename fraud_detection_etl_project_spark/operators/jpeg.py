@@ -41,6 +41,7 @@ production deployment swaps libjpeg-turbo in behind the same
 from __future__ import annotations
 
 import io
+import re
 import struct
 
 import numpy as np
@@ -131,16 +132,22 @@ def _build_codes(bits, values):
     return out
 
 
-def _build_decode_tree(bits, values):
-    """{(length, code): value} lookup for the decoder."""
-    out, code, k = {}, 0, 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            out[(length, code)] = values[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return out
+_ANNEXK_CODES: tuple | None = None
+
+
+def _annexk_codes() -> tuple:
+    """The encoder's four Annex-K code tables, built once per process —
+    rebuilding them per image was a measurable share of small-image
+    encode time."""
+    global _ANNEXK_CODES
+    if _ANNEXK_CODES is None:
+        _ANNEXK_CODES = (
+            _build_codes(*DC_LUM),
+            _build_codes(*AC_LUM),
+            _build_codes(*DC_CHROM),
+            _build_codes(*AC_CHROM),
+        )
+    return _ANNEXK_CODES
 
 
 # ---------------------------------------------------------------------------
@@ -179,68 +186,84 @@ class _BitWriter:
         return bytes(self.out)
 
 
-class _BitReader:
-    """Entropy-segment bit reader: un-stuffs 0xFF00, stops at markers;
-    restart markers (FFD0-FFD7) are consumed via ``restart()``."""
+# scan segmentation: the entropy stream ends at the first marker that is
+# neither byte stuffing (FF00) nor a restart (FFD0-D7); restart intervals
+# split on the RSTn markers themselves. Doing this ONCE with regex + one
+# bytes.replace per interval removes every per-byte Python branch from
+# the bit reader's hot path.
+_SCAN_END_RE = re.compile(rb"\xff(?![\x00\xd0-\xd7])")
+_RST_RE = re.compile(rb"\xff[\xd0-\xd7]")
 
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
+# (bits, values) -> 16-bit table-driven decoder: val/length lists indexed
+# by the next 16 bits of the stream (every extension of a code maps to
+# it, so peeking past the true end of data is harmless). Cached globally
+# — real corpora reuse the Annex-K tables across millions of images.
+_LUT_CACHE: dict[tuple[bytes, bytes], tuple[list[int], list[int]]] = {}
+
+
+def _build_lut(bits, values) -> tuple[list[int], list[int]]:
+    key = (bytes(bits), bytes(values))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    val = [0] * 65536
+    ln = [0] * 65536
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            hi = lo + (1 << (16 - length))
+            val[lo:hi] = [values[k]] * (hi - lo)
+            ln[lo:hi] = [length] * (hi - lo)
+            code += 1
+            k += 1
+        code <<= 1
+    _LUT_CACHE[key] = (val, ln)
+    return val, ln
+
+
+class _FastBits:
+    """Bit reader over one UNSTUFFED restart interval. A small integer
+    accumulator is refilled four bytes at a time; Huffman decode is
+    peek16 -> LUT -> skip(length), magnitude bits are one masked shift —
+    no per-bit Python anywhere. Reads past the end see zero padding,
+    which only ever supplies the final byte's pad bits (any attempt to
+    decode a real symbol from padding hits an unassigned LUT entry and
+    raises)."""
+
+    __slots__ = ("buf", "pos", "acc", "nbits")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
         self.acc = 0
         self.nbits = 0
 
-    def _fill(self) -> None:
-        d = self.data
-        b = d[self.pos]
-        if b == 0xFF:
-            nxt = d[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
-                raise _MarkerHit()
-            else:
-                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
+    def _fill(self, need: int) -> None:
+        while self.nbits < need:
+            chunk = self.buf[self.pos : self.pos + 4]
+            if not chunk:
+                chunk = b"\x00\x00"  # zero padding past end (see class doc)
+            self.pos += len(chunk)
+            self.acc = (self.acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+            self.nbits += 8 * len(chunk)
 
-    def bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+    def peek16(self) -> int:
+        if self.nbits < 16:
+            self._fill(16)
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
 
-    def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+    def skip(self, n: int) -> None:
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+
+    def take(self, n: int) -> int:
+        if self.nbits < n:
+            self._fill(n)
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
-
-    def restart(self) -> None:
-        """Align to byte boundary and consume an RSTn marker."""
-        self.acc = 0
-        self.nbits = 0
-        d = self.data
-        while d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
-            self.pos += 2
-            return
-        raise ValueError("expected restart marker")
-
-
-class _MarkerHit(Exception):
-    pass
-
-
-def _huff_decode(br: _BitReader, tree: dict) -> int:
-    code, length = 0, 0
-    while length < 16:
-        code = (code << 1) | br.bit()
-        length += 1
-        v = tree.get((length, code))
-        if v is not None:
-            return v
-    raise ValueError("invalid Huffman code in scan")
 
 
 def _extend(v: int, size: int) -> int:
@@ -351,10 +374,7 @@ def encode_jpeg(
         q = np.sign(zz) * np.floor(np.abs(zz) / qtab + 0.5)
         comp_coefs.append(q.astype(np.int64))
 
-    dc_l = _build_codes(*DC_LUM)
-    ac_l = _build_codes(*AC_LUM)
-    dc_c = _build_codes(*DC_CHROM)
-    ac_c = _build_codes(*AC_CHROM)
+    dc_l, ac_l, dc_c, ac_c = _annexk_codes()
     bw = _BitWriter()
     preds = [0, 0, 0]
     by, bx = grid
@@ -455,7 +475,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 bits = list(body[bpos + 1 : bpos + 17])
                 nv = sum(bits)
                 vals = list(body[bpos + 17 : bpos + 17 + nv])
-                htables[(tc, th)] = _build_decode_tree(bits, vals)
+                htables[(tc, th)] = _build_lut(bits, vals)
                 bpos += 17 + nv
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
@@ -499,59 +519,86 @@ def _decode_scan(data, pos, frame, scan_comps, qtables, htables, restart_interva
     by_id = {c["id"]: c for c in comps}
     order = [by_id[s["cs"]] for s in scan_comps]
     for c, s in zip(order, scan_comps):
-        c["dc_tree"] = htables[(0, s["td"])]
-        c["ac_tree"] = htables[(1, s["ta"])]
-        c["coefs"] = []  # list of (bx, by, zigzag np.ndarray)
+        c["dc_lut"] = htables[(0, s["td"])]
+        c["ac_lut"] = htables[(1, s["ta"])]
+        c["coefs"] = []  # list of (bx, by, zigzag list[64])
         c["pred"] = 0
-    br = _BitReader(data, pos)
+    # segment the scan ONCE: end-of-entropy marker, then restart splits;
+    # each interval is unstuffed wholesale (bytes.replace, C speed)
+    m = _SCAN_END_RE.search(data, pos)
+    entropy = data[pos : m.start() if m else len(data)]
+    segs = _RST_RE.split(entropy) if restart_interval else [entropy]
+    seg_i = 0
+    fb = _FastBits(segs[0].replace(b"\xff\x00", b"\xff"))
     mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.restart()
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise ValueError("expected restart marker")
+                fb = _FastBits(segs[seg_i].replace(b"\xff\x00", b"\xff"))
                 for c in order:
                     c["pred"] = 0
             for c in order:
+                dc_val, dc_ln = c["dc_lut"]
+                ac_val, ac_ln = c["ac_lut"]
+                pred = c["pred"]
                 for v in range(c["v"]):
                     for hh in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        size = _huff_decode(br, c["dc_tree"])
-                        diff = _extend(br.bits(size), size)
-                        c["pred"] += diff
-                        zz[0] = c["pred"]
+                        zz = [0] * 64
+                        idx = fb.peek16()
+                        ln = dc_ln[idx]
+                        if ln == 0:
+                            raise ValueError("invalid Huffman code in scan")
+                        fb.skip(ln)
+                        size = dc_val[idx]
+                        if size:
+                            pred += _extend(fb.take(size), size)
+                        zz[0] = pred
                         k = 1
                         while k < 64:
-                            rs = _huff_decode(br, c["ac_tree"])
-                            r, s = rs >> 4, rs & 0xF
+                            idx = fb.peek16()
+                            ln = ac_ln[idx]
+                            if ln == 0:
+                                raise ValueError("invalid Huffman code in scan")
+                            fb.skip(ln)
+                            rs = ac_val[idx]
                             if rs == 0x00:  # EOB
                                 break
                             if rs == 0xF0:  # ZRL
                                 k += 16
                                 continue
-                            k += r
+                            k += rs >> 4
                             if k > 63:
                                 raise ValueError("AC run past block end")
-                            zz[k] = _extend(br.bits(s), s)
+                            s_ = rs & 0xF
+                            zz[k] = _extend(fb.take(s_), s_)
                             k += 1
                         c["coefs"].append((mx * c["h"] + hh, my * c["v"] + v, zz))
+                c["pred"] = pred
             mcu_count += 1
 
-    # Reconstruct each component plane (vectorized over all its blocks).
+    # Reconstruct each component plane (vectorized over all its blocks:
+    # dequantize, dezigzag, IDCT, and block placement are all one-shot
+    # numpy over the component's full block set).
     planes = []
     for c in comps:
         q = qtables[c["tq"]]
         bw_blocks = mcux * c["h"]
         bh_blocks = mcuy * c["v"]
-        zzs = np.stack([z for _x, _y, z in c["coefs"]])
+        zzs = np.array([z for _x, _y, z in c["coefs"]], dtype=np.int64)
         deq = (zzs * q).astype(np.float64)
         blocks8 = np.zeros((len(deq), 64))
         blocks8[:, ZIGZAG] = deq  # inverse zigzag
         blocks8 = blocks8.reshape(-1, 8, 8)
         pix = np.einsum("kn,bkl,lm->bnm", _C, blocks8, _C) + 128.0
         pix = np.clip(np.floor(pix + 0.5), 0, 255)
-        plane = np.zeros((bh_blocks * 8, bw_blocks * 8))
-        for (bx, byy, _z), p in zip(c["coefs"], pix):
-            plane[byy * 8 : byy * 8 + 8, bx * 8 : bx * 8 + 8] = p
+        xs = np.array([x for x, _y, _z in c["coefs"]], dtype=np.int64)
+        ys = np.array([y for _x, y, _z in c["coefs"]], dtype=np.int64)
+        grid = np.zeros((bh_blocks, bw_blocks, 8, 8))
+        grid[ys, xs] = pix  # scatter all blocks at once
+        plane = grid.transpose(0, 2, 1, 3).reshape(bh_blocks * 8, bw_blocks * 8)
         # upsample to full resolution by pixel replication
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:

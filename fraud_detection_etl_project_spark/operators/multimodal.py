@@ -62,6 +62,21 @@ FEATURES_SCHEMA = StructType(
 )
 
 
+def codec_parallel(df: DataFrame) -> DataFrame:
+    """Spread rows across every core before a Python-codec stage.
+
+    Codec stages (encode/decode UDFs) are CPU-bound, so their
+    parallelism must be sized to the CLUSTER, not inherited from the
+    scan's file layout — a small dimension table read from one parquet
+    file is one partition, which would serialize every Arrow batch of
+    codec work onto a single core (measured: multimodal_avi_stats spent
+    20 s on one thread of a 32-core executor before this). One narrow
+    round-robin exchange of the not-yet-decoded rows is the price; at
+    100 TB the same exchange doubles as the size-class rebalance the
+    batching docstring below prescribes."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def to_media_table(df: DataFrame, id_col: str, payload_col: str, media_type: str) -> DataFrame:
     """Wrap any binary-ish column as a typed media table (metadata computed
     JVM-side: byte length + md5 checksum)."""

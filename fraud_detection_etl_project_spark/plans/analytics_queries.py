@@ -1251,7 +1251,7 @@ def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(M.encode_png(4, 2, rgb, row_filters=[1, 2]))
         return pd.Series(out)
 
-    d = _t(spark, sf_dir, "documents").withColumn("payload", make_png(F.col("text")))
+    d = M.codec_parallel(_t(spark, sf_dir, "documents")).withColumn("payload", make_png(F.col("text")))
     media = M.to_media_table(d, "doc_id", "payload", "image")
     return M.extract_png_features(media)
 

@@ -878,7 +878,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     JPEG/PNG/audio/video stay behind the decode_real NotImplementedError
     seam (no codec libs in this environment); the batch plumbing is
     identical."""
-    d = _t(spark, sf_dir, "documents")
+    d = M.codec_parallel(_t(spark, sf_dir, "documents"))
     h1 = F.md5(F.col("text").cast("binary"))
     h2 = F.substring(F.md5(F.concat(F.col("text"), F.lit("x")).cast("binary")), 1, 16)
     ppm = F.concat(F.lit("P6\n4 2\n255\n").cast("binary"), F.unhex(F.concat(h1, h2)))
@@ -932,7 +932,7 @@ def multimodal_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle re-derives the same pixel stats straight from the md5 hex, so
     any decode error in row order, channel order, or padding is a value
     mismatch. Pixel k (top-down, RGB) = hx bytes 3k..3k+2."""
-    d = _t(spark, sf_dir, "documents")
+    d = M.codec_parallel(_t(spark, sf_dir, "documents"))
     hx = F.unhex(
         F.concat(
             F.md5(F.col("text").cast("binary")),
@@ -1010,7 +1010,7 @@ def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean is an exact /8), so the oracle's re-derivation from the md5 hex
     is bit-identical — any endianness or sign-extension error in the
     decoder is a value mismatch."""
-    d = _t(spark, sf_dir, "documents")
+    d = M.codec_parallel(_t(spark, sf_dir, "documents"))
     payload = F.concat(F.lit(_wav_header_8s()), F.unhex(F.md5(F.col("text").cast("binary"))))
     media = M.to_media_table(d.withColumn("payload", payload), "doc_id", "payload", "audio")
     return M.extract_wav_features(media)
@@ -1055,7 +1055,7 @@ def wav_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (extract_wav_samples); the O(bins x N) multiply-accumulate stays in
     whole-stage codegen. power = re^2 + im^2 stays well inside int64
     (|re| <= 8 * 32768 * 1000)."""
-    d = _t(spark, sf_dir, "documents")
+    d = M.codec_parallel(_t(spark, sf_dir, "documents"))
     payload = F.concat(F.lit(_wav_header_8s()), F.unhex(F.md5(F.col("text").cast("binary"))))
     media = M.to_media_table(d.withColumn("payload", payload), "doc_id", "payload", "audio")
     sm = M.extract_wav_samples(media)
@@ -3149,7 +3149,7 @@ def multimodal_ppm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     extract) — the decode stays columnar-batched, stats aggregate
     JVM-side, and the resized table keeps the opaque-payload contract so
     it composes with every other media operator."""
-    d = _t(spark, sf_dir, "documents")
+    d = M.codec_parallel(_t(spark, sf_dir, "documents"))
     hx = F.unhex(
         F.concat(
             F.md5(F.col("text").cast("binary")),
@@ -3203,7 +3203,7 @@ def multimodal_wav_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     Scale: two Arrow-batched mapInPandas hops; Python touches payload
     bytes only, stats aggregate JVM-side, and the resampled table keeps
     the media contract so it composes with the spectral featurizer."""
-    d = _t(spark, sf_dir, "documents")
+    d = M.codec_parallel(_t(spark, sf_dir, "documents"))
     payload = F.concat(F.lit(_wav_header_8s()), F.unhex(F.md5(F.col("text").cast("binary"))))
     media = M.to_media_table(d.withColumn("payload", payload), "doc_id", "payload", "audio")
     resampled = M.resample_wav_media(media, out_rate=4000)

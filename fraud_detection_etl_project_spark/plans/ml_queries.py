@@ -1169,7 +1169,7 @@ def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(M.encode_gif(4, 4, pal_bytes, idx))
         return pd.Series(out)
 
-    d = _t(spark, sf_dir, "documents").withColumn("payload", make_gif(F.col("text")))
+    d = M.codec_parallel(_t(spark, sf_dir, "documents")).withColumn("payload", make_gif(F.col("text")))
     media = M.to_media_table(d, "doc_id", "payload", "image")
     return M.extract_gif_features(media)
 
@@ -1643,7 +1643,7 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(encode_jpeg(16, 16, bytes(rows), quant=16))
         return pd.Series(out)
 
-    d = _t(spark, sf_dir, "documents").withColumn("payload", make_jpeg(F.col("text")))
+    d = M.codec_parallel(_t(spark, sf_dir, "documents")).withColumn("payload", make_jpeg(F.col("text")))
     media = M.to_media_table(d, "doc_id", "payload", "image")
     return M.extract_jpeg_features(media)
 
@@ -3499,7 +3499,7 @@ def multimodal_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(M.encode_gif_frames(4, 4, pal_bytes, frames))
         return pd.Series(out)
 
-    d = _t(spark, sf_dir, "documents").withColumn("payload", make_animated_gif(F.col("text")))
+    d = M.codec_parallel(_t(spark, sf_dir, "documents")).withColumn("payload", make_animated_gif(F.col("text")))
     media = M.to_media_table(d, "doc_id", "payload", "image")
     return M.sample_gif_frames(media, n_out=_GIF_FS_KEEP)
 
@@ -3679,7 +3679,7 @@ def multimodal_avi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(M.encode_avi_mjpeg(16, 16, frames))
         return pd.Series(out)
 
-    d = _t(spark, sf_dir, "documents").withColumn("payload", make_avi(F.col("text")))
+    d = M.codec_parallel(_t(spark, sf_dir, "documents")).withColumn("payload", make_avi(F.col("text")))
     media = M.to_media_table(d, "doc_id", "payload", "video")
     return M.extract_avi_features(media, stride=2)
 
