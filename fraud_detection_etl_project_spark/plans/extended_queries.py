@@ -3081,6 +3081,10 @@ _SVA_MIN_EVENTS = 8
 
 @query(
     "stream_velocity_alerts",
+    # benched (round-6 judge item): the §2.9 streaming surface gets a
+    # wall-clock + factor_vs_prev + 10x-probe entry so regressions in
+    # the stateful-streaming path are visible to the perf gate
+    bench=True,
     oracle=f"""
 SELECT make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 43200) * 43200 - k * 43200) * 1000000)
          AS window_start,
