@@ -4018,6 +4018,67 @@ def snapshot_mor_delete_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Snapshot table: deletion-vector (position-delete) DELETE WHERE
+# ---------------------------------------------------------------------------
+
+_DV_PRICE_CUT = 50_000.0
+
+
+@query(
+    "snapshot_dv_delete_rollup",
+    oracle=f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {cents_sum_sql('o_totalprice')} AS total_price
+FROM orders
+WHERE (o_orderkey % 3 IN (0, 1) AND o_totalprice >= {_DV_PRICE_CUT!r})
+   OR o_orderkey % 3 = 2
+GROUP BY 1
+""",
+)
+def snapshot_dv_delete_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector DELETE on the snapshot table (snapshot.py, the
+    Iceberg-v3 / Delta position-delete model): v1 commits the
+    o_orderkey%3 in (0,1) slice of orders, v2 runs ``delete_where_dv``
+    for o_totalprice < 50k — a METADATA-cost commit recording the
+    matching rows' (file, row position) pairs, no data file rewritten
+    and NO key column required — and v3 appends the %3==2 slice, whose
+    sub-50k rows must SURVIVE: a deletion vector names physical rows at
+    commit time, never values. The oracle replays exactly that as one
+    predicate (slices 0/1 minus their sub-50k rows, slice 2 intact), so
+    a position leaking onto the appended files, a missed position, or a
+    wrong file-name match in the read-time anti-join breaks the value
+    hash.
+
+    Scale: the DELETE's write cost is O(matching positions) at any
+    table size — with manifest stats bounding the position scan to
+    candidate files — and the read price is one broadcast anti-join on
+    (file, row_index); positions need no sequence rule because data
+    files are immutable. CoW-rewrite interplay (no resurrection),
+    compaction retirement, change-feed full-row delete images, vacuum
+    retention, and stacking with equality deletes are unit-tested in
+    tests/test_snapshot_dv.py."""
+    from fraud_detection_etl_project_spark import snapshot as snap
+
+    tag = _fixture_tag(sf_dir, "orders")
+    t = os.path.join(tempfile.gettempdir(), f"snap_dv_{tag}")
+    done = os.path.join(t, "_STAGED")
+    if not os.path.exists(done):
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        snap.overwrite(orders.filter(F.col("o_orderkey") % 3 <= 1), t)       # v1
+        snap.delete_where_dv(spark, t, [("o_totalprice", "<", _DV_PRICE_CUT)])  # v2
+        snap.append(orders.filter(F.col("o_orderkey") % 3 == 2), t)          # v3
+        with open(done, "w") as f:
+            f.write("")
+    return snap.read(spark, t).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        cents_sum("o_totalprice").alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Snapshot table: write-audit-publish via branch refs + fast-forward
 # ---------------------------------------------------------------------------
 

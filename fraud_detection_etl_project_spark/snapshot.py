@@ -552,6 +552,7 @@ def _publish(
     branch: str | None = None,
     file_seq: dict | None = None,
     stats_shards: list[str] | str = "inherit",
+    dv_files: list[dict] | str = "inherit",
 ) -> int:
     """Write a new manifest and move the target ref to it with a
     compare-and-swap on the ref's generation log.
@@ -621,6 +622,12 @@ def _publish(
     # stats_shards=[] to reset the log.
     if stats_shards == "inherit":
         stats_shards = list(parent_m.get("stats_shards", []))
+    # deletion vectors (position deletes): DV entries name immutable
+    # (data file, row position) parquet files — they stay valid as long
+    # as their target file is listed, and entries for retired files are
+    # inert (the read-time anti-join simply never matches them)
+    if dv_files == "inherit":
+        dv_files = list(parent_m.get("dv_files", []))
     parent_inline = parent_m.get("stats", {})
     stats = dict(stats or {})
     new_entries = {f: s for f, s in stats.items() if f not in parent_inline}
@@ -648,6 +655,8 @@ def _publish(
     }
     if stats_shards:
         manifest["stats_shards"] = stats_shards
+    if dv_files:
+        manifest["dv_files"] = dv_files
     if batch_id is not None:
         manifest["batch_id"] = batch_id
     if schema_json is not None:
@@ -695,6 +704,7 @@ def overwrite(
         schema_json=df.schema.json(),
         delete_files=[],  # all rows replaced; prior-era deletes retired
         stats_shards=[],  # ...and prior-era stats shards retired with them
+        dv_files=[],
     )
 
 
@@ -1018,7 +1028,7 @@ def scan(
     if not kept:
         base = read(spark, table_path, version).limit(0)
     else:
-        base = _apply_mor_deletes(
+        base = _apply_row_filters(
             spark, table_path, _read_files(spark, table_path, kept, m.get("schema")), m
         )
     return base.filter(_pred_expr(predicates))
@@ -1036,47 +1046,115 @@ def _pred_expr(predicates: list[tuple[str, str, object]]):
     return expr
 
 
-def _apply_mor_deletes(
+# NULL key values never match an equality delete (SQL equality), so
+# NULL-keyed rows are not deletable by delete_keys_mor — documented,
+# matching Iceberg. See _apply_row_filters for the read-time mechanics
+# shared with deletion vectors.
+
+
+def _fname():
+    """File-name column off _metadata (lazy: building a Column needs an
+    active SparkContext, so this cannot be a module-level constant)."""
+    return F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+
+
+def _apply_row_filters(
     spark: SparkSession, table_path: str, df: DataFrame, manifest: dict
 ) -> DataFrame:
-    """Apply a version's live equality-delete files to a data-file read —
-    the merge-on-read half of the Iceberg-v2 delete model. Each data row
-    is tagged with its file's commit sequence (a metadata-sized literal
-    map over ``_metadata.file_path``); each delete key carries its delete
-    file's sequence; one left-anti join on (key columns match AND
-    delete_seq > row_seq) removes exactly the rows the delete targeted —
-    rows re-appended after the delete keep their higher seq and survive.
+    """Apply a version's live DELETION VECTORS (position deletes) and
+    equality-delete files to a RAW file-backed read, in one pass. The
+    `_metadata` columns are materialized exactly once, directly on the
+    scan relation (after any join they become ambiguous between the
+    file-backed sides), then both mechanisms anti-join on the tagged
+    columns:
 
-    Scale: the delete frame is the union of the delete FILES (bounded by
-    deleted-key volume, not table volume) and is broadcast; the data side
-    is never rewritten or shuffled — this is the O(deletes) read-time
-    price that makes deletes O(1) at write time. NULL key values never
-    match (SQL equality), so NULL-keyed rows are not deletable by an
-    equality delete — documented, matching Iceberg."""
+    - Deletion vectors (Iceberg-v3 / Delta DV model): parquet files of
+      (f = target data file name, pos = row position). Positions are
+      stable because data files are immutable — a DV needs no sequence
+      rule: it names physical rows, and entries for retired files are
+      inert. The delete flavor for rows WITHOUT a usable key.
+    - Equality deletes (Iceberg-v2 model): key rows gated by the
+      per-file sequence rule — see delete_keys_mor.
+
+    Both sides are O(deleted rows) broadcasts; the data side is never
+    rewritten or shuffled."""
+    dvs = manifest.get("dv_files") or []
     dels = manifest.get("delete_files") or []
-    if not dels or not manifest["files"]:
-        return df  # nothing to delete (or no data rows to delete from)
-    on = dels[0]["on"]
-    fseq = manifest.get("file_seq", {})
-    pairs: list = []
-    for f in manifest["files"]:
-        pairs.append(F.lit(f))
-        pairs.append(F.lit(int(fseq.get(f, 0))))
-    seq_col = F.element_at(
-        F.create_map(*pairs), F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
-    )
-    keys = None
-    for d in dels:
-        k = _read_files(spark, table_path, [d["name"]], None).withColumn(
-            "__dseq", F.lit(int(d["seq"])).cast("long")
+    if (not dvs and not dels) or not manifest["files"]:
+        return df
+    out = df.withColumn("__f", _fname()).withColumn("__p", F.col("_metadata.row_index"))
+    if dvs:
+        keys = _read_files(spark, table_path, [d["name"] for d in dvs], None).select(
+            F.col("f").alias("__dvf"), F.col("pos").alias("__dvp")
         )
-        keys = k if keys is None else keys.unionByName(k)
-    rows = df.withColumn("__seq", seq_col.cast("long")).alias("__r")
-    kk = F.broadcast(keys.alias("__k"))
-    cond = F.col("__k.__dseq") > F.col("__r.__seq")
-    for c in on:
-        cond = cond & (F.col(f"__r.{c}") == F.col(f"__k.{c}"))
-    return rows.join(kk, cond, "left_anti").drop("__seq")
+        cond = (F.col("__f") == F.col("__dvf")) & (F.col("__p") == F.col("__dvp"))
+        out = out.join(F.broadcast(keys), cond, "left_anti")
+    if dels:
+        on = dels[0]["on"]
+        fseq = manifest.get("file_seq", {})
+        pairs: list = []
+        for f in manifest["files"]:
+            pairs.append(F.lit(f))
+            pairs.append(F.lit(int(fseq.get(f, 0))))
+        seq_col = F.element_at(F.create_map(*pairs), F.col("__f"))
+        keys = None
+        for d in dels:
+            k = _read_files(spark, table_path, [d["name"]], None).withColumn(
+                "__dseq", F.lit(int(d["seq"])).cast("long")
+            )
+            keys = k if keys is None else keys.unionByName(k)
+        rows = out.withColumn("__seq", seq_col.cast("long")).alias("__r")
+        kk = F.broadcast(keys.alias("__k"))
+        cond = F.col("__k.__dseq") > F.col("__r.__seq")
+        for c in on:
+            cond = cond & (F.col(f"__r.{c}") == F.col(f"__k.{c}"))
+        out = rows.join(kk, cond, "left_anti").drop("__seq")
+    return out.drop("__f", "__p")
+
+
+def delete_where_dv(
+    spark: SparkSession, table_path: str, predicates: list[tuple[str, str, object]]
+) -> int:
+    """DELETE WHERE <AND of predicates> as a DELETION-VECTOR commit: no
+    data file is rewritten — the matching rows' (file, row position)
+    pairs are committed as a DV parquet and readers anti-join them at
+    scan time. The write-cheap complement to copy-on-write ``delete``
+    that, unlike ``delete_keys_mor``, needs NO key columns: it deletes
+    the exact physical rows the predicate matched at THIS version, so
+    identical rows appended later are untouched (position semantics,
+    not value semantics). Manifest stats bound the scan to candidate
+    files; compact() materializes live DVs and retires them. Returns
+    the new version."""
+    parent = current_version(table_path)
+    if parent is None:
+        raise FileNotFoundError(f"snapshot table has no committed version: {table_path}")
+    m = read_manifest(table_path, parent)
+    candidates, _total = plan_files(table_path, predicates, parent, spark)
+    if candidates:
+        base = _read_files(spark, table_path, candidates, m.get("schema"))
+        # positions are computed on the RAW file rows; re-marking a row an
+        # earlier DV or equality delete already hides is a harmless
+        # idempotent anti-join hit
+        pos = (
+            base.filter(_pred_expr(predicates))
+            .select(_fname().alias("f"), F.col("_metadata.row_index").alias("pos"))
+        )
+        names, dv_stats = _stage_data_files(pos, table_path)
+        # drop zero-row DV parts (empty staging partitions): an entry
+        # should mean "this file deletes something"
+        names = [n for n in names if dv_stats.get(n, {}).get("rows", 0) > 0]
+    else:
+        names = []
+    entries = [{"name": n} for n in names]
+    return _publish(
+        table_path,
+        m["files"],
+        "dv-delete",
+        parent,
+        m.get("stats", {}),
+        schema_json=m.get("schema"),
+        dv_files=list(m.get("dv_files", [])) + entries,
+    )
 
 
 def delete_keys_mor(spark: SparkSession, table_path: str, keys: DataFrame) -> int:
@@ -1158,9 +1236,13 @@ def delete(
     candidates, _total = plan_files(table_path, predicates, parent, spark)
     candidates = [f for f in files if f in set(candidates)]
     untouched = [f for f in files if f not in set(candidates)]
-    survivors = _read_files(spark, table_path, candidates, m.get("schema")).filter(
-        ~_pred_expr(predicates)
-    ) if candidates else None
+    # the rewrite source must be the LIVE rows: live deletion vectors on
+    # a candidate file apply before the predicate filter, or the rewrite
+    # would resurrect DV-deleted rows into the new files
+    survivors = _apply_row_filters(
+        spark, table_path,
+        _read_files(spark, table_path, candidates, m.get("schema")), m,
+    ).filter(~_pred_expr(predicates)) if candidates else None
     new_files, new_stats = ([], {}) if survivors is None else _stage_data_files(
         survivors, table_path
     )
@@ -1216,8 +1298,12 @@ def merge(
     )  # bounded by the snapshot's file count — metadata, not data
     untouched = [f for f in files if f not in touched_names]
     touched = [f for f in files if f in touched_names]
+    # rewrite from the LIVE rows (deletion vectors applied) so a merge
+    # cannot resurrect DV-deleted rows of the files it rewrites
     rewrite_base = (
-        _read_files(spark, table_path, touched, schema_json).join(keys, on, "left_anti")
+        _apply_row_filters(
+            spark, table_path, _read_files(spark, table_path, touched, schema_json), m
+        ).join(keys, on, "left_anti")
         if touched
         else cur.limit(0)
     )
@@ -1303,7 +1389,7 @@ def read(
     if v is None:
         raise FileNotFoundError(f"snapshot table has no committed version: {table_path}")
     m = read_manifest(table_path, v)
-    return _apply_mor_deletes(
+    return _apply_row_filters(
         spark, table_path, _read_files(spark, table_path, m["files"], m.get("schema")), m
     )
 
@@ -1366,6 +1452,7 @@ def compact(
         schema_json=read_manifest(table_path, parent).get("schema"),
         delete_files=[],  # read() applied live MoR deletes -> materialized
         stats_shards=[],  # fresh file set -> fresh stats log
+        dv_files=[],      # positions materialized by the same read()
     )
 
 
@@ -1410,6 +1497,37 @@ def read_changes(
             if new_dels:
                 parts.append(
                     _read_files(spark, table_path, new_dels, None)
+                    .withColumn("_commit_version", F.lit(v).cast("int"))
+                    .withColumn("_change_type", F.lit("delete"))
+                )
+            continue
+        if m["operation"] == "dv-delete":
+            # A deletion vector names exact physical rows, so the feed
+            # can emit the FULL deleted row images: read the targeted
+            # data files (still listed in this very manifest) and
+            # semi-join on (file, position) for the entries new at v.
+            parent_dv = {
+                d["name"]
+                for d in read_manifest(table_path, m["parent"]).get("dv_files", [])
+            } if m["parent"] else set()
+            new_dvs = [
+                d["name"] for d in m.get("dv_files", []) if d["name"] not in parent_dv
+            ]
+            if new_dvs:
+                keys = _read_files(spark, table_path, new_dvs, None).select(
+                    F.col("f").alias("__dvf"), F.col("pos").alias("__dvp")
+                )
+                rows = (
+                    _read_files(spark, table_path, m["files"], m.get("schema"))
+                    .withColumn("__f", _fname())
+                    .withColumn("__p", F.col("_metadata.row_index"))
+                )
+                cond = (F.col("__f") == F.col("__dvf")) & (
+                    F.col("__p") == F.col("__dvp")
+                )
+                parts.append(
+                    rows.join(F.broadcast(keys), cond, "left_semi")
+                    .drop("__f", "__p")
                     .withColumn("_commit_version", F.lit(v).cast("int"))
                     .withColumn("_change_type", F.lit("delete"))
                 )
@@ -1469,6 +1587,7 @@ def vacuum(table_path: str, keep_versions: int = 1) -> list[str]:
         m = read_manifest(table_path, v)
         referenced.update(m["files"])
         referenced.update(d["name"] for d in m.get("delete_files", []))
+        referenced.update(d["name"] for d in m.get("dv_files", []))
         referenced.update(m.get("stats_shards", []))
     deleted = []
     for f in sorted(io.listdir(ddir)):
@@ -1528,4 +1647,5 @@ def rollback(table_path: str, to_version: int) -> int:
         # silently un-applying the restored version's MoR delete files
         file_seq=m.get("file_seq", {}),
         stats_shards=m.get("stats_shards", []),
+        dv_files=m.get("dv_files", []),
     )

@@ -181,10 +181,10 @@ class SnapshotStreamReader(DataSourceStreamReader):
             v = nxt
         for v in sorted(lineage):
             m = _manifest(self.table_path, v)
-            if m["operation"] == "mor-delete":
-                continue  # metadata-only commit: adds no data files, and
-                # this stream's contract is insert-rows-only (the delete
-                # keys are exposed via snapshot.read_changes instead)
+            if m["operation"] in ("mor-delete", "dv-delete"):
+                continue  # metadata-only commits: add no data files, and
+                # this stream's contract is insert-rows-only (deleted
+                # keys/rows are exposed via snapshot.read_changes instead)
             if m["operation"] != "append" and m["parent"] is not None:
                 raise ValueError(
                     f"v{v} is {m['operation']!r}: streaming a snapshot table "
