@@ -89,10 +89,17 @@ def _manifest(table_path: str, version: int) -> dict:
 
 
 class SnapshotFilePartition(InputPartition):
-    def __init__(self, path: str, version: int, field_names: list[str]):
+    def __init__(
+        self,
+        path: str,
+        version: int,
+        field_names: list[str],
+        field_types: list[str],
+    ):
         self.path = path
         self.version = version
         self.field_names = field_names
+        self.field_types = field_types  # Spark simple type names, schema order
 
 
 class SnapshotStreamReader(DataSourceStreamReader):
@@ -113,7 +120,13 @@ class SnapshotStreamReader(DataSourceStreamReader):
         # manifest files per trigger on a long-lived table
         self._parent_cache: dict[int, int | None] = {}
         schema_json = _schema_json(self.table_path)
-        self.field_names = [f["name"] for f in json.loads(schema_json)["fields"]]
+        fields = json.loads(schema_json)["fields"]
+        self.field_names = [f["name"] for f in fields]
+        # simple-type names ('long', 'string', ...); nested types arrive
+        # as dicts and fall back to the row path in read()
+        self.field_types = [
+            f["type"] if isinstance(f["type"], str) else "complex" for f in fields
+        ]
 
     def _parent(self, v: int) -> int | None:
         """Cached parent pointer; None also when the manifest itself has
@@ -195,19 +208,47 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 if f not in prev:
                     parts.append(
                         SnapshotFilePartition(
-                            os.path.join(ddir, f), v, self.field_names
+                            os.path.join(ddir, f), v, self.field_names,
+                            self.field_types,
                         )
                     )
         return parts
 
+    # Spark simple-type name -> the Arrow type the Python-data-source
+    # Arrow fast path must hand back (Spark 4 accepts pyarrow
+    # RecordBatches from read(), skipping per-row Python entirely)
+    _ARROW_SAFE = {
+        "long": "int64", "integer": "int32", "short": "int16", "byte": "int8",
+        "double": "float64", "float": "float32", "string": "string",
+        "boolean": "bool",
+    }
+
     def read(self, partition: SnapshotFilePartition):
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(partition.path)
-        names = set(tbl.schema.names)
+        names, types = partition.field_names, partition.field_types
+        safe = all(t in self._ARROW_SAFE for t in types) and set(names) <= set(
+            tbl.schema.names
+        )
+        if safe:
+            # Arrow fast path: project + cast to the declared schema and
+            # yield RecordBatches — micro-batch ingestion at Arrow speed,
+            # no per-row Python. Files written before a schema evolution
+            # (missing columns) or with nested types take the row path.
+            arrays = [
+                tbl.column(n).cast(pa.type_for_alias(self._ARROW_SAFE[t]))
+                for n, t in zip(names, types)
+            ]
+            arrays.append(pa.array([partition.version] * len(tbl), pa.int32()))
+            out = pa.table(arrays, names=names + ["_commit_version"])
+            yield from out.to_batches()
+            return
+        avail = set(tbl.schema.names)
         for row in tbl.to_pylist():
             yield tuple(
-                row[n] if n in names else None for n in partition.field_names
+                row[n] if n in avail else None for n in names
             ) + (partition.version,)
 
     def commit(self, end: dict) -> None:
