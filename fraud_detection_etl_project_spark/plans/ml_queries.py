@@ -3260,7 +3260,56 @@ _CF_BUCKET_SQL = (
     "CAST(('0x' || substring(md5('conf1|' || CAST(event_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10"
 )
 
-_CF_HIST_WIDTH = 4096  # micro-units per histogram cell (phase-1 rank selection)
+_CF_HIST_WIDTH = 1 << 22  # micro-units per histogram cell (rank selection)
+
+
+def _kth_smallest_histogram(resid: DataFrame, val_col: str, tie_col: str) -> DataFrame:
+    """1-row frame holding the ceil((n+1)*0.9)-th smallest ``val_col``
+    (alpha=0.1 split-conformal rank), by histogram-rank selection with
+    NO global sort and NO window:
+
+    - phase 1: a map-side-combined bucket histogram (``val_col`` //
+      _CF_HIST_WIDTH) collected to the driver — parameter-sized (cells
+      bounded by value-range/width, ~10^2 here; the same bounded-collect
+      class as the k-means codebooks), from which the driver derives n,
+      k, the bucket containing rank k, and the rows before it;
+    - phase 2: the k-th element INSIDE that one bucket via
+      orderBy(val, tie).limit(k_in_bucket) -> max(val) — Spark compiles
+      the orderBy+limit to TakeOrderedAndProject (per-partition top-k +
+      merge), so nothing fact-scaled is globally sorted. Ordering ties
+      on ``tie_col`` matches the oracle's total order; max() over the
+      k smallest is exactly the k-th because val is the leading key.
+
+    The round-5 shape (unpartitioned row_number over the full
+    calibration split — a fixed FRACTION of the fact) was the repo's
+    one shipped scale-killer; a first histogram-fold rewrite was exact
+    but paid ~8 extra stages. This is both exact and stage-minimal.
+    A degenerate value range (every row in one bucket) degrades to
+    top-k of that bucket — recursing the split one level deeper is the
+    standard extension (see exact_median_twopass)."""
+    hb = (F.col(val_col) / F.lit(_CF_HIST_WIDTH)).cast("long")
+    cells = sorted(
+        (r["hb"], r["cnt"])
+        for r in resid.groupBy(hb.alias("hb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .collect()
+    )
+    n = sum(c for _h, c in cells)
+    k = ((n + 1) * 9 + 9) // 10
+    spark = resid.sparkSession
+    before = 0
+    for h, c in cells:
+        if before + c >= k:
+            in_bucket = resid.filter(hb == F.lit(int(h)))
+            return (
+                in_bucket.orderBy(F.col(val_col).asc(), F.col(tie_col).asc())
+                .limit(int(k - before))
+                .agg(F.max(val_col).alias("q"))
+            )
+        before += c
+    # empty calibration: no rank exists — an empty qhat frame (the
+    # oracle's qhat CTE is empty too, so downstream joins agree)
+    return spark.createDataFrame([], "q bigint")
 
 _CONFORMAL_SQL = f"""
 WITH b AS (
@@ -3315,18 +3364,16 @@ def conformal_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.
 
     Scale shape: one grouped mean over the train split (map-side
-    combined), one residual scan, then the k-th order statistic via the
-    two-phase HISTOGRAM-RANK selection (same pattern as
-    exact_median_twopass): phase 1 reduces the calibration residuals to
-    a bounded bucket histogram (map-side combined) and locates the
-    bucket containing rank k with a row-local aggregate() scan over the
-    collected histogram array (parameter-sized, like the k-means
-    codebooks); phase 2 ranks ONLY inside that bucket. The calibration
-    split is a fixed FRACTION of the fact (md5 buckets 6-7, ~20%), so a
-    global row_number sort over it — the round-5 shape — was a
-    single-partition sort that grew linearly with the data; the
-    histogram path shuffles a histogram plus one bucket and has NO
-    unpartitioned window at all."""
+    combined), one residual scan, then the k-th order statistic via
+    two-phase HISTOGRAM-RANK selection (_kth_smallest_histogram, same
+    family as exact_median_twopass): a parameter-sized bucket histogram
+    locates rank k's bucket driver-side, and the element comes from a
+    TakeOrderedAndProject (orderBy+limit+max) INSIDE that one bucket.
+    The calibration split is a fixed FRACTION of the fact (md5 buckets
+    6-7, ~20%), so a global row_number sort over it — the round-5 shape
+    — was a single-partition sort that grew linearly with the data; the
+    histogram path sorts nothing fact-scaled and has NO unpartitioned
+    window at all."""
     e = _t(spark, sf_dir, "events")
     bucket = (
         F.conv(
@@ -3362,56 +3409,7 @@ def conformal_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k-th order statistic by histogram-rank selection — no fact-scaled
     # global sort (see docstring). Bucket width 4096 micro-units keeps the
     # phase-1 histogram bounded by residual-range/4096 cells.
-    hb = (F.col("r_q") / F.lit(_CF_HIST_WIDTH)).cast("long")
-    hist = resid.groupBy(hb.alias("hb")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
-    # fold the (bounded) histogram into one sorted array and locate the
-    # bucket containing rank k with a row-local aggregate() — no Window,
-    # no fact-scaled single-partition sort; the collect_list input is the
-    # aggregated histogram, the same parameter-sized class as codebooks
-    cells = hist.agg(
-        F.sort_array(F.collect_list(F.struct(F.col("hb"), F.col("cnt")))).alias("cells")
-    ).withColumn(
-        "k",
-        F.floor(
-            (
-                (
-                    F.aggregate(
-                        "cells", F.lit(0).cast("long"), lambda a, c: a + c["cnt"]
-                    )
-                    + 1
-                )
-                * 9
-                + 9
-            )
-            / F.lit(10)
-        ).cast("bigint"),
-    )
-    acc0 = F.struct(
-        F.lit(0).cast("long").alias("run"),
-        F.lit(-1).cast("long").alias("hb"),
-        F.lit(0).cast("long").alias("before"),
-    )
-
-    def _scan(a, c):
-        crossing = (a["hb"] == -1) & (a["run"] + c["cnt"] >= F.col("k"))
-        return F.struct(
-            (a["run"] + c["cnt"]).alias("run"),
-            F.when(crossing, c["hb"]).otherwise(a["hb"]).alias("hb"),
-            F.when(crossing, a["run"]).otherwise(a["before"]).alias("before"),
-        )
-
-    target = cells.select(
-        F.aggregate("cells", acc0, _scan).alias("t"), "k"
-    ).select(F.col("t.hb").alias("hb"), F.col("t.before").alias("before"), "k")
-    wrank = Window.partitionBy("hb").orderBy(F.col("r_q").asc(), F.col("event_id").asc())
-    qhat = (
-        resid.join(F.broadcast(target), hb == F.col("hb"))
-        .withColumn("rn", F.row_number().over(wrank).cast("bigint"))
-        .filter(F.col("rn") == F.col("k") - F.col("before"))
-        .select(F.col("r_q").alias("q"))
-    )
+    qhat = _kth_smallest_histogram(resid, "r_q", "event_id")
     covered = F.when(r_q <= F.col("q"), 1).otherwise(0)
     return (
         test.join(F.broadcast(model), "event_type")

@@ -579,7 +579,6 @@ def user_hour_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CFR_BUCKET_SQL = (
     "CAST(('0x' || substring(md5('cfr1|' || CAST(o_orderkey AS VARCHAR)), 1, 6)) AS BIGINT) % 10"
 )
-_CFR_HIST_WIDTH = 4096  # micro-units per histogram cell (rank selection)
 
 _CONFORMAL_RISK_SQL = f"""
 WITH b AS (
@@ -631,13 +630,14 @@ def conformal_risk_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Composition: model family = risk_queries hard-sigmoid GD (exact int64
     gradients, weights as driver-side scalars); calibration = ml_queries
-    split-conformal with the HISTOGRAM-RANK k-th order statistic — a
-    bounded bucket histogram folded into one sorted array, scanned with a
-    row-local aggregate(), then a rank inside the single target bucket.
-    No unpartitioned window, no fact-scaled single-partition sort.
+    split-conformal with the HISTOGRAM-RANK k-th order statistic
+    (_kth_smallest_histogram): a parameter-sized bucket histogram locates
+    rank k's bucket driver-side, then TakeOrderedAndProject inside that
+    single bucket yields the element. No unpartitioned window, no
+    fact-scaled single-partition sort.
 
     Scale shape: 2 gradient scans (3-number aggregates) + 1 histogram
-    aggregate + 1 in-bucket rank + 2 broadcast-scalar joins over the test
+    aggregate + 1 in-bucket top-k + 2 broadcast-scalar joins over the test
     scan. Everything fact-sized is map-side combined."""
     o = _t(spark, sf_dir, "orders")
     bucket = (
@@ -686,51 +686,12 @@ def conformal_risk_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", r_q.alias("r_q")
     )
     # histogram-rank selection of the ceil((n+1)*0.9)-th smallest residual
-    # (same pattern as conformal_value_intervals — see its docstring)
-    hb = (F.col("r_q") / F.lit(_CFR_HIST_WIDTH)).cast("long")
-    hist = resid.groupBy(hb.alias("hb")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
-    cells = hist.agg(
-        F.sort_array(F.collect_list(F.struct(F.col("hb"), F.col("cnt")))).alias("cells")
-    ).withColumn(
-        "k",
-        F.floor(
-            (
-                (
-                    F.aggregate("cells", F.lit(0).cast("long"), lambda a, c: a + c["cnt"])
-                    + 1
-                )
-                * 9
-                + 9
-            )
-            / F.lit(10)
-        ).cast("bigint"),
-    )
-    acc0 = F.struct(
-        F.lit(0).cast("long").alias("run"),
-        F.lit(-1).cast("long").alias("hb"),
-        F.lit(0).cast("long").alias("before"),
+    # (shared helper — see its docstring for the scale rationale)
+    from fraud_detection_etl_project_spark.plans.ml_queries import (
+        _kth_smallest_histogram,
     )
 
-    def _scan(a, c):
-        crossing = (a["hb"] == -1) & (a["run"] + c["cnt"] >= F.col("k"))
-        return F.struct(
-            (a["run"] + c["cnt"]).alias("run"),
-            F.when(crossing, c["hb"]).otherwise(a["hb"]).alias("hb"),
-            F.when(crossing, a["run"]).otherwise(a["before"]).alias("before"),
-        )
-
-    target = cells.select(F.aggregate("cells", acc0, _scan).alias("t"), "k").select(
-        F.col("t.hb").alias("hb"), F.col("t.before").alias("before"), "k"
-    )
-    wrank = Window.partitionBy("hb").orderBy(F.col("r_q").asc(), F.col("o_orderkey").asc())
-    qhat = (
-        resid.join(F.broadcast(target), hb == F.col("hb"))
-        .withColumn("rn", F.row_number().over(wrank).cast("bigint"))
-        .filter(F.col("rn") == F.col("k") - F.col("before"))
-        .select(F.col("r_q").alias("q"))
-    )
+    qhat = _kth_smallest_histogram(resid, "r_q", "o_orderkey")
     covered = F.when(r_q <= F.col("q"), 1).otherwise(0)
     return (
         b.filter(F.col("bucket") >= 8)
