@@ -196,7 +196,12 @@ def salted_pair_self_join(
     sz = F.count(F.lit(1)).over(Window.partitionBy(*keys))
     e = exploded.withColumn("sz", sz).persist()
 
-    cool = e.filter(F.col("sz") <= bucket_cap).drop("sz")
+    # singleton buckets can't form a pair — drop them BEFORE the join.
+    # For wide band keys (32-bit simhash bands) MOST buckets are
+    # singletons, so this is the document-frequency prefilter that cuts
+    # the join input to the colliding tail; output-invariant by
+    # construction (a pair needs sz >= 2 on both sides).
+    cool = e.filter((F.col("sz") <= bucket_cap) & (F.col("sz") >= 2)).drop("sz")
     a, b = cool.alias("a"), cool.alias("b")
     cool_pairs = (
         a.join(b, keys)
