@@ -271,6 +271,14 @@ def create_branch(
         raise FileNotFoundError(f"snapshot table has no committed version: {table_path}")
     io = resolve_io(table_path)
     p = _ref_path(table_path, name)
+    if not io.exists(p):
+        # sweep any generation log a crashed drop_ref left behind: it is
+        # unreachable while the birth record is absent (every commit path
+        # resolves the ref through _read_ref first), but recreating the
+        # name must not inherit the dead ref's head
+        d = _heads_dir(table_path, name)
+        for g in io.listdir(d):
+            io.remove(os.path.join(d, g))
     io.makedirs(os.path.dirname(p))
     if not io.put_text_if_absent(p, f"{_manifest_name(v)} {kind}"):
         raise ValueError(f"ref {name!r} already exists")
@@ -288,10 +296,15 @@ def create_tag(table_path: str, name: str, version: int | None = None) -> int:
 
 def drop_ref(table_path: str, name: str) -> None:
     io = resolve_io(table_path)
-    io.remove(_ref_path(table_path, name))
+    # generation log FIRST, birth record last: the reverse order could
+    # crash in between and leave an orphaned gen log that a later
+    # create_branch under the same name would silently inherit as its
+    # head (a crash here instead leaves a headless birth record, which
+    # reads as the birth version — safe)
     d = _heads_dir(table_path, name)
     for g in io.listdir(d):
         io.remove(os.path.join(d, g))
+    io.remove(_ref_path(table_path, name))
 
 
 def _chain(table_path: str, head: int) -> list[int]:

@@ -227,3 +227,22 @@ def test_concurrent_threads_on_object_store_lose_nothing(mem_table):
     assert len(chain) == 21  # 1 initial + 20 thread commits, none lost
     # files accumulate one per commit along the chain (append semantics)
     assert len(S.read_manifest(t, head)["files"]) == 21
+
+
+def test_recreated_ref_does_not_inherit_dead_head(mem_table):
+    """drop + recreate under the same name must start at the new birth
+    version — even if a crashed drop left generation-log remnants."""
+    t = mem_table
+    _commit(t, None, "overwrite")            # v1
+    S.create_branch(t, "r")
+    v2 = _commit(t, 1, branch="r")           # r at v2
+    assert S.branch_version(t, "r") == v2
+    # simulate a drop that crashed after removing the birth record but
+    # before sweeping the generation log (the pre-fix failure ordering)
+    MEMORY_IO.remove(S._ref_path(t, "r"))
+    assert S.branch_version(t, "r") is None
+    _commit(t, 1)                            # main to v3
+    S.create_branch(t, "r")                  # recreate at CURRENT (v3)
+    assert S.branch_version(t, "r") == 3, "recreated ref inherited the dead head"
+    v4 = _commit(t, 3, branch="r")
+    assert S.branch_version(t, "r") == v4
