@@ -101,16 +101,27 @@ class PosixFileIO(FileIO):
         with open(path, "rb") as f:
             return f.read()
 
+    @staticmethod
+    def _tmp_for(path: str) -> str:
+        """Same-directory staging name (os.link/replace need one
+        filesystem) that no lister can mistake for a live object: it
+        starts with '.', and every directory the snapshot protocol lists
+        (manifests, heads, refs, data) filters dot-names out. A tmp named
+        '<target>.tmpXX' transiently satisfied startswith('g') /
+        endswith('.json') filters and crashed concurrent readers."""
+        d, base = os.path.split(path)
+        return os.path.join(d, f".tmp-{uuid.uuid4().hex}-{base}")
+
     def write_atomic(self, path: str, data: bytes) -> None:
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + f".tmp{uuid.uuid4().hex}"
+        tmp = self._tmp_for(path)
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, path)
 
     def put_if_absent(self, path: str, data: bytes) -> bool:
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + f".tmp{uuid.uuid4().hex}"
+        tmp = self._tmp_for(path)
         with open(tmp, "wb") as f:
             f.write(data)
         try:

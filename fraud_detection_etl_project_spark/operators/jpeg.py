@@ -226,23 +226,31 @@ class _FastBits:
     """Bit reader over one UNSTUFFED restart interval. A small integer
     accumulator is refilled four bytes at a time; Huffman decode is
     peek16 -> LUT -> skip(length), magnitude bits are one masked shift —
-    no per-bit Python anywhere. Reads past the end see zero padding,
-    which only ever supplies the final byte's pad bits (any attempt to
-    decode a real symbol from padding hits an unassigned LUT entry and
-    raises)."""
+    no per-bit Python anywhere. Reads past the end are zero-padded, but
+    BOUNDED: a well-formed scan consumes at most one speculative peek16
+    past its final symbol, while a truncated scan keeps decoding fake
+    symbols out of the padding (the Annex-K all-zeros prefix is a VALID
+    code, so garbage would otherwise come back silently where the old
+    per-bit reader raised) — exceeding the pad budget raises."""
 
-    __slots__ = ("buf", "pos", "acc", "nbits")
+    __slots__ = ("buf", "pos", "acc", "nbits", "pad_bits")
+
+    _PAD_BUDGET = 48  # > one peek16 + one magnitude read; << one fake block
 
     def __init__(self, buf: bytes):
         self.buf = buf
         self.pos = 0
         self.acc = 0
         self.nbits = 0
+        self.pad_bits = 0
 
     def _fill(self, need: int) -> None:
         while self.nbits < need:
             chunk = self.buf[self.pos : self.pos + 4]
             if not chunk:
+                self.pad_bits += 16
+                if self.pad_bits > self._PAD_BUDGET:
+                    raise ValueError("truncated JPEG scan (read past entropy data)")
                 chunk = b"\x00\x00"  # zero padding past end (see class doc)
             self.pos += len(chunk)
             self.acc = (self.acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")

@@ -3260,17 +3260,24 @@ _CF_BUCKET_SQL = (
     "CAST(('0x' || substring(md5('conf1|' || CAST(event_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10"
 )
 
-_CF_HIST_WIDTH = 1 << 22  # micro-units per histogram cell (rank selection)
+_CF_HIST_WIDTH = 1 << 22  # micro-units per cell for UNBOUNDED residual
+# domains (events.value differences reach ~4e8 micro-units -> ~10^2 cells).
+# The width is a per-domain knob: callers whose residuals live on a KNOWN
+# bounded lattice must pass a width that yields ~10^2-10^4 cells, or the
+# whole split collapses into one bucket and phase 2 degenerates to a
+# fact-scaled top-k (the exact shape this helper exists to avoid).
 
 
-def _kth_smallest_histogram(resid: DataFrame, val_col: str, tie_col: str) -> DataFrame:
+def _kth_smallest_histogram(
+    resid: DataFrame, val_col: str, tie_col: str, width: int = _CF_HIST_WIDTH
+) -> DataFrame:
     """1-row frame holding the ceil((n+1)*0.9)-th smallest ``val_col``
     (alpha=0.1 split-conformal rank), by histogram-rank selection with
     NO global sort and NO window:
 
     - phase 1: a map-side-combined bucket histogram (``val_col`` //
-      _CF_HIST_WIDTH) collected to the driver — parameter-sized (cells
-      bounded by value-range/width, ~10^2 here; the same bounded-collect
+      width) collected to the driver — parameter-sized (cells bounded
+      by value-range/width, ~10^2 here; the same bounded-collect
       class as the k-means codebooks), from which the driver derives n,
       k, the bucket containing rank k, and the rows before it;
     - phase 2: the k-th element INSIDE that one bucket via
@@ -3287,7 +3294,7 @@ def _kth_smallest_histogram(resid: DataFrame, val_col: str, tie_col: str) -> Dat
     A degenerate value range (every row in one bucket) degrades to
     top-k of that bucket — recursing the split one level deeper is the
     standard extension (see exact_median_twopass)."""
-    hb = (F.col(val_col) / F.lit(_CF_HIST_WIDTH)).cast("long")
+    hb = (F.col(val_col) / F.lit(width)).cast("long")
     cells = sorted(
         (r["hb"], r["cnt"])
         for r in resid.groupBy(hb.alias("hb"))
@@ -3407,8 +3414,8 @@ def conformal_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_q = F.floor(F.abs(F.col("value") - F.col("pred")) * F.lit(1e6) + F.lit(0.5)).cast("long")
     resid = cal.join(F.broadcast(model), "event_type").select("event_id", r_q.alias("r_q"))
     # k-th order statistic by histogram-rank selection — no fact-scaled
-    # global sort (see docstring). Bucket width 4096 micro-units keeps the
-    # phase-1 histogram bounded by residual-range/4096 cells.
+    # global sort (see the helper's docstring). Default width suits this
+    # query's unbounded |value - pred| residual domain (~10^2 cells).
     qhat = _kth_smallest_histogram(resid, "r_q", "event_id")
     covered = F.when(r_q <= F.col("q"), 1).otherwise(0)
     return (

@@ -102,21 +102,42 @@ def _paths(table_path: str) -> tuple[str, str]:
 
 # ---------------------------------------------------------------------------
 # Ref heads: CAS'd generation pointers (the commit protocol's only mutable
-# state). A ref's head lives as empty marker files
-# ``_manifests/heads/<ref>/g<gen>-v<version>``; the head is the highest
-# generation. Moving the head from (gen, parent) is ONE conditional create of
-# ``g<gen+1>-v<new>`` — two writers racing the same transition collide on the
-# same object name and exactly one wins (FileIO.put_if_absent). This encodes
-# (ref, parent) in the atomic claim, so two same-parent writers can never
-# both succeed even though manifest version numbers are table-global — the
-# lost-update race a bare version-number claim leaves open. No rename, link,
+# state). A ref's head lives as files ``_manifests/heads/<ref>/g<gen>`` whose
+# CONTENT is the manifest name; the head is the highest generation. Moving
+# the head from (gen, parent) is ONE conditional create of ``g<gen+1>`` —
+# the claim NAME is the generation ALONE (never the version: two same-parent
+# writers publishing different manifest numbers must still collide on one
+# object), so two writers racing the same transition collide and exactly one
+# wins (FileIO.put_if_absent, content-atomic). This encodes (ref, parent) in
+# the atomic claim, closing the lost-update race a bare version-number claim
+# leaves open now that manifest numbers are table-global. No rename, link,
 # or directory atomicity is required beyond conditional create + list, which
 # is exactly what S3-class stores offer (see fileio.py).
 # ---------------------------------------------------------------------------
 
 
-def _heads_dir(table_path: str, ref: str) -> str:
-    return os.path.join(table_path, _MANIFEST_DIR, _HEADS, ref)
+def _heads_dir(table_path: str, ref: str, incarnation: str | None = None) -> str:
+    """Generation-log directory for a ref. Branch/tag refs are
+    INCARNATION-NAMESPACED: the birth record carries a random id and the
+    log lives at heads/<name>.<id>, so a dropped-and-recreated name can
+    never inherit (or race over) a dead incarnation's log — remnants are
+    simply unreachable garbage for vacuum. CURRENT is never dropped and
+    keeps the fixed namespace."""
+    leaf = ref if incarnation is None else f"{ref}.{incarnation}"
+    return os.path.join(table_path, _MANIFEST_DIR, _HEADS, leaf)
+
+
+def _ref_incarnation(table_path: str, ref: str) -> str | None:
+    """The incarnation id recorded in a ref's birth record (None for
+    CURRENT, legacy records without one, or absent refs)."""
+    if ref == _CURRENT:
+        return None
+    io = resolve_io(table_path)
+    p = _ref_path(table_path, ref)
+    if not io.exists(p):
+        return None
+    parts = io.read_text(p).strip().split()
+    return parts[2] if len(parts) > 2 else None
 
 
 def _gen_name(gen: int) -> str:
@@ -138,7 +159,7 @@ def _gen_head(table_path: str, ref: str) -> tuple[int, int | None]:
     between the listing and the content read (it always keeps the
     current max, so a retry converges)."""
     io = resolve_io(table_path)
-    d = _heads_dir(table_path, ref)
+    d = _heads_dir(table_path, ref, _ref_incarnation(table_path, ref))
     for _attempt in range(64):
         gens = [_parse_gen(n) for n in io.listdir(d) if n.startswith("g")]
         if not gens:
@@ -176,7 +197,7 @@ def _cas_head(table_path: str, ref: str, gen: int, new_version: int) -> bool:
     ``new_version``. False means another writer claimed the transition
     first (the caller must abort/retry — its parent is stale)."""
     io = resolve_io(table_path)
-    d = _heads_dir(table_path, ref)
+    d = _heads_dir(table_path, ref, _ref_incarnation(table_path, ref))
     io.makedirs(d)
     return io.put_text_if_absent(
         os.path.join(d, _gen_name(gen + 1)), _manifest_name(new_version)
@@ -271,16 +292,13 @@ def create_branch(
         raise FileNotFoundError(f"snapshot table has no committed version: {table_path}")
     io = resolve_io(table_path)
     p = _ref_path(table_path, name)
-    if not io.exists(p):
-        # sweep any generation log a crashed drop_ref left behind: it is
-        # unreachable while the birth record is absent (every commit path
-        # resolves the ref through _read_ref first), but recreating the
-        # name must not inherit the dead ref's head
-        d = _heads_dir(table_path, name)
-        for g in io.listdir(d):
-            io.remove(os.path.join(d, g))
     io.makedirs(os.path.dirname(p))
-    if not io.put_text_if_absent(p, f"{_manifest_name(v)} {kind}"):
+    # the birth record carries a fresh incarnation id: this ref's
+    # generation log lives in its own namespace, so remnants of a
+    # previously dropped ref of the same name are unreachable by
+    # construction — no sweep, hence no sweep-vs-commit race
+    inc = uuid.uuid4().hex[:12]
+    if not io.put_text_if_absent(p, f"{_manifest_name(v)} {kind} {inc}"):
         raise ValueError(f"ref {name!r} already exists")
     return v
 
@@ -295,16 +313,16 @@ def create_tag(table_path: str, name: str, version: int | None = None) -> int:
 
 
 def drop_ref(table_path: str, name: str) -> None:
+    """Remove a ref: deleting the birth record alone suffices — the
+    incarnation-namespaced generation log becomes unreachable garbage
+    (no commit path resolves a ref without its birth record) and vacuum
+    sweeps dead-incarnation logs later."""
     io = resolve_io(table_path)
-    # generation log FIRST, birth record last: the reverse order could
-    # crash in between and leave an orphaned gen log that a later
-    # create_branch under the same name would silently inherit as its
-    # head (a crash here instead leaves a headless birth record, which
-    # reads as the birth version — safe)
-    d = _heads_dir(table_path, name)
+    inc = _ref_incarnation(table_path, name)
+    io.remove(_ref_path(table_path, name))
+    d = _heads_dir(table_path, name, inc)
     for g in io.listdir(d):
         io.remove(os.path.join(d, g))
-    io.remove(_ref_path(table_path, name))
 
 
 def _chain(table_path: str, head: int) -> list[int]:
@@ -644,15 +662,26 @@ def _publish(
     parent_inline = parent_m.get("stats", {})
     stats = dict(stats or {})
     new_entries = {f: s for f, s in stats.items() if f not in parent_inline}
-    if len(new_entries) > _INLINE_STATS_MAX:
-        shard = f"stats-{uuid.uuid4().hex}.ndjson"
+    # shard when the NEW entries are big, or when the accumulated inline
+    # dict would cross the cap — incremental small appends (streaming
+    # ingest: a few files per micro-batch) must not grow the inline dict
+    # one entry per live file forever, or the manifest re-bloats and
+    # planning falls back to the O(#files) driver loop the shards exist
+    # to remove. On crossover the ENTIRE current inline set migrates to
+    # the shard, so inline stays <= the cap for the table's lifetime.
+    if len(new_entries) > _INLINE_STATS_MAX or len(stats) > _INLINE_STATS_MAX:
+        to_shard = new_entries if len(new_entries) > _INLINE_STATS_MAX else stats
+        # the embedded version lets vacuum prove a dangling shard dead:
+        # unreferenced AND version <= committed head (an in-flight
+        # commit's shard is always above the head, or doomed to conflict)
+        shard = f"stats-v{version:07d}-{uuid.uuid4().hex}.ndjson"
         lines = [
             json.dumps({"f": f, **s}, separators=(",", ":"))
-            for f, s in new_entries.items()
+            for f, s in to_shard.items()
         ]
         io.put_text_if_absent(os.path.join(mdir, shard), "\n".join(lines) + "\n")
         stats_shards = stats_shards + [shard]
-        stats = {f: s for f, s in stats.items() if f in parent_inline}
+        stats = {f: s for f, s in stats.items() if f not in to_shard}
     manifest = {
         "version": version,
         "parent": parent,
@@ -749,12 +778,6 @@ def _evolved_schema_json(table_path: str, parent: int | None, df: DataFrame) -> 
     return StructType(fields).json()
 
 
-# (table_path, version) -> batch_id | None. Manifests are immutable, so the
-# cache never goes stale; it also keeps a vacuumed-but-already-seen batch id
-# in the horizon for the life of the process (conservative for exactly-once).
-_BATCH_ID_CACHE: dict[tuple[str, int], str | None] = {}
-
-
 def committed_batch_ids(table_path: str) -> set[str]:
     """Batch ids on the REACHABLE history of every ref head — the
     exactly-once dedup horizon. Reachability (parent-chain walk from
@@ -762,7 +785,15 @@ def committed_batch_ids(table_path: str) -> set[str]:
     an ORPHAN manifest — a crashed commit that wrote its manifest but
     never won the ref CAS — cannot make a replayed batch look already
     committed: its rows are not in any readable version, so the replay
-    must re-commit them."""
+    must re-commit them.
+
+    Deliberately UNCACHED: a (path, version) -> batch_id cache survives
+    a table being dropped and recreated at the same path, where version
+    numbers restart and the NEW table's first batches would be silently
+    deduplicated against the dead incarnation's ids — data loss. The
+    walk is O(live history) manifest reads per batched append, bounded
+    by the vacuum horizon (keep the retention window at the replay
+    window, as the module docstring prescribes)."""
     io = resolve_io(table_path)
     mdir, _ = _paths(table_path)
     heads = [current_version(table_path)]
@@ -774,10 +805,7 @@ def committed_batch_ids(table_path: str) -> set[str]:
         if h is None:
             continue
         for v in _chain(table_path, h):
-            key = (table_path, v)
-            if key not in _BATCH_ID_CACHE:
-                _BATCH_ID_CACHE[key] = read_manifest(table_path, v).get("batch_id")
-            b = _BATCH_ID_CACHE[key]
+            b = read_manifest(table_path, v).get("batch_id")
             if b is not None:
                 ids.add(b)
     return ids
@@ -1530,8 +1558,16 @@ def read_changes(
                 keys = _read_files(spark, table_path, new_dvs, None).select(
                     F.col("f").alias("__dvf"), F.col("pos").alias("__dvp")
                 )
+                # the DV entries NAME the files they touch — read only
+                # those, not the whole snapshot (a 10-row delete on a
+                # 10^5-file table must not make the feed a table scan);
+                # the distinct-name collect is bounded by the DV size
+                touched = sorted(
+                    r["__dvf"] for r in keys.select("__dvf").distinct().collect()
+                )
+                live = [f for f in m["files"] if f in set(touched)]
                 rows = (
-                    _read_files(spark, table_path, m["files"], m.get("schema"))
+                    _read_files(spark, table_path, live, m.get("schema"))
                     .withColumn("__f", _fname())
                     .withColumn("__p", F.col("_metadata.row_index"))
                 )
@@ -1569,7 +1605,21 @@ def read_changes(
     return out
 
 
-def vacuum(table_path: str, keep_versions: int = 1) -> list[str]:
+def _shard_version(name: str) -> int | None:
+    """Commit version embedded in a stats-shard name
+    (stats-v0000042-<hex>.ndjson -> 42); None for legacy unversioned
+    names."""
+    if name.startswith("stats-v"):
+        try:
+            return int(name[len("stats-v"):].split("-", 1)[0])
+        except ValueError:
+            return None
+    return None
+
+
+def vacuum(
+    table_path: str, keep_versions: int = 1, grace_seconds: float = 0.0
+) -> list[str]:
     """Drop manifests older than the newest ``keep_versions`` and delete
     data files no surviving manifest references (plus any orphaned
     staging dirs). Returns the deleted file names. Time travel reaches
@@ -1582,7 +1632,21 @@ def vacuum(table_path: str, keep_versions: int = 1) -> list[str]:
     ``fast_forward`` for every in-flight WAP branch (its fork-point
     lineage gone); the chain manifests are metadata-only JSON, so the
     cost is the data files they pin — exactly the retention a live
-    branch/tag promises."""
+    branch/tag promises.
+
+    Concurrent-writer safety: stats shards are only deleted when
+    unreferenced AND their embedded commit version is <= CURRENT — an
+    in-flight commit's shard always carries a version ABOVE the
+    committed head (or is doomed to a manifest-number conflict), so
+    vacuum cannot delete metadata out from under a commit that will
+    succeed. Data files have no version in their name, so their window
+    (staged/renamed but not yet committed) is covered by
+    ``grace_seconds``: on the POSIX backend, unreferenced data files and
+    staging dirs younger than the grace are skipped. The default 0 keeps
+    eager test semantics; production vacuums set it above the longest
+    plausible commit duration (Iceberg's ``older_than``)."""
+    import time as _time
+
     io = resolve_io(table_path)
     mdir, ddir = _paths(table_path)
     cur = current_version(table_path)
@@ -1602,29 +1666,60 @@ def vacuum(table_path: str, keep_versions: int = 1) -> list[str]:
         referenced.update(d["name"] for d in m.get("delete_files", []))
         referenced.update(d["name"] for d in m.get("dv_files", []))
         referenced.update(m.get("stats_shards", []))
+    cutoff = _time.time() - grace_seconds
+
+    def _young(path: str) -> bool:
+        if grace_seconds <= 0:
+            return False
+        try:
+            return os.path.getmtime(path) > cutoff  # POSIX backend only
+        except OSError:
+            return True  # vanished/unstattable: do not touch
     deleted = []
     for f in sorted(io.listdir(ddir)):
-        if f not in referenced:
-            io.remove(os.path.join(ddir, f))
+        if f.startswith("."):
+            continue
+        p = os.path.join(ddir, f)
+        if f not in referenced and not _young(p):
+            io.remove(p)
             deleted.append(f)
     for m in sorted(io.listdir(mdir)):
+        if m.startswith("."):
+            continue
         if m.startswith("v") and m.endswith(".json") and _parse_version(m) not in keep:
             io.remove(os.path.join(mdir, m))
         elif m.endswith(".ndjson") and m not in referenced:
-            io.remove(os.path.join(mdir, m))  # orphaned stats shards
-    # prune the ref CAS logs: only each ref's highest generation carries
-    # state, and new generations are only ever ADDED — deleting the lower
-    # ones can never race a reader into seeing an empty log
+            sv = _shard_version(m)
+            if sv is None or sv <= cur:  # see concurrent-writer note above
+                io.remove(os.path.join(mdir, m))
+    # prune the ref CAS logs. Within a LIVE (ref, incarnation) log only
+    # the highest generation carries state, and generations are only
+    # ever ADDED — deleting lower ones can never race a reader into an
+    # empty log. Logs of DEAD incarnations (dropped refs) are removed
+    # whole. Heads are listed BEFORE refs are resolved: a log only ever
+    # appears after its birth record, so any log in this listing whose
+    # identity matches no ref that is live at the LATER refs read is
+    # genuinely dead.
     heads_root = os.path.join(mdir, _HEADS)
-    for ref in io.listdir(heads_root):
-        gens = sorted(
-            _parse_gen(g) for g in io.listdir(os.path.join(heads_root, ref))
-            if g.startswith("g")
-        )
+    head_dirs = [h for h in io.listdir(heads_root) if not h.startswith(".")]
+    live = {_CURRENT}
+    for r in io.listdir(os.path.join(mdir, _REFS)):
+        if r.startswith("."):
+            continue
+        inc = _ref_incarnation(table_path, r)
+        live.add(r if inc is None else f"{r}.{inc}")
+    for h in head_dirs:
+        d = os.path.join(heads_root, h)
+        names = [g for g in io.listdir(d) if g.startswith("g")]
+        if h not in live:
+            for g in names:
+                io.remove(os.path.join(d, g))
+            continue
+        gens = sorted(_parse_gen(g) for g in names)
         for g in gens[:-1]:
-            io.remove(os.path.join(heads_root, ref, _gen_name(g)))
+            io.remove(os.path.join(d, _gen_name(g)))
     for d in io.listdir(table_path):
-        if d.startswith("_staging_"):
+        if d.startswith("_staging_") and not _young(os.path.join(table_path, d)):
             shutil.rmtree(os.path.join(table_path, d), ignore_errors=True)
             deleted.append(d)
     return deleted

@@ -339,8 +339,9 @@ def test_version_numbers_past_five_digits(spark, tmp_path):
     m["version"], m["parent"] = 123456, None
     with open(_os.path.join(mdir, big), "w") as f:
         json.dump(m, f)
-    # advance the ref CAS log to the fabricated version (gen names carry
-    # the same unpadded-growth property: g<gen>-v123456 must parse)
+    # advance the ref CAS log to the fabricated version: the claim file's
+    # NAME is the generation alone; the manifest name (with its unpadded
+    # 6-digit version) rides in the CONTENT, which must parse
     hdir = _os.path.join(mdir, "heads", "CURRENT")
     _os.makedirs(hdir, exist_ok=True)
     with open(_os.path.join(hdir, S._gen_name(2)), "w") as f:
