@@ -3260,63 +3260,110 @@ _CF_BUCKET_SQL = (
     "CAST(('0x' || substring(md5('conf1|' || CAST(event_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10"
 )
 
-_CF_HIST_WIDTH = 1 << 22  # micro-units per cell for UNBOUNDED residual
-# domains (events.value differences reach ~4e8 micro-units -> ~10^2 cells).
-# The width is a per-domain knob: callers whose residuals live on a KNOWN
-# bounded lattice must pass a width that yields ~10^2-10^4 cells, or the
-# whole split collapses into one bucket and phase 2 degenerates to a
-# fact-scaled top-k (the exact shape this helper exists to avoid).
+_CF_HIST_CELLS = 1024  # target cells per histogram level — the driver
+# collect at every level is bounded by this constant regardless of the
+# residual domain (the width is DERIVED from an observed min/max, never
+# a per-caller constant: round-6's one scale bug was a hand-tuned width
+# collapsing a bounded lattice into a single cell).
+_CF_TAKE_BOUND = 4096  # max rows a final TakeOrderedAndProject may pull
+# to the driver; buckets holding more than this many of the k smallest
+# are re-histogrammed one level deeper instead.
 
 
-def _kth_smallest_histogram(
-    resid: DataFrame, val_col: str, tie_col: str, width: int = _CF_HIST_WIDTH
-) -> DataFrame:
+def _derive_width(lo: int, hi: int, cells: int = _CF_HIST_CELLS) -> int:
+    """Histogram cell width that buckets the integer span [lo, hi] into
+    at most ``cells`` (+1) cells: max(1, span // cells + 1). Structural
+    guard — no caller supplies a width, so no caller can misconfigure
+    one (see the width-guard unit test)."""
+    return max(1, (int(hi) - int(lo)) // cells + 1)
+
+
+def _kth_smallest_histogram(resid: DataFrame, val_col: str, tie_col: str) -> DataFrame:
     """1-row frame holding the ceil((n+1)*0.9)-th smallest ``val_col``
-    (alpha=0.1 split-conformal rank), by histogram-rank selection with
-    NO global sort and NO window:
+    (alpha=0.1 split-conformal rank; ``val_col`` must be a non-negative
+    integer column), by RECURSIVE histogram-rank selection with NO
+    global sort and NO window:
 
-    - phase 1: a map-side-combined bucket histogram (``val_col`` //
-      width) collected to the driver — parameter-sized (cells bounded
-      by value-range/width, ~10^2 here; the same bounded-collect
-      class as the k-means codebooks), from which the driver derives n,
-      k, the bucket containing rank k, and the rows before it;
-    - phase 2: the k-th element INSIDE that one bucket via
-      orderBy(val, tie).limit(k_in_bucket) -> max(val) — Spark compiles
-      the orderBy+limit to TakeOrderedAndProject (per-partition top-k +
-      merge), so nothing fact-scaled is globally sorted. Ordering ties
-      on ``tie_col`` matches the oracle's total order; max() over the
-      k smallest is exactly the k-th because val is the leading key.
+    - a 3-number agg (min/max/count) derives n, rank k, and the value
+      span — the cell width is span/1024, so occupancy is balanced BY
+      CONSTRUCTION for any residual domain (unbounded micro-unit
+      residuals and [0, 1e6] lattices alike);
+    - each level: a map-side-combined per-cell (count, min, max)
+      histogram — driver collect bounded by _CF_HIST_CELLS — locates
+      the cell containing rank k;
+    - if that cell's k_in_bucket <= _CF_TAKE_BOUND, the element comes
+      from orderBy(val, tie).limit(k_in) -> max(val) inside the one
+      cell — Spark compiles this to TakeOrderedAndProject
+      (per-partition top-k + merge), so nothing fact-scaled is ever
+      globally sorted and the driver never receives more than
+      _CF_TAKE_BOUND rows. Ties order on ``tie_col`` to match the
+      oracle's total order; max() over the k smallest is exactly the
+      k-th because val is the leading key;
+    - otherwise the selected cell is re-histogrammed with a width
+      derived from ITS exact min/max (already in hand from the per-cell
+      stats — no extra job). The span shrinks >= _CF_HIST_CELLS x per
+      level, so <= 7 levels cover a 63-bit domain; a cell whose
+      min == max IS the answer (returned as a literal, no sort at all —
+      this is the well-fit-model case where ~all residuals tie).
 
-    The round-5 shape (unpartitioned row_number over the full
-    calibration split — a fixed FRACTION of the fact) was the repo's
-    one shipped scale-killer; a first histogram-fold rewrite was exact
-    but paid ~8 extra stages. This is both exact and stage-minimal.
-    A degenerate value range (every row in one bucket) degrades to
-    top-k of that bucket — recursing the split one level deeper is the
-    standard extension (see exact_median_twopass)."""
-    hb = (F.col(val_col) / F.lit(width)).cast("long")
-    cells = sorted(
-        (r["hb"], r["cnt"])
-        for r in resid.groupBy(hb.alias("hb"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .collect()
-    )
-    n = sum(c for _h, c in cells)
-    k = ((n + 1) * 9 + 9) // 10
+    This bounds the round-6 degenerate case (residuals concentrated in
+    one cell made k_in_bucket ~ 0.9n — a fact-sized driver collect) and
+    retires the per-caller width knob that caused it. The round-5 shape
+    (unpartitioned row_number over the full calibration split) was the
+    repo's one shipped scale-killer; see SCALE.md for the lineage."""
     spark = resid.sparkSession
-    before = 0
-    for h, c in cells:
-        if before + c >= k:
-            in_bucket = resid.filter(hb == F.lit(int(h)))
-            return (
-                in_bucket.orderBy(F.col(val_col).asc(), F.col(tie_col).asc())
-                .limit(int(k - before))
-                .agg(F.max(val_col).alias("q"))
+    head = resid.agg(
+        F.min(val_col).alias("lo"),
+        F.max(val_col).alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    ).collect()[0]
+    n = int(head["n"])
+    if n == 0:
+        # empty calibration: no rank exists — an empty qhat frame (the
+        # oracle's qhat CTE is empty too, so downstream joins agree)
+        return spark.createDataFrame([], "q bigint")
+    k = ((n + 1) * 9 + 9) // 10
+    lo, hi = int(head["lo"]), int(head["hi"])
+    current = resid
+    # span shrinks >= _CF_HIST_CELLS x per level: 8 levels > log_1024(2^63),
+    # so the range is never exhausted for long-typed values.
+    for _level in range(8):
+        if lo == hi:
+            return spark.createDataFrame([(lo,)], "q bigint")
+        width = _derive_width(lo, hi)
+        hb = (F.col(val_col) / F.lit(width)).cast("long")
+        cells = sorted(
+            (r["hb"], r["cnt"], r["bmin"], r["bmax"])
+            for r in current.groupBy(hb.alias("hb"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                F.min(val_col).alias("bmin"),
+                F.max(val_col).alias("bmax"),
             )
-        before += c
-    # empty calibration: no rank exists — an empty qhat frame (the
-    # oracle's qhat CTE is empty too, so downstream joins agree)
-    return spark.createDataFrame([], "q bigint")
+            .collect()
+        )
+        before = 0
+        for h, c, bmin, bmax in cells:
+            if before + c < k:
+                before += c
+                continue
+            k_in = k - before
+            if bmin == bmax:
+                # every row in the cell ties: the k-th smallest IS bmin
+                return spark.createDataFrame([(int(bmin),)], "q bigint")
+            in_bucket = current.filter(hb == F.lit(int(h)))
+            if k_in <= _CF_TAKE_BOUND:
+                return (
+                    in_bucket.orderBy(F.col(val_col).asc(), F.col(tie_col).asc())
+                    .limit(int(k_in))
+                    .agg(F.max(val_col).alias("q"))
+                )
+            current, k, lo, hi = in_bucket, k_in, int(bmin), int(bmax)
+            break
+    raise AssertionError(
+        "histogram-rank recursion exceeded 8 levels — impossible for a "
+        "64-bit integer domain with 1024 cells/level"
+    )
 
 _CONFORMAL_SQL = f"""
 WITH b AS (
@@ -3414,8 +3461,8 @@ def conformal_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_q = F.floor(F.abs(F.col("value") - F.col("pred")) * F.lit(1e6) + F.lit(0.5)).cast("long")
     resid = cal.join(F.broadcast(model), "event_type").select("event_id", r_q.alias("r_q"))
     # k-th order statistic by histogram-rank selection — no fact-scaled
-    # global sort (see the helper's docstring). Default width suits this
-    # query's unbounded |value - pred| residual domain (~10^2 cells).
+    # global sort; cell widths derive from the observed residual span
+    # (see the helper's docstring).
     qhat = _kth_smallest_histogram(resid, "r_q", "event_id")
     covered = F.when(r_q <= F.col("q"), 1).otherwise(0)
     return (

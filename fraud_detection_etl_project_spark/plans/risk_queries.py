@@ -692,10 +692,10 @@ def conformal_risk_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # residuals here are |y - s| with y in {0,1} and s clamped to [0,1]:
-    # a BOUNDED [0, 1e6] micro-unit lattice. Width 4096 -> <= 245 cells;
-    # the unbounded-domain default (1<<22) would put every row in one
-    # bucket and degrade phase 2 to a fact-scaled top-k.
-    qhat = _kth_smallest_histogram(resid, "r_q", "o_orderkey", width=4096)
+    # a BOUNDED [0, 1e6] micro-unit lattice. The helper derives its cell
+    # width from the observed min/max (round 7) — no per-caller width
+    # knob to misconfigure.
+    qhat = _kth_smallest_histogram(resid, "r_q", "o_orderkey")
     covered = F.when(r_q <= F.col("q"), 1).otherwise(0)
     return (
         b.filter(F.col("bucket") >= 8)

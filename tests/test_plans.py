@@ -758,12 +758,6 @@ _BNLJ_OK: set[str] = {
 _GLOBAL_WINDOW_OK: dict[str, str] = {
     "sliding_weekly_active_users": "window over per-day aggregate (~days rows)",
     "urgent_price_skyline": "cummax over per-day max-price frame (~days rows)",
-    "conformal_value_intervals": (
-        "residual rank over the CALIBRATION split only — a fixed-size "
-        "sample by design (split-conformal needs one order statistic of "
-        "it; the 100 TB path caps the sample or swaps percentile_approx, "
-        "same plan shape — see the query docstring)"
-    ),
 }
 
 
