@@ -1100,7 +1100,11 @@ def _fname():
 
 
 def _apply_row_filters(
-    spark: SparkSession, table_path: str, df: DataFrame, manifest: dict
+    spark: SparkSession,
+    table_path: str,
+    df: DataFrame,
+    manifest: dict,
+    keep_tags: bool = False,
 ) -> DataFrame:
     """Apply a version's live DELETION VECTORS (position deletes) and
     equality-delete files to a RAW file-backed read, in one pass. The
@@ -1118,10 +1122,21 @@ def _apply_row_filters(
       per-file sequence rule — see delete_keys_mor.
 
     Both sides are O(deleted rows) broadcasts; the data side is never
-    rewritten or shuffled."""
+    rewritten or shuffled.
+
+    ``keep_tags=True`` retains the materialized ``__f``/``__p`` columns
+    for callers that need the live rows' physical coordinates (e.g.
+    delete_where_dv, which must compute NEW deletion-vector positions
+    over rows not already hidden by prior DVs/equality deletes — marking
+    an already-deleted row again would make read_changes emit a
+    duplicate 'delete' event, breaking exactly-once CDC)."""
     dvs = manifest.get("dv_files") or []
     dels = manifest.get("delete_files") or []
     if (not dvs and not dels) or not manifest["files"]:
+        if keep_tags:
+            return df.withColumn("__f", _fname()).withColumn(
+                "__p", F.col("_metadata.row_index")
+            )
         return df
     out = df.withColumn("__f", _fname()).withColumn("__p", F.col("_metadata.row_index"))
     if dvs:
@@ -1150,7 +1165,7 @@ def _apply_row_filters(
         for c in on:
             cond = cond & (F.col(f"__r.{c}") == F.col(f"__k.{c}"))
         out = rows.join(kk, cond, "left_anti").drop("__seq")
-    return out.drop("__f", "__p")
+    return out if keep_tags else out.drop("__f", "__p")
 
 
 def delete_where_dv(
@@ -1173,12 +1188,15 @@ def delete_where_dv(
     candidates, _total = plan_files(table_path, predicates, parent, spark)
     if candidates:
         base = _read_files(spark, table_path, candidates, m.get("schema"))
-        # positions are computed on the RAW file rows; re-marking a row an
-        # earlier DV or equality delete already hides is a harmless
-        # idempotent anti-join hit
+        # positions are computed on the LIVE rows only (prior DVs and
+        # equality deletes filtered out first): read() is idempotent
+        # either way, but re-marking an already-hidden row would make
+        # read_changes emit a duplicate 'delete' event for a row deleted
+        # at an earlier version — exactly-once CDC forbids that
+        live = _apply_row_filters(spark, table_path, base, m, keep_tags=True)
         pos = (
-            base.filter(_pred_expr(predicates))
-            .select(_fname().alias("f"), F.col("_metadata.row_index").alias("pos"))
+            live.filter(_pred_expr(predicates))
+            .select(F.col("__f").alias("f"), F.col("__p").alias("pos"))
         )
         names, dv_stats = _stage_data_files(pos, table_path)
         # drop zero-row DV parts (empty staging partitions): an entry
@@ -1558,6 +1576,21 @@ def read_changes(
                 keys = _read_files(spark, table_path, new_dvs, None).select(
                     F.col("f").alias("__dvf"), F.col("pos").alias("__dvp")
                 )
+                if parent_dv:
+                    # exactly-once: drop entries a parent-version DV already
+                    # covers. delete_where_dv no longer writes such overlaps
+                    # (it computes positions over LIVE rows), but tables
+                    # written before that fix may carry them — their rows
+                    # were emitted as 'delete' at the earlier version.
+                    prior = _read_files(
+                        spark, table_path, sorted(parent_dv), None
+                    ).select(F.col("f").alias("__pf"), F.col("pos").alias("__pp"))
+                    keys = keys.join(
+                        F.broadcast(prior),
+                        (F.col("__dvf") == F.col("__pf"))
+                        & (F.col("__dvp") == F.col("__pp")),
+                        "left_anti",
+                    )
                 # the DV entries NAME the files they touch — read only
                 # those, not the whole snapshot (a 10-row delete on a
                 # 10^5-file table must not make the feed a table scan);
@@ -1565,6 +1598,8 @@ def read_changes(
                 touched = sorted(
                     r["__dvf"] for r in keys.select("__dvf").distinct().collect()
                 )
+                if not touched:  # every entry was a pre-fix overlap
+                    continue
                 live = [f for f in m["files"] if f in set(touched)]
                 rows = (
                     _read_files(spark, table_path, live, m.get("schema"))
@@ -1634,12 +1669,13 @@ def vacuum(
     cost is the data files they pin — exactly the retention a live
     branch/tag promises.
 
-    Concurrent-writer safety: stats shards are only deleted when
-    unreferenced AND their embedded commit version is <= CURRENT — an
-    in-flight commit's shard always carries a version ABOVE the
-    committed head (or is doomed to a manifest-number conflict), so
-    vacuum cannot delete metadata out from under a commit that will
-    succeed. Data files have no version in their name, so their window
+    Concurrent-writer safety: stats shards AND manifests are only
+    deleted when their embedded/parsed commit version is <= CURRENT (and
+    unreferenced / outside the keep set) — an in-flight commit's shard
+    and v(N).json always carry a version ABOVE the committed head (or
+    are doomed to a manifest-number conflict), so vacuum cannot delete
+    metadata out from under a commit that will succeed.
+    Data files have no version in their name, so their window
     (staged/renamed but not yet committed) is covered by
     ``grace_seconds``: on the POSIX backend, unreferenced data files and
     staging dirs younger than the grace are skipped. The default 0 keeps
@@ -1686,8 +1722,17 @@ def vacuum(
     for m in sorted(io.listdir(mdir)):
         if m.startswith("."):
             continue
-        if m.startswith("v") and m.endswith(".json") and _parse_version(m) not in keep:
-            io.remove(os.path.join(mdir, m))
+        if m.startswith("v") and m.endswith(".json"):
+            # only manifests whose version is <= CURRENT-at-vacuum-start
+            # may go: an in-flight commit writes v(cur+1).json BEFORE its
+            # ref CAS, and deleting it would let that CAS succeed pointing
+            # at a missing manifest (same guard as the versioned stats
+            # shards below). A manifest numbered <= cur outside the keep
+            # set is either retired history or a commit doomed to lose its
+            # manifest-number CAS. grace_seconds covers it belt-and-braces.
+            mv = _parse_version(m)
+            if mv not in keep and mv <= cur and not _young(os.path.join(mdir, m)):
+                io.remove(os.path.join(mdir, m))
         elif m.endswith(".ndjson") and m not in referenced:
             sv = _shard_version(m)
             if sv is None or sv <= cur:  # see concurrent-writer note above

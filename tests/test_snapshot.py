@@ -929,3 +929,28 @@ def test_branch_append_with_batch_id_replay_reports_branch_head(spark, tmp_path)
     vb = S.append(_nums(spark, 10, 11), t, branch="b", batch_id="x1")  # v2
     replay = S.append(_nums(spark, 10, 11), t, branch="b", batch_id="x1")
     assert replay == vb == S.branch_version(t, "b")
+
+
+def test_vacuum_spares_inflight_future_manifest(spark, tmp_path):
+    """An in-flight commit writes v(cur+1).json BEFORE its ref CAS; vacuum
+    must never delete a manifest numbered above CURRENT (round-7 guard,
+    mirroring the versioned stats-shard rule) — otherwise the commit's CAS
+    would succeed pointing at a missing manifest."""
+    import json
+    import os
+
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 10), t)   # v1
+    S.append(_nums(spark, 10, 15), t)     # v2
+    cur = S.current_version(t)
+    inflight = os.path.join(t, "_manifests", f"v{cur + 1:05d}.json")
+    with open(inflight, "w") as f:
+        json.dump({"version": cur + 1, "operation": "append", "parent": cur,
+                   "files": [], "stats": {}}, f)
+    S.vacuum(t, keep_versions=1)
+    assert os.path.exists(inflight)          # in-flight manifest survives
+    with pytest.raises(FileNotFoundError):
+        S.read_manifest(t, 1)                # retired history still vacuumed
+    # the in-flight commit can now complete: CAS the head onto it
+    assert S._cas_head(t, "CURRENT", S._gen_head(t, "CURRENT")[0], cur + 1)
+    assert S.current_version(t) == cur + 1

@@ -124,3 +124,30 @@ def test_dv_rollback_restores_dv_state(spark, tmp_path):
     S.rollback(t, v2)                                   # v4 == v2's state
     assert S.read(spark, t).count() == 6
     assert S.read_manifest(t, S.current_version(t))["dv_files"]
+
+
+def test_overlapping_dv_deletes_emit_each_row_once(spark, tmp_path):
+    # exactly-once CDC (round-7 fix): the second predicate re-matches rows
+    # the first DV already hides — positions are computed on LIVE rows, so
+    # the v3 DV must not re-mark n<5 and the feed emits each delete ONCE.
+    t = str(tmp_path / "tbl")
+    S.append(_kv(spark, 0, 20), t)                      # v1
+    S.delete_where_dv(spark, t, [("n", "<", 5)])        # v2: deletes 0-4
+    S.delete_where_dv(spark, t, [("n", "<", 8)])        # v3: only 5-7 are live
+    assert S.read(spark, t).count() == 12
+    ch = S.read_changes(spark, t, from_version=1).collect()
+    dels = sorted((r["n"], r["_commit_version"]) for r in ch if r["_change_type"] == "delete")
+    assert dels == [(0, 2), (1, 2), (2, 2), (3, 2), (4, 2), (5, 3), (6, 3), (7, 3)]
+
+
+def test_dv_overlapping_equality_delete_not_reemitted(spark, tmp_path):
+    # a row hidden by a MoR equality delete must not reappear as a DV
+    # 'delete' change event when a later predicate matches it again
+    t = str(tmp_path / "tbl")
+    S.append(_kv(spark, 0, 10), t)                       # v1
+    S.delete_keys_mor(spark, t, spark.createDataFrame([(2,)], "n: long"))  # v2
+    S.delete_where_dv(spark, t, [("n", "<", 4)])         # v3: 0,1,3 live-match
+    assert S.read(spark, t).count() == 6
+    ch = S.read_changes(spark, t, from_version=2).collect()
+    dv_dels = sorted(r["n"] for r in ch if r["_change_type"] == "delete")
+    assert dv_dels == [0, 1, 3]

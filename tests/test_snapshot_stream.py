@@ -249,3 +249,34 @@ def test_table_to_table_pipeline_exactly_once(spark, tmp_path):
     run()
     got = {r["k"]: r["v10"] for r in S.read(spark, dst).collect()}
     assert len(got) == 13 and got[12] == 240
+
+
+def test_stream_current_version_never_regresses_to_mirror(tmp_path, monkeypatch):
+    """When a generation log EXISTS but every list-then-read attempt loses
+    the race, the stream reader must raise (like snapshot._gen_head), not
+    fall back to the legacy CURRENT mirror — a lagging mirror would move
+    latestOffset backwards (round-7 fix)."""
+    import os
+
+    t = str(tmp_path / "tbl")
+    heads = os.path.join(t, "_manifests", "heads", "CURRENT")
+    os.makedirs(heads)
+    # stale mirror pointing at an OLD version — must never be consulted
+    with open(os.path.join(t, "_manifests", "CURRENT"), "w") as f:
+        f.write("v00001.json")
+    real_listdir = os.listdir
+
+    def ghost_listdir(path):
+        if os.path.abspath(path) == os.path.abspath(heads):
+            return ["g0000000042"]  # listed, but the read will 404
+        return real_listdir(path)
+
+    monkeypatch.setattr(os, "listdir", ghost_listdir)
+    with pytest.raises(RuntimeError, match="unreadable after retries"):
+        SS._current_version(t)
+    monkeypatch.undo()
+    # with NO generation log at all, the mirror fallback still works
+    import shutil
+
+    shutil.rmtree(os.path.join(t, "_manifests", "heads"))
+    assert SS._current_version(t) == 1
