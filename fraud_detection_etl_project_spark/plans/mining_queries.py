@@ -4017,6 +4017,75 @@ def snapshot_mor_delete_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "snapshot_mor_merge_rollup",
+    oracle=f"""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {cents_sum_sql('price')} AS total_price
+FROM (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+              ELSE o_totalprice END AS price
+  FROM orders
+  WHERE o_orderkey % 3 IN (0, 1)
+    AND (o_orderkey % 7 = 0 OR o_orderkey % 5 <> 0)
+)
+GROUP BY 1
+""",
+)
+def snapshot_mor_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE on a snapshot table that carries LIVE
+    merge-on-read equality deletes (snapshot.py — round 7: this path
+    previously refused with 'run compact() first', the exact wall a
+    streaming-CDC user hits when a batch backfill follows MoR deletes).
+    v1 commits the o_orderkey%3==0 slice of orders, v2 appends the
+    %3==1 slice, v3 equality-deletes every %5==0 key (metadata-only),
+    v4 MERGEs a source of every %7==0 key of slices 0/1 with
+    o_totalprice raised by 1000 — including keys v3 deleted, which the
+    merge RE-INSERTS (its new files enter above the delete's sequence
+    number). The oracle replays this as one predicate: %7==0 keys carry
+    the merged price, %7!=0 && %5==0 keys stay deleted (the retained
+    delete file keeps masking untouched carried files), the rest are
+    original — so a wrong rewrite (deletes dropped, resurrected rows,
+    or the delete leaking onto merge output) breaks the value hash.
+
+    Scale: the merge rewrites only files containing a LIVE matched key
+    (touch detection anti-joins deleted rows first); delete files that
+    only target rewritten files are dropped from the new manifest, so
+    read cost shrinks monotonically as CoW traffic materializes MoR
+    state. See tests/test_snapshot_mor_cow.py for the sequence-rule
+    unit proofs."""
+    from fraud_detection_etl_project_spark import snapshot as snap
+
+    tag = _fixture_tag(sf_dir, "orders")
+    t = os.path.join(tempfile.gettempdir(), f"snap_mor_merge_{tag}")
+    done = os.path.join(t, "_STAGED")
+    if not os.path.exists(done):
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        )
+        snap.overwrite(orders.filter(F.col("o_orderkey") % 3 == 0), t)       # v1
+        snap.append(orders.filter(F.col("o_orderkey") % 3 == 1), t)          # v2
+        snap.delete_keys_mor(                                                # v3
+            spark, t, orders.filter(F.col("o_orderkey") % 5 == 0).select("o_orderkey")
+        )
+        src = orders.filter(
+            (F.col("o_orderkey") % 3).isin(0, 1) & (F.col("o_orderkey") % 7 == 0)
+        ).select(
+            "o_orderkey",
+            (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        snap.merge(spark, t, src, on=["o_orderkey"])                         # v4
+        with open(done, "w") as f:
+            f.write("")
+    return snap.read(spark, t).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        cents_sum("o_totalprice").alias("total_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Snapshot table: deletion-vector (position-delete) DELETE WHERE
 # ---------------------------------------------------------------------------

@@ -1263,19 +1263,21 @@ def delete_keys_mor(spark: SparkSession, table_path: str, keys: DataFrame) -> in
     )
 
 
-def _require_no_mor_deletes(table_path: str, parent: int, op: str) -> dict:
-    """Copy-on-write rewrites (merge / CoW delete) are ambiguous while
-    merge-on-read delete files are live (a rewritten file would change its
-    seq and escape deletes that targeted it). Refuse with instructions
-    rather than risk wrong rows — ``compact`` materializes the deletes
-    first."""
-    m = read_manifest(table_path, parent)
-    if m.get("delete_files"):
-        raise ValueError(
-            f"{op} on a table with live merge-on-read delete files is "
-            "ambiguous — run compact() to materialize deletes first"
-        )
-    return m
+def _live_delete_files(m: dict, untouched: list[str]) -> list[dict]:
+    """Equality-delete files still able to hide a row AFTER a CoW
+    rewrite. A delete file at seq s applies only to data files with
+    file_seq < s; rewritten files re-enter at the NEW commit's seq with
+    the deletes already materialized into their rows, so a delete file
+    whose every remaining target was rewritten is inert — drop it from
+    the new manifest (the historical version still lists it). Untouched
+    carried files keep their parent seq, so delete files that target any
+    of them are retained and keep applying at read time."""
+    fseq = m.get("file_seq", {})
+    return [
+        d
+        for d in m.get("delete_files", [])
+        if any(int(fseq.get(f, 0)) < int(d["seq"]) for f in untouched)
+    ]
 
 
 def delete(
@@ -1286,18 +1288,23 @@ def delete(
     files whose stat range cannot satisfy the conjunction carry over by
     name untouched; candidate files are rewritten keeping only
     non-matching rows (rows with NULL in a predicate column do not
-    match, per SQL DELETE semantics). Returns the new version."""
+    match, per SQL DELETE semantics). Works with live merge-on-read
+    delete files: the rewrite reads LIVE rows (prior equality deletes
+    and deletion vectors applied), so deletes are materialized into the
+    rewritten files, and delete files that still target an untouched
+    carried file are retained in the new manifest (round 7 — previously
+    refused with 'run compact() first'). Returns the new version."""
     parent = current_version(table_path)
     if parent is None:
         raise FileNotFoundError(f"snapshot table has no committed version: {table_path}")
-    m = _require_no_mor_deletes(table_path, parent, "copy-on-write DELETE")
+    m = read_manifest(table_path, parent)
     files, stats = m["files"], m.get("stats", {})
     candidates, _total = plan_files(table_path, predicates, parent, spark)
     candidates = [f for f in files if f in set(candidates)]
     untouched = [f for f in files if f not in set(candidates)]
-    # the rewrite source must be the LIVE rows: live deletion vectors on
-    # a candidate file apply before the predicate filter, or the rewrite
-    # would resurrect DV-deleted rows into the new files
+    # the rewrite source must be the LIVE rows: live deletion vectors and
+    # equality deletes on a candidate file apply before the predicate
+    # filter, or the rewrite would resurrect deleted rows into new files
     survivors = _apply_row_filters(
         spark, table_path,
         _read_files(spark, table_path, candidates, m.get("schema")), m,
@@ -1313,6 +1320,7 @@ def delete(
         parent,
         {**kept_stats, **new_stats},
         schema_json=m.get("schema"),
+        delete_files=_live_delete_files(m, untouched),
     )
 
 
@@ -1325,11 +1333,15 @@ def merge(
 ) -> int:
     """Copy-on-write MERGE (upsert): target rows whose key matches a
     source row are replaced by the source row; unmatched source rows are
-    inserted. Only data files that actually contain a matched key are
-    rewritten — untouched files carry over into the new manifest by
+    inserted. Only data files that actually contain a matched LIVE key
+    are rewritten — untouched files carry over into the new manifest by
     name, so a merge touching 0.1 % of keys rewrites ~0.1 % of a sorted
     table, not all of it. Duplicate keys in the source are rejected
-    (ambiguous MERGE). With ``batch_id``, the merge is idempotent per
+    (ambiguous MERGE). Works with live merge-on-read delete files: the
+    rewrite reads LIVE rows, retained delete files keep applying to
+    untouched carried files, and inert ones are dropped (round 7 — the
+    streaming-CDC-then-batch-backfill path previously refused with 'run
+    compact() first'). With ``batch_id``, the merge is idempotent per
     batch id (same contract as ``append`` — the exactly-once hook for
     streaming upserts). Returns the new version."""
     if batch_id is not None and batch_id in committed_batch_ids(table_path):
@@ -1339,16 +1351,18 @@ def merge(
         raise FileNotFoundError(f"snapshot table has no committed version: {table_path}")
     if source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count():
         raise ValueError("MERGE source has duplicate keys on " + ",".join(on))
-    m = _require_no_mor_deletes(table_path, parent, "MERGE")
+    m = read_manifest(table_path, parent)
     files, stats, schema_json = m["files"], m.get("stats", {}), m.get("schema")
     cur = _read_files(spark, table_path, files, schema_json)
     keys = source.select(*on).distinct()
+    # touch detection runs over LIVE rows: a file whose only match is a
+    # row an equality delete / DV already hides needs no rewrite
     touched_names = (
         {
-            os.path.basename(r["_f"])
-            for r in cur.withColumn("_f", F.col("_metadata.file_path"))
+            r["__f"]
+            for r in _apply_row_filters(spark, table_path, cur, m, keep_tags=True)
             .join(F.broadcast(keys), on, "left_semi")
-            .select("_f")
+            .select("__f")
             .distinct()
             .collect()
         }
@@ -1357,8 +1371,9 @@ def merge(
     )  # bounded by the snapshot's file count — metadata, not data
     untouched = [f for f in files if f not in touched_names]
     touched = [f for f in files if f in touched_names]
-    # rewrite from the LIVE rows (deletion vectors applied) so a merge
-    # cannot resurrect DV-deleted rows of the files it rewrites
+    # rewrite from the LIVE rows (deletion vectors + equality deletes
+    # applied) so a merge cannot resurrect deleted rows of the files it
+    # rewrites
     rewrite_base = (
         _apply_row_filters(
             spark, table_path, _read_files(spark, table_path, touched, schema_json), m
@@ -1377,6 +1392,7 @@ def merge(
         {**kept_stats, **new_stats},
         batch_id,
         schema_json,
+        delete_files=_live_delete_files(m, untouched),
     )
 
 

@@ -246,3 +246,34 @@ def test_recreated_ref_does_not_inherit_dead_head(mem_table):
     assert S.branch_version(t, "r") == 3, "recreated ref inherited the dead head"
     v4 = _commit(t, 3, branch="r")
     assert S.branch_version(t, "r") == v4
+
+
+def test_mor_delete_vs_cow_merge_single_winner(mem_table):
+    """Round-7: concurrent MoR-delete and CoW-merge committers against the
+    same parent. The merge's ref CAS must lose to the interleaved delete
+    commit — it planned against a manifest with no delete files and its
+    rewrite would not have applied them — and the delete commit's state is
+    the head the retry replans from."""
+    t = mem_table
+    _commit(t, None, "overwrite")            # v1
+    state = {"fired": False}
+
+    def interleave(path: str):
+        if state["fired"] or not path.endswith("heads/CURRENT/g0000000002"):
+            return
+        state["fired"] = True
+        S._publish(
+            t, S.read_manifest(t, 1)["files"], "mor-delete", 1, {},
+            delete_files=[{"name": "del-x.parquet", "on": ["k"], "seq": None}],
+        )
+
+    MEMORY_IO.before_put_if_absent = interleave
+    with pytest.raises(S.SnapshotConflictError):
+        _commit(t, 1, "merge")
+    MEMORY_IO.before_put_if_absent = None
+    head = S.current_version(t)
+    m = S.read_manifest(t, head)
+    assert m["operation"] == "mor-delete"
+    # the winning delete is live and stamped with its committed version —
+    # a merge retry reads THIS manifest, so its rewrite applies the delete
+    assert m["delete_files"][0]["seq"] == head
