@@ -2947,6 +2947,63 @@ def snapshot_skipping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_partitioned_prune_rollup",
+    oracle=f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {cents_sum_sql('o_totalprice')} AS total_price
+FROM orders
+WHERE o_orderdate >= DATE '1997-06-01'
+GROUP BY 1
+""",
+)
+def snapshot_partitioned_prune_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec pruning on the snapshot table (snapshot.py, round
+    7): orders is committed under a two-level partition spec —
+    month(o_orderdate) x bucket(o_custkey, 4) — so the manifest carries a
+    (partition tuple -> files) index, and a date-range scan prunes WHOLE
+    MONTHS on the driver from O(#partitions) tuples before a single
+    per-file stat is evaluated (the touch-only-surviving-partitions
+    guard is asserted on a 10k-file fixture in
+    tests/test_snapshot_partition.py). The predicate then re-applies as
+    a pushed parquet filter, so the index is an optimization, never a
+    correctness input; the oracle runs the same filter straight off the
+    fixture, value-hashing the whole path.
+
+    Scale: partition pruning is the ONLY first-level prune that stays
+    O(#partitions) as a table grows to 10^6 files — stat shards are
+    still O(#files) rows of metadata; here they are consulted only for
+    the months the predicate can reach (and the bucket dimension prunes
+    point lookups on o_custkey the same way)."""
+    from fraud_detection_etl_project_spark import snapshot as snap
+
+    tag = _fixture_tag(sf_dir, "orders")
+    t = os.path.join(tempfile.gettempdir(), f"snap_pspec_{tag}")
+    done = os.path.join(t, "_STAGED")
+    if not os.path.exists(done):
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+        )
+        snap.overwrite(
+            orders,
+            t,
+            partition_spec=[
+                {"column": "o_orderdate", "transform": "month"},
+                {"column": "o_custkey", "transform": "bucket", "n": 4},
+            ],
+        )
+        with open(done, "w") as f:
+            f.write("")
+    pruned = snap.scan(spark, t, [("o_orderdate", ">=", "1997-06-01")])
+    return pruned.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        cents_sum("o_totalprice").alias("total_price"),
+    )
+
+
+@query(
     "snapshot_merge_upsert_rollup",
     oracle=f"""
 SELECT o_orderstatus,

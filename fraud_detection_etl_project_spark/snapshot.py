@@ -571,6 +571,195 @@ def _stage_data_files(
     return names, stats
 
 
+# ---------------------------------------------------------------------------
+# Partition spec (Iceberg-style partition transforms) — the FIRST pruning
+# level: at 10^6 files, stat evaluation must only ever touch the files of
+# partitions the predicate can reach, so the manifest records a
+# partition-tuple -> file-names index and plan_files consults it BEFORE
+# any per-file stats. Transforms: identity, bucket(n) (portable md5 hash,
+# int/str keys), truncate(n) (integer floor-to-width), month (date/
+# timestamp -> 'yyyy-MM'). The spec is fixed at table creation
+# (overwrite); append clusters new data the same way and extends the
+# index; CoW rewrite output is simply unindexed (never partition-pruned —
+# conservative, not wrong).
+# ---------------------------------------------------------------------------
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _norm_spec(partition_spec: list[dict], df: DataFrame) -> list[dict]:
+    """Validate and normalize a user spec: fill in ``name`` and the
+    identity value type (``vtype``: i/f/s — how the Hive directory
+    string parses back into a comparable index value)."""
+    out = []
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for s in partition_spec:
+        col, t = s["column"], s["transform"]
+        if col not in types:
+            raise ValueError(f"partition column {col!r} not in the frame")
+        if t not in ("identity", "bucket", "truncate", "month"):
+            raise ValueError(f"unknown partition transform {t!r}")
+        if t in ("bucket", "truncate") and int(s.get("n", 0)) < 1:
+            raise ValueError(f"{t} transform requires n >= 1")
+        e = {"name": s.get("name") or f"{t}_{col}", "column": col, "transform": t}
+        if t in ("bucket", "truncate"):
+            e["n"] = int(s["n"])
+        if t == "truncate" and types[col] not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError("truncate transform requires an integer column")
+        if t == "identity":
+            e["vtype"] = (
+                "i" if types[col] in ("tinyint", "smallint", "int", "bigint")
+                else "f" if types[col] in ("float", "double")
+                else "s"
+            )
+        out.append(e)
+    return out
+
+
+def _partition_exprs(spec: list[dict]) -> list:
+    """Spark Column per transform, aliased ``__p_<name>`` for
+    write-partitionBy clustering. The bucket hash MUST match
+    _bucket_of (portable md5 — no engine hash) so plan-time pruning
+    and write-time clustering agree."""
+    cols = []
+    for s in spec:
+        c = F.col(s["column"])
+        t = s["transform"]
+        if t == "identity":
+            e = c
+        elif t == "bucket":
+            e = (
+                F.conv(F.substring(F.md5(c.cast("string").cast("binary")), 1, 12), 16, 10)
+                .cast("long") % F.lit(s["n"])
+            )
+        elif t == "truncate":
+            e = (c - F.pmod(c, F.lit(s["n"]))).cast("long")
+        else:  # month
+            e = F.date_format(c, "yyyy-MM")
+        cols.append(e.alias(f"__p_{s['name']}"))
+    return cols
+
+
+def _bucket_of(value, n: int) -> int:
+    """Driver-side twin of the bucket partition expression."""
+    import hashlib
+
+    canon = str(int(value)) if isinstance(value, int) and not isinstance(value, bool) else str(value)
+    return int(hashlib.md5(canon.encode("utf-8")).hexdigest()[:12], 16) % n
+
+
+def _parse_pvalue(raw: str, s: dict):
+    """Hive directory value -> comparable index value, per transform."""
+    from urllib.parse import unquote
+
+    raw = unquote(raw)
+    if raw == _HIVE_NULL:
+        return None
+    t = s["transform"]
+    if t in ("bucket", "truncate"):
+        return int(raw)
+    if t == "identity":
+        vt = s.get("vtype", "s")
+        return int(raw) if vt == "i" else float(raw) if vt == "f" else raw
+    return raw  # month: 'yyyy-MM' string
+
+
+def _partition_matches(spec: list[dict], pt: dict, predicates) -> bool:
+    """Keep/prune rule for ONE partition tuple — same conservative
+    contract as _keep_by_stats: prune only when some predicate is
+    provably unsatisfiable for every row the partition can hold.
+    A None partition value means every row's source column is NULL
+    there, which no comparison predicate matches (SQL 3VL) — prunable."""
+    for col, op, val in predicates:
+        if op not in _OPS:
+            continue
+        for s in spec:
+            if s["column"] != col:
+                continue
+            t = s["transform"]
+            if t not in ("identity", "truncate", "month") and not (
+                t == "bucket" and op in ("=", "==")
+            ):
+                continue
+            if s["name"] not in pt:
+                continue  # unknown tuple shape: never prune on it
+            v = pt[s["name"]]
+            if v is None:
+                return False  # all-NULL source column: no predicate match
+            if t == "identity":
+                if isinstance(val, str) != isinstance(v, str):
+                    continue  # type mismatch: don't risk a wrong prune
+                if not _OPS[op](v, v, val):
+                    return False
+            elif t == "bucket":
+                if isinstance(val, bool) or not isinstance(val, (int, str)):
+                    continue
+                if _bucket_of(val, s["n"]) != v:
+                    return False
+            elif t == "truncate":
+                if isinstance(val, bool) or not isinstance(val, (int, float)):
+                    continue
+                if not _OPS[op](v, v + s["n"] - 1, val):
+                    return False
+            else:  # month: value bounds ['<m>-01', '<m>-99'] in ISO order
+                if not isinstance(val, str):
+                    continue
+                if not _OPS[op](v + "-01", v + "-99", val):
+                    return False
+    return True
+
+
+def _stage_partitioned(
+    df: DataFrame,
+    table_path: str,
+    spec: list[dict],
+    bloom_columns: list[str] | None = None,
+) -> tuple[list[str], dict, dict]:
+    """Partition-clustered twin of _stage_data_files: the frame is
+    written with write.partitionBy over the derived transform columns
+    (each data file holds exactly one partition tuple; the derived
+    columns live only in the directory structure, the file keeps the
+    source columns), then files flatten into data/ under unique names
+    and the (tuple -> names) index is rebuilt from the directory walk.
+    Returns (names, stats, partition_index)."""
+    _, ddir = _paths(table_path)
+    os.makedirs(ddir, exist_ok=True)
+    stage = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
+    pnames = [f"__p_{s['name']}" for s in spec]
+    df.select("*", *_partition_exprs(spec)).write.mode("overwrite").partitionBy(
+        *pnames
+    ).parquet(stage)
+    names, paths, index = [], [], {}
+    for root, _dirs, fs in sorted(os.walk(stage)):
+        rel = os.path.relpath(root, stage)
+        parts = [p for p in rel.split(os.sep) if "=" in p]
+        if len(parts) != len(spec):
+            continue
+        pt = {
+            s["name"]: _parse_pvalue(p.split("=", 1)[1], s)
+            for p, s in zip(parts, spec)
+        }
+        key = json.dumps(pt, sort_keys=True)
+        for f in sorted(fs):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                unique = f"{uuid.uuid4().hex}-{f}"
+                os.replace(os.path.join(root, f), os.path.join(ddir, unique))
+                names.append(unique)
+                paths.append(os.path.join(ddir, unique))
+                index.setdefault(key, []).append(unique)
+    shutil.rmtree(stage, ignore_errors=True)
+    if len(names) >= _DISTRIBUTED_STATS_MIN:
+        sc = df.sparkSession.sparkContext
+        bc = bloom_columns
+        pairs = sc.parallelize(
+            list(zip(names, paths)), min(len(names), 4 * sc.defaultParallelism)
+        ).map(lambda np: (np[0], _stats_for_file(np[1], bc))).collect()
+        stats = dict(pairs)
+    else:
+        stats = {n: _stats_for_file(p, bloom_columns) for n, p in zip(names, paths)}
+    return names, stats, index
+
+
 def _publish(
     table_path: str,
     files: list[str],
@@ -584,6 +773,8 @@ def _publish(
     file_seq: dict | None = None,
     stats_shards: list[str] | str = "inherit",
     dv_files: list[dict] | str = "inherit",
+    partition_spec: list[dict] | None | str = "inherit",
+    partition_index: dict | str = "inherit",
 ) -> int:
     """Write a new manifest and move the target ref to it with a
     compare-and-swap on the ref's generation log.
@@ -659,6 +850,16 @@ def _publish(
     # inert (the read-time anti-join simply never matches them)
     if dv_files == "inherit":
         dv_files = list(parent_m.get("dv_files", []))
+    # partition spec/index: the spec is fixed at table creation
+    # (overwrite passes it; everything else inherits); the index maps a
+    # JSON-encoded partition tuple to the file names written under it.
+    # Index entries for files that later leave the table are inert
+    # (planning intersects with the live list), and files OUTSIDE the
+    # index (CoW rewrite output) are never partition-pruned.
+    if partition_spec == "inherit":
+        partition_spec = parent_m.get("partition_spec")
+    if partition_index == "inherit":
+        partition_index = parent_m.get("partition_index") or {}
     parent_inline = parent_m.get("stats", {})
     stats = dict(stats or {})
     new_entries = {f: s for f, s in stats.items() if f not in parent_inline}
@@ -699,6 +900,9 @@ def _publish(
         manifest["stats_shards"] = stats_shards
     if dv_files:
         manifest["dv_files"] = dv_files
+    if partition_spec:
+        manifest["partition_spec"] = partition_spec
+        manifest["partition_index"] = partition_index or {}
     if batch_id is not None:
         manifest["batch_id"] = batch_id
     if schema_json is not None:
@@ -728,15 +932,29 @@ def _publish(
 
 
 def overwrite(
-    df: DataFrame, table_path: str, bloom_columns: list[str] | None = None
+    df: DataFrame,
+    table_path: str,
+    bloom_columns: list[str] | None = None,
+    partition_spec: list[dict] | None = None,
 ) -> int:
     """Commit a new version whose file set is exactly df — the previous
     version's files stay readable via time travel. ``bloom_columns``
     additionally records a per-file bloom filter for each named column,
     enabling point-lookup file skipping in ``plan_files``/``scan``.
-    Returns the version."""
+    ``partition_spec`` declares partition transforms (e.g.
+    ``[{"column": "o_orderdate", "transform": "month"}, {"column":
+    "o_custkey", "transform": "bucket", "n": 16}]``): data files are
+    written partition-clustered and plan_files prunes whole partitions
+    BEFORE touching any per-file stats — the first pruning level every
+    lakehouse format leans on at 10^6 files. The spec is fixed here;
+    appends inherit it. Returns the version."""
     parent = current_version(table_path)
-    files, stats = _stage_data_files(df, table_path, bloom_columns)
+    if partition_spec:
+        spec = _norm_spec(partition_spec, df)
+        files, stats, index = _stage_partitioned(df, table_path, spec, bloom_columns)
+    else:
+        spec, index = None, {}
+        files, stats = _stage_data_files(df, table_path, bloom_columns)
     return _publish(
         table_path,
         files,
@@ -747,6 +965,8 @@ def overwrite(
         delete_files=[],  # all rows replaced; prior-era deletes retired
         stats_shards=[],  # ...and prior-era stats shards retired with them
         dv_files=[],
+        partition_spec=spec,
+        partition_index=index,
     )
 
 
@@ -838,9 +1058,20 @@ def append(
         # replayed micro-batch: no-op, reporting the head of the TARGETED
         # line (main's version would be wrong for a branch append)
         return parent
-    prev = _manifest_files(table_path, parent) if parent else ([], {})
+    parent_m = read_manifest(table_path, parent) if parent else {}
+    prev = (parent_m.get("files", []), parent_m.get("stats", {}))
     schema_json = _evolved_schema_json(table_path, parent, df)
-    files, stats = _stage_data_files(df, table_path, bloom_columns)
+    # a partitioned table clusters EVERY commit the same way and extends
+    # the partition index — appends stay first-level-prunable forever
+    spec = parent_m.get("partition_spec")
+    if spec:
+        files, stats, new_index = _stage_partitioned(df, table_path, spec, bloom_columns)
+        index = dict(parent_m.get("partition_index") or {})
+        for k, fl in new_index.items():
+            index[k] = list(index.get(k, [])) + fl
+    else:
+        files, stats = _stage_data_files(df, table_path, bloom_columns)
+        index = "inherit"
     return _publish(
         table_path,
         prev[0] + files,
@@ -850,6 +1081,7 @@ def append(
         batch_id,
         schema_json,
         branch=branch,
+        partition_index=index,
     )
 
 
@@ -923,27 +1155,49 @@ def plan_files(
     """Resolve the file list for a scan, pruned by manifest stats.
     Returns (kept file names, total files in the snapshot).
 
-    Small tables (inline stats) prune with a driver loop over the
-    manifest dict; sharded tables (see _publish) evaluate the prune
-    predicate as a Spark filter over the NDJSON stat shards — one row
-    per file, JVM-side range logic, Arrow-batched bloom probes — so
-    planning a 10^6-file table is a metadata-scale Spark job, not a
-    per-file Python loop. Both paths implement _keep_by_stats exactly;
-    files without shard entries are kept (conservative)."""
+    Pruning levels, in order:
+
+    1. PARTITION pruning (tables with a partition_spec): the manifest's
+       partition index — O(#partitions) tuples, parameter-sized even at
+       10^6 files — is evaluated on the driver and only files of
+       surviving partitions go forward. Files outside the index (CoW
+       rewrite output) always go forward. No per-file stat of a pruned
+       partition is ever touched, on either stats path.
+    2. Per-file stats: small tables (inline stats) prune with a driver
+       loop over the manifest dict; sharded tables (see _publish)
+       evaluate the prune predicate as a Spark filter over the NDJSON
+       stat shards — one row per file, JVM-side range logic,
+       Arrow-batched bloom probes — so planning a 10^6-file table is a
+       metadata-scale Spark job, not a per-file Python loop. Both paths
+       implement _keep_by_stats exactly; files without shard entries
+       are kept (conservative)."""
     v = current_version(table_path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"snapshot table has no committed version: {table_path}")
     m = read_manifest(table_path, v)
     files, stats = m["files"], m.get("stats", {})
     shards = m.get("stats_shards", [])
+    spec, pindex = m.get("partition_spec"), m.get("partition_index") or {}
+    candidates: set[str] | None = None
+    if spec and predicates and pindex:
+        indexed: set[str] = set()
+        cand: set[str] = set()
+        for key, flist in pindex.items():
+            indexed.update(flist)
+            if _partition_matches(spec, json.loads(key), predicates):
+                cand.update(flist)
+        cand.update(f for f in files if f not in indexed)
+        candidates = cand
     if shards and predicates:
-        pruned = _pruned_by_shards(table_path, shards, predicates, spark)
+        pruned = _pruned_by_shards(table_path, shards, predicates, spark, candidates)
     else:
         pruned = set()
-    kept = [
-        f for f in files
-        if f not in pruned and _keep_by_stats(stats.get(f), predicates)
-    ]
+    kept = []
+    for f in files:
+        if candidates is not None and f not in candidates:
+            continue  # partition-pruned: its stats are never evaluated
+        if f not in pruned and _keep_by_stats(stats.get(f), predicates):
+            kept.append(f)
     return kept, len(files)
 
 
@@ -952,11 +1206,14 @@ def _pruned_by_shards(
     shards: list[str],
     predicates,
     spark: SparkSession | None,
+    candidates: set[str] | None = None,
 ) -> set[str]:
     """File names a stat shard PROVES cannot match — evaluated as a
     Spark filter over the shard rows. Names no longer in the live file
     list may appear (shards are an append-only log); the caller's
-    intersection with the manifest's files handles them."""
+    intersection with the manifest's files handles them. With
+    ``candidates`` (partition-pruned tables), only shard rows of
+    surviving-partition files are stat-evaluated at all."""
     mdir, _ = _paths(table_path)
     if spark is None:
         spark = SparkSession.getActiveSession()
@@ -968,12 +1225,20 @@ def _pruned_by_shards(
         for sh in shards:
             for line in io.read_text(os.path.join(mdir, sh)).splitlines():
                 e = json.loads(line)
+                if candidates is not None and e["f"] not in candidates:
+                    continue
                 if not _keep_by_stats(e, predicates):
                     pruned.add(e["f"])
         return pruned
     from pyspark.sql.types import DoubleType, LongType, StringType, StructType
 
     df = spark.read.json([os.path.join(mdir, sh) for sh in shards])
+    if candidates is not None:
+        # partition pruning already happened: restrict stat evaluation to
+        # surviving-partition files via a broadcast semi-join (the
+        # candidate list is O(surviving files) names — metadata-sized)
+        cand_df = spark.createDataFrame([(c,) for c in sorted(candidates)], "f string")
+        df = df.join(F.broadcast(cand_df), "f", "semi")
     fields = {f.name: f.dataType for f in df.schema.fields}
     cols_t = fields.get("columns")
     bloom_t = fields.get("bloom")

@@ -563,14 +563,16 @@ def test_mor_compact_materializes_deletes(spark, tmp_path):
     assert min(r["n"] for r in S.read(spark, t).collect()) >= 5
 
 
-def test_mor_blocks_cow_until_materialized(spark, tmp_path):
+def test_mor_then_cow_materializes_deletes(spark, tmp_path):
+    # round 7: CoW rewrites no longer refuse on live MoR deletes — the
+    # rewrite reads LIVE rows (full matrix in tests/test_snapshot_mor_cow.py)
     t = str(tmp_path / "tbl")
     S.overwrite(_nums(spark, 0, 10), t)
     S.delete_keys_mor(spark, t, spark.createDataFrame([(1,)], "n: long"))
-    with pytest.raises(ValueError, match="materialize"):
-        S.delete(spark, t, [("n", "<", 3)])
-    with pytest.raises(ValueError, match="materialize"):
-        S.merge(spark, t, _nums(spark, 0, 2), on=["n"])
+    S.delete(spark, t, [("n", "<", 3)])
+    assert sorted(r["n"] for r in S.read(spark, t).collect()) == list(range(3, 10))
+    S.merge(spark, t, _nums(spark, 0, 2), on=["n"])
+    assert sorted(r["n"] for r in S.read(spark, t).collect()) == [0, 1] + list(range(3, 10))
 
 
 def test_mor_key_column_set_is_pinned(spark, tmp_path):
