@@ -277,3 +277,117 @@ def test_mor_delete_vs_cow_merge_single_winner(mem_table):
     # the winning delete is live and stamped with its committed version —
     # a merge retry reads THIS manifest, so its rewrite applies the delete
     assert m["delete_files"][0]["seq"] == head
+
+
+def test_randomized_interleaving_property_fuzz():
+    """Round-7 linearizability fuzz: 200 seeded schedules of
+    append / branch-append / create_branch / create_tag / drop_ref /
+    recreate / vacuum / fast_forward, each step optionally interleaved —
+    through the MemoryFileIO conditional-PUT hook, at the exact moment of
+    the step's first conditional PUT — with a competing stale append,
+    vacuum, or ref drop. Invariants after EVERY step:
+
+    - no lost update: a commit that returned success IS its ref's head
+      immediately afterwards;
+    - no resurrected / regressed head: CURRENT's version is monotonically
+      non-decreasing across the whole schedule;
+    - no vacuumed live metadata: every live ref head's manifest is
+      readable (vacuum never deletes a manifest a ref points at, nor an
+      in-flight commit's v(cur+1).json);
+    - tags are frozen: a live tag resolves to its creation version;
+    - no resurrection: a recreated ref resolves to its new fork point,
+      never the dropped incarnation's old head.
+    """
+    import random
+
+    for seed in range(200):
+        rng = random.Random(9_700_000 + seed)
+        t = f"mem://fuzz-{seed}"
+        _commit(t, None, "overwrite")                       # v1
+        refs: dict[str, tuple[str, int]] = {}
+        counter = {"n": 0}
+        last_main = 1
+
+        def fresh_name() -> str:
+            counter["n"] += 1
+            return f"r{counter['n']}"
+
+        for _step in range(rng.randint(6, 12)):
+            op = rng.choice(
+                ["append", "branch_append", "create_branch", "create_tag",
+                 "drop_ref", "recreate_ref", "vacuum", "fast_forward"]
+            )
+            inj = rng.choice([None, "stale_append", "vacuum", "drop"])
+
+            def hook(path: str, inj=inj):
+                MEMORY_IO.before_put_if_absent = None       # fire once, no recursion
+                if inj == "stale_append":
+                    try:
+                        _commit(t, S.current_version(t))
+                    except S.SnapshotConflictError:
+                        pass
+                elif inj == "vacuum":
+                    S.vacuum(t, keep_versions=2)
+                elif inj == "drop":
+                    name = next(iter(refs), None)
+                    if name is not None:
+                        try:
+                            S.drop_ref(t, name)
+                        except FileNotFoundError:
+                            pass
+                        refs.pop(name, None)
+
+            MEMORY_IO.before_put_if_absent = hook if inj else None
+            try:
+                if op == "append":
+                    v = _commit(t, S.current_version(t))
+                    assert S._head(t, "CURRENT")[1] == v    # no lost update
+                elif op == "branch_append":
+                    bs = [n for n, (k, _v) in refs.items() if k == "branch"]
+                    if bs:
+                        name = rng.choice(bs)
+                        v = _commit(t, S.branch_version(t, name), branch=name)
+                        assert S._head(t, name)[1] == v     # no lost update
+                elif op == "create_branch":
+                    name = fresh_name()
+                    v = S.create_branch(t, name)
+                    refs[name] = ("branch", v)
+                elif op == "create_tag":
+                    name = fresh_name()
+                    v = S.create_tag(t, name)
+                    refs[name] = ("tag", v)
+                elif op == "drop_ref" and refs:
+                    name = rng.choice(sorted(refs))
+                    S.drop_ref(t, name)
+                    refs.pop(name, None)
+                    assert S.branch_version(t, name) is None
+                elif op == "recreate_ref" and refs:
+                    name = rng.choice(sorted(refs))
+                    S.drop_ref(t, name)
+                    refs.pop(name, None)
+                    v = S.create_branch(t, name)
+                    refs[name] = ("branch", v)
+                    # no resurrection of the dead incarnation's head
+                    assert S.branch_version(t, name) == v
+                elif op == "vacuum":
+                    S.vacuum(t, keep_versions=rng.randint(1, 3))
+                elif op == "fast_forward":
+                    bs = [n for n, (k, _v) in refs.items() if k == "branch"]
+                    if bs:
+                        S.fast_forward(t, rng.choice(bs))
+            except (S.SnapshotConflictError, ValueError, FileNotFoundError):
+                pass                                        # a legal refusal
+            finally:
+                MEMORY_IO.before_put_if_absent = None
+
+            cur = S.current_version(t)
+            assert cur is not None and cur >= last_main, (seed, op, cur, last_main)
+            last_main = cur
+            S.read_manifest(t, cur)                         # head readable
+            for name, (kind, v0) in list(refs.items()):
+                bv = S.branch_version(t, name)
+                assert bv is not None, (seed, op, name)
+                S.read_manifest(t, bv)                      # ref head readable
+                if kind == "tag":
+                    assert bv == v0, (seed, name, bv, v0)   # tags frozen
+            S.committed_batch_ids(t)                        # all chains walk
