@@ -1159,15 +1159,15 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the signature-width knob (simhash_bits(bits=128) → 4×32-bit
     bands for web-scale corpora — see simhash_band_pairs). Output pairs
     are salt-invariant, so the unsalted DuckDB oracle value-checks this
-    plan unchanged. Signatures re-join by id only for the surviving
-    candidates; the distance check is a JVM-side sequence/filter
-    expression, no Python.
+    plan unchanged. The signature rides through the band join as packed
+    32-bit words and the exact Hamming check (bit_count over XOR,
+    whole-stage codegen) runs IN the join stage (r7) — no signature
+    re-join, and only true pairs reach the distinct.
     """
-    # the signature frame is referenced three times (band explode + both
-    # sides of the candidate re-join); persist so the 64-agg signature
-    # build runs once, not three times (the harnesses clear caches
-    # between queries)
-    sig = D.simhash64(_t(spark, sf_dir, "documents")).persist()
+    # r7: the signature frame has ONE consumer now (the packed words ride
+    # through the band join; no candidate re-join) — no persist barrier,
+    # the signature build fuses straight into the band stage
+    sig = D.simhash64(_t(spark, sf_dir, "documents"))
     return D.simhash_band_pairs(
         sig, sig_bits=64, n_bands=_SH_BANDS, max_d=_SH_MAX_D, bucket_cap=64, salt_groups=8
     )
@@ -1194,7 +1194,7 @@ def simhash128_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming distance over 128 bits is a finer similarity scale (a pair
     at 64-bit distance 3 may sit at 128-bit distance 7), so each width
     has its own oracle."""
-    sig = D.simhash_bits(_t(spark, sf_dir, "documents"), bits=128).persist()
+    sig = D.simhash_bits(_t(spark, sf_dir, "documents"), bits=128)
     return D.simhash_band_pairs(
         sig, sig_bits=128, n_bands=4, max_d=3, bucket_cap=64, salt_groups=8
     )
