@@ -931,6 +931,35 @@ def _publish(
     return version
 
 
+def _stage_rewrite(
+    df: DataFrame, table_path: str, m: dict
+) -> tuple[list[str], dict, dict]:
+    """Stage rewrite output (CoW delete/merge) honoring the table's
+    partition spec: on a partitioned table new files land
+    partition-clustered with fresh index entries, so partition pruning
+    stays COMPLETE across the whole write matrix instead of accumulating
+    unindexed (never-pruned) rewrite output. Returns
+    (names, stats, new_index_entries)."""
+    spec = m.get("partition_spec")
+    if spec:
+        return _stage_partitioned(df, table_path, spec)
+    names, stats = _stage_data_files(df, table_path)
+    return names, stats, {}
+
+
+def _merged_index(m: dict, new_index: dict) -> dict | str:
+    """Parent partition index extended with a rewrite's new entries.
+    Entries for files the new manifest no longer lists are inert
+    (planning intersects with the live file list). Unpartitioned tables
+    return 'inherit' (no index key is written without a spec)."""
+    if not m.get("partition_spec"):
+        return "inherit"
+    index = {k: list(v) for k, v in (m.get("partition_index") or {}).items()}
+    for k, fl in new_index.items():
+        index[k] = index.get(k, []) + list(fl)
+    return index
+
+
 def overwrite(
     df: DataFrame,
     table_path: str,
@@ -946,10 +975,18 @@ def overwrite(
     "o_custkey", "transform": "bucket", "n": 16}]``): data files are
     written partition-clustered and plan_files prunes whole partitions
     BEFORE touching any per-file stats — the first pruning level every
-    lakehouse format leans on at 10^6 files. The spec is fixed here;
-    appends inherit it. Returns the version."""
+    lakehouse format leans on at 10^6 files. The spec is table metadata:
+    set it at creation, and later overwrites/appends inherit it (pass an
+    explicit empty list to drop it — that is a layout change, not a data
+    write). Returns the version."""
     parent = current_version(table_path)
+    if partition_spec is None and parent is not None:
+        # the spec survives a data overwrite, like any table metadata
+        inherited = read_manifest(table_path, parent).get("partition_spec")
+        partition_spec = inherited if inherited else None
     if partition_spec:
+        # _norm_spec is idempotent: inherited specs keep their recorded
+        # names and re-derive vtype from the new frame's schema
         spec = _norm_spec(partition_spec, df)
         files, stats, index = _stage_partitioned(df, table_path, spec, bloom_columns)
     else:
@@ -1574,8 +1611,8 @@ def delete(
         spark, table_path,
         _read_files(spark, table_path, candidates, m.get("schema")), m,
     ).filter(~_pred_expr(predicates)) if candidates else None
-    new_files, new_stats = ([], {}) if survivors is None else _stage_data_files(
-        survivors, table_path
+    new_files, new_stats, new_index = (
+        ([], {}, {}) if survivors is None else _stage_rewrite(survivors, table_path, m)
     )
     kept_stats = {f: stats[f] for f in untouched if f in stats}
     return _publish(
@@ -1586,6 +1623,7 @@ def delete(
         {**kept_stats, **new_stats},
         schema_json=m.get("schema"),
         delete_files=_live_delete_files(m, untouched),
+        partition_index=_merged_index(m, new_index),
     )
 
 
@@ -1647,7 +1685,7 @@ def merge(
         else cur.limit(0)
     )
     new_rows = rewrite_base.unionByName(source.select(*cur.columns))
-    new_files, new_stats = _stage_data_files(new_rows, table_path)
+    new_files, new_stats, new_index = _stage_rewrite(new_rows, table_path, m)
     kept_stats = {f: stats[f] for f in untouched if f in stats}
     return _publish(
         table_path,
@@ -1658,6 +1696,7 @@ def merge(
         batch_id,
         schema_json,
         delete_files=_live_delete_files(m, untouched),
+        partition_index=_merged_index(m, new_index),
     )
 
 
@@ -1758,9 +1797,33 @@ def compact(
     predicates on either one (a plain sort only serves its leading
     column). The curve key is a row-local JVM expression plus one
     range partitioning — no extra shuffle beyond the sort any
-    compaction needs. Returns the new version."""
+    compaction needs.
+
+    On a partitioned table (partition_spec recorded) the compacted
+    files are re-clustered under the SPEC — one-or-few files per
+    partition tuple, a fresh index — so partition pruning stays
+    complete after housekeeping; ``n_files`` then caps the pre-write
+    task count (files per partition), and z-order is refused (order
+    inside identity/bucket/month partitions is a different layout
+    decision). Returns the new version."""
     parent = current_version(table_path)
+    m0 = read_manifest(table_path, parent) if parent is not None else {}
+    spec = m0.get("partition_spec")
     df = read(spark, table_path, parent)
+    if spec:
+        if zorder_by is not None:
+            raise ValueError("zorder_by is not supported on a partitioned table")
+        files, stats, index = _stage_partitioned(
+            df.coalesce(max(1, n_files)), table_path, spec
+        )
+        return _publish(
+            table_path, files, "compact", parent, stats,
+            schema_json=m0.get("schema"),
+            delete_files=[],  # read() applied live MoR deletes -> materialized
+            stats_shards=[],  # fresh file set -> fresh stats log
+            dv_files=[],      # positions materialized by the same read()
+            partition_index=index,  # fresh index replaces dead entries
+        )
     if zorder_by is None:
         df = df.coalesce(n_files)
     else:

@@ -215,8 +215,72 @@ def test_cow_delete_on_partitioned_table_stays_correct(spark, tmp_path):
         _sales(spark), t,
         partition_spec=[{"column": "g", "transform": "identity"}],
     )
-    S.delete(spark, t, [("k", "<", 50)])
-    # rewrite output is unindexed -> conservatively kept by any plan
+    v = S.delete(spark, t, [("k", "<", 50)])
     assert S.read(spark, t).count() == 250
     got = sorted(r["k"] for r in S.scan(spark, t, [("g", "=", 3)]).collect())
     assert got == [k for k in range(50, 300) if k % 7 == 3]
+    # rewrite output re-clusters under the spec: EVERY live file is
+    # indexed, so partition pruning stays complete after the delete
+    m = S.read_manifest(t, v)
+    indexed = {f for fl in m["partition_index"].values() for f in fl}
+    assert set(m["files"]) <= indexed
+    kept, total = S.plan_files(t, [("g", "=", 3)], spark=spark)
+    assert len(kept) < total  # other partitions pruned post-rewrite
+
+
+def test_merge_on_partitioned_table_reindexes_rewrites(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.overwrite(
+        _sales(spark), t,
+        partition_spec=[{"column": "g", "transform": "identity"}],
+    )
+    src = spark.createDataFrame(
+        [(7, 9, datetime.date(1995, 5, 1), 5.0)], "k long, g long, d date, v double"
+    )
+    v = S.merge(spark, t, src, on=["k"])
+    got = {r["k"]: r["g"] for r in S.read(spark, t).collect()}
+    assert got[7] == 9 and len(got) == 300
+    m = S.read_manifest(t, v)
+    indexed = {f for fl in m["partition_index"].values() for f in fl}
+    assert set(m["files"]) <= indexed
+    # the updated row moved into partition g=9's index entry
+    key = json.dumps({"identity_g": 9})
+    assert any(f in set(m["files"]) for f in m["partition_index"].get(key, []))
+
+
+def test_compact_partitioned_rebuilds_fresh_index(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.overwrite(
+        _sales(spark), t,
+        partition_spec=[{"column": "g", "transform": "identity"}],
+    )
+    S.append(_sales(spark, 70).select(
+        (F.col("k") + 1000).alias("k"), "g", "d", "v"), t)
+    v = S.compact(spark, t, n_files=1)
+    m = S.read_manifest(t, v)
+    # fresh one-file-per-partition layout, fully indexed
+    assert len(m["files"]) == 7
+    indexed = {f for fl in m["partition_index"].values() for f in fl}
+    assert set(m["files"]) == indexed
+    assert S.read(spark, t).count() == 370
+    kept, total = S.plan_files(t, [("g", "=", 2)], spark=spark)
+    assert len(kept) == 1 and total == 7
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="partitioned"):
+        S.compact(spark, t, 2, zorder_by=["k", "v"])
+
+
+def test_overwrite_inherits_and_clears_spec(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.overwrite(
+        _sales(spark), t,
+        partition_spec=[{"column": "g", "transform": "identity"}],
+    )
+    S.overwrite(_sales(spark, 70), t)   # no spec arg: inherited
+    m = S.read_manifest(t, 2)
+    assert m["partition_spec"] and len(m["partition_index"]) == 7
+    kept, total = S.plan_files(t, [("g", "=", 1)], spark=spark)
+    assert 0 < len(kept) < total
+    S.overwrite(_sales(spark, 70), t, partition_spec=[])  # explicit clear
+    assert "partition_spec" not in S.read_manifest(t, 3)
