@@ -74,6 +74,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time as _time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -887,6 +888,11 @@ def _publish(
         "version": version,
         "parent": parent,
         "operation": operation,
+        # commit wall-clock (epoch seconds): powers AS-OF-timestamp time
+        # travel. Informational ordering only — correctness never depends
+        # on clocks (the parent chain is the lineage); a clock-skewed
+        # commit just resolves to a slightly different as-of boundary.
+        "ts": _time.time(),
         "files": files,
         "stats": stats,
         "file_seq": (
@@ -1748,22 +1754,54 @@ def _read_files(
     return spark.read.schema(schema).parquet(*paths)
 
 
+def version_at_timestamp(table_path: str, as_of: float | str) -> int:
+    """AS-OF time travel resolution: the newest version on CURRENT's
+    ancestor chain committed at or before ``as_of`` (epoch seconds, or
+    an ISO 'YYYY-MM-DD[ HH:MM:SS]' string interpreted as UTC) — the
+    Iceberg/Delta `TIMESTAMP AS OF` contract. Walks newest-first, so the
+    cost is O(versions newer than the target), not O(history).
+    Manifests from before timestamps were recorded sort as oldest
+    (epoch 0). Raises if the whole reachable chain is newer (the table
+    did not exist yet, or that history has been vacuumed)."""
+    if isinstance(as_of, str):
+        import datetime as _dt
+
+        s = as_of.strip()
+        fmt = "%Y-%m-%d %H:%M:%S" if " " in s else "%Y-%m-%d"
+        as_of = _dt.datetime.strptime(s, fmt).replace(tzinfo=_dt.timezone.utc).timestamp()
+    cur = current_version(table_path)
+    if cur is None:
+        raise FileNotFoundError(f"snapshot table has no committed version: {table_path}")
+    for v in _chain(table_path, cur):  # newest -> oldest
+        if float(read_manifest(table_path, v).get("ts", 0.0)) <= as_of:
+            return v
+    raise ValueError(
+        f"no version at or before timestamp {as_of} on CURRENT's chain "
+        "(table newer than as_of, or history vacuumed)"
+    )
+
+
 def read(
     spark: SparkSession,
     table_path: str,
     version: int | None = None,
     ref: str | None = None,
+    as_of: float | str | None = None,
 ) -> DataFrame:
     """Read a snapshot (CURRENT if version is None) as a DataFrame. The
     explicit file list keeps pushdown/pruning intact and pins the plan
     to the snapshot even if CURRENT advances mid-query. ``ref`` reads a
-    named branch/tag head instead (mutually exclusive with version)."""
+    named branch/tag head; ``as_of`` reads the newest version committed
+    at or before a timestamp (mutually exclusive with each other and
+    with version)."""
+    if sum(x is not None for x in (version, ref, as_of)) > 1:
+        raise ValueError("pass at most one of version, ref, as_of")
     if ref is not None:
-        if version is not None:
-            raise ValueError("pass version or ref, not both")
         version = branch_version(table_path, ref)
         if version is None:
             raise ValueError(f"no such ref: {ref!r}")
+    if as_of is not None:
+        version = version_at_timestamp(table_path, as_of)
     v = current_version(table_path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"snapshot table has no committed version: {table_path}")
@@ -1787,6 +1825,7 @@ def compact(
     table_path: str,
     n_files: int,
     zorder_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
 ) -> int:
     """Rewrite CURRENT's data into n_files files as a new version (old
     versions untouched — small-files compaction with zero reader
@@ -1799,13 +1838,22 @@ def compact(
     range partitioning — no extra shuffle beyond the sort any
     compaction needs.
 
+    ``sort_by`` lays rows out sorted inside every output file (a plain
+    sort layout — the single-column complement of z-order), so footer
+    min/max ranges on the sort columns become disjoint and range scans
+    open O(selectivity) files. On a PARTITIONED table sort_by composes
+    with the spec: rows sort within each partition's files, giving
+    second-level (in-partition) stat pruning on top of the index.
+
     On a partitioned table (partition_spec recorded) the compacted
     files are re-clustered under the SPEC — one-or-few files per
     partition tuple, a fresh index — so partition pruning stays
     complete after housekeeping; ``n_files`` then caps the pre-write
     task count (files per partition), and z-order is refused (order
     inside identity/bucket/month partitions is a different layout
-    decision). Returns the new version."""
+    decision — use sort_by). Returns the new version."""
+    if zorder_by is not None and sort_by is not None:
+        raise ValueError("pass zorder_by or sort_by, not both")
     parent = current_version(table_path)
     m0 = read_manifest(table_path, parent) if parent is not None else {}
     spec = m0.get("partition_spec")
@@ -1813,9 +1861,18 @@ def compact(
     if spec:
         if zorder_by is not None:
             raise ValueError("zorder_by is not supported on a partitioned table")
-        files, stats, index = _stage_partitioned(
-            df.coalesce(max(1, n_files)), table_path, spec
-        )
+        if sort_by:
+            # range-partition on (partition cols, sort cols) so the files
+            # WITHIN a partition cover disjoint sort-key ranges (a local
+            # sort alone leaves per-task ranges overlapping), then sort
+            # inside each task for tight per-file footers
+            pcols = [s["column"] for s in spec]
+            df = df.repartitionByRange(
+                max(1, n_files), *pcols, *sort_by
+            ).sortWithinPartitions(*pcols, *sort_by)
+        else:
+            df = df.coalesce(max(1, n_files))
+        files, stats, index = _stage_partitioned(df, table_path, spec)
         return _publish(
             table_path, files, "compact", parent, stats,
             schema_json=m0.get("schema"),
@@ -1824,7 +1881,13 @@ def compact(
             dv_files=[],      # positions materialized by the same read()
             partition_index=index,  # fresh index replaces dead entries
         )
-    if zorder_by is None:
+    if sort_by:
+        # sort layout: range-partition on the sort key so files cover
+        # DISJOINT ranges, then sort inside each for tight footers
+        df = df.repartitionByRange(max(1, n_files), *sort_by).sortWithinPartitions(
+            *sort_by
+        )
+    elif zorder_by is None:
         df = df.coalesce(n_files)
     else:
         if len(zorder_by) != 2:

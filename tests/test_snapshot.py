@@ -956,3 +956,47 @@ def test_vacuum_spares_inflight_future_manifest(spark, tmp_path):
     # the in-flight commit can now complete: CAS the head onto it
     assert S._cas_head(t, "CURRENT", S._gen_head(t, "CURRENT")[0], cur + 1)
     assert S.current_version(t) == cur + 1
+
+
+def test_as_of_timestamp_time_travel(spark, tmp_path):
+    """read(as_of=...) resolves the newest version committed at or
+    before the timestamp — between-commit instants resolve to the
+    earlier version, pre-table instants raise, and the resolution walks
+    the parent chain (branch commits do not leak in)."""
+    import time
+
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 10), t)              # v1
+    ts1 = S.read_manifest(t, 1)["ts"]
+    time.sleep(0.05)
+    S.append(_nums(spark, 10, 15), t)                # v2
+    ts2 = S.read_manifest(t, 2)["ts"]
+    assert ts2 > ts1
+    mid = (ts1 + ts2) / 2.0
+    assert S.version_at_timestamp(t, mid) == 1
+    assert S.read(spark, t, as_of=mid).count() == 10
+    assert S.read(spark, t, as_of=ts2).count() == 15         # boundary: inclusive
+    assert S.read(spark, t, as_of=time.time()).count() == 15  # now -> head
+    with pytest.raises(ValueError, match="no version at or before"):
+        S.version_at_timestamp(t, ts1 - 10.0)
+    with pytest.raises(ValueError, match="at most one"):
+        S.read(spark, t, version=1, as_of=mid)
+    # ISO string form (UTC) resolves like the epoch form
+    assert S.read(spark, t, as_of="2999-01-01").count() == 15
+
+
+def test_compact_sort_by_gives_disjoint_file_ranges(spark, tmp_path):
+    """sort_by compaction: output files cover disjoint ranges of the
+    sort column, so a range predicate opens O(selectivity) files."""
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 1000).repartition(8), t)  # hash-scattered
+    # scattered layout: a narrow range predicate keeps ~every file
+    kept0, total0 = S.plan_files(t, [("n", "<", 100)], spark=spark)
+    assert len(kept0) == total0 == 8
+    S.compact(spark, t, n_files=4, sort_by=["n"])
+    kept, total = S.plan_files(t, [("n", "<", 100)], spark=spark)
+    assert total == 4 and len(kept) == 1              # disjoint ranges
+    got = sorted(r["n"] for r in S.scan(spark, t, [("n", "<", 100)]).collect())
+    assert got == list(range(100))
+    with pytest.raises(ValueError, match="not both"):
+        S.compact(spark, t, 2, zorder_by=["n", "n"], sort_by=["n"])

@@ -284,3 +284,27 @@ def test_overwrite_inherits_and_clears_spec(spark, tmp_path):
     assert 0 < len(kept) < total
     S.overwrite(_sales(spark, 70), t, partition_spec=[])  # explicit clear
     assert "partition_spec" not in S.read_manifest(t, 3)
+
+
+def test_partitioned_compact_sort_by_in_partition_pruning(spark, tmp_path):
+    """sort_by composes with the partition spec: within each partition's
+    files, the sort column's footer ranges are disjoint — second-level
+    stat pruning on top of the partition index."""
+    t = str(tmp_path / "tbl")
+    S.overwrite(
+        _sales(spark, 600), t,
+        partition_spec=[{"column": "g", "transform": "identity"}],
+    )
+    S.compact(spark, t, n_files=14, sort_by=["k"])
+    m = S.read_manifest(t, S.current_version(t))
+    indexed = {f for fl in m["partition_index"].values() for f in fl}
+    assert set(m["files"]) == indexed
+    # 14 range tasks over (g, k): partition g=3 spans >= 2 files with
+    # disjoint k ranges, so a narrow k range keeps a strict subset
+    key = json.dumps({"identity_g": 3})
+    part_files = set(m["partition_index"][key])
+    kept, _ = S.plan_files(t, [("g", "=", 3), ("k", "<", 50)], spark=spark)
+    assert set(kept) < part_files
+    got = sorted(r["k"] for r in S.scan(
+        spark, t, [("g", "=", 3), ("k", "<", 50)]).collect())
+    assert got == [k for k in range(50) if k % 7 == 3]
