@@ -4075,6 +4075,54 @@ def snapshot_mor_delete_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_asof_timestamp_rollup",
+    oracle=f"""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {cents_sum_sql('o_totalprice')} AS total_price
+FROM orders
+WHERE o_orderkey % 3 IN (0, 1)
+GROUP BY 1
+""",
+)
+def snapshot_asof_timestamp_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF-TIMESTAMP time travel (snapshot.py round 7, the
+    Iceberg/Delta `TIMESTAMP AS OF` contract): v1 commits the
+    o_orderkey%3==0 slice, v2 appends the %3==1 slice; the query reads
+    ``as_of = v2's exact commit timestamp`` — the INCLUSIVE boundary —
+    which must resolve to v2 (slices 0 and 1), never v1 or the live
+    head. Resolution walks CURRENT's ancestor chain newest-first
+    comparing recorded manifest commit clocks; the oracle recomputes
+    the v2 row set from the fixture, so an off-by-one boundary (as_of
+    exclusive), a chain walk that overshoots, or clock-keyed version
+    mixing breaks the value hash.
+
+    Scale: O(versions newer than the target) metadata reads — for the
+    common 'read as of an hour ago' that is a handful of manifests, not
+    the history; the data read is the same pinned explicit file list as
+    any snapshot read. Boundary/raise/between-commit cases are
+    unit-tested in tests/test_snapshot.py."""
+    from fraud_detection_etl_project_spark import snapshot as snap
+
+    tag = _fixture_tag(sf_dir, "orders")
+    t = os.path.join(tempfile.gettempdir(), f"snap_asof_{tag}")
+    done = os.path.join(t, "_STAGED")
+    if not os.path.exists(done):
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        )
+        snap.overwrite(orders.filter(F.col("o_orderkey") % 3 == 0), t)  # v1
+        snap.append(orders.filter(F.col("o_orderkey") % 3 == 1), t)     # v2
+        with open(done, "w") as f:
+            f.write("")
+    at_v2 = snap.read(spark, t, as_of=snap.read_manifest(t, 2)["ts"])
+    return at_v2.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        cents_sum("o_totalprice").alias("total_price"),
+    )
+
+
+@query(
     "snapshot_mor_merge_rollup",
     oracle=f"""
 SELECT o_orderstatus,
