@@ -2948,6 +2948,9 @@ def snapshot_skipping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "snapshot_partitioned_prune_rollup",
+    # benched: the table-format path gets a perf-gate entry (plan cost of
+    # partition-index pruning + the pinned-file-list scan, wall-clocked)
+    bench=True,
     oracle=f"""
 SELECT strftime(o_orderdate, '%Y-%m') AS month,
        CAST(count(*) AS BIGINT) AS n_orders,

@@ -715,6 +715,7 @@ def _stage_partitioned(
     table_path: str,
     spec: list[dict],
     bloom_columns: list[str] | None = None,
+    pre_cluster: bool = True,
 ) -> tuple[list[str], dict, dict]:
     """Partition-clustered twin of _stage_data_files: the frame is
     written with write.partitionBy over the derived transform columns
@@ -722,14 +723,25 @@ def _stage_partitioned(
     columns live only in the directory structure, the file keeps the
     source columns), then files flatten into data/ under unique names
     and the (tuple -> names) index is rebuilt from the directory walk.
-    Returns (names, stats, partition_index)."""
+
+    ``pre_cluster`` (default) hash-repartitions on the partition tuple
+    first — Iceberg's write.distribution-mode=hash — so each tuple is
+    written by exactly ONE task and file count is O(#partitions). The
+    naive write is one file per (task x partition): at 1000 input tasks
+    over 10^4 partitions that is 10^7 small files, the classic
+    partitioned-write explosion. Callers that already clustered rows
+    deliberately (sort-layout compaction's range partitioning) pass
+    False to keep their task layout. A single hot partition still lands
+    in one task — skew-sensitive specs add a bucket transform dimension
+    to split it. Returns (names, stats, partition_index)."""
     _, ddir = _paths(table_path)
     os.makedirs(ddir, exist_ok=True)
     stage = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
     pnames = [f"__p_{s['name']}" for s in spec]
-    df.select("*", *_partition_exprs(spec)).write.mode("overwrite").partitionBy(
-        *pnames
-    ).parquet(stage)
+    clustered = df.select("*", *_partition_exprs(spec))
+    if pre_cluster:
+        clustered = clustered.repartition(*[F.col(p) for p in pnames])
+    clustered.write.mode("overwrite").partitionBy(*pnames).parquet(stage)
     names, paths, index = [], [], {}
     for root, _dirs, fs in sorted(os.walk(stage)):
         rel = os.path.relpath(root, stage)
@@ -856,7 +868,12 @@ def _publish(
     # JSON-encoded partition tuple to the file names written under it.
     # Index entries for files that later leave the table are inert
     # (planning intersects with the live list), and files OUTSIDE the
-    # index (CoW rewrite output) are never partition-pruned.
+    # index (CoW rewrite output) are never partition-pruned. Size class:
+    # O(#file names) — the same class as the manifest's own `files`
+    # list (the r5 sharding decision deliberately keeps NAMES inline and
+    # moves only the per-file STATS to NDJSON sidecars), so the index is
+    # a small constant factor on the established posture, not a new
+    # asymptotic term.
     if partition_spec == "inherit":
         partition_spec = parent_m.get("partition_spec")
     if partition_index == "inherit":
@@ -1846,10 +1863,11 @@ def compact(
     second-level (in-partition) stat pruning on top of the index.
 
     On a partitioned table (partition_spec recorded) the compacted
-    files are re-clustered under the SPEC — one-or-few files per
-    partition tuple, a fresh index — so partition pruning stays
-    complete after housekeeping; ``n_files`` then caps the pre-write
-    task count (files per partition), and z-order is refused (order
+    files are re-clustered under the SPEC — one file per partition
+    tuple (hash write distribution) and a fresh index — so partition
+    pruning stays complete after housekeeping; with ``sort_by``,
+    ``n_files`` range tasks split partitions into disjoint sorted
+    files instead. z-order is refused on partitioned tables (order
     inside identity/bucket/month partitions is a different layout
     decision — use sort_by). Returns the new version."""
     if zorder_by is not None and sort_by is not None:
@@ -1865,14 +1883,17 @@ def compact(
             # range-partition on (partition cols, sort cols) so the files
             # WITHIN a partition cover disjoint sort-key ranges (a local
             # sort alone leaves per-task ranges overlapping), then sort
-            # inside each task for tight per-file footers
+            # inside each task for tight per-file footers; pre_cluster
+            # off — the range layout IS the deliberate task placement
             pcols = [s["column"] for s in spec]
             df = df.repartitionByRange(
                 max(1, n_files), *pcols, *sort_by
             ).sortWithinPartitions(*pcols, *sort_by)
+            files, stats, index = _stage_partitioned(
+                df, table_path, spec, pre_cluster=False
+            )
         else:
-            df = df.coalesce(max(1, n_files))
-        files, stats, index = _stage_partitioned(df, table_path, spec)
+            files, stats, index = _stage_partitioned(df, table_path, spec)
         return _publish(
             table_path, files, "compact", parent, stats,
             schema_json=m0.get("schema"),

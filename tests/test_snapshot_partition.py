@@ -308,3 +308,18 @@ def test_partitioned_compact_sort_by_in_partition_pruning(spark, tmp_path):
     got = sorted(r["k"] for r in S.scan(
         spark, t, [("g", "=", 3), ("k", "<", 50)]).collect())
     assert got == [k for k in range(50) if k % 7 == 3]
+
+
+def test_partitioned_write_avoids_small_file_explosion(spark, tmp_path):
+    """Write distribution: a frame arriving in many tasks must still
+    produce O(#partitions) files — one per tuple via the hash
+    pre-cluster — not one per (task x partition), the classic
+    partitioned-write explosion."""
+    t = str(tmp_path / "tbl")
+    S.overwrite(
+        _sales(spark).repartition(32), t,   # 32 scattered input tasks
+        partition_spec=[{"column": "g", "transform": "identity"}],
+    )
+    m = S.read_manifest(t, 1)
+    assert len(m["files"]) == 7             # one file per g, not ~224
+    assert S.read(spark, t).count() == 300
