@@ -315,7 +315,8 @@ def test_randomized_interleaving_property_fuzz():
         for _step in range(rng.randint(6, 12)):
             op = rng.choice(
                 ["append", "branch_append", "create_branch", "create_tag",
-                 "drop_ref", "recreate_ref", "vacuum", "fast_forward"]
+                 "drop_ref", "recreate_ref", "vacuum", "fast_forward",
+                 "rollback"]
             )
             inj = rng.choice([None, "stale_append", "vacuum", "drop"])
 
@@ -375,6 +376,11 @@ def test_randomized_interleaving_property_fuzz():
                     bs = [n for n, (k, _v) in refs.items() if k == "branch"]
                     if bs:
                         S.fast_forward(t, rng.choice(bs))
+                elif op == "rollback":
+                    chain = S._chain(t, S.current_version(t))
+                    v = S.rollback(t, rng.choice(chain))
+                    # rollback is a NEW commit: the head moved FORWARD to it
+                    assert S._head(t, "CURRENT")[1] == v
             except (S.SnapshotConflictError, ValueError, FileNotFoundError):
                 pass                                        # a legal refusal
             finally:
