@@ -1789,9 +1789,15 @@ def version_at_timestamp(table_path: str, as_of: float | str) -> int:
     cur = current_version(table_path)
     if cur is None:
         raise FileNotFoundError(f"snapshot table has no committed version: {table_path}")
-    for v in _chain(table_path, cur):  # newest -> oldest
-        if float(read_manifest(table_path, v).get("ts", 0.0)) <= as_of:
+    v: int | None = cur
+    while v is not None:  # inline newest-first walk: stops at the FIRST
+        try:              # hit, so cost is O(versions newer than as_of),
+            m = read_manifest(table_path, v)  # not O(history) (_chain
+        except FileNotFoundError:             # would pre-walk everything)
+            break  # vacuum horizon: older history is unreachable
+        if float(m.get("ts", 0.0)) <= as_of:
             return v
+        v = m.get("parent")
     raise ValueError(
         f"no version at or before timestamp {as_of} on CURRENT's chain "
         "(table newer than as_of, or history vacuumed)"
