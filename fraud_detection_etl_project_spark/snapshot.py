@@ -1596,13 +1596,18 @@ def _live_delete_files(m: dict, untouched: list[str]) -> list[dict]:
     whose every remaining target was rewritten is inert — drop it from
     the new manifest (the historical version still lists it). Untouched
     carried files keep their parent seq, so delete files that target any
-    of them are retained and keep applying at read time."""
+    of them are retained and keep applying at read time.
+
+    'Some untouched file has seq < d.seq' is exactly
+    'min(untouched seqs) < d.seq' — one O(#files) pass then O(#deletes)
+    checks, never the O(#deletes x #files) nested scan (a driver stall
+    at 10^6 files x 10^3 delete files)."""
     fseq = m.get("file_seq", {})
-    return [
-        d
-        for d in m.get("delete_files", [])
-        if any(int(fseq.get(f, 0)) < int(d["seq"]) for f in untouched)
-    ]
+    dels = m.get("delete_files", [])
+    if not dels or not untouched:
+        return []
+    oldest = min(int(fseq.get(f, 0)) for f in untouched)
+    return [d for d in dels if oldest < int(d["seq"])]
 
 
 def delete(
