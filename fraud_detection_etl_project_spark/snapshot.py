@@ -71,6 +71,7 @@ unchanged; vacuum is a pure metadata diff (referenced set vs listing).
 
 from __future__ import annotations
 
+import functools as _functools
 import json
 import os
 import shutil
@@ -642,10 +643,20 @@ def _partition_exprs(spec: list[dict]) -> list:
 
 
 def _bucket_of(value, n: int) -> int:
-    """Driver-side twin of the bucket partition expression."""
+    """Driver-side twin of the bucket partition expression. Memoized:
+    plan-time pruning evaluates the SAME probe value against every
+    partition tuple, so the md5 runs once per (value, n), not once per
+    tuple."""
+    return _bucket_of_cached(
+        str(int(value)) if isinstance(value, int) and not isinstance(value, bool) else str(value),
+        n,
+    )
+
+
+@_functools.lru_cache(maxsize=4096)
+def _bucket_of_cached(canon: str, n: int) -> int:
     import hashlib
 
-    canon = str(int(value)) if isinstance(value, int) and not isinstance(value, bool) else str(value)
     return int(hashlib.md5(canon.encode("utf-8")).hexdigest()[:12], 16) % n
 
 
