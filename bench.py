@@ -240,6 +240,7 @@ def main() -> None:
                 n
                 for n in (
                     "simhash_hamming_pairs",
+                    "simhash128_hamming_pairs",  # r7 in-join verify: curve it
                     "concurrent_session_pairs_capped",
                     "neardup_pairs_salted",
                 )
