@@ -612,10 +612,29 @@ def _norm_spec(partition_spec: list[dict], df: DataFrame) -> list[dict]:
             e["vtype"] = (
                 "i" if types[col] in ("tinyint", "smallint", "int", "bigint")
                 else "f" if types[col] in ("float", "double")
+                else "d" if types[col] == "date"
+                else "t" if types[col].startswith("timestamp")
                 else "s"
             )
         out.append(e)
     return out
+
+
+# a DATE/TIMESTAMP probe participates in string-ordered pruning only in
+# strict zero-padded ISO form: Spark CASTS '1995-3-15' to the same date as
+# '1995-03-15', but the two order differently as strings, so a non-padded
+# probe compared against padded directory values could WRONGLY prune.
+# Non-matching probes simply never prune (conservative).
+_ISO_DATEISH = None
+
+
+def _isoish(val) -> bool:
+    global _ISO_DATEISH
+    if _ISO_DATEISH is None:
+        import re
+
+        _ISO_DATEISH = re.compile(r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}:\d{2})?$")
+    return isinstance(val, str) and bool(_ISO_DATEISH.match(val))
 
 
 def _partition_exprs(spec: list[dict]) -> list:
@@ -701,6 +720,8 @@ def _partition_matches(spec: list[dict], pt: dict, predicates) -> bool:
             if t == "identity":
                 if isinstance(val, str) != isinstance(v, str):
                     continue  # type mismatch: don't risk a wrong prune
+                if s.get("vtype") in ("d", "t") and not _isoish(val):
+                    continue  # non-ISO date probe: engine CAST semantics
                 if not _OPS[op](v, v, val):
                     return False
             elif t == "bucket":
@@ -714,8 +735,8 @@ def _partition_matches(spec: list[dict], pt: dict, predicates) -> bool:
                 if not _OPS[op](v, v + s["n"] - 1, val):
                     return False
             else:  # month: value bounds ['<m>-01', '<m>-99'] in ISO order
-                if not isinstance(val, str):
-                    continue
+                if not _isoish(val):
+                    continue  # only strict ISO probes order as strings
                 if not _OPS[op](v + "-01", v + "-99", val):
                     return False
     return True

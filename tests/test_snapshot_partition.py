@@ -323,3 +323,32 @@ def test_partitioned_write_avoids_small_file_explosion(spark, tmp_path):
     m = S.read_manifest(t, 1)
     assert len(m["files"]) == 7             # one file per g, not ~224
     assert S.read(spark, t).count() == 300
+
+
+def test_nonpadded_date_probe_never_wrongly_prunes(spark, tmp_path):
+    """Spark CASTS '1995-3-15' to the same date as '1995-03-15', but the
+    two ORDER differently as strings — a non-padded probe must fall out
+    of partition pruning (conservative keep), never wrongly prune rows
+    the re-applied engine filter would match."""
+    t = str(tmp_path / "tbl")
+    S.overwrite(
+        _sales(spark), t,
+        partition_spec=[{"column": "d", "transform": "month"}],
+    )
+    kept_sloppy, total = S.plan_files(t, [("d", ">=", "1995-3-15")], spark=spark)
+    assert len(kept_sloppy) == total          # no pruning on a non-ISO probe
+    got = sorted(r["k"] for r in S.scan(spark, t, [("d", ">=", "1995-3-15")]).collect())
+    exp = sorted(r["k"] for r in S.scan(spark, t, [("d", ">=", "1995-03-15")]).collect())
+    assert got == exp and got                 # engine CAST parity preserved
+    # identity-on-date spec: same guard
+    t2 = str(tmp_path / "tbl2")
+    S.overwrite(
+        _sales(spark), t2,
+        partition_spec=[{"column": "d", "transform": "identity"}],
+    )
+    m = S.read_manifest(t2, 1)
+    assert m["partition_spec"][0]["vtype"] == "d"
+    kept2, total2 = S.plan_files(t2, [("d", "=", "1995-1-5")], spark=spark)
+    assert len(kept2) == total2               # conservative keep
+    assert S.scan(spark, t2, [("d", "=", "1995-1-5")]).count() == S.scan(
+        spark, t2, [("d", "=", "1995-01-05")]).count() > 0
