@@ -525,3 +525,34 @@ def test_grid_neighbor_join_matches_brute_force(spark):
         .collect()
     }
     assert got == brute and len(brute) > 0
+
+
+def test_salted_join_carry_and_pair_pred_hot_and_cool(spark):
+    """Round-7 carry/pair_pred contract: with a bucket pushed over the
+    cap (hot salted path) AND small buckets (cool path), carried payload
+    columns arrive on both sides and the in-stage predicate filters
+    exactly like a post-join filter — output identical to the naive
+    formulation."""
+    from fraud_detection_etl_project_spark.operators.dedup import salted_pair_self_join
+
+    # bucket "h": 80 members (hot, cap 16); bucket "c": 5 members (cool)
+    rows = [(i, "h", i % 7) for i in range(80)] + [(100 + i, "c", i) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, b string, w long")
+    got = salted_pair_self_join(
+        df, "doc_id", ["b"], bucket_cap=16, salt_groups=4,
+        carry=["w"],
+        pair_pred=lambda a, b: a("w") == b("w"),  # same payload only
+    ).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+    naive = set()
+    by_bucket: dict = {}
+    for i, b, w in rows:
+        by_bucket.setdefault(b, []).append((i, w))
+    for members in by_bucket.values():
+        for i, wi in members:
+            for j, wj in members:
+                if i < j and wi == wj:
+                    naive.add((i, j))
+    assert pairs == naive and len(pairs) > 100
+    # carried payloads arrive on both sides, equal under the predicate
+    assert all(r["w_a"] == r["w_b"] for r in got)
