@@ -360,6 +360,62 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUBSTR_DF_CAP = 64  # fingerprints in more docs than this are boilerplate
+_SUBSTR_MIN_SHARED = 5  # pair emission threshold (shared distinct fps)
+
+
+@query(
+    "neardup_substring_pairs",
+    oracle=f"""
+WITH fpr AS ({_WINNOW_ORACLE}),
+df AS (SELECT fp, count(*) AS dfc FROM fpr GROUP BY 1),
+keep AS (SELECT f.doc_id, f.fp
+         FROM fpr f JOIN df USING (fp)
+         WHERE dfc BETWEEN 2 AND {_SUBSTR_DF_CAP}),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared_fps
+      FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_shared_fps FROM p
+WHERE n_shared_fps >= {_SUBSTR_MIN_SHARED}
+""",
+)
+def neardup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-level near-dup pairs (the Lee et al. 'Deduplicating
+    Training Data' partial-copy modality): document pairs sharing >=
+    {k} distinct winnowing fingerprints — each fingerprint is a
+    window-minimum rolling hash, so a shared one localizes a common
+    PASSAGE. This catches quote-heavy partial copies that whole-document
+    MinHash/SimHash banding scores too dissimilar to pair, completing
+    the dedup family (exact / MinHash / SimHash / embedding / substring).
+
+    Scale shape: the join key is the 32-char fingerprint, never text.
+    Document-frequency capping comes FIRST ({cap} via a window count —
+    one fp-keyed shuffle): a boilerplate fingerprint in 10^5 docs would
+    otherwise put a 10^10-pair bucket on one reducer, and the dedup
+    literature drops such stop-fingerprints anyway (they mark template
+    text, not copying). The residual per-fp pair fan-out is bounded by
+    cap^2/2; the pair count aggregates map-side. The oracle replays the
+    identical cap + threshold, so a wrong df rule breaks the value
+    hash.""".format(k=_SUBSTR_MIN_SHARED, cap=_SUBSTR_DF_CAP)
+    d = _t(spark, sf_dir, "documents")
+    fps = _winnow_rows(d)
+    dfc = F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    keep = (
+        fps.withColumn("dfc", dfc)
+        .filter((F.col("dfc") >= 2) & (F.col("dfc") <= _SUBSTR_DF_CAP))
+        .drop("dfc")
+    )
+    a, b = keep.alias("a"), keep.alias("b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= _SUBSTR_MIN_SHARED)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Repetition quality signals (Gopher-style)
 # ---------------------------------------------------------------------------
