@@ -382,22 +382,23 @@ WHERE n_shared_fps >= {_SUBSTR_MIN_SHARED}
 )
 def neardup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SUBSTRING-level near-dup pairs (the Lee et al. 'Deduplicating
-    Training Data' partial-copy modality): document pairs sharing >=
-    {k} distinct winnowing fingerprints — each fingerprint is a
-    window-minimum rolling hash, so a shared one localizes a common
-    PASSAGE. This catches quote-heavy partial copies that whole-document
-    MinHash/SimHash banding scores too dissimilar to pair, completing
-    the dedup family (exact / MinHash / SimHash / embedding / substring).
+    Training Data' partial-copy modality): document pairs sharing >= 5
+    (_SUBSTR_MIN_SHARED) distinct winnowing fingerprints — each
+    fingerprint is a window-minimum rolling hash, so a shared one
+    localizes a common PASSAGE. This catches quote-heavy partial copies
+    that whole-document MinHash/SimHash banding scores too dissimilar to
+    pair, completing the dedup family (exact / MinHash / SimHash /
+    embedding / substring).
 
     Scale shape: the join key is the 32-char fingerprint, never text.
-    Document-frequency capping comes FIRST ({cap} via a window count —
-    one fp-keyed shuffle): a boilerplate fingerprint in 10^5 docs would
-    otherwise put a 10^10-pair bucket on one reducer, and the dedup
-    literature drops such stop-fingerprints anyway (they mark template
-    text, not copying). The residual per-fp pair fan-out is bounded by
-    cap^2/2; the pair count aggregates map-side. The oracle replays the
-    identical cap + threshold, so a wrong df rule breaks the value
-    hash.""".format(k=_SUBSTR_MIN_SHARED, cap=_SUBSTR_DF_CAP)
+    Document-frequency capping comes FIRST (df <= 64, _SUBSTR_DF_CAP,
+    via a window count — one fp-keyed shuffle): a boilerplate
+    fingerprint in 10^5 docs would otherwise put a 10^10-pair bucket on
+    one reducer, and the dedup literature drops such stop-fingerprints
+    anyway (they mark template text, not copying). The residual per-fp
+    pair fan-out is bounded by cap^2/2; the pair count aggregates
+    map-side. The oracle replays the identical cap + threshold, so a
+    wrong df rule breaks the value hash."""
     d = _t(spark, sf_dir, "documents")
     fps = _winnow_rows(d)
     dfc = F.count(F.lit(1)).over(Window.partitionBy("fp"))
