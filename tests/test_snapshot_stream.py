@@ -280,3 +280,28 @@ def test_stream_current_version_never_regresses_to_mirror(tmp_path, monkeypatch)
 
     shutil.rmtree(os.path.join(t, "_manifests", "heads"))
     assert SS._current_version(t) == 1
+
+
+def test_stream_tails_a_partitioned_table(spark, tmp_path):
+    """The self-contained stream reader must tail a PARTITION-SPEC'd
+    table (round 7): partitioned manifests carry extra keys and
+    hash-clustered multi-file commits, but the stream's contract —
+    every appended row exactly once, tagged with its commit version —
+    is layout-independent."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    df1 = spark.range(0, 12).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    )
+    S.overwrite(df1, t, partition_spec=[{"column": "g", "transform": "identity"}])
+    S.append(
+        spark.range(100, 106).select(F.col("id").alias("k"), (F.col("id") % 3).alias("g")),
+        t,
+    )
+    assert len(S.read_manifest(t, 2)["files"]) >= 4  # multi-file, clustered
+    out = _drain(spark, t, str(tmp_path / "cp"), "snap_part_tail")
+    rows = {(r["k"], r["_commit_version"]) for r in out.collect()}
+    assert {k for k, _ in rows} == set(range(12)) | set(range(100, 106))
+    assert {c for _, c in rows} == {1, 2}
+    assert sum(1 for _, c in rows if c == 2) == 6
