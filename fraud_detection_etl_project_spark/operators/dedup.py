@@ -157,6 +157,66 @@ def neardup_pairs_minhash(df: DataFrame, text_col: str = "text", id_col: str = "
     )
 
 
+_SIZING_SHARDS = 32  # sub-key fan-out of the two-level bucket-size count
+
+
+def skewfree_bucket_split(
+    exploded: DataFrame,
+    id_col: str,
+    key_cols: list[str],
+    bucket_cap: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Split bucket-exploded ``(id, *key_cols, ...)`` rows into
+    ``(cool, hot)`` by bucket size — cool: 2 <= size <= ``bucket_cap``
+    (singletons dropped: they cannot form a pair), hot: size > cap —
+    with NO single-reducer pass on the bucket key (round 8).
+
+    Why not a window count: ``count().over(Window.partitionBy(keys))``
+    hash-partitions ALL copies of a key onto one WindowExec partition —
+    a boilerplate fingerprint or band value present in 10^9 documents
+    puts 10^9 rows through a single reducer (buffer + spill + straggler)
+    BEFORE the cap can drop it; the sizing guard inherits exactly the
+    skew it exists to defuse. Here instead:
+
+    1. Two-level map-side-combined count: ``groupBy(*keys, xxhash64(id)
+       mod S).count()`` then ``groupBy(*keys).sum()``. The first level
+       spreads any hot key over S reducer sub-keys (each sub-reducer
+       receives only partial counts — one row per key-shard per map
+       task, never the raw copies); the second level sums <= S one-row
+       partials per key. No reducer ever materializes a key's row set.
+    2. Over-cap keys are BROADCAST (they are rare by construction — the
+       cap exists to catch the skewed boilerplate tail, and there can be
+       at most total_rows/cap of them): hot rows split off via a
+       broadcast semi join, cool candidates via a broadcast anti join —
+       the hot key's 10^9 copies never shuffle on the bucket key at all.
+    3. The singleton drop on the cool side is a semi join against the
+       (2..cap)-sized key list; every surviving key has <= cap rows, so
+       that shuffle is bounded at cap rows per reducer key — skew-free
+       by construction, and its hash(keys) output partitioning is reused
+       by the caller's self-join with no further exchange.
+
+    Output rows are exactly the window-count formulation's — the split
+    is a physical re-routing, oracle-invariant.
+    """
+    keys = list(key_cols)
+    e = exploded.persist()
+    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(_SIZING_SHARDS))
+    counts = (
+        e.groupBy(*keys, shard.alias("__szshard"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(*keys)
+        .agg(F.sum("__c").alias("__sz"))
+        .persist()
+    )
+    hot_keys = counts.filter(F.col("__sz") > bucket_cap).select(*keys)
+    pair_keys = counts.filter(
+        (F.col("__sz") >= 2) & (F.col("__sz") <= bucket_cap)
+    ).select(*keys)
+    hot = e.join(F.broadcast(hot_keys), keys, "semi")
+    cool = e.join(F.broadcast(hot_keys), keys, "anti").join(pair_keys, keys, "semi")
+    return cool, hot
+
+
 def salted_pair_self_join(
     exploded: DataFrame,
     id_col: str,
@@ -175,8 +235,10 @@ def salted_pair_self_join(
     The plain self-join puts a bucket's entire |s|² pair generation on
     ONE reducer key; a single viral duplicate cluster (boilerplate,
     mirrored pages — routine in web corpora) makes that one task O(s²)
-    while 999 executors idle. Here buckets are sized first (one extra
-    key-grouped agg); members of buckets over ``bucket_cap`` get a
+    while 999 executors idle. Here buckets are sized first — and the
+    sizing pass itself is skew-free (round 8, skewfree_bucket_split:
+    two-level map-side-combined count + broadcast over-cap routing, no
+    single-reducer window); members of buckets over ``bucket_cap`` get a
     deterministic salt g = xxhash64(id) mod G and the self-join key
     becomes (*keys, salt_a, salt_b): each side replicates its hot rows
     G ways (the cross-salt cover, so NO pair is lost), and one hot
@@ -199,22 +261,16 @@ def salted_pair_self_join(
     two signature re-joins. Output is unchanged — the predicate is the
     same verify the caller previously ran post-join.
     """
-    from pyspark.sql import Window
-
     keys = list(key_cols)
     carry = list(carry or [])
-    # bucket size via a window count, not agg + re-join: one shuffle on the
-    # bucket key instead of two, and the window's output partitioning
-    # (hash on keys) is exactly what the cool self-join below requires, so
-    # that join adds NO further exchange on the cool side
-    sz = F.count(F.lit(1)).over(Window.partitionBy(*keys))
-    e = exploded.withColumn("sz", sz).persist()
+    # skew-free sizing + singleton prefilter: for wide band keys (32-bit
+    # simhash bands) MOST buckets are singletons, so the (2..cap) semi
+    # join is the document-frequency prefilter that cuts the join input
+    # to the colliding tail; output-invariant by construction (a pair
+    # needs size >= 2 on both sides). See skewfree_bucket_split for why
+    # this is not a window count.
+    cool, hot = skewfree_bucket_split(exploded, id_col, keys, bucket_cap)
 
-    # singleton buckets can't form a pair — drop them BEFORE the join.
-    # For wide band keys (32-bit simhash bands) MOST buckets are
-    # singletons, so this is the document-frequency prefilter that cuts
-    # the join input to the colliding tail; output-invariant by
-    # construction (a pair needs sz >= 2 on both sides).
     def _pairize(joined, a_of, b_of):
         out = joined.filter(a_of(id_col) < b_of(id_col))
         if pair_pred is not None:
@@ -226,7 +282,6 @@ def salted_pair_self_join(
             *[b_of(c).alias(f"{c}_b") for c in carry],
         )
 
-    cool = e.filter((F.col("sz") <= bucket_cap) & (F.col("sz") >= 2)).drop("sz")
     a, b = cool.alias("a"), cool.alias("b")
     cool_pairs = _pairize(
         a.join(b, keys),
@@ -235,9 +290,7 @@ def salted_pair_self_join(
     )
 
     g = F.lit(salt_groups)
-    hot = e.filter(F.col("sz") > bucket_cap).drop("sz").withColumn(
-        "salt", F.pmod(F.xxhash64(F.col(id_col)), g).cast("int")
-    )
+    hot = hot.withColumn("salt", F.pmod(F.xxhash64(F.col(id_col)), g).cast("int"))
     partner = F.explode(F.sequence(F.lit(0), g - 1)).alias("partner")
     # left row (x): first-slot salt is x's own, second slot covers every
     # possible partner salt; right row (y): mirror. Join key carries BOTH

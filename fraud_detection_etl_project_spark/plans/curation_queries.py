@@ -391,22 +391,26 @@ def neardup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding / substring).
 
     Scale shape: the join key is the 32-char fingerprint, never text.
-    Document-frequency capping comes FIRST (df <= 64, _SUBSTR_DF_CAP,
-    via a window count — one fp-keyed shuffle): a boilerplate
-    fingerprint in 10^5 docs would otherwise put a 10^10-pair bucket on
-    one reducer, and the dedup literature drops such stop-fingerprints
-    anyway (they mark template text, not copying). The residual per-fp
-    pair fan-out is bounded by cap^2/2; the pair count aggregates
-    map-side. The oracle replays the identical cap + threshold, so a
-    wrong df rule breaks the value hash."""
+    Document-frequency capping comes FIRST (df <= 64, _SUBSTR_DF_CAP):
+    a boilerplate fingerprint in 10^5 docs would otherwise put a
+    10^10-pair bucket on one reducer, and the dedup literature drops
+    such stop-fingerprints anyway (they mark template text, not
+    copying). The df sizing itself is skew-free (round 8,
+    operators/dedup.skewfree_bucket_split: two-level map-side-combined
+    count, over-cap fps routed by BROADCAST anti join) — the previous
+    window count hash-partitioned every copy of a viral fingerprint
+    onto one WindowExec reducer, inheriting the very skew the cap
+    exists to drop. The residual per-fp pair fan-out is bounded by
+    cap^2/2; the pair count aggregates map-side. The oracle replays
+    the identical cap + threshold, so a wrong df rule breaks the
+    value hash."""
+    from fraud_detection_etl_project_spark.operators.dedup import skewfree_bucket_split
+
     d = _t(spark, sf_dir, "documents")
     fps = _winnow_rows(d)
-    dfc = F.count(F.lit(1)).over(Window.partitionBy("fp"))
-    keep = (
-        fps.withColumn("dfc", dfc)
-        .filter((F.col("dfc") >= 2) & (F.col("dfc") <= _SUBSTR_DF_CAP))
-        .drop("dfc")
-    )
+    # cool side == fps with 2 <= df <= cap; over-cap (hot) fps are
+    # boilerplate and dropped outright — no salting needed here
+    keep, _boilerplate = skewfree_bucket_split(fps, "doc_id", ["fp"], _SUBSTR_DF_CAP)
     a, b = keep.alias("a"), keep.alias("b")
     return (
         a.join(b, "fp")
