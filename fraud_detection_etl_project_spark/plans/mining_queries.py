@@ -3007,6 +3007,65 @@ def snapshot_partitioned_prune_rollup(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @query(
+    "snapshot_spec_evolution_rollup",
+    oracle=f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {cents_sum_sql('o_totalprice')} AS total_price
+FROM orders
+WHERE o_orderdate >= DATE '1997-06-01'
+GROUP BY 1
+""",
+)
+def snapshot_spec_evolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec EVOLUTION on the snapshot table (snapshot.py,
+    round 8 — the Iceberg model): v1 commits the even-o_orderkey half of
+    orders under month(o_orderdate); evolve_partition_spec switches the
+    table's default spec to bucket(o_custkey, 4) as a METADATA-ONLY
+    commit (no file rewritten); the odd half then appends under the new
+    spec. The scan's date predicate prunes the old half by WHOLE MONTHS
+    under spec 1 while the new half's files prune only by stats — each
+    file is pruned under the spec it was written with (the per-spec
+    guard, incl. touch-only-surviving-partitions, is asserted in
+    tests/test_snapshot_partition.py). The oracle runs the same filter
+    over the full fixture, so a row lost or duplicated across the spec
+    boundary breaks the value hash.
+
+    Scale: spec evolution is what keeps a 100 TB table partitionable as
+    it ages — day->month rollups or adding a bucket dimension become a
+    single manifest commit instead of a full rewrite; old files keep
+    their tuples, plan_files prunes each under its own spec, and a later
+    compact() collapses the history when a rewrite is eventually paid."""
+    from fraud_detection_etl_project_spark import snapshot as snap
+
+    tag = _fixture_tag(sf_dir, "orders")
+    t = os.path.join(tempfile.gettempdir(), f"snap_specevo_{tag}")
+    done = os.path.join(t, "_STAGED")
+    if not os.path.exists(done):
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+        )
+        snap.overwrite(
+            orders.filter(F.col("o_orderkey") % 2 == 0),
+            t,
+            partition_spec=[{"column": "o_orderdate", "transform": "month"}],
+        )
+        snap.evolve_partition_spec(
+            t, [{"column": "o_custkey", "transform": "bucket", "n": 4}]
+        )
+        snap.append(orders.filter(F.col("o_orderkey") % 2 == 1), t)
+        with open(done, "w") as f:
+            f.write("")
+    pruned = snap.scan(spark, t, [("o_orderdate", ">=", "1997-06-01")])
+    return pruned.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        cents_sum("o_totalprice").alias("total_price"),
+    )
+
+
+@query(
     "snapshot_merge_upsert_rollup",
     oracle=f"""
 SELECT o_orderstatus,
