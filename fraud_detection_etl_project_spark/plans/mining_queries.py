@@ -3066,6 +3066,67 @@ def snapshot_spec_evolution_rollup(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "snapshot_schema_evolution_rollup",
+    oracle=f"""
+SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {cents_sum_sql('o_totalprice')} AS total_price
+FROM orders
+GROUP BY 1
+""",
+)
+def snapshot_schema_evolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-ID schema evolution on the snapshot table (snapshot.py,
+    round 8): v1 commits the even-o_orderkey half of orders as
+    (o_orderkey, o_custkey, o_totalprice); rename_column turns
+    o_totalprice into price_usd as a METADATA-ONLY commit (zero bytes
+    rewritten — reads project old files through the rename log by field
+    id); the odd half then appends under the new name ADDING a priority
+    column (fresh field id, old files read it as NULL); drop_column
+    finally retires o_custkey (old files keep the bytes, the projected
+    read never touches them). The rollup groups by priority — NULL for
+    every pre-evolution row — and cents-sums the renamed column across
+    both eras, so a lost rename mapping, resurrected drop, or misfiled
+    add breaks the value hash. Time travel across each evolution step
+    and the drop-then-re-add-same-name no-resurrection guard are pinned
+    in tests/test_snapshot.py.
+
+    Scale: rename/drop on a 100 TB table is one manifest commit; the
+    era-grouped read plans O(#schema commits) parquet groups (never
+    O(#files)), and compact() pays the projection debt when convenient."""
+    from fraud_detection_etl_project_spark import snapshot as snap
+
+    tag = _fixture_tag(sf_dir, "orders")
+    t = os.path.join(tempfile.gettempdir(), f"snap_schemaevo_{tag}")
+    done = os.path.join(t, "_STAGED")
+    if not os.path.exists(done):
+        orders = _t(spark, sf_dir, "orders")
+        snap.overwrite(
+            orders.filter(F.col("o_orderkey") % 2 == 0).select(
+                "o_orderkey", "o_custkey", "o_totalprice"
+            ),
+            t,
+        )
+        snap.rename_column(t, "o_totalprice", "price_usd")
+        snap.append(
+            orders.filter(F.col("o_orderkey") % 2 == 1).select(
+                "o_orderkey",
+                "o_custkey",
+                F.col("o_totalprice").alias("price_usd"),
+                F.col("o_orderpriority").alias("priority"),
+            ),
+            t,
+        )
+        snap.drop_column(t, "o_custkey")
+        with open(done, "w") as f:
+            f.write("")
+    return snap.read(spark, t).groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        cents_sum("price_usd").alias("total_price"),
+    )
+
+
+@query(
     "snapshot_merge_upsert_rollup",
     oracle=f"""
 SELECT o_orderstatus,
