@@ -2152,6 +2152,7 @@ def embedding_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("cell", F.transform("pairs", lambda p: p["cval"]).alias("centroid"))
             .orderBy("cell")
         )
+        # bounded: k-row parameter frame (one centroid per IVF cell)
         return [(int(r["cell"]), [float(x) for x in r["centroid"]]) for r in cent.collect()]
 
     cents = S.ivf_centroids(e, k=_KM_K)

@@ -2742,7 +2742,7 @@ def ivf_trained_ann_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_rows = (
         emb.filter(F.col("vec_id").isin([int(c) for c in cids]))
         .select("vec_id", "embedding")
-        .collect()
+        .collect()  # bounded: k center rows
     )  # k rows: the trained codebook (parameters, not data)
     cent_map = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in cent_rows}
     centroids = [(cid, cent_map[cid]) for cid in cids]

@@ -117,6 +117,7 @@ def main() -> int:
             "sf_dir": sf_dir,
             "run_utc": datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds"),
             "total_registered": len(qs),
+            "queries": sorted(qs),
             "oracle_matched": passed,
             "rows_only": rows_only,
             "failed": {n: e[:300] for n, e in failures},
