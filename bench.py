@@ -243,6 +243,8 @@ def main() -> None:
                     "simhash128_hamming_pairs",  # r7 in-join verify: curve it
                     "concurrent_session_pairs_capped",
                     "neardup_pairs_salted",
+                    "purchase_eps_neighbor_pairs",  # r8: worst 10x grower — curve it
+                    "neardup_dedup_kept",  # r8: CC rounds vs candidate volume
                 )
                 if n in specs
             ]
