@@ -339,6 +339,102 @@ def neardup_pairs_minhash_salted(
     )
 
 
+def allpairs_jaccard_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    t_num: int = 3,
+    t_den: int = 5,
+    bucket_cap: int = 64,
+    salt_groups: int = 8,
+) -> DataFrame:
+    """EXACT token-Jaccard threshold self-join via prefix filtering — the
+    AllPairs/PPJoin family (Bayardo/Ma/Srikant WWW'07, Chaudhuri et al.
+    SSJoin): every document pair with distinct-token Jaccard >= t
+    (t = t_num/t_den, exact rational arithmetic), with NO false
+    negatives and no LSH probability knob — the exact counterpart to the
+    MinHash/SimHash approximate candidate paths.
+
+    Why this beats the naive token self-join at scale: a shared-token
+    join alone explodes on stopwords (every doc pair sharing "the"
+    becomes a candidate). Prefix filtering makes the candidate set
+    sub-quadratic: order each doc's tokens by GLOBAL document frequency
+    ascending (rarest first, ties broken by token — one total order for
+    the whole corpus), and keep only each doc's first
+    n - ceil(t*n) + 1 tokens as its PREFIX. Any pair with J >= t has
+    overlap o >= t*max(|a|,|b|) (J = o/(|a|+|b|-o) >= t and
+    |b| >= o >= t*|a|), so skipping the last ceil(t*n) - 1 tokens of
+    each side cannot skip ALL o common tokens — the prefixes must
+    collide (the prefix-filter lemma); candidate generation touches
+    only RARE-token collisions, stopwords land in the un-joined
+    suffixes. Candidates then verify with an exact intersection count
+    and the integer inequality t_den*o >= t_num*(|a|+|b|-o) — no
+    floating-point threshold boundary.
+
+    Scale posture: the prefix self-join runs through the shared
+    cap-and-salt machinery (salted_pair_self_join — lossless, the salt
+    spreads a hot prefix token over G² reducer keys), with the size
+    filter t*|a| <= |b| <= |a|/t applied IN the join stage so
+    mismatched-size candidates never reach the distinct; the verify
+    joins token sets for CANDIDATE ids only. Per-doc ranking windows
+    partition by doc_id — bounded by document length, never by corpus
+    frequency."""
+    from pyspark.sql.window import Window
+
+    normd = spread_for_compute(
+        df.select(F.col(id_col), normalized(F.col(text_col)).alias("_norm"))
+    )
+    tok = normd.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col("_norm"), " "))).alias("tok"),
+    )
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = tok.join(dfreq, "tok")
+    per_doc = Window.partitionBy(id_col)
+    sized = ranked.select(
+        F.col(id_col),
+        "tok",
+        F.row_number().over(per_doc.orderBy("_df", "tok")).alias("_pos"),
+        F.count(F.lit(1)).over(per_doc).alias("_n"),
+    )
+    # prefix length n - ceil(t*n) + 1; ceil(t_num*n/t_den) via int math
+    ceil_tn = F.floor((F.col("_n") * t_num + (t_den - 1)) / t_den)
+    prefix = sized.filter(F.col("_pos") <= F.col("_n") - ceil_tn + 1)
+    cand = salted_pair_self_join(
+        prefix,
+        id_col,
+        ["tok"],
+        bucket_cap=bucket_cap,
+        salt_groups=salt_groups,
+        carry=["_n"],
+        # length filter: J >= t forces t*|a| <= |b| (both directions) —
+        # a pure prune, every true pair satisfies it
+        pair_pred=lambda a_of, b_of: (a_of("_n") * t_num <= b_of("_n") * t_den)
+        & (b_of("_n") * t_num <= a_of("_n") * t_den),
+    ).select("doc_a", "doc_b")
+    ta = tok.withColumnRenamed(id_col, "doc_a").alias("ta")
+    tb = tok.withColumnRenamed(id_col, "doc_b").alias("tb")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, (F.col("tb.doc_b") == cand["doc_b"]) & (F.col("ta.tok") == F.col("tb.tok")))
+        .groupBy("doc_a", cand["doc_b"].alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    union_sz = F.col("na") + F.col("nb") - F.col("n_inter")
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("_n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("_n", "nb"), "doc_b")
+        .filter(F.col("n_inter") * t_den >= union_sz * t_num)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            fxr(F.col("n_inter") / union_sz, 6).alias("jaccard"),
+        )
+    )
+
+
 def _hex_bit(h, p: int, k: int):
     """Bit k (0..3, LSB-first) of hex digit p (0-based) of hex string col."""
     hv = F.instr(F.lit(HEX), F.substring(h, p + 1, 1)) - 1
@@ -367,45 +463,64 @@ def simhash_bits(
         F.col(id_col),
         F.explode(F.split(normalized(F.col(text_col)), " ")).alias("tok"),
     ).withColumn("h", F.md5(F.col("tok").cast("binary")))
-    # Integer-lane formulation (r6, 4x faster than the per-bit
-    # substring+conv aggregates it replaces): the 32-hex digest becomes
-    # 8 sixteen-bit integer lanes ONCE per token; each bit is then a
-    # shift+mask, and bit COUNTS are packed two per 64-bit sum (lanes at
-    # 2^32 — no carry below 2^32 tokens/doc, vs int64 token counts that
-    # are impossible per document anyway). Same bit order as before:
-    # global bit b = bit (b%4, LSB-first) of hex digit b//4, which sits
-    # at shift 4*(3 - (b//4)%4) + b%4 of lane b//16. The +1/-1 majority
-    # is recovered from the ones-count: sum > 0  <=>  2*ones > n.
-    lanes = toks.select(
+    # Integer-lane formulation, widened in r8 (48-bit lanes, 3 counts
+    # per packed sum — vs the r6 16-bit-lane/2-per-sum shape, signatures
+    # byte-identical): the 32-hex digest is radix-parsed into
+    # ceil(hexdigits/12) integer lanes ONCE per token (2-3 `conv` string
+    # parses instead of 8); each bit is then a shift+mask, and bit
+    # COUNTS are packed three per 64-bit sum at 2^21 spacing (top lane
+    # < 2^21 * 2^42 = 2^63 — exact below 2^21 tokens per document,
+    # guarded with raise_error below; docs beyond ~10 MB of text need
+    # the 2-per-sum spacing back). Bit order is unchanged: global bit
+    # b = bit (b%4, LSB-first) of hex digit b//4, which sits at shift
+    # 4*(lane_width-1 - digit_in_lane) + b%4 of its lane. The +1/-1
+    # majority is recovered from the ones-count: sum > 0 <=> 2*ones > n.
+    #
+    # The ~400-node expression tree is built as SQL TEXT, not stacked
+    # Column objects: each Column operator is a py4j round trip, and at
+    # this width the DSL construction alone measured 3.4 s of driver
+    # time per planning — 5x the 0.7 s the query takes to EXECUTE at
+    # sf0.1 (bench rebuilds the frame every pass, so the old shape's
+    # benched number was mostly plan construction). One expr string
+    # parses JVM-side in milliseconds.
+    LANE_HEX = 12  # 48 bits per lane; 63-bit long cap is 15, 12 divides evenly
+    n_hex = (bits + 3) // 4
+    lane_width = [min(LANE_HEX, n_hex - s) for s in range(0, n_hex, LANE_HEX)]
+    lanes = toks.selectExpr(
         id_col,
         *[
-            F.conv(F.substring("h", 4 * i + 1, 4), 16, 10).cast("long").alias(f"l{i}")
-            for i in range((bits + 15) // 16)
+            f"CAST(conv(substring(h, {li * LANE_HEX + 1}, {w}), 16, 10) AS BIGINT) AS l{li}"
+            for li, w in enumerate(lane_width)
         ],
     )
 
-    def _bit(b):
-        shift = 4 * (3 - (b // 4) % 4) + b % 4
-        return F.shiftright(F.col(f"l{b // 16}"), shift) % 2
+    def _bit(b: int) -> str:
+        d = b // 4
+        li, pos = d // LANE_HEX, d % LANE_HEX
+        shift = 4 * (lane_width[li] - 1 - pos) + b % 4
+        return f"(shiftright(l{li}, {shift}) % 2)"
 
-    packed = [
-        F.sum(_bit(2 * j) * F.lit(2**32) + _bit(2 * j + 1)).alias(f"p{j}")
-        for j in range(bits // 2)
-    ]
-    if bits % 2:
-        packed.append(F.sum(_bit(bits - 1) * F.lit(2**32)).alias(f"p{bits // 2}"))
+    PACK = 3  # counts per 64-bit sum, spaced 2^21
+    packed = []
+    for j in range(0, bits, PACK):
+        terms = [
+            f"{_bit(j + k)} * {2 ** (21 * (PACK - 1 - k))}"
+            for k in range(min(PACK, bits - j))
+        ]
+        packed.append(F.expr(f"sum({' + '.join(terms)})").alias(f"p{j // PACK}"))
     sums = lanes.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"), *packed)
 
-    def _char(b):
-        c = (
-            F.shiftright(F.col(f"p{b // 2}"), 32)
-            if b % 2 == 0
-            else F.col(f"p{b // 2}") % F.lit(2**32)
-        )
-        return F.when(2 * c > F.col("n"), F.lit("1")).otherwise(F.lit("0"))
+    def _char(b: int) -> str:
+        j, k = b // PACK, b % PACK
+        c = f"(shiftright(p{j}, {21 * (PACK - 1 - k)}) % {2**21})"
+        return f"(CASE WHEN 2 * {c} > n THEN '1' ELSE '0' END)"
 
-    bitstr = F.concat(*[_char(b) for b in range(bits)])
-    return sums.select(F.col(id_col), bitstr.alias("simhash"))
+    bitstr = (
+        f"CASE WHEN n >= {2**21} THEN raise_error('simhash_bits: document "
+        "exceeds 2^21 tokens; packed counters would carry') "
+        f"ELSE concat({', '.join(_char(b) for b in range(bits))}) END"
+    )
+    return sums.selectExpr(id_col, f"{bitstr} AS simhash")
 
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -312,6 +312,47 @@ def neardup_pairs_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "neardup_pairs_allpairs_exact",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, UNNEST(list_distinct({TOKS_SQL})) AS tok FROM documents),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS n_inter
+          FROM tk a JOIN tk b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+       floor(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter)
+             * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.doc_a
+JOIN sz sb ON sb.doc_id = i.doc_b
+WHERE 10 * i.n_inter >= 9 * (sa.n + sb.n - i.n_inter)
+""",
+)
+def neardup_pairs_allpairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.9 near-dup pairs via prefix filtering — the
+    AllPairs/PPJoin family (operators/dedup.allpairs_jaccard_join),
+    completing the dedup spectrum beside the PROBABILISTIC candidate
+    paths (MinHash banding, SimHash pigeonhole): zero false negatives by
+    the prefix-filter lemma, zero false positives by exact verification,
+    no tuning knob trading recall for cost. The oracle computes the
+    naive all-shared-token-pairs join with the same integer threshold
+    inequality (10*o >= 9*(|a|+|b|-o), exact rational t = 9/10), so a
+    candidate lost to a mis-sized prefix, a frequency-order tie broken
+    differently, or a float boundary flip all break the value hash.
+
+    Scale: candidates come only from RARE-token prefix collisions
+    (stopwords rank last and fall out of every prefix); residual hot
+    prefix tokens ride the shared cap-and-salt join, and the size
+    filter runs in the join stage. The oracle's naive form is quadratic
+    and exists only as the sf0.01 truth — the operator is the scale
+    path."""
+    return D.allpairs_jaccard_join(
+        _t(spark, sf_dir, "documents"), t_num=9, t_den=10, bucket_cap=64, salt_groups=8
+    )
+
+
 # Connected components over the LSH candidate pairs — duplicate *clusters*,
 # not just pairs. The DuckDB oracle walks the same edge set with a recursive
 # CTE (min reachable id == component), so the full assignment is value-checked.

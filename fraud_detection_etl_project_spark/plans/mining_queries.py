@@ -3066,6 +3066,111 @@ def snapshot_spec_evolution_rollup(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "snapshot_partitions_metadata_rollup",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS record_count,
+       CAST(2 AS BIGINT) AS n_commits
+FROM orders
+GROUP BY 1
+""",
+)
+def snapshot_partitions_metadata_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata TABLES on the snapshot table (snapshot.metadata_table,
+    round 8 — Iceberg's `tbl.partitions` / `tbl.history` inspection
+    surface): orders is committed in two generations (overwrite of the
+    even-o_orderkey half, append of the odd half) under an identity
+    partition spec on o_orderstatus; the query reads the PARTITIONS
+    metadata view — per-tuple record counts aggregated from manifest
+    footer stats by a Spark groupBy, no data file opened — and joins the
+    HISTORY view's commit count in as a column. The oracle computes the
+    same per-status counts straight off the fixture plus the literal
+    2-commit history, so a file misfiled under the wrong tuple, a stat
+    row lost between the inline dict and the NDJSON shards, or a history
+    walk that misses/duplicates an ancestor all break the value hash.
+
+    Scale: `files`/`partitions` answer "how big / how skewed / how
+    fragmented is this table" from O(#files) METADATA — at 100 TB the
+    difference between a dashboard query and a full scan; the sharded
+    stat log is read as a distributed Spark scan, never a driver loop."""
+    from fraud_detection_etl_project_spark import snapshot as snap
+
+    tag = _fixture_tag(sf_dir, "orders")
+    t = os.path.join(tempfile.gettempdir(), f"snap_meta_{tag}")
+    done = os.path.join(t, "_STAGED")
+    if not os.path.exists(done):
+        orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+        snap.overwrite(
+            orders.filter(F.col("o_orderkey") % 2 == 0),
+            t,
+            partition_spec=[{"column": "o_orderstatus", "transform": "identity"}],
+        )
+        snap.append(orders.filter(F.col("o_orderkey") % 2 == 1), t)
+        with open(done, "w") as f:
+            f.write("")
+    parts = snap.metadata_table(spark, t, "partitions")
+    n_commits = (
+        snap.metadata_table(spark, t, "history")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_commits"))
+    )
+    return (
+        parts.select(
+            # tuple keys are "<transform>_<column>" (see _partition_exprs)
+            F.get_json_object("partition", "$.identity_o_orderstatus").alias(
+                "o_orderstatus"
+            ),
+            F.col("record_count").cast("bigint").alias("record_count"),
+        )
+        .crossJoin(F.broadcast(n_commits))
+    )
+
+
+@query(
+    "snapshot_rollback_rollup",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(3 AS BIGINT) AS head_version
+FROM orders
+WHERE o_orderkey % 2 = 0
+GROUP BY 1
+""",
+)
+def snapshot_rollback_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLBACK on the snapshot table (snapshot.rollback, round 8 —
+    Iceberg's history-preserving restore): v1 commits the even-o_orderkey
+    half of orders, v2 appends the odd half (the "bad" commit), and
+    rollback(v1) publishes v3 — a METADATA-ONLY commit duplicating v1's
+    file list, so CURRENT readers see the pre-incident table while v2
+    stays readable for forensics and the audit trail records the
+    restore. The rollup groups CURRENT by status and carries the head
+    version as a column; the oracle computes the even-half counts plus
+    the literal head, so a rollback that leaked v2 rows, lost v1 files,
+    or moved the pointer without committing breaks the value hash.
+
+    Scale: incident recovery on a 100 TB table is one manifest write —
+    the alternative (re-ingesting or CoW-deleting the bad commit's rows)
+    is a data-scale job; this is why the restore path must be metadata."""
+    from fraud_detection_etl_project_spark import snapshot as snap
+
+    tag = _fixture_tag(sf_dir, "orders")
+    t = os.path.join(tempfile.gettempdir(), f"snap_rollback_{tag}")
+    done = os.path.join(t, "_STAGED")
+    if not os.path.exists(done):
+        orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+        snap.overwrite(orders.filter(F.col("o_orderkey") % 2 == 0), t)  # v1
+        snap.append(orders.filter(F.col("o_orderkey") % 2 == 1), t)  # v2: bad
+        snap.rollback(t, 1)  # v3 == v1's content
+        with open(done, "w") as f:
+            f.write("")
+    head = snap.current_version(t)
+    return snap.read(spark, t).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.lit(head).cast("bigint").alias("head_version"),
+    )
+
+
+@query(
     "snapshot_schema_evolution_rollup",
     oracle=f"""
 SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS priority,

@@ -2374,6 +2374,185 @@ def read(
     )
 
 
+# ---------------------------------------------------------------------------
+# Metadata tables: the table's own bookkeeping as queryable DataFrames
+# (Iceberg's `tbl.files` / `.history` / `.partitions` / `.refs` /
+# `.snapshots` inspection surface; reference parity: the reference has no
+# table format at all — this is north-star engine surface).
+# ---------------------------------------------------------------------------
+
+_META_KINDS = ("files", "history", "snapshots", "partitions", "refs")
+
+
+def _file_partition_rows(m: dict) -> dict[str, tuple[str, str]]:
+    """file name -> (spec_id, partition-tuple JSON) reverse map over the
+    manifest's partition index(es). Files outside any index (CoW rewrite
+    output, unpartitioned tables) are absent. O(#file names) driver work —
+    the same size class as reading the manifest's file list itself."""
+    out: dict[str, tuple[str, str]] = {}
+    if m.get("partition_specs"):
+        for sid, sub in (m.get("partition_indexes") or {}).items():
+            for tup, flist in sub.items():
+                for f in flist:
+                    out[f] = (str(sid), tup)
+    elif m.get("partition_spec"):
+        for tup, flist in (m.get("partition_index") or {}).items():
+            for f in flist:
+                out[f] = ("0", tup)
+    return out
+
+
+def metadata_table(
+    spark: SparkSession,
+    table_path: str,
+    kind: str,
+    version: int | None = None,
+    ref: str | None = None,
+) -> DataFrame:
+    """A snapshot table's metadata as a DataFrame — the lakehouse
+    inspection surface (SELECT * FROM tbl.files / tbl.history / ...):
+
+    - ``files``: one row per LIVE data file at the target version —
+      (file, seq, spec_id, partition, record_count). ``seq`` is the
+      version that first committed the file; ``partition`` is the
+      JSON-encoded partition tuple under ``spec_id`` (both null for
+      unpartitioned/rewritten files); ``record_count`` comes from the
+      manifest's footer stats (inline dict or NDJSON stat shards — the
+      sharded path is read as a distributed Spark scan, so a 10^6-file
+      table stays a metadata-scale JOB, not a driver loop).
+    - ``history``: the target version's ancestor chain (this ref's
+      lineage) — (version, parent, operation, n_files, n_delete_files,
+      n_dv_files, committed_at). Walks parent pointers, so branch
+      histories are correct where version RANGES are meaningless.
+    - ``snapshots``: every manifest in the log, reachable or not —
+      history's columns plus is_ancestor (of the target version).
+    - ``partitions``: per live partition tuple — (spec_id, partition,
+      file_count, record_count), aggregated FROM the files view by a
+      Spark groupBy (no driver-side accumulation).
+    - ``refs``: every named ref plus CURRENT — (name, kind, version).
+
+    Timestamps are informational (commit wall-clock; see _publish) —
+    deterministic oracles should aggregate counts, not clocks."""
+    if kind not in _META_KINDS:
+        raise ValueError(f"unknown metadata table {kind!r}; one of {_META_KINDS}")
+    if version is not None and ref is not None:
+        raise ValueError("pass at most one of version, ref")
+    if ref is not None:
+        version = branch_version(table_path, ref)
+        if version is None:
+            raise ValueError(f"no such ref: {ref!r}")
+    io = resolve_io(table_path)
+    mdir, _ = _paths(table_path)
+
+    if kind == "refs":
+        rows = []
+        cur = current_version(table_path)
+        if cur is not None:
+            rows.append((_CURRENT, "branch", cur))
+        refs_dir = os.path.join(mdir, _REFS)
+        for name in sorted(io.listdir(refs_dir)):
+            r = _read_ref(table_path, name)
+            if r is not None:
+                rows.append((name, r[1], r[0]))
+        return spark.createDataFrame(rows, "name string, kind string, version bigint")
+
+    v = current_version(table_path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"snapshot table has no committed version: {table_path}")
+
+    if kind in ("history", "snapshots"):
+        chain = set(_chain(table_path, v))
+        if kind == "history":
+            versions = sorted(chain)
+        else:
+            versions = sorted(
+                _parse_version(n)
+                for n in io.listdir(mdir)
+                if n.startswith("v") and n.endswith(".json")
+            )
+        rows = []
+        for ver in versions:
+            m = read_manifest(table_path, ver)
+            rows.append(
+                (
+                    ver,
+                    m.get("parent"),
+                    m.get("operation"),
+                    len(m.get("files", [])),
+                    len(m.get("delete_files", [])),
+                    len(m.get("dv_files", [])),
+                    float(m["ts"]) if m.get("ts") is not None else None,
+                    ver in chain,
+                )
+            )
+        df = spark.createDataFrame(
+            rows,
+            "version bigint, parent bigint, operation string, n_files bigint, "
+            "n_delete_files bigint, n_dv_files bigint, committed_at double, "
+            "is_ancestor boolean",
+        )
+        return df.drop("is_ancestor") if kind == "history" else df
+
+    # files / partitions
+    m = read_manifest(table_path, v)
+    fseq = m.get("file_seq", {})
+    inline = m.get("stats", {})
+    pmap = _file_partition_rows(m)
+    rows = [
+        (
+            f,
+            int(fseq.get(f, v)),
+            pmap.get(f, (None, None))[0],
+            pmap.get(f, (None, None))[1],
+            int(inline[f]["rows"]) if f in inline and "rows" in inline[f] else None,
+        )
+        for f in m["files"]
+    ]
+    files_df = spark.createDataFrame(
+        rows, "file string, seq bigint, spec_id string, partition string, record_count bigint"
+    )
+    shards = m.get("stats_shards", [])
+    if shards and not table_path.startswith("mem://"):
+        # stat shards hold the row counts inline stats migrated out; read
+        # them as a distributed scan and fill the gaps. Duplicate shard
+        # entries for retired files drop out in the inner-join-free left
+        # join (live file names are unique per manifest).
+        shard_df = (
+            spark.read.json([os.path.join(mdir, sh) for sh in shards])
+            .select(F.col("f").alias("file"), F.col("rows").cast("long").alias("_sh_rows"))
+            .dropDuplicates(["file"])
+        )
+        files_df = files_df.join(shard_df, "file", "left").select(
+            "file",
+            "seq",
+            "spec_id",
+            "partition",
+            F.coalesce("record_count", "_sh_rows").alias("record_count"),
+        )
+    elif shards:
+        # object-store-model tables: stream shard lines on the driver
+        # (same correctness fallback as _pruned_by_shards)
+        extra: dict[str, int] = {}
+        for sh in shards:
+            for line in io.read_text(os.path.join(mdir, sh)).splitlines():
+                e = json.loads(line)
+                if "rows" in e:
+                    extra[e["f"]] = int(e["rows"])
+        fill = F.create_map(
+            *[F.lit(x) for kvs in extra.items() for x in kvs]
+        ) if extra else None
+        if fill is not None:
+            files_df = files_df.withColumn(
+                "record_count", F.coalesce("record_count", fill[F.col("file")])
+            )
+    if kind == "files":
+        return files_df
+    return files_df.groupBy("spec_id", "partition").agg(
+        F.count(F.lit(1)).alias("file_count"),
+        F.sum("record_count").alias("record_count"),
+    )
+
+
 _Z_BITS = 10  # 10 bits/dimension -> 20-bit Morton keys
 
 _Z_EXPR = (
@@ -2781,6 +2960,8 @@ def rollback(table_path: str, to_version: int) -> int:
     cur = current_version(table_path)
     if cur is None:
         raise FileNotFoundError(f"snapshot table has no committed version: {table_path}")
+    if to_version == cur:
+        return cur  # no-op: already there — don't mint a duplicate commit
     if to_version not in _chain(table_path, cur):
         raise ValueError(
             f"v{to_version} is not an ancestor of CURRENT v{cur} — not a rollback"

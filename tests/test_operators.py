@@ -608,3 +608,46 @@ def test_skewfree_bucket_split_matches_window_semantics(spark):
     assert {r.b for r in hot.select("b").distinct().collect()} == {"big"}
     assert cool.count() == 3 and hot.count() == 10
     spark.catalog.clearCache()
+
+
+def test_allpairs_jaccard_exact_parity_brute_force(spark):
+    """allpairs_jaccard_join (prefix-filtered, cap-and-salted) must equal
+    the brute-force all-pairs Jaccard threshold join exactly — zero
+    false negatives from the prefix lemma on a fixture built to stress
+    it: identical docs, near-identical docs straddling the threshold,
+    size-filter edge pairs, a viral stopword shared by everything, and
+    singleton-token docs."""
+    from fraud_detection_etl_project_spark.operators.dedup import allpairs_jaccard_join
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),          # J=1 with 1
+        (3, "alpha beta gamma delta zeta"),              # J=2/3 with 1
+        (4, "alpha beta gamma delta epsilon zeta"),      # J=5/6 with 1
+        (5, "the the the the"),                          # 1 distinct token
+        (6, "the"),                                      # J=1 with 5
+        (7, "alpha the"),
+        (8, "omega psi chi phi upsilon tau"),
+        (9, "omega psi chi phi upsilon"),                # J=5/6 with 8
+        (10, "kappa"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for t_num, t_den in ((3, 5), (4, 5), (9, 10)):
+        got = {
+            (r["doc_a"], r["doc_b"], r["n_inter"], r["jaccard"])
+            for r in allpairs_jaccard_join(
+                df, t_num=t_num, t_den=t_den, bucket_cap=2, salt_groups=2
+            ).collect()
+        }
+        # brute force over distinct-token sets
+        toks = {d: set(t.split()) for d, t in docs}
+        want = set()
+        for a in toks:
+            for b in toks:
+                if a < b:
+                    o = len(toks[a] & toks[b])
+                    u = len(toks[a] | toks[b])
+                    if o * t_den >= u * t_num:
+                        import math
+                        want.add((a, b, o, math.floor(o / u * 1e6 + 0.5) / 1e6))
+        assert got == want, f"t={t_num}/{t_den}: {got ^ want}"

@@ -50,7 +50,8 @@ BNLJ_OK = {
     "phrase_inverted_index", "q11_important_part_values",
     "q22_idle_customer_balance", "recommender_hit_rate",
     "recommender_negative_samples", "region_priority_grid", "rfm_customer_scores",
-    "ridge_cv_mae", "skipgram_pmi_pairs", "temperature_mix_allocation",
+    "ridge_cv_mae", "skipgram_pmi_pairs", "snapshot_partitions_metadata_rollup",
+    "temperature_mix_allocation",
     "tfidf_cosine_pairs", "tfidf_top_terms", "theta_user_set_ops",
     "threshold_sweep_pr_metrics", "user_key_skew_audit", "value_drift_ks",
     "value_hdr_quantiles",
