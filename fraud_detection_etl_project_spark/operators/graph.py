@@ -47,7 +47,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
     checkpoint_dir: str | None = None,
-    local_edge_threshold: int = 200_000,
+    local_edge_threshold: int = 2_000_000,
 ) -> DataFrame:
     """(node, component) for every node; component = min node id reachable
     over the undirected edge set. Singletons keep their own id.
@@ -58,13 +58,17 @@ def connected_components(
     of a near-dup corpus is typically orders of magnitude smaller than the
     corpus (tens of candidate pairs per million docs). When the distinct
     edge count is below ``local_edge_threshold``, the edges are collected
-    and resolved with a driver-side union-find (O(E α(E)), microseconds),
+    and resolved with a driver-side union-find (O(E α(E)), sub-second),
     skipping the per-iteration join/checkpoint/action overhead entirely —
     the result is identical (min-reachable-id labels). Above the
     threshold, the distributed min-label/pointer-jump loop below runs;
-    at 100 TB with billions of candidate edges that is the only option,
-    and the threshold (≈ a few MB of (id,id) pairs) keeps driver memory
-    bounded. Property tests assert both paths agree on random graphs.
+    at 100 TB with billions of candidate edges that is the only option.
+    The default threshold (2M edges ≈ 32 MB of (int64, int64) pairs,
+    raised from 200k in r8 after the 30x scale probe spent 20 s of
+    iterative-loop overhead on a 714k-edge graph the driver resolves in
+    well under a second) keeps driver memory bounded while covering the
+    whole band where per-iteration fixed costs dominate the actual work.
+    Property tests assert both paths agree on random graphs.
 
     ``checkpoint_dir`` selects the lineage-truncation mode. Default
     (``None``) uses ``localCheckpoint``: blocks live in executor memory —
@@ -214,9 +218,15 @@ def _local_components(nodes: DataFrame, sym: DataFrame, node_col: str) -> DataFr
     """Driver-side union-find over a collected (small) edge list, labels
     re-joined distributed. Produces the same min-reachable-id component
     labels as the iterative path. The collect is bounded by the caller's
-    ``local_edge_threshold`` (pairs of int64 ids — a few MB at most)."""
+    ``local_edge_threshold`` (pairs of int64 ids — tens of MB at most).
+
+    Driver-path costs are kept proportional to that bound (r8, measured
+    on a 714k-edge graph): only the a < b half of the symmetrized edge
+    list ships (union(a,b) == union(b,a); a == b self-loops are no-ops),
+    it ships as ONE Arrow batch set instead of 1.4M py4j Row objects
+    (5 s -> sub-second), and the label frame returns through Arrow the
+    same way."""
     parent: dict = {}
-    seen: set = set()
 
     def find(x):
         chain = []
@@ -227,10 +237,17 @@ def _local_components(nodes: DataFrame, sym: DataFrame, node_col: str) -> DataFr
             parent[c] = x
         return x
 
-    for row in sym.collect():
-        a, b = row["a"], row["b"]
-        seen.add(a)
-        seen.add(b)
+    half = sym.filter(F.col("a") < F.col("b"))
+    try:
+        pdf = half.toPandas()
+        a_col, b_col = pdf["a"].tolist(), pdf["b"].tolist()
+    except Exception:  # non-Arrow-convertible id types: row path
+        rows = half.collect()
+        a_col = [r["a"] for r in rows]
+        b_col = [r["b"] for r in rows]
+    seen = set(a_col)
+    seen.update(b_col)
+    for a, b in zip(a_col, b_col):
         ra, rb = find(a), find(b)
         if ra != rb:
             # smaller id stays root => min-label semantics
@@ -240,10 +257,16 @@ def _local_components(nodes: DataFrame, sym: DataFrame, node_col: str) -> DataFr
     from pyspark.sql.types import StructField, StructType
 
     id_type = sym.schema["a"].dataType
-    label_df = sym.sparkSession.createDataFrame(
-        sorted((x, find(x)) for x in seen),
-        StructType([StructField("node", id_type), StructField("comp", id_type)]),
-    )
+    labeled = sorted((x, find(x)) for x in seen)
+    schema = StructType([StructField("node", id_type), StructField("comp", id_type)])
+    try:
+        import pandas as pd
+
+        label_df = sym.sparkSession.createDataFrame(
+            pd.DataFrame(labeled, columns=["node", "comp"]), schema
+        )
+    except Exception:
+        label_df = sym.sparkSession.createDataFrame(labeled, schema)
     return nodes.select(F.col(node_col).alias("node")).join(label_df, "node", "left").select(
         F.col("node"), F.coalesce(F.col("comp"), F.col("node")).alias("comp")
     )

@@ -721,6 +721,104 @@ def daily_value_seasonal_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "daily_value_holt_forecast",
+    oracle="""
+WITH RECURSIVE daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+idx AS (SELECT day, cents, row_number() OVER (ORDER BY day) AS i FROM daily),
+holt AS (
+  SELECT i, day, cents, CAST(cents AS DOUBLE) AS level, CAST(0 AS DOUBLE) AS trend
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT x.i, x.day, x.cents,
+         floor((0.5 * CAST(x.cents AS DOUBLE) + 0.5 * (h.level + h.trend))
+               * 1000000.0 + 0.5) / 1000000.0,
+         floor((0.5 * (floor((0.5 * CAST(x.cents AS DOUBLE)
+                              + 0.5 * (h.level + h.trend)) * 1000000.0 + 0.5)
+                       / 1000000.0 - h.level)
+                + 0.5 * h.trend) * 1000000.0 + 0.5) / 1000000.0
+  FROM holt h JOIN idx x ON x.i = h.i + 1
+)
+SELECT day, cents, level, trend,
+       floor((level + trend) * 1000000.0 + 0.5) / 1000000.0 AS forecast
+FROM holt
+""",
+    bench=False,
+)
+def daily_value_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing over the daily value
+    series (the state-space companion to the classical decomposition
+    above): level_t = a*x_t + (1-a)*(level + trend), trend_t =
+    g*(level_t - level) + (1-g)*trend with a = g = 1/2, plus the
+    one-step-ahead forecast level + trend — the standard online
+    baseline an alerting pipeline compares tomorrow's total against.
+
+    Parity: a recursive filter cannot be made order-free the way a sum
+    can, so BOTH engines quantize the state to 1e-6 AFTER EVERY STEP
+    (the fxr formula inline): each step starts from bit-identical
+    doubles, the per-step expression is the same parse tree, and a
+    double rounding divergence would need to exceed the quantum in one
+    step to survive — the oracle is a DuckDB recursive CTE running the
+    identical quantized recurrence.
+
+    Scale: the fact collapses to one row per day first (map-side
+    combined); the recurrence then runs over ONE calendar-sized array
+    inside a single JVM `aggregate` lambda — sequential by nature,
+    parameter-sized by construction (the same class as the PCA power
+    iteration's d x d Gram). At 100 TB the daily rollup is the stored
+    artifact; this filter is its consumer."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("ts").cast("date").alias("day"),
+            F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    series = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "cents"))).alias("s")
+    )
+    q = "floor(({v}) * 1000000.0 + 0.5) / 1000000.0"
+    nl = q.format(v="0.5 * CAST(x.cents AS DOUBLE) + 0.5 * (acc.l + acc.b)")
+    nb = q.format(v=f"0.5 * (({nl}) - acc.l) + 0.5 * acc.b")
+    holt = F.expr(
+        f"""
+aggregate(
+  slice(s, 2, size(s) - 1),
+  struct(
+    CAST(s[0].cents AS DOUBLE) AS l,
+    CAST(0 AS DOUBLE) AS b,
+    array(struct(s[0].day AS day, s[0].cents AS cents,
+                 CAST(s[0].cents AS DOUBLE) AS level,
+                 CAST(0 AS DOUBLE) AS trend)) AS out
+  ),
+  (acc, x) -> struct(
+    CAST({nl} AS DOUBLE) AS l,
+    CAST({nb} AS DOUBLE) AS b,
+    acc.out || array(struct(x.day AS day, x.cents AS cents,
+                            CAST({nl} AS DOUBLE) AS level,
+                            CAST({nb} AS DOUBLE) AS trend)) AS out
+  ),
+  acc -> acc.out
+)"""
+    ).alias("h")
+    return (
+        series.select(F.explode(holt).alias("r"))
+        .select(
+            F.col("r.day").alias("day"),
+            F.col("r.cents").alias("cents"),
+            F.col("r.level").alias("level"),
+            F.col("r.trend").alias("trend"),
+            fxr(F.col("r.level") + F.col("r.trend"), 6).alias("forecast"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Leave-one-out target encoding
 # ---------------------------------------------------------------------------

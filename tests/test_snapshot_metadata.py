@@ -107,6 +107,36 @@ def test_files_view_reads_sharded_stats(spark, tmp_path, monkeypatch):
     assert len(parts) == 1 and parts[0]["record_count"] == 30
 
 
+def test_files_view_on_spec_evolved_table(spark, tmp_path):
+    # after evolve_partition_spec, each file's row must carry the spec it
+    # was WRITTEN under (old files spec 0, new files spec 1), and the
+    # partitions view must aggregate per (spec_id, tuple)
+    t = str(tmp_path / "tbl")
+    S.overwrite(
+        _nums(spark, 0, 12, mod=2),
+        t,
+        partition_spec=[{"column": "grp", "transform": "identity"}],
+    )
+    S.evolve_partition_spec(t, [{"column": "n", "transform": "bucket", "n": 2}])
+    S.append(_nums(spark, 100, 112, mod=2), t)
+
+    files = S.metadata_table(spark, t, "files").collect()
+    specs = {r["spec_id"] for r in files}
+    assert len(specs) == 2  # one id per spec era (ids are spec-registry keys)
+    assert all(r["partition"] is not None for r in files)
+    old = [r for r in files if "identity_grp" in r["partition"]]
+    new = [r for r in files if "bucket" in r["partition"]]
+    assert {r["spec_id"] for r in old} != {r["spec_id"] for r in new}
+    assert sum(r["record_count"] for r in old) == 12
+    assert sum(r["record_count"] for r in new) == 12
+    assert all("identity_grp" in r["partition"] for r in old)
+    assert all("bucket" in r["partition"] for r in new)
+
+    parts = S.metadata_table(spark, t, "partitions").collect()
+    assert {r["spec_id"] for r in parts} == specs
+    assert sum(r["record_count"] for r in parts) == 24
+
+
 def test_rollback_restores_content_as_new_commit(spark, tmp_path):
     t = str(tmp_path / "tbl")
     S.overwrite(_nums(spark, 0, 10), t)  # v1
