@@ -371,6 +371,13 @@ def allpairs_jaccard_join(
     and the integer inequality t_den*o >= t_num*(|a|+|b|-o) — no
     floating-point threshold boundary.
 
+    The document-frequency RANKING join (token -> its global df) is a
+    many-to-one join on the token: a stopword's copies hash to one join
+    partition, but each copy meets exactly ONE dfreq row (linear pass,
+    no pair blow-up) and AQE's skew-join splitting rebalances oversized
+    partitions — the quadratic stage is separately protected by the
+    cap-and-salt machinery below.
+
     Scale posture: the prefix self-join runs through the shared
     cap-and-salt machinery (salted_pair_self_join — lossless, the salt
     spreads a hot prefix token over G² reducer keys), with the size

@@ -1420,6 +1420,212 @@ def bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece/Kudo 2018): seed vocab from substring
+# stats, Viterbi E-step, count M-step — one exact EM refinement round.
+# ---------------------------------------------------------------------------
+
+_UG_MAXW = 16  # words longer than this are dropped (coverage rule, both engines)
+_UG_MAXP = 4  # max piece length
+_UG_FMIN = 5  # multi-char piece admission threshold
+_UG_VCAP = 512  # multi-char vocab cap (freq desc, piece asc)
+_UG_Q = 10000  # log-prob quantum: 1e-4 nats (same policy as doc_lm_quality)
+_UG_NEG = -(1 << 60)  # unreachable-candidate sentinel (never wins a max)
+
+
+def _unigram_oracle() -> str:
+    """The full pipeline in DuckDB, with the Viterbi DP UNROLLED into one
+    CTE per word position (words are capped at _UG_MAXW chars, so the
+    static 16-level chain is exhaustive — same generated-SQL technique as
+    _simhash_oracle's 128 bit sums)."""
+    lvls = []
+    for i in range(1, _UG_MAXW + 1):
+        arms = " UNION ALL ".join(
+            f"SELECT word, {j} AS j, best FROM d{j}"
+            for j in range(max(0, i - _UG_MAXP), i)
+        )
+        lvls.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT word, best, bp FROM (
+    SELECT u.word, u.best + sp.qlp AS best, sp.j AS bp,
+           row_number() OVER (PARTITION BY u.word
+                              ORDER BY u.best + sp.qlp DESC, sp.j) AS rn
+    FROM ({arms}) u
+    JOIN sp ON sp.word = u.word AND sp.j = u.j AND sp.i = {i}) WHERE rn = 1)"""
+        )
+    dall = " UNION ALL ".join(
+        f"SELECT word, {i} AS i, bp FROM d{i}" for i in range(1, _UG_MAXW + 1)
+    )
+    walks = []
+    for k in range(1, _UG_MAXW + 1):
+        walks.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT r.word, r.cnt, d.bp AS pos,
+         substring(r.word, d.bp + 1, r.pos - d.bp) AS piece
+  FROM r{k - 1} r JOIN dall d ON d.word = r.word AND d.i = r.pos
+  WHERE r.pos > 0)"""
+        )
+    pieces = " UNION ALL ".join(
+        f"SELECT piece, cnt FROM r{k}" for k in range(1, _UG_MAXW + 1)
+    )
+    lvl_sql = ",\n".join(lvls)
+    walk_sql = ",\n".join(walks)
+    return f"""
+WITH t AS (SELECT {TOKS_SQL} AS toks FROM documents),
+w AS MATERIALIZED (SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT UNNEST(toks) AS tok FROM t)
+      WHERE len(tok) >= 1 AND len(tok) <= {_UG_MAXW}
+      GROUP BY 1),
+spans AS MATERIALIZED (SELECT word, cnt, s.j AS j, s.i AS i,
+                 substring(word, s.j + 1, s.i - s.j) AS piece
+          FROM (SELECT word, cnt,
+                       UNNEST(flatten(list_transform(range(0, len(word)), j ->
+                         list_transform(range(j + 1, least(j + {_UG_MAXP}, len(word)) + 1),
+                                        i -> {{'j': j, 'i': i}})))) AS s
+                FROM w)),
+pf AS MATERIALIZED (SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq FROM spans GROUP BY 1),
+vocab AS (SELECT piece, freq FROM pf WHERE len(piece) = 1
+          UNION ALL
+          SELECT piece, freq FROM (
+            SELECT piece, freq,
+                   row_number() OVER (ORDER BY freq DESC, piece) AS rn
+            FROM pf WHERE len(piece) >= 2 AND freq >= {_UG_FMIN}) WHERE rn <= {_UG_VCAP}),
+tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS tf FROM vocab),
+vq AS (SELECT piece,
+              CAST(floor(ln(CAST(freq AS DOUBLE) / tf) * {_UG_Q}.0 + 0.5) AS BIGINT) AS qlp
+       FROM vocab, tot),
+sp AS MATERIALIZED (SELECT s.word, s.j, s.i, v.qlp FROM spans s JOIN vq v ON v.piece = s.piece),
+d0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS best FROM w),
+{lvl_sql},
+dall AS MATERIALIZED ({dall}),
+r0 AS MATERIALIZED (SELECT word, cnt, len(word) AS pos FROM w),
+{walk_sql},
+em AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS em_count
+       FROM ({pieces}) GROUP BY 1),
+tot2 AS (SELECT CAST(sum(em_count) AS DOUBLE) AS te FROM em)
+SELECT piece, em_count,
+       floor(em_count / te * 1000000.0 + 0.5) / 1000000.0 AS em_prob
+FROM em, tot2
+"""
+
+
+@query("unigram_lm_tokenizer_pieces", oracle=_unigram_oracle())
+def unigram_lm_tokenizer_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (the SentencePiece model, Kudo
+    ACL'18) — the OTHER tokenizer family beside BPE's merge training:
+    seed a piece vocabulary from substring statistics (all 1..4-char
+    substrings of the word list; every single char kept for coverage,
+    multi-char pieces admitted at freq >= 5 and capped to the top 512 by
+    (freq desc, piece)), assign each piece its corpus log-probability,
+    Viterbi-segment every distinct word under that model (the E-step),
+    and recount pieces along the chosen segmentations weighted by word
+    frequency (the M-step) — one exact EM refinement round, emitting
+    each chosen piece with its refreshed count and probability.
+
+    Exactness across engines: piece log-probs are quantized to 1e-4 nats
+    as int64 BEFORE the DP (the doc_lm policy — ln() may differ in the
+    last ulp between libm and the JVM), so Viterbi scores are exact
+    integer sums; ties break deterministically (max score, then the
+    SMALLEST split point j, i.e. the longest final piece). The DuckDB
+    oracle runs the IDENTICAL pipeline with the DP unrolled into one CTE
+    per word position and reconstruction unrolled the same way, so a
+    wrong backpointer, an off-by-one substring, or a tie broken the
+    other way is a value mismatch, not a rows-only pass.
+
+    Scale: EM over a corpus is VOCABULARY-sized work after the first
+    groupBy — every word is segmented once regardless of its corpus
+    frequency (counts ride as weights), the span->piece score join is
+    keyed on piece strings (model-sized), and the per-word DP runs in
+    one JVM `aggregate` lambda over <= 16 positions. Words longer than
+    16 chars are dropped by the stated coverage rule (both engines), the
+    same cap class SentencePiece's max-sentencepiece-length applies."""
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(T.normalized(F.col("text")), " ")).alias("word"))
+        .filter((F.length("word") >= 1) & (F.length("word") <= _UG_MAXW))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    spans = words.select(
+        "word",
+        "cnt",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(0, length(word) - 1), j -> "
+                f"transform(sequence(j + 1, least(j + {_UG_MAXP}, length(word))), i -> "
+                f"named_struct('j', j, 'i', i, 'piece', substring(word, j + 1, i - j)))))"
+            )
+        ).alias("s"),
+    ).select("word", "cnt", F.col("s.j").alias("j"), F.col("s.i").alias("i"), F.col("s.piece").alias("piece"))
+    pf = spans.groupBy("piece").agg(F.sum("cnt").alias("freq"))
+    chars = pf.filter(F.length("piece") == 1)
+    # scale-correct top-V: TakeOrderedAndProject, not a global window
+    multi = (
+        pf.filter((F.length("piece") >= 2) & (F.col("freq") >= _UG_FMIN))
+        .orderBy(F.desc("freq"), F.asc("piece"))
+        .limit(_UG_VCAP)
+    )
+    vocab = chars.unionByName(multi)
+    tot = vocab.agg(F.sum("freq").cast("double").alias("tf"))
+    vq = vocab.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        F.floor(F.log(F.col("freq").cast("double") / F.col("tf")) * _UG_Q + F.lit(0.5))
+        .cast("bigint")
+        .alias("qlp"),
+    )
+    sp = spans.join(vq, "piece").select("word", "j", "i", "qlp")
+    perword = sp.groupBy("word").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct((F.col("j") * 32 + F.col("i")).cast("int").alias("k"), F.col("qlp")))
+        ).alias("m")
+    )
+    wd = words.join(perword, "word")
+
+    # Viterbi DP as SQL text (the simhash r8 lesson: big trees as one
+    # parse, not thousands of py4j Column calls). Candidate for split
+    # point j = i - k: best[j] + qlp(word[j..i]); greatest over structs
+    # ('b', 'nj' = -j) picks max score then min j in one comparison.
+    def c(k: int) -> str:
+        return (
+            f"IF(i >= {k}, element_at(acc.best, i - {k} + 1) + "
+            f"try_element_at(m, CAST((i - {k}) * 32 + i AS INT)), CAST(NULL AS BIGINT))"
+        )
+
+    g = "greatest(" + ", ".join(
+        f"named_struct('b', coalesce({c(k)}, CAST({_UG_NEG} AS BIGINT)), 'nj', {k} - i)"
+        for k in range(1, _UG_MAXP + 1)
+    ) + ")"
+    dp = f"""
+aggregate(
+  sequence(1, length(word)),
+  named_struct('best', array(CAST(0 AS BIGINT)), 'bp', array(-1)),
+  (acc, i) -> named_struct(
+     'best', concat(acc.best, array(({g}).b)),
+     'bp', concat(acc.bp, array(-(({g}).nj)))),
+  acc -> acc.bp)"""
+    wd2 = wd.selectExpr("word", "cnt", f"{dp} AS dpbp")
+    walk = f"""
+aggregate(
+  sequence(1, {_UG_MAXW}),
+  named_struct('pos', length(word), 'parts', CAST(array() AS ARRAY<STRING>)),
+  (acc, z) -> IF(acc.pos > 0,
+     named_struct(
+       'pos', element_at(dpbp, acc.pos + 1),
+       'parts', concat(acc.parts, array(substring(word,
+                  element_at(dpbp, acc.pos + 1) + 1,
+                  acc.pos - element_at(dpbp, acc.pos + 1))))),
+     acc),
+  acc -> acc.parts)"""
+    parts = wd2.selectExpr("cnt", f"explode({walk}) AS piece")
+    em = parts.groupBy("piece").agg(F.sum("cnt").cast("bigint").alias("em_count"))
+    tot2 = em.agg(F.sum("em_count").cast("double").alias("te"))
+    return em.crossJoin(F.broadcast(tot2)).select(
+        "piece",
+        "em_count",
+        fxr(F.col("em_count") / F.col("te"), 6).alias("em_prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Temperature-scaled source mixture (UNIMAX/mT5-style alpha sampling)
 # ---------------------------------------------------------------------------
 

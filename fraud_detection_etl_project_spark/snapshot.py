@@ -2432,7 +2432,14 @@ def metadata_table(
     - ``refs``: every named ref plus CURRENT — (name, kind, version).
 
     Timestamps are informational (commit wall-clock; see _publish) —
-    deterministic oracles should aggregate counts, not clocks."""
+    deterministic oracles should aggregate counts, not clocks.
+
+    Cost classes: ``files``/``partitions`` read ONE manifest (O(#file
+    names) driver JSON, the same class as planning a scan) plus a
+    distributed shard scan; ``history``/``snapshots`` parse one manifest
+    PER VERSION walked — O(#versions x manifest size) driver work, fine
+    for audit/ops queries but not something to call per data query on a
+    long-history table (vacuum retention bounds the walk)."""
     if kind not in _META_KINDS:
         raise ValueError(f"unknown metadata table {kind!r}; one of {_META_KINDS}")
     if version is not None and ref is not None:
@@ -2517,9 +2524,12 @@ def metadata_table(
         # them as a distributed scan and fill the gaps. Duplicate shard
         # entries for retired files drop out in the inner-join-free left
         # join (live file names are unique per manifest).
+        # explicit schema: only the two fields this view needs — no
+        # inference pass over the (arbitrarily wide) stats/bloom payloads
         shard_df = (
-            spark.read.json([os.path.join(mdir, sh) for sh in shards])
-            .select(F.col("f").alias("file"), F.col("rows").cast("long").alias("_sh_rows"))
+            spark.read.schema("f string, rows long")
+            .json([os.path.join(mdir, sh) for sh in shards])
+            .select(F.col("f").alias("file"), F.col("rows").alias("_sh_rows"))
             .dropDuplicates(["file"])
         )
         files_df = files_df.join(shard_df, "file", "left").select(
