@@ -1432,7 +1432,24 @@ _UG_Q = 10000  # log-prob quantum: 1e-4 nats (same policy as doc_lm_quality)
 _UG_NEG = -(1 << 60)  # unreachable-candidate sentinel (never wins a max)
 
 
-def _unigram_oracle() -> str:
+_UG_PIECES_TAIL = """,
+em AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS em_count FROM allp GROUP BY 1),
+tot2 AS (SELECT CAST(sum(em_count) AS DOUBLE) AS te FROM em)
+SELECT piece, em_count,
+       floor(em_count / te * 1000000.0 + 0.5) / 1000000.0 AS em_prob
+FROM em, tot2"""
+
+_UG_APPLY_TAIL = f""",
+wpc AS (SELECT word, CAST(count(*) AS BIGINT) AS npieces FROM allp GROUP BY 1),
+dt AS (SELECT doc_id, UNNEST({TOKS_SQL}) AS word FROM documents)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(wpc.npieces) AS BIGINT) AS n_unigram_pieces
+FROM dt JOIN wpc ON wpc.word = dt.word
+GROUP BY doc_id"""
+
+
+def _unigram_oracle(tail: str = _UG_PIECES_TAIL) -> str:
     """The full pipeline in DuckDB, with the Viterbi DP UNROLLED into one
     CTE per word position (words are capped at _UG_MAXW chars, so the
     static 16-level chain is exhaustive — same generated-SQL technique as
@@ -1465,7 +1482,7 @@ def _unigram_oracle() -> str:
   WHERE r.pos > 0)"""
         )
     pieces = " UNION ALL ".join(
-        f"SELECT piece, cnt FROM r{k}" for k in range(1, _UG_MAXW + 1)
+        f"SELECT word, piece, cnt FROM r{k}" for k in range(1, _UG_MAXW + 1)
     )
     lvl_sql = ",\n".join(lvls)
     walk_sql = ",\n".join(walks)
@@ -1499,18 +1516,16 @@ d0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS best FROM w),
 dall AS MATERIALIZED ({dall}),
 r0 AS MATERIALIZED (SELECT word, cnt, len(word) AS pos FROM w),
 {walk_sql},
-em AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS em_count
-       FROM ({pieces}) GROUP BY 1),
-tot2 AS (SELECT CAST(sum(em_count) AS DOUBLE) AS te FROM em)
-SELECT piece, em_count,
-       floor(em_count / te * 1000000.0 + 0.5) / 1000000.0 AS em_prob
-FROM em, tot2
+allp AS MATERIALIZED ({pieces})
+{tail}
 """
 
 
-@query("unigram_lm_tokenizer_pieces", oracle=_unigram_oracle())
-def unigram_lm_tokenizer_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram-LM tokenizer training (the SentencePiece model, Kudo
+def _unigram_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared train + E-step frame for both unigram-tokenizer queries:
+    (word, cnt, parts) — every distinct corpus word with its count and
+    Viterbi-chosen piece segmentation. The method (and the cross-engine
+    parity argument) is unigram-LM tokenizer training (SentencePiece, Kudo
     ACL'18) — the OTHER tokenizer family beside BPE's merge training:
     seed a piece vocabulary from substring statistics (all 1..4-char
     substrings of the word list; every single char kept for coverage,
@@ -1615,13 +1630,55 @@ aggregate(
                   acc.pos - element_at(dpbp, acc.pos + 1))))),
      acc),
   acc -> acc.parts)"""
-    parts = wd2.selectExpr("cnt", f"explode({walk}) AS piece")
+    return wd2.selectExpr("word", "cnt", f"{walk} AS parts")
+
+
+@query("unigram_lm_tokenizer_pieces", oracle=_unigram_oracle())
+def unigram_lm_tokenizer_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer TRAINING output (the M-step recount): each
+    Viterbi-chosen piece with its refreshed corpus count and probability
+    — one exact EM refinement round of the SentencePiece model. Method,
+    determinism (1e-4-nat quantized log-probs, integer DP, smallest-
+    split-point tie break), and the unrolled-CTE oracle design live on
+    _unigram_segmented; this consumer explodes the chosen segmentations
+    weighted by word frequency and renormalizes."""
+    seg = _unigram_segmented(spark, sf_dir)
+    parts = seg.select("cnt", F.explode("parts").alias("piece"))
     em = parts.groupBy("piece").agg(F.sum("cnt").cast("bigint").alias("em_count"))
     tot2 = em.agg(F.sum("em_count").cast("double").alias("te"))
     return em.crossJoin(F.broadcast(tot2)).select(
         "piece",
         "em_count",
         fxr(F.col("em_count") / F.col("te"), 6).alias("em_prob"),
+    )
+
+
+@query("unigram_tokenize_apply", oracle=_unigram_oracle(_UG_APPLY_TAIL))
+def unigram_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained unigram model back to the corpus: per document,
+    the whitespace word count and the unigram piece count after Viterbi
+    segmentation — the train->tokenize round trip (the unigram twin of
+    bpe_tokenize_apply), and the `pieces per document` statistic that
+    drives context-window packing budgets.
+
+    Scale: tokenization-by-model is a JOIN, not a re-fold — each
+    distinct word was Viterbi-segmented exactly once at train time; the
+    corpus explodes to (doc, word) and equi-joins the vocabulary-sized
+    (word -> piece count) table. Words beyond the 16-char training cap
+    fall out of the join in BOTH engines (the stated coverage rule)."""
+    seg = _unigram_segmented(spark, sf_dir)
+    sizes = seg.select("word", F.size("parts").cast("bigint").alias("npieces"))
+    d = _t(spark, sf_dir, "documents")
+    dtoks = d.select(
+        "doc_id", F.explode(F.split(T.normalized(F.col("text")), " ")).alias("word")
+    )
+    return (
+        dtoks.join(sizes, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("npieces").cast("bigint").alias("n_unigram_pieces"),
+        )
     )
 
 

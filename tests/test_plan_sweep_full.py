@@ -53,7 +53,7 @@ BNLJ_OK = {
     "ridge_cv_mae", "skipgram_pmi_pairs", "snapshot_partitions_metadata_rollup",
     "temperature_mix_allocation",
     "tfidf_cosine_pairs", "tfidf_top_terms", "theta_user_set_ops",
-    "unigram_lm_tokenizer_pieces",
+    "unigram_lm_tokenizer_pieces", "unigram_tokenize_apply",
     "threshold_sweep_pr_metrics", "user_key_skew_audit", "value_drift_ks",
     "value_hdr_quantiles",
 }
