@@ -245,6 +245,7 @@ def main() -> None:
                     "neardup_pairs_salted",
                     "purchase_eps_neighbor_pairs",  # r8: worst 10x grower — curve it
                     "neardup_dedup_kept",  # r8: CC rounds vs candidate volume
+                    "snapshot_partitioned_prune_rollup",  # r8: partition-index prune at 30x
                 )
                 if n in specs
             ]
