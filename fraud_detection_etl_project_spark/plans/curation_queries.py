@@ -1102,3 +1102,118 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("cnt") * F.col("q_lr")).cast("bigint").alias("q_logweight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact cross-document repeated-substring coverage (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better": remove exact
+# substrings repeated across the corpus). The winnow-fingerprint pair join
+# above finds CANDIDATE near-dup pairs; this measures the EXACT repeat
+# surface itself, per document.
+# ---------------------------------------------------------------------------
+
+_REP_L = 40  # exact-repeat gram width in characters (Lee et al. use 50 BPE tokens)
+
+_REPEAT_ORACLE = f"""
+WITH t AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
+g AS (SELECT doc_id, s.p AS p, s.g AS g FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(norm) - {_REP_L} + 2),
+                                     p -> {{'p': p, 'g': md5(substring(norm, p, {_REP_L}))}})) AS s
+        FROM t WHERE len(norm) >= {_REP_L})),
+rep AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+        WHERE nd >= 2),
+f AS (SELECT g.doc_id, g.p FROM g JOIN rep USING (g)),
+w AS (SELECT doc_id, p, lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS np FROM f),
+agg AS (SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_rep_positions,
+               CAST(1 + sum(CASE WHEN np IS NOT NULL AND np - p > {_REP_L}
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat_intervals,
+               CAST(sum(CASE WHEN np IS NULL THEN {_REP_L}
+                             ELSE least({_REP_L}, np - p) END) AS BIGINT) AS covered_chars
+        FROM w GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(a.n_rep_positions, CAST(0 AS BIGINT)) AS n_rep_positions,
+       coalesce(a.n_repeat_intervals, CAST(0 AS BIGINT)) AS n_repeat_intervals,
+       coalesce(a.covered_chars, CAST(0 AS BIGINT)) AS covered_chars
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
+@query("doc_exact_repeat_coverage", oracle=_REPEAT_ORACLE)
+def doc_exact_repeat_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT cross-document repeated-substring coverage per document —
+    the Lee et al. (ACL'22) exact-substring dedup primitive beside the
+    winnowing CANDIDATE path: every 40-char window of the normalized
+    text is hashed (md5 — oracle-portable); a window whose gram occurs
+    in >= 2 distinct documents is a repeat position; per document the
+    flagged positions merge into maximal intervals (gaps-and-islands
+    over lead(p)) giving the repeated-position count, the merged
+    interval count, and the exact character coverage of cross-document
+    repeats — the quantity exact-substring dedup would delete.
+
+    All-integer outputs, so the DuckDB oracle re-derives every value
+    bit-for-bit (interval-merge boundary conditions included — the
+    last-window L-credit and the gap > L island break are the easy
+    off-by-ones to get wrong).
+
+    Scale: this is char-scaled by nature (every position is examined —
+    the exact counterpart cannot sample), but each stage is a flat
+    hash-shuffle: positions carry 16-byte digests (never text) to a
+    gram-keyed count, the >= 2-doc survivor set semi-joins back, and the
+    interval merge is a per-document window bounded by document length.
+    The repeated-gram count stage is the df-cap shape from the winnow
+    path — a boilerplate gram present in 10^9 docs is ONE group row
+    after map-side partial aggregation, not a reducer hotspot."""
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.normalized(F.col("text")).alias("norm")
+    )
+    long_enough = t.filter(F.length("norm") >= _REP_L)
+    grams = long_enough.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(norm) - {_REP_L} + 1), "
+                f"p -> named_struct('p', p, 'g', md5(substring(norm, p, {_REP_L}))))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.p").alias("p"), F.col("s.g").alias("g"))
+    rep = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    flagged = grams.join(rep, "g", "semi").select("doc_id", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    agg = (
+        flagged.withColumn("np", F.lead("p").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rep_positions"),
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(
+                        F.col("np").isNotNull() & (F.col("np") - F.col("p") > _REP_L), 1
+                    ).otherwise(0)
+                )
+            )
+            .cast("bigint")
+            .alias("n_repeat_intervals"),
+            F.sum(
+                F.when(F.col("np").isNull(), F.lit(_REP_L)).otherwise(
+                    F.least(F.lit(_REP_L), F.col("np") - F.col("p"))
+                )
+            )
+            .cast("bigint")
+            .alias("covered_chars"),
+        )
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return d.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_rep_positions", F.lit(0)).cast("bigint").alias("n_rep_positions"),
+        F.coalesce("n_repeat_intervals", F.lit(0)).cast("bigint").alias("n_repeat_intervals"),
+        F.coalesce("covered_chars", F.lit(0)).cast("bigint").alias("covered_chars"),
+    )
