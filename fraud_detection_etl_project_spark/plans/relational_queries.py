@@ -1038,3 +1038,51 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
     )
+
+
+@query(
+    "segment_balance_dist_ranks",
+    oracle="""
+WITH c AS (SELECT c_custkey, c_mktsegment,
+                  CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+           FROM customer)
+SELECT c_custkey, c_mktsegment, cents,
+       CAST(ntile(10) OVER w AS BIGINT) AS decile,
+       floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+       floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cume_d
+FROM c
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY cents, c_custkey)
+""",
+)
+def segment_balance_dist_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution-rank window trio — ntile / percent_rank /
+    cume_dist — over account balance within each market segment: the
+    decile bucketing, relative rank, and CDF position a risk or
+    marketing model joins back as features. The window orders by
+    (cents, c_custkey) — a TOTAL order — because ntile assigns ties by
+    row POSITION: without the key tie-break two engines could split a
+    tie across a bucket boundary differently and still both be
+    "correct"; percent_rank and cume_dist are rank-based and quantize
+    at 1e-6 before comparison.
+
+    Scale: a per-segment full sort — the window partitions on the
+    5-value segment key, so each partition is fact-scaled; at 100 TB
+    this is the documented range-partition-then-rank shape (Spark sorts
+    within hash partitions of the segment key; a 5-segment key wants a
+    composite range partitioning or the two-phase histogram-rank path
+    the equi-depth queries use). Correct here, and the trio's semantics
+    are the point of the query."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("cents", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "cents",
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+        fxr(F.percent_rank().over(w), 6).alias("pct_rank"),
+        fxr(F.cume_dist().over(w), 6).alias("cume_d"),
+    )
