@@ -190,6 +190,8 @@ def _local_pagerank(
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     edge_rows = [(r["src"], r["dst"], r["weight"]) for r in edge_rows_in]
+    # bounded: callers reach here only under the local_edge_threshold
+    # probe — node count is graph-scale (<= 2x the capped edge list)
     node_list = [r["node"] for r in nodes.collect()]
     out_w: dict = defaultdict(int)
     for s, _, w in edge_rows:
@@ -239,6 +241,8 @@ def _local_components(nodes: DataFrame, sym: DataFrame, node_col: str) -> DataFr
 
     half = sym.filter(F.col("a") < F.col("b"))
     try:
+        # bounded: caller's local_edge_threshold probe caps this at the
+        # threshold's half-edge volume (Arrow batches, tens of MB max)
         pdf = half.toPandas()
         a_col, b_col = pdf["a"].tolist(), pdf["b"].tolist()
     except Exception:  # non-Arrow-convertible id types: row path

@@ -567,6 +567,8 @@ def _stage_data_files(
     if len(names) >= _DISTRIBUTED_STATS_MIN:
         sc = df.sparkSession.sparkContext
         bc = bloom_columns
+        # bounded: one (name, stats) pair per written data file — the
+        # collect is manifest-scale (commit file count), not row-scale
         pairs = sc.parallelize(
             list(zip(names, paths)), min(len(names), 4 * sc.defaultParallelism)
         ).map(lambda np: (np[0], _stats_for_file(np[1], bc))).collect()
@@ -863,6 +865,8 @@ def _stage_partitioned(
     if len(names) >= _DISTRIBUTED_STATS_MIN:
         sc = df.sparkSession.sparkContext
         bc = bloom_columns
+        # bounded: one (name, stats) pair per written data file — the
+        # collect is manifest-scale (commit file count), not row-scale
         pairs = sc.parallelize(
             list(zip(names, paths)), min(len(names), 4 * sc.defaultParallelism)
         ).map(lambda np: (np[0], _stats_for_file(np[1], bc))).collect()
@@ -1635,6 +1639,7 @@ def _pruned_by_shards(
             s.isNotNull() & (all_null | ~F.coalesce(rng, F.lit(True)))
         )
     try:
+        # bounded: file-NAME set, manifest-scale (one element per file)
         return {r["f"] for r in df.filter(miss).select("f").collect()}
     finally:
         if tmp_cand is not None:
@@ -1983,7 +1988,8 @@ def merge(
     cur = _read_files(spark, table_path, files, schema_json, m)
     keys = source.select(*on).distinct()
     # touch detection runs over LIVE rows: a file whose only match is a
-    # row an equality delete / DV already hides needs no rewrite
+    # row an equality delete / DV already hides needs no rewrite;
+    # bounded: distinct file NAMES only — manifest-scale, not row-scale
     touched_names = (
         {
             r["__f"]
