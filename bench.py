@@ -275,6 +275,46 @@ def main() -> None:
                     },
                     **({"query_errors": deep_err} if deep_err else {}),
                 }
+            # Recurring probes for the heavy non-headline operators
+            # (judge r8 ask #3): the r8 one-off SCALE.md analyses become
+            # every-round curves without inflating the headline total
+            # (their 2-10s runtimes would swamp the 42-query wall the
+            # round-over-round comparison reads). One warmup + one timed
+            # pass at base sf and at 10x; allpairs additionally records
+            # its OUTPUT-PAIR count at both scales — the factor's
+            # denominator, since an exact similarity join is output-bound.
+            probe_names = [
+                "doc_exact_repeat_coverage",
+                "unigram_tokenize_apply",
+                "neardup_pairs_allpairs_exact",
+            ]
+            from fraud_detection_etl_project_spark.plans import REGISTRY
+
+            probes: dict[str, dict] = {}
+            for name in probe_names:
+                spec2 = REGISTRY.get(name)
+                if spec2 is None:
+                    continue
+                entry: dict = {}
+                try:
+                    for key, d in (("base_sec", sf_dir), ("x10_sec", scale_dir)):
+                        spec2.fn(spark, d).write.format("noop").mode("overwrite").save()
+                        t0 = time.perf_counter()
+                        spec2.fn(spark, d).write.format("noop").mode("overwrite").save()
+                        entry[key] = round(time.perf_counter() - t0, 3)
+                        isolate()
+                    entry["factor_10x"] = round(entry["x10_sec"] / entry["base_sec"], 2)
+                    if name == "neardup_pairs_allpairs_exact":
+                        entry["base_rows"] = spec2.fn(spark, sf_dir).count()
+                        entry["x10_rows"] = spec2.fn(spark, scale_dir).count()
+                        entry["rows_factor_10x"] = round(
+                            entry["x10_rows"] / max(1, entry["base_rows"]), 2
+                        )
+                        isolate()
+                except Exception as e:
+                    entry["error"] = str(e)[:200]
+                probes[name] = entry
+            result["scaling_probes"] = probes
         except Exception as e:  # scaling is additive — never break the bench line
             result["scaling"] = {"error": str(e)[:300]}
 

@@ -2964,7 +2964,10 @@ def basket_brand_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     b.persist()
-    n_baskets = b.select("ok").distinct().count()  # one scalar: the rule N
+    # the rule N rides along as a 1-row broadcast aggregate (r9 fusion:
+    # the old driver-side distinct().count() was a separate job that
+    # re-ran the basket build before the main query even started)
+    nb = b.agg(F.count_distinct("ok").cast("bigint").alias("n_baskets"))
     supp1 = b.groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("s"))
     a, c = b.alias("a"), b.alias("c")
     pairs = (
@@ -2978,13 +2981,14 @@ def basket_brand_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(sa), "ante")
         .join(F.broadcast(sc), "cons")
+        .crossJoin(F.broadcast(nb))
         .select(
             "ante",
             "cons",
             F.col("s2").alias("pair_support"),
             fxr(F.col("s2").cast("double") / F.col("sa"), 4).alias("confidence"),
             fxr(
-                F.col("s2").cast("double") * F.lit(n_baskets) / (F.col("sa") * F.col("sc")),
+                F.col("s2").cast("double") * F.col("n_baskets") / (F.col("sa") * F.col("sc")),
                 4,
             ).alias("lift"),
         )

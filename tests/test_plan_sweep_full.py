@@ -31,6 +31,7 @@ SF = "/root/testdata/sf0.001"
 # crossJoin against a parameter-sized broadcast (1-row scalar aggregate or
 # k-row parameter frame) — audited 2026-08-15 over the full registry.
 BNLJ_OK = {
+    "basket_brand_rules",  # r9: 1-row n_baskets parameter frame crossJoin
     "basket_brand_triples", "benford_digit_audit", "bigram_collocation_lift",
     "bm25_search_top20", "bpe_merge_training", "bpe_tokenize_apply",
     "churn_label_generation", "conformal_risk_scores", "conformal_value_intervals",
