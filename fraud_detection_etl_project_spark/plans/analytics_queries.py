@@ -807,8 +807,12 @@ aggregate(
   acc -> acc.out
 )"""
     ).alias("h")
+    # empty-series guard (ADVICE r8): size(s)=0 would hand slice() a
+    # negative length (runtime error) — an empty events fixture should
+    # degrade to zero rows instead. size(s)=1 is fine (slice len 0).
     return (
-        series.select(F.explode(holt).alias("r"))
+        series.filter(F.size("s") >= 1)
+        .select(F.explode(holt).alias("r"))
         .select(
             F.col("r.day").alias("day"),
             F.col("r.cents").alias("cents"),

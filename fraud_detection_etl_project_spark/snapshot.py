@@ -2434,7 +2434,9 @@ def metadata_table(
       history's columns plus is_ancestor (of the target version).
     - ``partitions``: per live partition tuple — (spec_id, partition,
       file_count, record_count), aggregated FROM the files view by a
-      Spark groupBy (no driver-side accumulation).
+      Spark groupBy (no driver-side accumulation); record_count is NULL
+      when any file in the partition lacks row stats — never a silently
+      partial sum.
     - ``refs``: every named ref plus CURRENT — (name, kind, version).
 
     Timestamps are informational (commit wall-clock; see _publish) —
@@ -2514,7 +2516,11 @@ def metadata_table(
     rows = [
         (
             f,
-            int(fseq.get(f, v)),
+            # missing file_seq entries take the fixed sentinel 0, the
+            # same default every other reader uses (ADVICE r8: defaulting
+            # to the QUERIED version made a file's reported first-commit
+            # version change with the version being inspected)
+            int(fseq.get(f, 0)),
             pmap.get(f, (None, None))[0],
             pmap.get(f, (None, None))[1],
             int(inline[f]["rows"]) if f in inline and "rows" in inline[f] else None,
@@ -2536,7 +2542,12 @@ def metadata_table(
             spark.read.schema("f string, rows long")
             .json([os.path.join(mdir, sh) for sh in shards])
             .select(F.col("f").alias("file"), F.col("rows").alias("_sh_rows"))
-            .dropDuplicates(["file"])
+            # deterministic dedup (ADVICE r8): a file with multiple shard
+            # entries (one row-bearing, one stats-only null) takes the max
+            # non-null count — dropDuplicates picked an arbitrary row, and
+            # the mem:// driver fallback below matches this same rule
+            .groupBy("file")
+            .agg(F.max("_sh_rows").alias("_sh_rows"))
         )
         files_df = files_df.join(shard_df, "file", "left").select(
             "file",
@@ -2553,7 +2564,11 @@ def metadata_table(
             for line in io.read_text(os.path.join(mdir, sh)).splitlines():
                 e = json.loads(line)
                 if "rows" in e:
-                    extra[e["f"]] = int(e["rows"])
+                    # max-of-non-null: the same deterministic rule as the
+                    # distributed shard path above (was last-wins)
+                    prev = extra.get(e["f"])
+                    r = int(e["rows"])
+                    extra[e["f"]] = r if prev is None else max(prev, r)
         fill = F.create_map(
             *[F.lit(x) for kvs in extra.items() for x in kvs]
         ) if extra else None
@@ -2563,9 +2578,14 @@ def metadata_table(
             )
     if kind == "files":
         return files_df
+    # a partition containing stat-less files reports a NULL record_count
+    # (ADVICE r8): a silently partial sum is indistinguishable from a
+    # complete one; null is the honest "stats incomplete" signal
     return files_df.groupBy("spec_id", "partition").agg(
         F.count(F.lit(1)).alias("file_count"),
-        F.sum("record_count").alias("record_count"),
+        F.when(
+            F.count("record_count") == F.count(F.lit(1)), F.sum("record_count")
+        ).alias("record_count"),
     )
 
 

@@ -95,3 +95,22 @@ def test_doc_trigram_novelty_short_docs(spark, tmp_path):
     sdf = _run_pair(spark, str(tmp_path), "doc_trigram_novelty", ["documents"])
     # docs 1 and 2 have no trigrams and must be absent, not crash the query
     assert set(sdf["doc_id"]) == {3, 4}
+
+
+def test_holt_forecast_empty_series(spark, tmp_path):
+    """An empty events table (ADVICE r08): slice(s, 2, size(s) - 1) gets
+    a negative length when the collected series is empty — the guarded
+    query must degrade to zero rows, matching the oracle, not throw."""
+    tbl = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "value": pa.array([], pa.float64()),
+            "props": pa.array([], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    sdf = _run_pair(spark, str(tmp_path), "daily_value_holt_forecast", ["events"])
+    assert len(sdf) == 0
