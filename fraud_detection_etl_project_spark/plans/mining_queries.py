@@ -3232,6 +3232,81 @@ def snapshot_schema_evolution_rollup(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "snapshot_merge_evolution_rollup",
+    oracle=f"""
+SELECT o_orderstatus, channel,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {cents_sum_sql('o_totalprice')} AS total_price,
+       CAST(3 AS BIGINT) AS pre_merge_cols
+FROM (
+    SELECT CASE WHEN o_orderkey % 4 = 0 THEN 'U' ELSE o_orderstatus END
+               AS o_orderstatus,
+           CASE WHEN o_orderkey % 4 = 0 THEN -o_totalprice ELSE o_totalprice END
+               AS o_totalprice,
+           CASE WHEN o_orderkey % 4 = 0 THEN 'upd'
+                WHEN o_orderkey % 2 = 1 THEN 'ins' END AS channel
+    FROM orders
+)
+GROUP BY 1, 2
+""",
+)
+def snapshot_merge_evolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-TIME schema evolution on the snapshot table (snapshot.py
+    merge, round 9 — Delta ``mergeSchema`` semantics): v1 commits the
+    even-o_orderkey half of orders as (o_orderkey, o_orderstatus,
+    o_totalprice) range-partitioned on key; ONE merge then updates the
+    %4==0 subset (status→'U', price bit-exactly negated) and inserts the
+    odd half, with the source carrying a SOURCE-ONLY ``channel`` column
+    ('upd'/'ins') that evolves the table schema in the same commit — no
+    pre-ALTER. Untouched carried files project NULL for the new column,
+    so the rollup's NULL-channel group is exactly the un-merged rows;
+    ``pre_merge_cols`` rides along from a time-travel read of v1 (3
+    columns — the pre-merge schema), so a merge that evolved history
+    retroactively or failed to evolve CURRENT breaks the hash. The
+    field-ID fresh-id path and merge-after-rename are pinned in
+    tests/test_snapshot.py.
+
+    Scale: the evolution is metadata (one schema entry in the manifest);
+    the merge itself stays file-granular CoW — only files containing a
+    matched key rewrite, and the new column costs untouched files zero
+    bytes (NULL projection at read)."""
+    from fraud_detection_etl_project_spark import snapshot as snap
+
+    tag = _fixture_tag(sf_dir, "orders")
+    t = os.path.join(tempfile.gettempdir(), f"snap_mergevo_{tag}")
+    done = os.path.join(t, "_STAGED")
+    if not os.path.exists(done):
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        snap.overwrite(
+            orders.filter(F.col("o_orderkey") % 2 == 0).repartitionByRange(
+                4, "o_orderkey"
+            ),
+            t,
+        )
+        src = orders.filter(F.col("o_orderkey") % 4 == 0).select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (-F.col("o_totalprice")).alias("o_totalprice"),
+            F.lit("upd").alias("channel"),
+        ).unionByName(
+            orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+                "channel", F.lit("ins")
+            )
+        )
+        snap.merge(spark, t, src, on=["o_orderkey"])
+        with open(done, "w") as f:
+            f.write("")
+    pre_cols = len(snap.read(spark, t, version=1).columns)  # scalar: metadata
+    return snap.read(spark, t).groupBy("o_orderstatus", "channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        cents_sum("o_totalprice").alias("total_price"),
+        F.lit(pre_cols).cast("bigint").alias("pre_merge_cols"),
+    )
+
+
+@query(
     "snapshot_merge_upsert_rollup",
     oracle=f"""
 SELECT o_orderstatus,

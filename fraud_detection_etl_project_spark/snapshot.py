@@ -1969,7 +1969,14 @@ def merge(
     are rewritten — untouched files carry over into the new manifest by
     name, so a merge touching 0.1 % of keys rewrites ~0.1 % of a sorted
     table, not all of it. Duplicate keys in the source are rejected
-    (ambiguous MERGE). Works with live merge-on-read delete files: the
+    (ambiguous MERGE). SOURCE-ONLY columns evolve the table schema in
+    the same commit (round 9, Delta ``mergeSchema`` semantics): the new
+    columns append via the same additive union rule as ``append`` — an
+    evolving upstream needs no pre-ALTER — old/untouched files project
+    NULL for them, a field-ID table assigns them fresh ids, time travel
+    to a pre-merge version still shows the pre-merge schema, and a name
+    reused at a different type is rejected. The source must still carry
+    every CURRENT table column (a matched row is replaced wholesale). Works with live merge-on-read delete files: the
     rewrite reads LIVE rows, retained delete files keep applying to
     untouched carried files, and inert ones are dropped (round 7 — the
     streaming-CDC-then-batch-backfill path previously refused with 'run
@@ -1985,7 +1992,36 @@ def merge(
         raise ValueError("MERGE source has duplicate keys on " + ",".join(on))
     m = read_manifest(table_path, parent)
     files, stats, schema_json = m["files"], m.get("stats", {}), m.get("schema")
-    cur = _read_files(spark, table_path, files, schema_json, m)
+    # MERGE-time schema evolution: source-only columns extend the table
+    # schema (additive union, type changes rejected) before the read, so
+    # the rewrite base and untouched files alike project NULL for them
+    fields_kw: dict = {}
+    m_read = m  # manifest the in-merge reads resolve fields against
+    if schema_json is not None:
+        from pyspark.sql.types import StructType
+
+        evolved_json = _evolved_schema_json(table_path, parent, source)
+        n_old = len(StructType.fromJson(json.loads(schema_json)).fields)
+        evolved_fields = StructType.fromJson(json.loads(evolved_json)).fields
+        if len(evolved_fields) > n_old:
+            if m.get("fields"):
+                # field-ID table: the merge-added columns get FRESH ids
+                # (added_v stamped in _publish) — same rule as append.
+                # The in-merge READS see them at added_v = parent + 1,
+                # i.e. newer than every live file's seq, so the era read
+                # NULL-fills them for all existing files.
+                flds, rens, nid = _ensure_fields(m)
+                flds_read = [dict(fd) for fd in flds]
+                for sf in evolved_fields[n_old:]:
+                    flds.append({"id": nid, "orig": sf.name, "added_v": None})
+                    flds_read.append(
+                        {"id": nid, "orig": sf.name, "added_v": parent + 1}
+                    )
+                    nid += 1
+                fields_kw = {"fields": flds, "renames": rens, "next_field_id": nid}
+                m_read = {**m, "fields": flds_read}
+            schema_json = evolved_json
+    cur = _read_files(spark, table_path, files, schema_json, m_read)
     keys = source.select(*on).distinct()
     # touch detection runs over LIVE rows: a file whose only match is a
     # row an equality delete / DV already hides needs no rewrite;
@@ -1993,7 +2029,7 @@ def merge(
     touched_names = (
         {
             r["__f"]
-            for r in _apply_row_filters(spark, table_path, cur, m, keep_tags=True)
+            for r in _apply_row_filters(spark, table_path, cur, m_read, keep_tags=True)
             .join(F.broadcast(keys), on, "left_semi")
             .select("__f")
             .distinct()
@@ -2009,7 +2045,7 @@ def merge(
     # rewrites
     rewrite_base = (
         _apply_row_filters(
-            spark, table_path, _read_files(spark, table_path, touched, schema_json, m), m
+            spark, table_path, _read_files(spark, table_path, touched, schema_json, m_read), m_read
         ).join(keys, on, "left_anti")
         if touched
         else cur.limit(0)
@@ -2028,6 +2064,7 @@ def merge(
         delete_files=_live_delete_files(m, untouched),
         partition_index=_merged_index(m, new_index),
         partition_indexes=_merged_indexes(m, new_index),
+        **fields_kw,
     )
 
 

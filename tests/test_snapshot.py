@@ -1169,3 +1169,69 @@ def test_compact_materializes_renames(spark, tmp_path):
     assert "fields" not in m and "renames" not in m
     got = sorted((r["pid"], r["quality"]) for r in S.read(spark, t).collect())
     assert got == [(i, float(i * 2)) for i in range(10)]
+
+
+# ---------------------------------------------------------------------------
+# MERGE-time schema evolution (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_evolves_schema_with_source_only_columns(spark, tmp_path):
+    """Delta mergeSchema semantics: a source carrying an extra column
+    evolves the table schema in the merge commit itself — untouched old
+    files read the new column as NULL, rewritten/inserted rows carry it,
+    and time travel to the pre-merge version shows the pre-merge schema."""
+    t = str(tmp_path / "tbl")
+    base = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    S.overwrite(base.repartitionByRange(4, "k"), t)
+    src = spark.createDataFrame(
+        [(5, -1, "upd"), (1000, 1, "ins")], "k long, v long, note string"
+    )
+    v2 = S.merge(spark, t, src, on=["k"])
+    df = S.read(spark, t)
+    assert set(df.columns) == {"k", "v", "note"}
+    rows = {r["k"]: (r["v"], r["note"]) for r in df.collect()}
+    assert len(rows) == 401
+    assert rows[5] == (-1, "upd") and rows[1000] == (1, "ins")
+    assert rows[6] == (60, None)  # untouched file: new column is NULL
+    # time travel: pre-merge schema has no note column
+    assert set(S.read(spark, t, version=v2 - 1).columns) == {"k", "v"}
+    # a reused name at a different type is a rewrite, not an evolution
+    bad = spark.createDataFrame([(5, -1, 3.5)], "k long, v long, note double")
+    with pytest.raises(ValueError, match="incompatible schema"):
+        S.merge(spark, t, bad, on=["k"])
+
+
+def test_merge_evolution_after_rename_assigns_fresh_field_id(spark, tmp_path):
+    """Merge into a field-ID table after a rename: the source addresses
+    the CURRENT name, old files still resolve through the rename log,
+    and the merge-added column gets a fresh field id (visible in the
+    manifest) so a later same-named drop/add cannot resurrect it."""
+    t = str(tmp_path / "tbl")
+    S.overwrite(
+        spark.range(0, 6).selectExpr("id AS pid", "CAST(id * 2 AS DOUBLE) AS score"),
+        t,
+    )
+    S.rename_column(t, "score", "quality")
+    m_before = S.read_manifest(t, S.current_version(t))
+    n_fields_before = len(m_before["fields"])
+    src = spark.createDataFrame(
+        [(0, 99.0, "gold"), (10, 20.0, "new")], "pid long, quality double, tier string"
+    )
+    S.merge(spark, t, src, on=["pid"])
+    m = S.read_manifest(t, S.current_version(t))
+    assert len(m["fields"]) == n_fields_before + 1
+    added = m["fields"][-1]
+    assert added["orig"] == "tier" and added["added_v"] == m["version"]
+    assert added["id"] == m_before["next_field_id"]
+    rows = {r["pid"]: (r["quality"], r["tier"]) for r in S.read(spark, t).collect()}
+    assert rows[0] == (99.0, "gold") and rows[10] == (20.0, "new")
+    assert rows[1] == (2.0, None)  # carried file: renamed read + null tier
+    # merged-schema append still round-trips after the evolution
+    S.append(
+        spark.createDataFrame([(20, 1.0, "t")], "pid long, quality double, tier string"),
+        t,
+    )
+    assert S.read(spark, t).count() == 8
