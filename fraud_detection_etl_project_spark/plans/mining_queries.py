@@ -3476,6 +3476,66 @@ def snapshot_change_feed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_changes_branch_rollup",
+    oracle=f"""
+SELECT * FROM (
+    SELECT CAST(2 AS INT) AS commit_version, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {cents_sum_sql('o_totalprice')} AS total_price
+    FROM orders WHERE o_orderkey % 3 = 1 GROUP BY 2
+    UNION ALL
+    SELECT CAST(3 AS INT), o_orderstatus,
+           CAST(count(*) AS BIGINT),
+           {cents_sum_sql('o_totalprice')}
+    FROM orders WHERE o_orderkey % 3 = 2 GROUP BY 2
+)
+""",
+)
+def snapshot_changes_branch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRANCH-AWARE change data feed (snapshot.read_changes(ref=...),
+    round 9): v1 commits the o_orderkey%3==0 slice to MAIN; a WAP fork
+    named 'audit' takes two staged appends (v2: %3==1, v3: %3==2) and is
+    then PUBLISHED by fast_forward. The feed tails the BRANCH REF from
+    the trunk version 1 — the chain walk crosses the fork point, so an
+    incremental consumer of the audit line (a DQ suite re-checking only
+    staged increments, an index refresh bound to the branch) sees
+    exactly v2+v3's rows with their commit tags, before or after
+    publish. The oracle rebuilds both staged appends with version
+    constants, so a feed that leaked trunk rows, dropped a branch
+    commit, or walked the wrong lineage breaks the value hash.
+
+    Scale: same posture as the main-line feed — a branch append's
+    changes ARE its added files (manifest diff + new-file read, never a
+    table scan), and the ref resolution is one pointer read."""
+    from fraud_detection_etl_project_spark import snapshot as snap
+
+    tag = _fixture_tag(sf_dir, "orders")
+    t = os.path.join(tempfile.gettempdir(), f"snap_cdfbr_{tag}")
+    done = os.path.join(t, "_STAGED")
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(t, ignore_errors=True)  # half-staged ref: clean slate
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        snap.overwrite(orders.filter(F.col("o_orderkey") % 3 == 0), t)  # v1 main
+        snap.create_branch(t, "audit")
+        snap.append(orders.filter(F.col("o_orderkey") % 3 == 1), t, branch="audit")
+        snap.append(orders.filter(F.col("o_orderkey") % 3 == 2), t, branch="audit")
+        snap.fast_forward(t, "audit")  # publish: main head == branch head
+        with open(done, "w") as f:
+            f.write("")
+    feed = snap.read_changes(spark, t, from_version=1, ref="audit")
+    return feed.groupBy(
+        F.col("_commit_version").alias("commit_version"), "o_orderstatus"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        cents_sum("o_totalprice").alias("total_price"),
+    )
+
+
+@query(
     "snapshot_stream_tail_rollup",
     oracle=f"""
 SELECT CAST(o_orderkey % 3 + 1 AS INT) AS commit_version,

@@ -2766,11 +2766,20 @@ def compact(
 
 
 def read_changes(
-    spark: SparkSession, table_path: str, from_version: int, to_version: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Change data feed over an append-only history: the rows committed
     after ``from_version`` up to ``to_version`` (CURRENT if None), each
     tagged with ``_commit_version`` and ``_change_type='insert'``.
+    With ``ref``, the feed walks THAT ref's lineage instead of main's
+    (round 9 — branch-aware change feed): an audit/WAP branch gets
+    incremental consumers too, and ``from_version`` may sit on the main
+    trunk below the fork point (the chain walk crosses it naturally).
+    ``to_version`` with ``ref`` must lie on the ref's ancestor chain.
     Because commits list immutable files, the changes of an append are
     exactly its added files — the feed is a metadata diff plus a read
     of only the new files, never a table scan. Versions in the range
@@ -2779,7 +2788,20 @@ def read_changes(
     ValueError rather than emit a wrong feed — downstream consumers of
     a CoW table should diff snapshots (see ``snapshot_row_diff``) or
     consume the MERGE source directly."""
-    hi = current_version(table_path) if to_version is None else to_version
+    if ref is not None:
+        head = branch_version(table_path, ref)
+        if head is None:
+            raise ValueError(f"no such ref: {ref!r}")
+        if to_version is None:
+            hi = head
+        else:
+            if to_version not in set(_chain(table_path, head)):
+                raise ValueError(
+                    f"v{to_version} is not on ref {ref!r}'s ancestor chain"
+                )
+            hi = to_version
+    else:
+        hi = current_version(table_path) if to_version is None else to_version
     if hi is None or from_version > hi:
         raise ValueError(f"empty change range: ({from_version}, {to_version}]")
     # lineage is the PARENT CHAIN, not the version-number range: once

@@ -1235,3 +1235,27 @@ def test_merge_evolution_after_rename_assigns_fresh_field_id(spark, tmp_path):
         t,
     )
     assert S.read(spark, t).count() == 8
+
+
+def test_read_changes_ref_walks_branch_lineage(spark, tmp_path):
+    """read_changes(ref=...) (round 9): the feed follows the named ref's
+    ancestor chain across the fork point — BEFORE publish (main readers
+    still see v1) and with a from_version on the trunk; bad refs and an
+    off-chain to_version raise."""
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 10), t)               # v1 main
+    S.create_branch(t, "audit")
+    S.append(_nums(spark, 10, 15), t, branch="audit")  # v2 on audit
+    S.append(_nums(spark, 15, 18), t, branch="audit")  # v3 on audit
+    S.append(_nums(spark, 100, 102), t)                # v4 on MAIN (diverges)
+    feed = S.read_changes(spark, t, from_version=1, ref="audit")
+    got = sorted((r["_commit_version"], r["n"]) for r in feed.collect())
+    assert got == [(2, n) for n in range(10, 15)] + [(3, n) for n in range(15, 18)]
+    # to_version bounds the walk within the ref's chain
+    part = S.read_changes(spark, t, from_version=1, to_version=2, ref="audit")
+    assert sorted(r["n"] for r in part.collect()) == list(range(10, 15))
+    with pytest.raises(ValueError, match="no such ref"):
+        S.read_changes(spark, t, from_version=1, ref="nope")
+    with pytest.raises(ValueError, match="not on ref"):
+        # v4 is a main commit, not on audit's chain
+        S.read_changes(spark, t, from_version=1, to_version=4, ref="audit")
