@@ -3476,6 +3476,87 @@ def snapshot_change_feed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_cdc_merge_rollup",
+    oracle=f"""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {cents_sum_sql('o_totalprice')} AS total_price
+FROM (
+    SELECT CASE WHEN o_orderkey % 6 = 0 THEN 'U' ELSE o_orderstatus END
+               AS o_orderstatus,
+           CASE WHEN o_orderkey % 6 = 0 THEN -o_totalprice ELSE o_totalprice END
+               AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 3 = 0 AND NOT (o_orderkey % 9 = 0 AND o_orderkey % 2 = 1)
+    UNION ALL
+    SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 = 1
+)
+GROUP BY 1
+""",
+)
+def snapshot_cdc_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE with deletes (snapshot.merge_cdc, round 9): v1 commits
+    the o_orderkey%3==0 slice range-partitioned on key; ONE op-tagged
+    batch then updates the %6==0 keys (status→'U', price bit-exactly
+    negated), deletes the odd multiples of 9 (tombstone rows, NULL
+    payload), and inserts the %3==1 slice — upserts and deletes in the
+    SAME atomic copy-on-write commit, the full change-data-capture
+    apply shape (the op-conflict resolution upstream of this is
+    sinks.apply_cdc; the streaming hook is foreach_batch_cdc_merger).
+    The oracle rebuilds the post-batch relation from the fixture, so a
+    resurrected delete, dropped insert, or missed update breaks the
+    value hash.
+
+    Scale: tombstone keys travel as a key-only broadcast frame into the
+    same file-granular touch detection as the upserts — a batch
+    touching 0.1 % of keys rewrites ~0.1 % of the files, once, not once
+    per op kind."""
+    from fraud_detection_etl_project_spark import snapshot as snap
+
+    tag = _fixture_tag(sf_dir, "orders")
+    t = os.path.join(tempfile.gettempdir(), f"snap_cdcmerge_{tag}")
+    done = os.path.join(t, "_STAGED")
+    if not os.path.exists(done):
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        snap.overwrite(
+            orders.filter(F.col("o_orderkey") % 3 == 0).repartitionByRange(
+                4, "o_orderkey"
+            ),
+            t,
+        )
+        k = F.col("o_orderkey")
+        feed = (
+            orders.filter(k % 6 == 0)
+            .select(
+                "o_orderkey",
+                F.lit("U").alias("o_orderstatus"),
+                (-F.col("o_totalprice")).alias("o_totalprice"),
+                F.lit("U").alias("op"),
+            )
+            .unionByName(
+                orders.filter((k % 9 == 0) & (k % 2 == 1)).select(
+                    "o_orderkey",
+                    F.lit(None).cast("string").alias("o_orderstatus"),
+                    F.lit(None).cast("double").alias("o_totalprice"),
+                    F.lit("D").alias("op"),
+                )
+            )
+            .unionByName(
+                orders.filter(k % 3 == 1).withColumn("op", F.lit("I"))
+            )
+        )
+        snap.merge_cdc(spark, t, feed, on=["o_orderkey"])
+        with open(done, "w") as f:
+            f.write("")
+    return snap.read(spark, t).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        cents_sum("o_totalprice").alias("total_price"),
+    )
+
+
+@query(
     "snapshot_changes_branch_rollup",
     oracle=f"""
 SELECT * FROM (

@@ -1962,6 +1962,7 @@ def merge(
     source: DataFrame,
     on: list[str],
     batch_id: str | None = None,
+    delete_keys: DataFrame | None = None,
 ) -> int:
     """Copy-on-write MERGE (upsert): target rows whose key matches a
     source row are replaced by the source row; unmatched source rows are
@@ -1982,7 +1983,12 @@ def merge(
     streaming-CDC-then-batch-backfill path previously refused with 'run
     compact() first'). With ``batch_id``, the merge is idempotent per
     batch id (same contract as ``append`` — the exactly-once hook for
-    streaming upserts). Returns the new version."""
+    streaming upserts). ``delete_keys`` (round 9) adds WHEN MATCHED
+    DELETE to the same atomic commit: rows matching those keys vanish
+    while the upserts apply — one CoW pass for a full CDC batch (see
+    ``merge_cdc`` for the op-tagged-feed wrapper). A key present in
+    BOTH the source and delete_keys is rejected as ambiguous. Returns
+    the new version."""
     if batch_id is not None and batch_id in committed_batch_ids(table_path):
         return current_version(table_path)  # replayed micro-batch: no-op
     parent = current_version(table_path)
@@ -1990,6 +1996,13 @@ def merge(
         raise FileNotFoundError(f"snapshot table has no committed version: {table_path}")
     if source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count():
         raise ValueError("MERGE source has duplicate keys on " + ",".join(on))
+    if delete_keys is not None:
+        delete_keys = delete_keys.select(*on).distinct()
+        if source.join(delete_keys, on, "left_semi").limit(1).count():
+            raise ValueError(
+                "MERGE key both upserted and deleted — resolve the feed "
+                "per key first (highest-seq wins; see sinks.apply_cdc)"
+            )
     m = read_manifest(table_path, parent)
     files, stats, schema_json = m["files"], m.get("stats", {}), m.get("schema")
     # MERGE-time schema evolution: source-only columns extend the table
@@ -2023,6 +2036,10 @@ def merge(
             schema_json = evolved_json
     cur = _read_files(spark, table_path, files, schema_json, m_read)
     keys = source.select(*on).distinct()
+    if delete_keys is not None:
+        # deletes ride the same CoW machinery: their keys join the touch
+        # set and the rewrite anti-join, and simply never re-insert
+        keys = keys.unionByName(delete_keys).distinct()
     # touch detection runs over LIVE rows: a file whose only match is a
     # row an equality delete / DV already hides needs no rewrite;
     # bounded: distinct file NAMES only — manifest-scale, not row-scale
@@ -2066,6 +2083,53 @@ def merge(
         partition_indexes=_merged_indexes(m, new_index),
         **fields_kw,
     )
+
+
+def merge_cdc(
+    spark: SparkSession,
+    table_path: str,
+    feed: DataFrame,
+    on: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+    batch_id: str | None = None,
+) -> int:
+    """Apply an op-tagged CDC batch (insert/update rows plus
+    ``op_col == delete_op`` tombstones) as ONE atomic copy-on-write
+    commit: non-delete rows upsert, delete rows remove their keys —
+    the snapshot-table counterpart of ``sinks.apply_cdc`` (which
+    resolves per-key op conflicts first; this function expects an
+    already-compacted batch: at most one row per key). Schema
+    evolution, file-granular CoW, MoR interplay, and idempotent
+    ``batch_id`` all inherit from ``merge``. Returns the new version.
+
+    Scale: identical posture to merge — the tombstone keys only ever
+    travel as a key-column frame (broadcast into touch detection), and
+    a batch deleting 0.1 % of keys rewrites only the files holding
+    them."""
+    upserts = feed.filter(F.col(op_col) != delete_op).drop(op_col)
+    dels = feed.filter(F.col(op_col) == delete_op).select(*on)
+    return merge(spark, table_path, upserts, on, batch_id=batch_id, delete_keys=dels)
+
+
+def foreach_batch_cdc_merger(table_path: str, on: list[str], op_col: str = "op"):
+    """``foreachBatch`` hook applying each micro-batch as one atomic,
+    idempotent ``merge_cdc`` — exactly-once streaming CDC APPLY with
+    deletes (the upsert-only sibling is ``foreach_batch_merger``). The
+    batch must be key-compacted (one row per key, last image wins)
+    upstream, e.g. with ``sinks.apply_cdc``'s seq rule."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        merge_cdc(
+            batch_df.sparkSession,
+            table_path,
+            batch_df,
+            on,
+            op_col=op_col,
+            batch_id=f"stream-cdc-merge-{batch_id}",
+        )
+
+    return write
 
 
 def foreach_batch_merger(table_path: str, on: list[str]):

@@ -1259,3 +1259,38 @@ def test_read_changes_ref_walks_branch_lineage(spark, tmp_path):
     with pytest.raises(ValueError, match="not on ref"):
         # v4 is a main commit, not on audit's chain
         S.read_changes(spark, t, from_version=1, to_version=4, ref="audit")
+
+
+def test_merge_cdc_applies_upserts_and_deletes_atomically(spark, tmp_path):
+    """merge_cdc (round 9): one op-tagged batch — update, insert, delete
+    — lands as ONE commit; untouched files carry over; a replayed
+    batch_id is a no-op; an upsert+delete key conflict is rejected."""
+    t = str(tmp_path / "tbl")
+    base = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    S.overwrite(base.repartitionByRange(4, "k"), t)
+    v1_files = set(S.read_manifest(t, 1)["files"])
+    feed = spark.createDataFrame(
+        [(5, -1, "U"), (1000, 1, "I"), (7, None, "D"), (9999, None, "D")],
+        "k long, v long, op string",
+    )
+    v2 = S.merge_cdc(spark, t, feed, on=["k"], batch_id="b1")
+    assert v2 == 2
+    rows = {r["k"]: r["v"] for r in S.read(spark, t).collect()}
+    assert len(rows) == 400  # 400 - 1 deleted + 1 inserted (9999 absent: no-op)
+    assert rows[5] == -1 and rows[1000] == 1 and 7 not in rows
+    # file-granular CoW: keys 5/7 share the low range file; 3 carry over
+    carried = [f for f in S.read_manifest(t, 2)["files"] if f in v1_files]
+    assert len(carried) == 3
+    # replay: same batch id is a no-op at the committed version
+    assert S.merge_cdc(spark, t, feed, on=["k"], batch_id="b1") == 2
+    assert S.read(spark, t).count() == 400
+    # ambiguous feed: same key upserted and deleted
+    bad = spark.createDataFrame([(5, 1, "U"), (5, None, "D")], "k long, v long, op string")
+    with pytest.raises(ValueError, match="upserted and deleted"):
+        S.merge_cdc(spark, t, bad, on=["k"])
+    # delete-only batch still commits (no upsert rows at all)
+    only_del = spark.createDataFrame([(8, None, "D")], "k long, v long, op string")
+    v3 = S.merge_cdc(spark, t, only_del, on=["k"])
+    assert v3 == 3 and S.read(spark, t).count() == 399
