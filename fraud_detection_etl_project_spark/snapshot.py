@@ -2989,12 +2989,21 @@ def _shard_version(name: str) -> int | None:
 
 
 def vacuum(
-    table_path: str, keep_versions: int = 1, grace_seconds: float = 0.0
+    table_path: str,
+    keep_versions: int = 1,
+    grace_seconds: float = 0.0,
+    keep_newer_than: float | None = None,
 ) -> list[str]:
     """Drop manifests older than the newest ``keep_versions`` and delete
     data files no surviving manifest references (plus any orphaned
     staging dirs). Returns the deleted file names. Time travel reaches
-    only surviving versions afterwards.
+    only surviving versions afterwards. ``keep_newer_than`` (round 9 —
+    the Iceberg ``expire_snapshots(older_than)`` contract, inverted to
+    say what SURVIVES) additionally retains every ancestor-chain version
+    whose commit timestamp is strictly newer than the given epoch
+    seconds, so retention can be expressed by AGE ("keep a week of time
+    travel") instead of, or on top of, a version count — the two compose
+    as a union.
 
     The keep set is the newest ``keep_versions`` of CURRENT's ancestor
     chain PLUS the FULL reachable ancestor chain of every named ref head
@@ -3024,7 +3033,18 @@ def vacuum(
     cur = current_version(table_path)
     if cur is None:
         return []
-    keep = set(_chain(table_path, cur)[:keep_versions])
+    chain = _chain(table_path, cur)
+    keep = set(chain[:keep_versions])
+    if keep_newer_than is not None:
+        # age-based retention: a chain version committed after the
+        # cutoff survives even beyond keep_versions (ts is the commit
+        # wall-clock — informational ordering, which is exactly what an
+        # age policy asks for; a skewed clock shifts the boundary, never
+        # correctness)
+        for v in chain:
+            ts = read_manifest(table_path, v).get("ts")
+            if ts is not None and float(ts) > keep_newer_than:
+                keep.add(v)
     for r in io.listdir(os.path.join(mdir, _REFS)):
         if r.startswith("."):
             continue

@@ -1294,3 +1294,39 @@ def test_merge_cdc_applies_upserts_and_deletes_atomically(spark, tmp_path):
     only_del = spark.createDataFrame([(8, None, "D")], "k long, v long, op string")
     v3 = S.merge_cdc(spark, t, only_del, on=["k"])
     assert v3 == 3 and S.read(spark, t).count() == 399
+
+
+def test_vacuum_keep_newer_than_age_retention(spark, tmp_path):
+    """Age-based retention (round 9): versions committed after the
+    cutoff survive beyond keep_versions; older ones expire with their
+    unreferenced files. Commit timestamps are back-dated by editing the
+    manifests directly (the informational ts field)."""
+    import json as _json
+
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 5), t)        # v1
+    S.overwrite(_nums(spark, 10, 15), t)      # v2 (v1's files now unreferenced-able)
+    S.append(_nums(spark, 20, 25), t)         # v3
+    mdir = os.path.join(t, "_manifests")
+    # back-date v1/v2 to 1000s ago; v3 stays "now"
+    import time as _time
+
+    old = _time.time() - 1000
+    for v in (1, 2):
+        mp = os.path.join(mdir, f"v{v:05d}.json")
+        m = _json.load(open(mp))
+        m["ts"] = old
+        with open(mp, "w") as f:
+            _json.dump(m, f)
+    # keep_versions=1 alone would keep only v3; the age cutoff (500s ago)
+    # keeps every version newer — still just v3 here, BUT v2 is v3's
+    # parent-chain source of carried files, so expiring v2's manifest
+    # must not delete files v3 references (referenced-set rule).
+    deleted = S.vacuum(t, keep_versions=1, keep_newer_than=_time.time() - 500)
+    assert S.read(spark, t).count() == 10  # v2 rows + v3 rows, intact
+    assert not os.path.exists(os.path.join(mdir, "v00001.json"))
+    # now a cutoff that retains everything: nothing else is deleted
+    S.append(_nums(spark, 30, 32), t)  # v4
+    deleted2 = S.vacuum(t, keep_versions=1, keep_newer_than=old - 1)
+    assert deleted2 == []
+    assert S.read(spark, t, version=3).count() == 10  # time travel survives
