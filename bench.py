@@ -297,20 +297,28 @@ def main() -> None:
                     continue
                 entry: dict = {}
                 try:
-                    for key, d in (("base_sec", sf_dir), ("x10_sec", scale_dir)):
-                        spec2.fn(spark, d).write.format("noop").mode("overwrite").save()
-                        t0 = time.perf_counter()
-                        spec2.fn(spark, d).write.format("noop").mode("overwrite").save()
-                        entry[key] = round(time.perf_counter() - t0, 3)
-                        isolate()
-                    entry["factor_10x"] = round(entry["x10_sec"] / entry["base_sec"], 2)
                     if name == "neardup_pairs_allpairs_exact":
-                        entry["base_rows"] = spec2.fn(spark, sf_dir).count()
-                        entry["x10_rows"] = spec2.fn(spark, scale_dir).count()
+                        # output-bound exact join: count() IS the timed
+                        # pass (it materializes the plan AND records the
+                        # output-volume denominator), one execution per
+                        # scale point — the generic warmup+noop shape
+                        # would triple-run a multi-minute 10x query
+                        for key, d in (("base", sf_dir), ("x10", scale_dir)):
+                            t0 = time.perf_counter()
+                            entry[f"{key}_rows"] = spec2.fn(spark, d).count()
+                            entry[f"{key}_sec"] = round(time.perf_counter() - t0, 3)
+                            isolate()
                         entry["rows_factor_10x"] = round(
                             entry["x10_rows"] / max(1, entry["base_rows"]), 2
                         )
-                        isolate()
+                    else:
+                        for key, d in (("base_sec", sf_dir), ("x10_sec", scale_dir)):
+                            spec2.fn(spark, d).write.format("noop").mode("overwrite").save()
+                            t0 = time.perf_counter()
+                            spec2.fn(spark, d).write.format("noop").mode("overwrite").save()
+                            entry[key] = round(time.perf_counter() - t0, 3)
+                            isolate()
+                    entry["factor_10x"] = round(entry["x10_sec"] / entry["base_sec"], 2)
                 except Exception as e:
                     entry["error"] = str(e)[:200]
                 probes[name] = entry
