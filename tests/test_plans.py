@@ -742,6 +742,7 @@ def _bench_names():
 # Cross — verified). The assertion below still forbids CartesianProduct
 # (both sides big) everywhere.
 _BNLJ_OK: set[str] = {
+    "basket_brand_rules",  # n_baskets rule-N frame: 1-row aggregate (r9 fusion)
     "bpe_merge_training",  # per-round learned-merge frame: 1 row/round
     "copurchase_triangle_count",  # n_nodes x n_edges x n_triangles: three 1-row aggs
     "embedding_pca_power",  # eigvec + norm frames: 1 row each iteration
