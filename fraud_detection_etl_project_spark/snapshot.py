@@ -1963,6 +1963,7 @@ def merge(
     on: list[str],
     batch_id: str | None = None,
     delete_keys: DataFrame | None = None,
+    update_set: dict[str, str] | None = None,
 ) -> int:
     """Copy-on-write MERGE (upsert): target rows whose key matches a
     source row are replaced by the source row; unmatched source rows are
@@ -1987,7 +1988,16 @@ def merge(
     DELETE to the same atomic commit: rows matching those keys vanish
     while the upserts apply — one CoW pass for a full CDC batch (see
     ``merge_cdc`` for the op-tagged-feed wrapper). A key present in
-    BOTH the source and delete_keys is rejected as ambiguous. Returns
+    BOTH the source and delete_keys is rejected as ambiguous.
+    ``update_set`` (round 9 — Delta/Iceberg ``WHEN MATCHED THEN UPDATE
+    SET``) switches matched rows from wholesale replacement to
+    COLUMN-WISE update: a mapping of target column -> SQL expression
+    over aliases ``t`` (the matched target row) and ``s`` (its source
+    row), e.g. ``{"v": "t.v + s.v", "status": "s.status"}``; unlisted
+    columns keep their target values, each result is cast to the
+    column's recorded type, and unmatched source rows still insert as
+    full rows. Schema evolution applies only in replacement mode (an
+    update_set merge touches existing columns by construction). Returns
     the new version."""
     if batch_id is not None and batch_id in committed_batch_ids(table_path):
         return current_version(table_path)  # replayed micro-batch: no-op
@@ -2010,7 +2020,7 @@ def merge(
     # the rewrite base and untouched files alike project NULL for them
     fields_kw: dict = {}
     m_read = m  # manifest the in-merge reads resolve fields against
-    if schema_json is not None:
+    if schema_json is not None and update_set is None:
         from pyspark.sql.types import StructType
 
         evolved_json = _evolved_schema_json(table_path, parent, source)
@@ -2060,14 +2070,44 @@ def merge(
     # rewrite from the LIVE rows (deletion vectors + equality deletes
     # applied) so a merge cannot resurrect deleted rows of the files it
     # rewrites
-    rewrite_base = (
+    live_touched = (
         _apply_row_filters(
             spark, table_path, _read_files(spark, table_path, touched, schema_json, m_read), m_read
-        ).join(keys, on, "left_anti")
+        )
         if touched
         else cur.limit(0)
     )
-    new_rows = rewrite_base.unionByName(source.select(*cur.columns))
+    rewrite_base = live_touched.join(keys, on, "left_anti")
+    if update_set is None:
+        new_rows = rewrite_base.unionByName(source.select(*cur.columns))
+    else:
+        # WHEN MATCHED UPDATE SET: matched rows update column-wise over
+        # (t, s) aliases; unlisted columns keep target values; every
+        # touched file's matched key is in `touched` by construction, so
+        # source rows unmatched against live_touched are global inserts
+        bad = set(update_set) - set(cur.columns)
+        if bad:
+            raise ValueError(f"update_set targets unknown column(s): {sorted(bad)}")
+        if set(update_set) & set(on):
+            raise ValueError("update_set must not modify merge key columns")
+        t, s = live_touched.alias("t"), source.alias("s")
+        cond = None
+        for k in on:
+            c = F.col(f"t.{k}") == F.col(f"s.{k}")
+            cond = c if cond is None else (cond & c)
+        types = {f.name: f.dataType for f in cur.schema.fields}
+        matched = t.join(s, cond, "inner").select(
+            *[
+                F.expr(update_set[c]).cast(types[c]).alias(c)
+                if c in update_set
+                else F.col(f"t.{c}")
+                for c in cur.columns
+            ]
+        )
+        inserts = source.join(
+            live_touched.select(*on).distinct(), on, "left_anti"
+        ).select(*cur.columns)
+        new_rows = rewrite_base.unionByName(matched).unionByName(inserts)
     new_files, new_stats, new_index = _stage_rewrite(new_rows, table_path, m)
     kept_stats = {f: stats[f] for f in untouched if f in stats}
     return _publish(

@@ -1330,3 +1330,38 @@ def test_vacuum_keep_newer_than_age_retention(spark, tmp_path):
     deleted2 = S.vacuum(t, keep_versions=1, keep_newer_than=old - 1)
     assert deleted2 == []
     assert S.read(spark, t, version=3).count() == 10  # time travel survives
+
+
+def test_merge_update_set_column_wise(spark, tmp_path):
+    """WHEN MATCHED UPDATE SET (round 9): matched rows update only the
+    listed columns via t./s. expressions; unlisted columns survive;
+    unmatched source rows insert; file-granular CoW still holds; key
+    columns and unknown columns are rejected."""
+    t = str(tmp_path / "tbl")
+    base = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"), F.lit("keep").alias("tag")
+    )
+    S.overwrite(base.repartitionByRange(4, "k"), t)
+    v1_files = set(S.read_manifest(t, 1)["files"])
+    src = spark.createDataFrame(
+        [(5, 100, "x"), (7, 1000, "y"), (900, 7, "ins")], "k long, v long, tag string"
+    )
+    S.merge(spark, t, src, on=["k"], update_set={"v": "t.v + s.v"})
+    rows = {r["k"]: (r["v"], r["tag"]) for r in S.read(spark, t).collect()}
+    assert len(rows) == 401
+    assert rows[5] == (150, "keep")    # 50 + 100; tag NOT updated
+    assert rows[7] == (1070, "keep")   # 70 + 1000
+    assert rows[900] == (7, "ins")     # unmatched source row: full insert
+    assert rows[6] == (60, "keep")     # untouched row in a rewritten file
+    carried = [f for f in S.read_manifest(t, 2)["files"] if f in v1_files]
+    assert len(carried) == 3           # only the low-range file rewrote
+    with pytest.raises(ValueError, match="unknown column"):
+        S.merge(spark, t, src, on=["k"], update_set={"nope": "s.v"})
+    with pytest.raises(ValueError, match="key columns"):
+        S.merge(spark, t, src, on=["k"], update_set={"k": "s.k + 1"})
+    # composes with delete_keys in the same commit
+    dels = spark.createDataFrame([(11,)], "k long")
+    src2 = spark.createDataFrame([(5, 1, "z")], "k long, v long, tag string")
+    S.merge(spark, t, src2, on=["k"], update_set={"tag": "s.tag"}, delete_keys=dels)
+    rows2 = {r["k"]: (r["v"], r["tag"]) for r in S.read(spark, t).collect()}
+    assert rows2[5] == (150, "z") and 11 not in rows2 and len(rows2) == 400
