@@ -305,3 +305,44 @@ def test_stream_tails_a_partitioned_table(spark, tmp_path):
     assert {k for k, _ in rows} == set(range(12)) | set(range(100, 106))
     assert {c for _, c in rows} == {1, 2}
     assert sum(1 for _, c in rows if c == 2) == 6
+
+
+def test_streaming_cdc_merge_with_deletes_exactly_once(spark, tmp_path):
+    """Op-tagged streaming CDC apply (round 9, foreach_batch_cdc_merger):
+    a pysnapshot stream of (k, v, op) images applied with deletes —
+    updates replace, inserts land, tombstones remove — and a replayed
+    batch id is a no-op."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "c9")
+    S.overwrite(
+        spark.range(0, 10).select(F.col("id").alias("k"), F.col("id").alias("v")), dst
+    )
+    S.overwrite(
+        spark.createDataFrame(
+            [(2, -2, "U"), (100, 1, "I"), (5, None, "D"), (7, None, "D")],
+            "k long, v long, op string",
+        ),
+        src,
+    )
+    SS.register(spark)
+    writer = S.foreach_batch_cdc_merger(dst, ["k"])
+    q = (
+        spark.readStream.format("pysnapshot")
+        .option("path", src)
+        .load()
+        .select("k", "v", "op")
+        .writeStream.foreachBatch(writer)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["k"]: r["v"] for r in S.read(spark, dst).collect()}
+    assert len(got) == 9  # 10 - 2 deleted + 1 inserted
+    assert got[2] == -2 and got[100] == 1 and 5 not in got and 7 not in got
+    v_after = S.current_version(dst)
+    writer(
+        spark.createDataFrame([(2, 999, "U")], "k long, v long, op string"), 0
+    )  # replayed micro-batch id: no-op
+    assert S.current_version(dst) == v_after and S.read(spark, dst).count() == 9
