@@ -1964,6 +1964,7 @@ def merge(
     batch_id: str | None = None,
     delete_keys: DataFrame | None = None,
     update_set: dict[str, str] | None = None,
+    match_condition: str | None = None,
 ) -> int:
     """Copy-on-write MERGE (upsert): target rows whose key matches a
     source row are replaced by the source row; unmatched source rows are
@@ -1996,7 +1997,9 @@ def merge(
     row), e.g. ``{"v": "t.v + s.v", "status": "s.status"}``; unlisted
     columns keep their target values, each result is cast to the
     column's recorded type, and unmatched source rows still insert as
-    full rows. Schema evolution applies only in replacement mode (an
+    full rows. ``match_condition`` (an optional SQL predicate over the
+    same t/s aliases — Delta's ``WHEN MATCHED AND <cond>``) gates the
+    update: matched rows failing it keep their target values. Schema evolution applies only in replacement mode (an
     update_set merge touches existing columns by construction). Returns
     the new version."""
     if batch_id is not None and batch_id in committed_batch_ids(table_path):
@@ -2096,9 +2099,15 @@ def merge(
             c = F.col(f"t.{k}") == F.col(f"s.{k}")
             cond = c if cond is None else (cond & c)
         types = {f.name: f.dataType for f in cur.schema.fields}
+        # WHEN MATCHED AND <condition>: rows failing it keep their
+        # target values (they still rewrite with their file — CoW is
+        # file-granular — but bytes-identically)
+        gate = F.expr(match_condition) if match_condition else F.lit(True)
         matched = t.join(s, cond, "inner").select(
             *[
-                F.expr(update_set[c]).cast(types[c]).alias(c)
+                F.when(gate, F.expr(update_set[c]).cast(types[c]))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
                 if c in update_set
                 else F.col(f"t.{c}")
                 for c in cur.columns

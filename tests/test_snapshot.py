@@ -1365,3 +1365,26 @@ def test_merge_update_set_column_wise(spark, tmp_path):
     S.merge(spark, t, src2, on=["k"], update_set={"tag": "s.tag"}, delete_keys=dels)
     rows2 = {r["k"]: (r["v"], r["tag"]) for r in S.read(spark, t).collect()}
     assert rows2[5] == (150, "z") and 11 not in rows2 and len(rows2) == 400
+
+
+def test_merge_update_set_match_condition(spark, tmp_path):
+    """WHEN MATCHED AND <cond> (round 9): matched rows failing the
+    predicate keep their target values; passing rows update; inserts
+    are not gated."""
+    t = str(tmp_path / "tbl")
+    S.overwrite(
+        spark.range(0, 20).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v")),
+        t,
+    )
+    src = spark.createDataFrame(
+        [(3, 1), (4, 1), (500, 5)], "k long, v long"
+    )
+    # only update where the target value exceeds 35: k=4 (v=40) passes,
+    # k=3 (v=30) fails and stays; k=500 inserts regardless
+    S.merge(
+        spark, t, src, on=["k"],
+        update_set={"v": "t.v + s.v"},
+        match_condition="t.v > 35",
+    )
+    rows = {r["k"]: r["v"] for r in S.read(spark, t).collect()}
+    assert rows[3] == 30 and rows[4] == 41 and rows[500] == 5 and len(rows) == 21
