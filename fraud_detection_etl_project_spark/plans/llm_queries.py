@@ -2353,6 +2353,64 @@ def neardup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("snapshot_incremental_dedup_pairs", oracle=_INC_ORACLE)
+def snapshot_incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL dedup path driven OFF THE TABLE FORMAT (round 9
+    integration): the documents corpus lives in a snapshot table — v1
+    is the existing corpus (doc_id % 10 != 0), v2 APPENDS today's batch
+    (% 10 == 0) — and the daily dedup job discovers its input via the
+    CHANGE FEED (``read_changes(from_version=1)`` = exactly the new
+    files' rows, a manifest diff, never a table scan) while the corpus
+    side reads the PRE-APPEND version. The asymmetric band join is then
+    identical to ``neardup_incremental_pairs``, and so is the DuckDB
+    oracle — proving the feed-fed path is byte-identical to the
+    fixture-fed path.
+
+    Scale: this is the production wiring — the ingest commit itself
+    names the day's rows (no "which docs are new?" bookkeeping column,
+    no full-corpus re-scan), time travel pins the corpus side to a
+    consistent version while ingest continues, and the join cost stays
+    O(new batch x collision rate)."""
+    from fraud_detection_etl_project_spark import snapshot as snap
+    import os
+    import tempfile
+
+    from fraud_detection_etl_project_spark.plans.mining_queries import _fixture_tag
+
+    tag = _fixture_tag(sf_dir, "documents")
+    t = os.path.join(tempfile.gettempdir(), f"snap_incdedup_{tag}")
+    done = os.path.join(t, "_STAGED")
+    if not os.path.exists(done):
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        snap.overwrite(d.filter(F.col("doc_id") % 10 != 0), t)  # v1: corpus
+        snap.append(d.filter(F.col("doc_id") % 10 == 0), t)     # v2: today
+        with open(done, "w") as f:
+            f.write("")
+
+    def _bands(df, side):
+        sig = D.minhash_signatures(df).select(F.col("doc_id"), *D.band_keys())
+        return sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("key"))
+                        for b in range(D.BANDS)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")).alias(side)
+
+    new_docs = snap.read_changes(spark, t, from_version=1).select("doc_id", "text")
+    corpus = snap.read(spark, t, version=1).select("doc_id", "text")
+    return (
+        _bands(new_docs, "a")
+        .join(_bands(corpus, "b"), ["band", "key"])
+        .select(F.col("a.doc_id").alias("new_doc"), F.col("b.doc_id").alias("old_doc"))
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cross-source duplicate contamination matrix
 # ---------------------------------------------------------------------------
