@@ -1140,6 +1140,108 @@ FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 """
 
 
+_CONTAM_ORACLE = f"""
+WITH t AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
+g AS (SELECT doc_id, s.p AS p, s.g AS g FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(norm) - {_REP_L} + 2),
+                                     p -> {{'p': p, 'g': md5(substring(norm, p, {_REP_L}))}})) AS s
+        FROM t WHERE len(norm) >= {_REP_L})),
+traing AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 <> 0),
+f AS (SELECT g.doc_id, g.p FROM g JOIN traing USING (g) WHERE g.doc_id % 10 = 0),
+w AS (SELECT doc_id, p, lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS np FROM f),
+agg AS (SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_contam_positions,
+               CAST(1 + sum(CASE WHEN np IS NOT NULL AND np - p > {_REP_L}
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_contam_intervals,
+               CAST(sum(CASE WHEN np IS NULL THEN {_REP_L}
+                             ELSE least({_REP_L}, np - p) END) AS BIGINT) AS contam_chars
+        FROM w GROUP BY 1)
+SELECT d.doc_id, CAST(len({NORM_SQL}) AS BIGINT) AS n_norm_chars,
+       coalesce(a.n_contam_positions, CAST(0 AS BIGINT)) AS n_contam_positions,
+       coalesce(a.n_contam_intervals, CAST(0 AS BIGINT)) AS n_contam_intervals,
+       coalesce(a.contam_chars, CAST(0 AS BIGINT)) AS contam_chars
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+WHERE d.doc_id % 10 = 0
+"""
+
+
+@query("split_exact_contamination", oracle=_CONTAM_ORACLE)
+def split_exact_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-substring train/test decontamination readout (the GPT-3 /
+    PaLM appendix methodology, exact-overlap flavor, beside the
+    fingerprint-based ``split_contamination``): for every TEST document
+    (doc_id % 10 == 0), the character positions whose 40-char window
+    also occurs anywhere in the TRAIN split (% 10 != 0) merge into
+    maximal intervals — reporting contaminated position/interval counts
+    and the exact contaminated character coverage against the doc's
+    normalized length, the quantity a decontamination pass would excise
+    or a leakage audit would report. All-integer outputs; the oracle
+    re-derives the asymmetric overlap bit-for-bit.
+
+    Scale: same posture as doc_exact_repeat_coverage (positions travel
+    as 16-byte digests, map-side-combined gram distinct, doc-bounded
+    interval merge) with the train gram set REPLACING the >= 2-doc
+    repeat set — the semi join probes O(test windows) against a
+    train-distinct gram table, so a small eval suite against a 100 TB
+    train corpus is test-scaled on the probe side and one distinct over
+    train grams that the dedup pass already materializes."""
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.normalized(F.col("text")).alias("norm")
+    )
+    long_enough = t.filter(F.length("norm") >= _REP_L)
+    grams = long_enough.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(norm) - {_REP_L} + 1), "
+                f"p -> named_struct('p', p, 'g', md5(substring(norm, p, {_REP_L}))))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.p").alias("p"), F.col("s.g").alias("g"))
+    train_grams = grams.filter(F.col("doc_id") % 10 != 0).select("g").distinct()
+    flagged = (
+        grams.filter(F.col("doc_id") % 10 == 0)
+        .join(train_grams, "g", "semi")
+        .select("doc_id", "p")
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    agg = (
+        flagged.withColumn("np", F.lead("p").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_contam_positions"),
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(
+                        F.col("np").isNotNull() & (F.col("np") - F.col("p") > _REP_L), 1
+                    ).otherwise(0)
+                )
+            )
+            .cast("bigint")
+            .alias("n_contam_intervals"),
+            F.sum(
+                F.when(F.col("np").isNull(), F.lit(_REP_L)).otherwise(
+                    F.least(F.lit(_REP_L), F.col("np") - F.col("p"))
+                )
+            )
+            .cast("bigint")
+            .alias("contam_chars"),
+        )
+    )
+    d = t.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.length("norm").cast("bigint").alias("n_norm_chars")
+    )
+    return d.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_norm_chars",
+        F.coalesce("n_contam_positions", F.lit(0)).cast("bigint").alias("n_contam_positions"),
+        F.coalesce("n_contam_intervals", F.lit(0)).cast("bigint").alias("n_contam_intervals"),
+        F.coalesce("contam_chars", F.lit(0)).cast("bigint").alias("contam_chars"),
+    )
+
+
 @query("doc_exact_repeat_coverage", oracle=_REPEAT_ORACLE)
 def doc_exact_repeat_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT cross-document repeated-substring coverage per document —
