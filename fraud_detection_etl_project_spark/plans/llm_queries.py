@@ -2381,6 +2381,12 @@ def snapshot_incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFr
     t = os.path.join(tempfile.gettempdir(), f"snap_incdedup_{tag}")
     done = os.path.join(t, "_STAGED")
     if not os.path.exists(done):
+        # crash recovery: a half-staged run (overwrite committed, append
+        # not) would re-overwrite as v2 on retry and put a CoW commit in
+        # the feed range — read_changes then refuses forever. Clean slate.
+        import shutil
+
+        shutil.rmtree(t, ignore_errors=True)
         d = _t(spark, sf_dir, "documents").select("doc_id", "text")
         snap.overwrite(d.filter(F.col("doc_id") % 10 != 0), t)  # v1: corpus
         snap.append(d.filter(F.col("doc_id") % 10 == 0), t)     # v2: today

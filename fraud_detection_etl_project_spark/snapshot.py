@@ -2002,6 +2002,11 @@ def merge(
     update: matched rows failing it keep their target values. Schema evolution applies only in replacement mode (an
     update_set merge touches existing columns by construction). Returns
     the new version."""
+    if match_condition is not None and update_set is None:
+        raise ValueError(
+            "match_condition requires update_set (wholesale replacement has "
+            "no per-row clause to gate — filter the source instead)"
+        )
     if batch_id is not None and batch_id in committed_batch_ids(table_path):
         return current_version(table_path)  # replayed micro-batch: no-op
     parent = current_version(table_path)
@@ -2093,6 +2098,17 @@ def merge(
             raise ValueError(f"update_set targets unknown column(s): {sorted(bad)}")
         if set(update_set) & set(on):
             raise ValueError("update_set must not modify merge key columns")
+        # same-name source columns must match the recorded types (the
+        # replacement path gets this from _evolved_schema_json; without
+        # it the inserts union would silently promote new_rows and stage
+        # files the recorded schema can no longer read)
+        cur_types = {f.name: f.dataType for f in cur.schema.fields}
+        for sf in source.schema.fields:
+            if sf.name in cur_types and sf.dataType != cur_types[sf.name]:
+                raise ValueError(
+                    f"incompatible schema change for column {sf.name!r}: "
+                    f"{cur_types[sf.name].simpleString()} -> {sf.dataType.simpleString()}"
+                )
         t, s = live_touched.alias("t"), source.alias("s")
         cond = None
         for k in on:
@@ -2156,6 +2172,11 @@ def merge_cdc(
     travel as a key-column frame (broadcast into touch detection), and
     a batch deleting 0.1 % of keys rewrites only the files holding
     them."""
+    if feed.filter(F.col(op_col).isNull()).limit(1).count():
+        raise ValueError(
+            f"CDC feed has NULL {op_col!r} rows — every row must carry an "
+            f"op (non-{delete_op!r} upserts, {delete_op!r} deletes)"
+        )
     upserts = feed.filter(F.col(op_col) != delete_op).drop(op_col)
     dels = feed.filter(F.col(op_col) == delete_op).select(*on)
     return merge(spark, table_path, upserts, on, batch_id=batch_id, delete_keys=dels)

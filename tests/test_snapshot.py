@@ -1388,3 +1388,28 @@ def test_merge_update_set_match_condition(spark, tmp_path):
     )
     rows = {r["k"]: r["v"] for r in S.read(spark, t).collect()}
     assert rows[3] == 30 and rows[4] == 41 and rows[500] == 5 and len(rows) == 21
+
+
+def test_merge_clause_guards_round9_review(spark, tmp_path):
+    """r9 review findings: match_condition without update_set is an
+    error (not a silent wholesale replace); update_set mode rejects a
+    source column at an incompatible type (instead of staging files the
+    recorded schema cannot read); merge_cdc rejects NULL ops (instead
+    of silently dropping the row)."""
+    t = str(tmp_path / "tbl")
+    S.overwrite(
+        spark.range(0, 10).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v")),
+        t,
+    )
+    src = spark.createDataFrame([(3, 5)], "k long, v long")
+    with pytest.raises(ValueError, match="match_condition requires update_set"):
+        S.merge(spark, t, src, on=["k"], match_condition="t.v > 0")
+    bad_type = spark.createDataFrame([(3, 5.0)], "k long, v double")
+    with pytest.raises(ValueError, match="incompatible schema"):
+        S.merge(spark, t, bad_type, on=["k"], update_set={"v": "s.v"})
+    null_op = spark.createDataFrame(
+        [(3, 5, "U"), (4, 6, None)], "k long, v long, op string"
+    )
+    with pytest.raises(ValueError, match="NULL 'op'"):
+        S.merge_cdc(spark, t, null_op, on=["k"])
+    assert S.current_version(t) == 1  # nothing committed by any guard
