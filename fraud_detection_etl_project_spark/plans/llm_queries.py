@@ -1871,6 +1871,101 @@ def zipf_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HEAPS_CUTS = 10
+
+_HEAPS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, UNNEST({TOKS_SQL}) AS tok FROM documents)
+  WHERE tok <> ''),
+mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS mid FROM documents),
+cuts AS (SELECT k, CAST(floor(mx.mid * k / {_HEAPS_CUTS}.0) AS BIGINT) AS thr
+         FROM mx CROSS JOIN (SELECT UNNEST(range(1, {_HEAPS_CUTS} + 1)) AS k)),
+firstdoc AS (SELECT tok, CAST(min(doc_id) AS BIGINT) AS fd FROM toks GROUP BY 1),
+doclen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+vocab AS (SELECT c.k, CAST(count(*) AS BIGINT) AS cum_vocab
+          FROM cuts c JOIN firstdoc f ON f.fd <= c.thr GROUP BY 1),
+total AS (SELECT c.k, CAST(sum(d.n) AS BIGINT) AS cum_tokens
+          FROM cuts c JOIN doclen d ON d.doc_id <= c.thr GROUP BY 1),
+pts AS (SELECT t.k, t.cum_tokens, v.cum_vocab,
+               CAST(floor(ln(t.cum_tokens) * {_ZIPF_SCALE}.0 + 0.5) AS BIGINT) AS qx,
+               CAST(floor(ln(v.cum_vocab) * {_ZIPF_SCALE}.0 + 0.5) AS BIGINT) AS qy
+        FROM total t JOIN vocab v USING (k)),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(qx) AS BIGINT) AS sx,
+             CAST(sum(qy) AS BIGINT) AS sy, CAST(sum(qx * qx) AS BIGINT) AS sxx,
+             CAST(sum(qx * qy) AS BIGINT) AS sxy
+      FROM pts)
+SELECT p.k AS cut_k, p.cum_tokens, p.cum_vocab,
+       CAST(floor({_ZIPF_SCALE}.0 * ((CAST(m.n AS DOUBLE) * CAST(m.sxy AS DOUBLE)) - (CAST(m.sx AS DOUBLE) * CAST(m.sy AS DOUBLE)))
+                  / ((CAST(m.n AS DOUBLE) * CAST(m.sxx AS DOUBLE)) - (CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE))) + 0.5) AS BIGINT) AS q_heaps_beta
+FROM pts p CROSS JOIN m
+"""
+
+
+@query("heaps_vocab_growth", oracle=_HEAPS_ORACLE)
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth — the companion corpus diagnostic to
+    zipf_token_fit: cumulative distinct-token count against cumulative
+    token count at 10 doc-id prefix cuts, with the log-log OLS slope
+    (the Heaps beta; natural corpora sit near 0.4-0.6 — beta drifting
+    toward 0 means the corpus has stopped contributing new vocabulary,
+    i.e. more data is re-treading the same content, the
+    diminishing-returns alarm for continued crawling). A token counts
+    toward a cut's vocabulary iff its FIRST document (min doc_id) is
+    within the cut, so each prefix's distinct count is exact without
+    re-scanning per cut. Log points quantize to 1e-6 integers before
+    the moment sums (the zipf/dsir pattern); the closed-form slope is
+    one deterministic division.
+
+    Scale: two map-side-combined aggregations over one token scan
+    (per-token first-doc, per-doc length) + a 10-row broadcast
+    inequality join against the cuts — O(vocab + docs), never
+    O(corpus x cuts)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    cuts = d.agg(F.max("doc_id").cast("bigint").alias("mid")).select(
+        F.explode(F.sequence(F.lit(1), F.lit(_HEAPS_CUTS))).alias("k"), "mid"
+    ).select(
+        "k", F.floor(F.col("mid") * F.col("k") / float(_HEAPS_CUTS)).cast("bigint").alias("thr")
+    )
+    firstdoc = toks.groupBy("tok").agg(F.min("doc_id").cast("bigint").alias("fd"))
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    vocab = (
+        firstdoc.join(F.broadcast(cuts), F.col("fd") <= F.col("thr"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cum_vocab"))
+    )
+    total = (
+        doclen.join(F.broadcast(cuts), F.col("doc_id") <= F.col("thr"))
+        .groupBy("k")
+        .agg(F.sum("n").cast("bigint").alias("cum_tokens"))
+    )
+    qln = lambda c: F.floor(
+        F.log(c.cast("double")) * F.lit(float(_ZIPF_SCALE)) + F.lit(0.5)
+    ).cast("bigint")
+    pts = total.join(vocab, "k").select(
+        "k", "cum_tokens", "cum_vocab",
+        qln(F.col("cum_tokens")).alias("qx"), qln(F.col("cum_vocab")).alias("qy"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("qx").cast("bigint").alias("sx"),
+        F.sum("qy").cast("bigint").alias("sy"),
+        F.sum(F.col("qx") * F.col("qx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("qx") * F.col("qy")).cast("bigint").alias("sxy"),
+    )
+    return pts.crossJoin(F.broadcast(m)).selectExpr(
+        "k AS cut_k",
+        "cum_tokens",
+        "cum_vocab",
+        f"CAST(floor({_ZIPF_SCALE}.0 * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))"
+        f" / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) + 0.5) AS BIGINT) AS q_heaps_beta",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flesch readability scoring
 # ---------------------------------------------------------------------------

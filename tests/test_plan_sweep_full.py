@@ -41,7 +41,8 @@ BNLJ_OK = {
     "doc_shard_assignment_consistent", "dsir_importance_weights",
     "embedding_pca_power", "event_hbos_outliers", "event_mahalanobis_outliers",
     "event_type_decayed_counts", "event_value_bands", "events_hourly_gapfilled",
-    "frequent_event_sequences", "hard_negative_pairs", "heavy_hitter_users",
+    "frequent_event_sequences", "hard_negative_pairs", "heaps_vocab_growth",
+    "heavy_hitter_users",
     "hybrid_search_rrf", "ivf_trained_ann_top10", "kaplan_meier_retention",
     "kcenter_greedy_init", "kmeans_parallel_oversample", "kmv_segment_overlap",
     "lang_mix_weights", "logrank_retention_test", "nb_en_score_auc",
