@@ -1897,7 +1897,7 @@ m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(qx) AS BIGINT) AS sx,
       FROM pts)
 SELECT p.k AS cut_k, p.cum_tokens, p.cum_vocab,
        CAST(floor({_ZIPF_SCALE}.0 * ((CAST(m.n AS DOUBLE) * CAST(m.sxy AS DOUBLE)) - (CAST(m.sx AS DOUBLE) * CAST(m.sy AS DOUBLE)))
-                  / ((CAST(m.n AS DOUBLE) * CAST(m.sxx AS DOUBLE)) - (CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE))) + 0.5) AS BIGINT) AS q_heaps_beta
+                  / nullif((CAST(m.n AS DOUBLE) * CAST(m.sxx AS DOUBLE)) - (CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE)), 0.0) + 0.5) AS BIGINT) AS q_heaps_beta
 FROM pts p CROSS JOIN m
 """
 
@@ -1961,8 +1961,11 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k AS cut_k",
         "cum_tokens",
         "cum_vocab",
+        # nullif: a degenerate corpus (every cut identical — e.g. one
+        # document) zeroes the OLS denominator; NULL beta on both
+        # engines instead of a NaN-cast divergence
         f"CAST(floor({_ZIPF_SCALE}.0 * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))"
-        f" / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) + 0.5) AS BIGINT) AS q_heaps_beta",
+        f" / nullif((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 0.0D) + 0.5) AS BIGINT) AS q_heaps_beta",
     )
 
 

@@ -114,3 +114,21 @@ def test_holt_forecast_empty_series(spark, tmp_path):
     pq.write_table(tbl, str(tmp_path / "events.parquet"))
     sdf = _run_pair(spark, str(tmp_path), "daily_value_holt_forecast", ["events"])
     assert len(sdf) == 0
+
+
+def test_heaps_vocab_growth_single_doc(spark, tmp_path):
+    """One-document corpus: every prefix cut sees the same point, so the
+    Heaps OLS denominator is zero — beta must be NULL on both engines,
+    not a NaN-cast crash or divergence."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array(["alpha beta gamma alpha"], pa.string()),
+            "lang": pa.array(["en"], pa.string()),
+            "source": pa.array(["t"], pa.string()),
+            "n_chars": pa.array([22], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    sdf = _run_pair(spark, str(tmp_path), "heaps_vocab_growth", ["documents"])
+    assert len(sdf) == 10 and sdf["q_heaps_beta"].isna().all()
