@@ -1822,7 +1822,7 @@ m AS (
   FROM pts)
 SELECT n AS n_ranks,
        CAST(floor({_ZIPF_SCALE}.0 * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
-                  / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) + 0.5) AS BIGINT) AS q_slope
+                  / nullif((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 0.0) + 0.5) AS BIGINT) AS q_slope
 FROM m
 """
 
@@ -1866,8 +1866,10 @@ def zipf_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.selectExpr(
         "n AS n_ranks",
+        # nullif: a <=1-distinct-token corpus zeroes the denominator;
+        # NULL slope on both engines (same guard as heaps/ols)
         f"CAST(floor({_ZIPF_SCALE}.0 * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))"
-        f" / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) + 0.5) AS BIGINT) AS q_slope",
+        f" / nullif((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 0.0D) + 0.5) AS BIGINT) AS q_slope",
     )
 
 

@@ -3017,15 +3017,15 @@ WITH s AS (
     GROUP BY 1)
 SELECT brand, n,
        floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             / nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0.0)
              * 1000000.0 + 0.5) / 1000000.0 AS slope_cents,
        floor((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx) / n
+             / nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0.0)) * sx) / n
              * 1000000.0 + 0.5) / 1000000.0 AS intercept_cents,
        floor(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
               * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
-             / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             / nullif((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy), 0.0)
              * 1000000.0 + 0.5) / 1000000.0 AS r2
 FROM s
 """,
@@ -3069,13 +3069,17 @@ def ols_price_quantity_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov_n = n * sxy - sx * sy  # n²·cov
     var_n = n * sxx - sx * sx  # n²·var(x)
     vary_n = n * syy - sy * sy
-    slope = cov_n / var_n
+    # degenerate groups (constant x, or constant y in the r2 product)
+    # yield NULL instead of a NaN-cast divergence — same nullif as the
+    # oracle (a one-line all-identical-quantity brand is legal input)
+    var_nz = F.when(var_n != 0, var_n)
+    slope = cov_n / var_nz
     return s.select(
         "brand",
         "n",
         fxr(slope, 6).alias("slope_cents"),
         fxr((sy - slope * F.col("sx")) / F.col("n"), 6).alias("intercept_cents"),
-        fxr((cov_n * cov_n) / (var_n * vary_n), 6).alias("r2"),
+        fxr((cov_n * cov_n) / F.when(var_n * vary_n != 0, var_n * vary_n), 6).alias("r2"),
     )
 
 

@@ -132,3 +132,31 @@ def test_heaps_vocab_growth_single_doc(spark, tmp_path):
     pq.write_table(tbl, str(tmp_path / "documents.parquet"))
     sdf = _run_pair(spark, str(tmp_path), "heaps_vocab_growth", ["documents"])
     assert len(sdf) == 10 and sdf["q_heaps_beta"].isna().all()
+
+
+def test_ols_fit_degenerate_brand(spark, tmp_path):
+    """A brand whose every lineitem has the same quantity (zero x
+    variance): slope/intercept/r2 must be NULL on both engines, not a
+    NaN-cast divergence; a healthy brand in the same fixture still fits."""
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "l_partkey": pa.array([1, 1, 2, 2, 2], pa.int64()),
+            "l_quantity": pa.array([7.0, 7.0, 1.0, 2.0, 3.0], pa.float64()),
+            "l_extendedprice": pa.array([10.0, 20.0, 5.0, 10.0, 15.0], pa.float64()),
+        }
+    )
+    part = pa.table(
+        {
+            "p_partkey": pa.array([1, 2], pa.int64()),
+            "p_brand": pa.array(["CONST", "VARY"], pa.string()),
+        }
+    )
+    pq.write_table(lineitem, str(tmp_path / "lineitem.parquet"))
+    pq.write_table(part, str(tmp_path / "part.parquet"))
+    sdf = _run_pair(
+        spark, str(tmp_path), "ols_price_quantity_fit", ["lineitem", "part"]
+    )
+    by = sdf.set_index("brand")
+    assert by.loc["CONST"][["slope_cents", "intercept_cents", "r2"]].isna().all()
+    assert by.loc["VARY", "slope_cents"] == 500.0  # 5 cents/unit exact line
