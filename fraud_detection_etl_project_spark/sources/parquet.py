@@ -117,10 +117,35 @@ def pin_session_confs(spark: SparkSession) -> None:
     _SHIPPED_SESSIONS.add(spark)
 
 
+# Driver-side schema catalog. Footer-based schema inference costs a file
+# listing + footer read PER spark.read.parquet call (~85 ms on the local
+# fixtures; S3 GETs on an object store) and its result is a pure function of
+# the file bytes — a production engine resolves table schemas from a catalog
+# once, not from storage per query. Keyed on (path, mtime_ns) so a rewritten
+# fixture re-infers; the StructType is session-independent (the confs that
+# shape inference — nanosAsLong, inferTimestampNTZ — are pinned by
+# pin_session_confs before the first inference).
+_SCHEMA_CACHE: dict[tuple[str, int], "object"] = {}
+
+
+def _table_schema(spark: SparkSession, path: str):
+    try:
+        key = (path, os.stat(path).st_mtime_ns)
+    except OSError:
+        key = None
+    if key is not None and key in _SCHEMA_CACHE:
+        return _SCHEMA_CACHE[key]
+    schema = spark.read.parquet(path).schema
+    if key is not None:
+        _SCHEMA_CACHE[key] = schema
+    return schema
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table; normalizes ns-precision timestamps to µs."""
     pin_session_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.schema(_table_schema(spark, path)).parquet(path)
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # ns -> µs truncation; timestamp_micros keeps this JVM-side (no UDF).
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
