@@ -41,8 +41,13 @@ from pyspark.sql import functions as F
 
 _LOCAL_NODE_CAP = 2_000_000  # driver-path NODE ceiling: the edge probe
 # alone does not bound the node frame (a near-empty interaction graph over
-# a corpus-scale mostly-isolated node set has few edges but 10^8+ nodes),
-# so every local fast path gates on BOTH counts (judge-r9 review finding)
+# a corpus-scale mostly-isolated node set has few edges but 10^8+ nodes).
+# The functions that COLLECT the node frame — pagerank,
+# personalized_pagerank, katz_centrality — gate their local path on BOTH
+# counts. connected_components' local path deliberately gates on edges
+# only: _local_components never collects the node side (isolated nodes
+# stay distributed and union in as singletons), so adding a node collect
+# there would need this cap wired in first.
 
 
 def connected_components(

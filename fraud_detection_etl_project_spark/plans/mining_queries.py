@@ -3624,6 +3624,82 @@ def snapshot_merge_update_set_rollup(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "snapshot_merge_not_matched_source_rollup",
+    oracle=f"""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {cents_sum_sql('o_totalprice')} AS total_price
+FROM (
+    SELECT o_orderstatus, -o_totalprice AS o_totalprice
+    FROM orders WHERE o_orderkey % 3 = 1
+    UNION ALL
+    SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 = 2
+    UNION ALL
+    SELECT o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 = 1
+)
+GROUP BY 1
+""",
+)
+def snapshot_merge_not_matched_source_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE (snapshot.merge
+    not_matched_by_source_delete, round 10 — Delta's third merge clause,
+    the full-snapshot dimension-sync shape): v1 commits the
+    o_orderkey%3 IN (0,1) slice range-partitioned on key; ONE merge
+    against a full today's-snapshot source (the %3==1 keys with price
+    bit-exactly negated, plus the %3==2 keys as new rows) then replaces
+    the matched rows, inserts the new ones, and deletes the STALE rows —
+    target keys absent from the source — gated on the target row
+    (``t.o_orderkey % 2 = 0``: odd strays survive, proving the clause
+    condition evaluates over the pre-merge target image). The oracle
+    rebuilds the synced relation from the fixture, so a resurrected
+    stale row, an over-deleted gated row, or a dropped insert breaks
+    the value hash.
+
+    Scale: the clause stays file-granular — only files holding a live
+    key-absent row that passes the condition join the rewrite set, so a
+    sync where 0.1 % of dimension rows vanished rewrites ~0.1 % of the
+    files; the source key set rides the counted broadcast guard (past
+    4M keys the touch joins fall back to sort-merge)."""
+    from fraud_detection_etl_project_spark import snapshot as snap
+
+    tag = _fixture_tag(sf_dir, "orders")
+    t = os.path.join(tempfile.gettempdir(), f"snap_nbs_{tag}")
+    done = os.path.join(t, "_STAGED")
+    if not os.path.exists(done):
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        k = F.col("o_orderkey")
+        snap.overwrite(
+            orders.filter((k % 3 == 0) | (k % 3 == 1)).repartitionByRange(
+                4, "o_orderkey"
+            ),
+            t,
+        )
+        src = (
+            orders.filter(k % 3 == 1)
+            .withColumn("o_totalprice", -F.col("o_totalprice"))
+            .unionByName(orders.filter(k % 3 == 2))
+        )
+        snap.merge(
+            spark,
+            t,
+            src,
+            on=["o_orderkey"],
+            not_matched_by_source_delete="t.o_orderkey % 2 = 0",
+        )
+        with open(done, "w") as f:
+            f.write("")
+    return snap.read(spark, t).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        cents_sum("o_totalprice").alias("total_price"),
+    )
+
+
+@query(
     "snapshot_changes_branch_rollup",
     oracle=f"""
 SELECT * FROM (

@@ -74,6 +74,7 @@ from __future__ import annotations
 import functools as _functools
 import json
 import os
+import re as _re
 import shutil
 import time as _time
 import uuid
@@ -1965,6 +1966,9 @@ def merge(
     delete_keys: DataFrame | None = None,
     update_set: dict[str, str] | None = None,
     match_condition: str | None = None,
+    not_matched_by_source_delete: bool | str = False,
+    not_matched_by_source_set: dict[str, str] | None = None,
+    not_matched_by_source_condition: str | None = None,
 ) -> int:
     """Copy-on-write MERGE (upsert): target rows whose key matches a
     source row are replaced by the source row; unmatched source rows are
@@ -2000,8 +2004,39 @@ def merge(
     full rows. ``match_condition`` (an optional SQL predicate over the
     same t/s aliases — Delta's ``WHEN MATCHED AND <cond>``) gates the
     update: matched rows failing it keep their target values. Schema evolution applies only in replacement mode (an
-    update_set merge touches existing columns by construction). Returns
+    update_set merge touches existing columns by construction).
+    ``not_matched_by_source_delete`` / ``not_matched_by_source_set``
+    (round 10 — Delta's ``WHEN NOT MATCHED BY SOURCE THEN DELETE /
+    UPDATE SET``, the full-snapshot dimension-sync clause): target rows
+    whose key is ABSENT from the source (and from ``delete_keys``, whose
+    keys count as source-present — they are the source feed's delete
+    images) are deleted, or updated column-wise with expressions over
+    the ``t`` alias only (there is no source row to reference — an
+    ``s.`` reference fails analysis). ``not_matched_by_source_delete``
+    may be ``True`` (unconditional) or a SQL predicate string over
+    ``t``; ``not_matched_by_source_condition`` gates the update
+    variant the same way. The two variants are mutually exclusive (one
+    clause of each kind; ordering between them would be ambiguous).
+    Both compose with replacement mode, ``update_set`` +
+    ``match_condition``, ``delete_keys``, schema evolution, and MoR
+    delete files — and stay file-granular: only files holding a LIVE
+    row that is key-absent from the source AND passes the clause
+    condition join the rewrite set, so a sync where 0.1 % of dimension
+    rows vanished rewrites ~0.1 % of the files, not the table. Returns
     the new version."""
+    nbs_set = not_matched_by_source_set
+    nbs_del = not_matched_by_source_delete
+    if nbs_del and nbs_set is not None:
+        raise ValueError(
+            "not_matched_by_source_delete and not_matched_by_source_set are "
+            "mutually exclusive (one WHEN NOT MATCHED BY SOURCE clause)"
+        )
+    if not_matched_by_source_condition is not None and nbs_set is None:
+        raise ValueError(
+            "not_matched_by_source_condition requires not_matched_by_source_set "
+            "(for the delete clause, pass the predicate string as "
+            "not_matched_by_source_delete itself)"
+        )
     if match_condition is not None and update_set is None:
         raise ValueError(
             "match_condition requires update_set (wholesale replacement has "
@@ -2058,21 +2093,36 @@ def merge(
         # deletes ride the same CoW machinery: their keys join the touch
         # set and the rewrite anti-join, and simply never re-insert
         keys = keys.unionByName(delete_keys).distinct()
+    # Broadcast guard (same 4M-key ceiling and rationale as the dedup
+    # hot-key split): the NBS clause's primary caller is a FULL-SNAPSHOT
+    # dimension sync, whose source key set scales with the table — past
+    # the cap the touch joins fall back to a merge-hinted sort-merge
+    # instead of an executor/driver-OOM broadcast.
+    keys = keys.persist()
+    bkeys = F.broadcast(keys) if keys.count() <= 4_000_000 else keys.hint("merge")
+    nbs_cond_sql = (
+        nbs_del
+        if isinstance(nbs_del, str)
+        else (not_matched_by_source_condition if nbs_set is not None else None)
+    )
     # touch detection runs over LIVE rows: a file whose only match is a
-    # row an equality delete / DV already hides needs no rewrite;
+    # row an equality delete / DV already hides needs no rewrite; with a
+    # NOT MATCHED BY SOURCE clause, files holding a live key-ABSENT row
+    # that passes the clause condition join the rewrite set too;
     # bounded: distinct file NAMES only — manifest-scale, not row-scale
-    touched_names = (
-        {
-            r["__f"]
-            for r in _apply_row_filters(spark, table_path, cur, m_read, keep_tags=True)
-            .join(F.broadcast(keys), on, "left_semi")
-            .select("__f")
-            .distinct()
-            .collect()
-        }
-        if files  # _metadata exists only on file-backed frames
-        else set()
-    )  # bounded by the snapshot's file count — metadata, not data
+    if files:  # _metadata exists only on file-backed frames
+        tagged = _apply_row_filters(
+            spark, table_path, cur, m_read, keep_tags=True
+        ).alias("t")
+        touch = tagged.join(bkeys, on, "left_semi").select("__f")
+        if nbs_del or nbs_set is not None:
+            nbs_rows = tagged.join(bkeys, on, "left_anti")
+            if nbs_cond_sql:
+                nbs_rows = nbs_rows.filter(F.expr(nbs_cond_sql))
+            touch = touch.unionByName(nbs_rows.select("__f"))
+        touched_names = {r["__f"] for r in touch.distinct().collect()}
+    else:
+        touched_names = set()  # bounded by the snapshot's file count
     untouched = [f for f in files if f not in touched_names]
     touched = [f for f in files if f in touched_names]
     # rewrite from the LIVE rows (deletion vectors + equality deletes
@@ -2085,7 +2135,45 @@ def merge(
         if touched
         else cur.limit(0)
     )
-    rewrite_base = live_touched.join(keys, on, "left_anti")
+    rewrite_base = live_touched.join(bkeys, on, "left_anti")
+    # WHEN NOT MATCHED BY SOURCE: rewrite_base is EXACTLY the touched
+    # files' live rows whose key is absent from the source — the clause's
+    # row set. A NULL clause condition means "clause not applied" (SQL
+    # WHEN ... AND semantics), so it is coalesced to false, keeping the
+    # row's target values.
+    if nbs_del:
+        gate_nbs = F.coalesce(
+            F.expr(nbs_del) if isinstance(nbs_del, str) else F.lit(True),
+            F.lit(False),
+        )
+        rewrite_base = rewrite_base.alias("t").filter(~gate_nbs)
+    elif nbs_set is not None:
+        bad = set(nbs_set) - set(cur.columns)
+        if bad:
+            raise ValueError(
+                f"not_matched_by_source_set targets unknown column(s): {sorted(bad)}"
+            )
+        if set(nbs_set) & set(on):
+            raise ValueError(
+                "not_matched_by_source_set must not modify merge key columns"
+            )
+        nbs_types = {f.name: f.dataType for f in cur.schema.fields}
+        gate_nbs = F.coalesce(
+            F.expr(not_matched_by_source_condition)
+            if not_matched_by_source_condition
+            else F.lit(True),
+            F.lit(False),
+        )
+        rewrite_base = rewrite_base.alias("t").select(
+            *[
+                F.when(gate_nbs, F.expr(nbs_set[c]).cast(nbs_types[c]))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+                if c in nbs_set
+                else F.col(f"t.{c}")
+                for c in cur.columns
+            ]
+        )
     if update_set is None:
         new_rows = rewrite_base.unionByName(source.select(*cur.columns))
     else:
@@ -2109,6 +2197,31 @@ def merge(
                     f"incompatible schema change for column {sf.name!r}: "
                     f"{cur_types[sf.name].simpleString()} -> {sf.dataType.simpleString()}"
                 )
+        # Schema evolution is replacement-mode only, so a source-only
+        # column here would be SILENTLY dropped for inserted rows
+        # (select(*cur.columns)) — asymmetric with replacement mode's
+        # mergeSchema. Reject it unless an update/match expression
+        # references it (then the drop on the insert path is the caller's
+        # visible choice: the expression is where the column's value
+        # lands). Word-boundary match on the expression text — an
+        # s.<col> reference matches its own name.
+        _expr_text = " ".join(
+            list(update_set.values()) + ([match_condition] if match_condition else [])
+        )
+        _orphan = [
+            c
+            for c in source.columns
+            if c not in cur_types
+            and not _re.search(rf"\b{_re.escape(c)}\b", _expr_text)
+        ]
+        if _orphan:
+            raise ValueError(
+                f"source column(s) {_orphan} are absent from the table schema and "
+                "unreferenced by update_set/match_condition — they would be silently "
+                "dropped for inserted rows in update_set mode. Drop them from the "
+                "source, reference them in an expression, or use replacement mode "
+                "(update_set=None) for mergeSchema evolution."
+            )
         t, s = live_touched.alias("t"), source.alias("s")
         cond = None
         for k in on:
@@ -2134,6 +2247,10 @@ def merge(
         ).select(*cur.columns)
         new_rows = rewrite_base.unionByName(matched).unionByName(inserts)
     new_files, new_stats, new_index = _stage_rewrite(new_rows, table_path, m)
+    # success-path release; on an exception the ContextCleaner reclaims
+    # the block when the frame is GC'd (no manifest was published, so a
+    # failed merge leaves no state either way)
+    keys.unpersist()
     kept_stats = {f: stats[f] for f in untouched if f in stats}
     return _publish(
         table_path,
@@ -2158,6 +2275,7 @@ def merge_cdc(
     op_col: str = "op",
     delete_op: str = "D",
     batch_id: str | None = None,
+    upsert_ops: list[str] | None = None,
 ) -> int:
     """Apply an op-tagged CDC batch (insert/update rows plus
     ``op_col == delete_op`` tombstones) as ONE atomic copy-on-write
@@ -2176,6 +2294,35 @@ def merge_cdc(
         raise ValueError(
             f"CDC feed has NULL {op_col!r} rows — every row must carry an "
             f"op (non-{delete_op!r} upserts, {delete_op!r} deletes)"
+        )
+    # Op-domain validation: by default every non-delete op upserts (the
+    # documented contract), but an op differing from delete_op ONLY BY
+    # CASE is near-certainly a typo'd delete — silently upserting it
+    # resurrects the row, so that one shape is rejected unconditionally.
+    # Pass upsert_ops for a strict closed domain (anything outside
+    # upsert_ops + delete_op raises, listing the offending tags).
+    if upsert_ops is not None:
+        allowed = list(dict.fromkeys(list(upsert_ops) + [delete_op]))
+        bad = [
+            r[0]
+            for r in feed.filter(~F.col(op_col).isin(allowed))
+            .select(op_col)
+            .distinct()
+            .limit(5)
+            .collect()
+        ]
+        if bad:
+            raise ValueError(
+                f"CDC feed carries op tag(s) outside the declared domain "
+                f"{allowed}: {bad}"
+            )
+    elif feed.filter(
+        (F.lower(F.col(op_col)) == delete_op.lower()) & (F.col(op_col) != delete_op)
+    ).limit(1).count():
+        raise ValueError(
+            f"CDC feed has op tags matching {delete_op!r} except for case — "
+            f"a case-typo'd delete would silently upsert; fix the tag or "
+            f"declare the domain with upsert_ops"
         )
     upserts = feed.filter(F.col(op_col) != delete_op).drop(op_col)
     dels = feed.filter(F.col(op_col) == delete_op).select(*on)
@@ -3106,15 +3253,23 @@ def vacuum(
     chain = _chain(table_path, cur)
     keep = set(chain[:keep_versions])
     if keep_newer_than is not None:
-        # age-based retention: a chain version committed after the
-        # cutoff survives even beyond keep_versions (ts is the commit
-        # wall-clock — informational ordering, which is exactly what an
-        # age policy asks for; a skewed clock shifts the boundary, never
-        # correctness)
-        for v in chain:
+        # age-based retention, CHAIN-CONTIGUOUS: commit ts is wall-clock
+        # and can run backward between commits under clock skew. Keeping
+        # only the ts>cutoff versions could then leave a HOLE — a
+        # mid-chain skewed-old manifest deleted, truncating _chain there,
+        # making the age-retained older versions unreachable to
+        # read_changes/committed_batch_ids and expired by the NEXT
+        # vacuum. So the keep set is the full chain prefix down to the
+        # OLDEST version that qualifies by age: skew can only widen the
+        # set, never puncture it ("shifts the boundary, never
+        # correctness" now holds for reachability too).
+        oldest_kept = None
+        for i, v in enumerate(chain):  # chain is newest-first
             ts = read_manifest(table_path, v).get("ts")
             if ts is not None and float(ts) > keep_newer_than:
-                keep.add(v)
+                oldest_kept = i
+        if oldest_kept is not None:
+            keep.update(chain[: oldest_kept + 1])
     for r in io.listdir(os.path.join(mdir, _REFS)):
         if r.startswith("."):
             continue

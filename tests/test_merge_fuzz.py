@@ -41,8 +41,10 @@ def test_merge_clause_matrix_matches_dict_model(spark, seed, tmp_path):
         t,
     )
     snapshots = {1: _model_rows(model)}
-    for step in range(8):
-        kind = rng.choice(["cdc", "replace", "update_set", "gated"])
+    for step in range(10):
+        kind = rng.choice(
+            ["cdc", "replace", "update_set", "gated", "nbs_delete", "nbs_update"]
+        )
         keys = rng.sample(range(60), rng.randint(1, 6))
         if kind == "cdc":
             # per-key op: delete if present (else the delete is a no-op),
@@ -79,6 +81,41 @@ def test_merge_clause_matrix_matches_dict_model(spark, seed, tmp_path):
                     model[k] = (model[k][0] + 7, model[k][1])  # tag untouched
                 else:
                     model[k] = (7, f"u{step}")  # unmatched: full insert
+        elif kind == "nbs_delete":
+            # full-snapshot sync: source rows replace/insert, target rows
+            # key-absent from the source (optionally gated on the TARGET
+            # row) are deleted in the same commit
+            cond = rng.choice([True, "t.v % 2 = 0"])
+            src = spark.createDataFrame(
+                [(k, step * 100 + k, f"n{step}") for k in keys],
+                "k long, v long, tag string",
+            )
+            S.merge(spark, t, src, on=["k"], not_matched_by_source_delete=cond)
+            pre = dict(model)
+            for k in keys:
+                model[k] = (step * 100 + k, f"n{step}")
+            for k, (v, _g) in pre.items():
+                if k not in keys and (cond is True or v % 2 == 0):
+                    model.pop(k, None)
+        elif kind == "nbs_update":
+            # not-matched-by-source UPDATE SET over the t alias only,
+            # optionally gated; matched rows replace wholesale
+            cond = rng.choice([None, "t.v % 3 = 0"])
+            src = spark.createDataFrame(
+                [(k, step * 100 + k, f"m{step}") for k in keys],
+                "k long, v long, tag string",
+            )
+            S.merge(
+                spark, t, src, on=["k"],
+                not_matched_by_source_set={"tag": "concat(t.tag, '!')"},
+                not_matched_by_source_condition=cond,
+            )
+            pre = dict(model)
+            for k in keys:
+                model[k] = (step * 100 + k, f"m{step}")
+            for k, (v, g) in pre.items():
+                if k not in keys and (cond is None or v % 3 == 0):
+                    model[k] = (v, g + "!")
         else:  # gated update: only rows whose target v is even take it
             src = spark.createDataFrame(
                 [(k, 1, f"g{step}") for k in keys], "k long, v long, tag string"
