@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fraud_detection_etl_project_spark.functions import ols
 from fraud_detection_etl_project_spark.functions import text as T
 from fraud_detection_etl_project_spark.functions.vectors import cosine, norm
 from fraud_detection_etl_project_spark.operators import dedup as D
@@ -1816,13 +1817,10 @@ pts AS (
          CAST(floor({_ZIPF_SCALE}.0 * ln(CAST(freq AS DOUBLE)) + 0.5) AS BIGINT) AS qy
   FROM ranked WHERE rnk <= {_ZIPF_TOP}),
 m AS (
-  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(qx) AS BIGINT) AS sx,
-         CAST(sum(qy) AS BIGINT) AS sy, CAST(sum(qx * qx) AS BIGINT) AS sxx,
-         CAST(sum(qx * qy) AS BIGINT) AS sxy
+  SELECT {ols.moments_sql()}
   FROM pts)
 SELECT n AS n_ranks,
-       CAST(floor({_ZIPF_SCALE}.0 * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
-                  / nullif((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 0.0) + 0.5) AS BIGINT) AS q_slope
+       {ols.q_slope_sql(_ZIPF_SCALE)} AS q_slope
 FROM m
 """
 
@@ -1857,19 +1855,13 @@ def zipf_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bigint"
     )
     pts = ranked.select(qln(F.col("rnk")).alias("qx"), qln(F.col("freq")).alias("qy"))
-    m = pts.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("qx").cast("bigint").alias("sx"),
-        F.sum("qy").cast("bigint").alias("sy"),
-        F.sum(F.col("qx") * F.col("qx")).cast("bigint").alias("sxx"),
-        F.sum(F.col("qx") * F.col("qy")).cast("bigint").alias("sxy"),
-    )
-    return m.selectExpr(
-        "n AS n_ranks",
-        # nullif: a <=1-distinct-token corpus zeroes the denominator;
-        # NULL slope on both engines (same guard as heaps/ols)
-        f"CAST(floor({_ZIPF_SCALE}.0 * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))"
-        f" / nullif((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 0.0D) + 0.5) AS BIGINT) AS q_slope",
+    # shared quantized-moment OLS kernel (functions/ols.py): exact int64
+    # moments, one closed-form division, NULL (not NaN) on a degenerate
+    # <=1-distinct-token corpus — both engines move in lockstep
+    m = pts.agg(*ols.moments())
+    return m.select(
+        F.col("n").alias("n_ranks"),
+        ols.q_slope(_ZIPF_SCALE).alias("q_slope"),
     )
 
 
@@ -1893,13 +1885,10 @@ pts AS (SELECT t.k, t.cum_tokens, v.cum_vocab,
                CAST(floor(ln(t.cum_tokens) * {_ZIPF_SCALE}.0 + 0.5) AS BIGINT) AS qx,
                CAST(floor(ln(v.cum_vocab) * {_ZIPF_SCALE}.0 + 0.5) AS BIGINT) AS qy
         FROM total t JOIN vocab v USING (k)),
-m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(qx) AS BIGINT) AS sx,
-             CAST(sum(qy) AS BIGINT) AS sy, CAST(sum(qx * qx) AS BIGINT) AS sxx,
-             CAST(sum(qx * qy) AS BIGINT) AS sxy
+m AS (SELECT {ols.moments_sql()}
       FROM pts)
 SELECT p.k AS cut_k, p.cum_tokens, p.cum_vocab,
-       CAST(floor({_ZIPF_SCALE}.0 * ((CAST(m.n AS DOUBLE) * CAST(m.sxy AS DOUBLE)) - (CAST(m.sx AS DOUBLE) * CAST(m.sy AS DOUBLE)))
-                  / nullif((CAST(m.n AS DOUBLE) * CAST(m.sxx AS DOUBLE)) - (CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE)), 0.0) + 0.5) AS BIGINT) AS q_heaps_beta
+       {ols.q_slope_sql(_ZIPF_SCALE, n="m.n", sx="m.sx", sy="m.sy", sxx="m.sxx", sxy="m.sxy")} AS q_heaps_beta
 FROM pts p CROSS JOIN m
 """
 
@@ -1952,22 +1941,14 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k", "cum_tokens", "cum_vocab",
         qln(F.col("cum_tokens")).alias("qx"), qln(F.col("cum_vocab")).alias("qy"),
     )
-    m = pts.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("qx").cast("bigint").alias("sx"),
-        F.sum("qy").cast("bigint").alias("sy"),
-        F.sum(F.col("qx") * F.col("qx")).cast("bigint").alias("sxx"),
-        F.sum(F.col("qx") * F.col("qy")).cast("bigint").alias("sxy"),
-    )
-    return pts.crossJoin(F.broadcast(m)).selectExpr(
-        "k AS cut_k",
-        "cum_tokens",
-        "cum_vocab",
-        # nullif: a degenerate corpus (every cut identical — e.g. one
-        # document) zeroes the OLS denominator; NULL beta on both
-        # engines instead of a NaN-cast divergence
-        f"CAST(floor({_ZIPF_SCALE}.0 * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))"
-        f" / nullif((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 0.0D) + 0.5) AS BIGINT) AS q_heaps_beta",
+    # shared quantized-moment OLS kernel (functions/ols.py): NULL beta
+    # (not NaN) on a degenerate corpus where every cut is identical
+    m = pts.agg(*ols.moments())
+    return pts.crossJoin(F.broadcast(m)).select(
+        F.col("k").alias("cut_k"),
+        F.col("cum_tokens"),
+        F.col("cum_vocab"),
+        ols.q_slope(_ZIPF_SCALE).alias("q_heaps_beta"),
     )
 
 

@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fraud_detection_etl_project_spark.functions import ols
 from fraud_detection_etl_project_spark.functions.rounding import fxr
 from fraud_detection_etl_project_spark.functions.text import normalized
 from fraud_detection_etl_project_spark.functions.vectors import cosine
@@ -3002,7 +3003,7 @@ def basket_brand_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ols_price_quantity_fit",
-    oracle="""
+    oracle=f"""
 WITH s AS (
     SELECT p.p_brand AS brand,
            CAST(count(*) AS BIGINT) AS n,
@@ -3016,16 +3017,13 @@ WITH s AS (
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     GROUP BY 1)
 SELECT brand, n,
-       floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-             / nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0.0)
+       floor({ols.slope_sql()}
              * 1000000.0 + 0.5) / 1000000.0 AS slope_cents,
-       floor((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-             / nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0.0)) * sx) / n
+       floor((CAST(sy AS DOUBLE) - ({ols.slope_sql()}) * sx) / n
              * 1000000.0 + 0.5) / 1000000.0 AS intercept_cents,
-       floor(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-              * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
-             / nullif((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy), 0.0)
+       floor(({ols.cov_sql()} * {ols.cov_sql()})
+             / nullif({ols.var_sql()}
+                * ((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)) - (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0)
              * 1000000.0 + 0.5) / 1000000.0 AS r2
 FROM s
 """,
@@ -3064,15 +3062,16 @@ def ols_price_quantity_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("y") * F.col("y")).alias("syy"),
         )
     )
-    n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxx, sxy, syy = F.col("sxx").cast("double"), F.col("sxy").cast("double"), F.col("syy").cast("double")
-    cov_n = n * sxy - sx * sy  # n²·cov
-    var_n = n * sxx - sx * sx  # n²·var(x)
+    # shared quantized-moment OLS kernel (functions/ols.py): degenerate
+    # groups (constant x, or constant y in the r2 product) yield NULL
+    # instead of a NaN-cast divergence — same guard, one home, both
+    # engines (a one-line all-identical-quantity brand is legal input)
+    n, sy = F.col("n").cast("double"), F.col("sy").cast("double")
+    syy = F.col("syy").cast("double")
+    cov_n, var_n, var_nz = ols.cov_var(
+        F.col("n"), F.col("sx"), F.col("sy"), F.col("sxx"), F.col("sxy")
+    )
     vary_n = n * syy - sy * sy
-    # degenerate groups (constant x, or constant y in the r2 product)
-    # yield NULL instead of a NaN-cast divergence — same nullif as the
-    # oracle (a one-line all-identical-quantity brand is legal input)
-    var_nz = F.when(var_n != 0, var_n)
     slope = cov_n / var_nz
     return s.select(
         "brand",
