@@ -710,3 +710,73 @@ def jaccard_token_similarity(df: DataFrame, pairs: DataFrame, text_col: str = "t
             fxr(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4).alias("jaccard"),
         )
     )
+
+
+def exact_contamination(
+    test: DataFrame, train: DataFrame, gram_len: int = 40
+) -> DataFrame:
+    """Exact-substring train/test decontamination readout (the GPT-3 /
+    PaLM appendix methodology, exact-overlap flavor): for every TEST
+    document, the character positions whose ``gram_len``-char window of
+    the normalized text also occurs anywhere in TRAIN merge into maximal
+    intervals — returning (doc_id, n_norm_chars, n_contam_positions,
+    n_contam_intervals, contam_chars), the quantity a decontamination
+    pass would excise or a leakage audit would report. Inputs are
+    (doc_id, norm) frames; short test docs report zeros.
+
+    Scale posture (the reason this is a standalone operator, probe-able
+    at the production asymmetry — tiny eval suite vs 100 TB train):
+    positions travel as 16-byte md5 digests, the train gram set is ONE
+    map-side-combined distinct (the same distinct an exact-substring
+    dedup pass already materializes), and the semi join's probe side is
+    O(test windows) — TEST-scaled, not train-scaled; the per-doc
+    interval merge is a doc-length-bounded window."""
+    def _grams(t: DataFrame) -> DataFrame:
+        long_enough = t.filter(F.length("norm") >= gram_len)
+        return long_enough.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(norm) - {gram_len} + 1), "
+                    f"p -> named_struct('p', p, 'g', md5(substring(norm, p, {gram_len}))))"
+                )
+            ).alias("s"),
+        ).select("doc_id", F.col("s.p").alias("p"), F.col("s.g").alias("g"))
+
+    train_grams = _grams(train).select("g").distinct()
+    flagged = _grams(test).join(train_grams, "g", "semi").select("doc_id", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    agg = (
+        flagged.withColumn("np", F.lead("p").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_contam_positions"),
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(
+                        F.col("np").isNotNull()
+                        & (F.col("np") - F.col("p") > gram_len),
+                        1,
+                    ).otherwise(0)
+                )
+            )
+            .cast("bigint")
+            .alias("n_contam_intervals"),
+            F.sum(
+                F.when(F.col("np").isNull(), F.lit(gram_len)).otherwise(
+                    F.least(F.lit(gram_len), F.col("np") - F.col("p"))
+                )
+            )
+            .cast("bigint")
+            .alias("contam_chars"),
+        )
+    )
+    d = test.select("doc_id", F.length("norm").cast("bigint").alias("n_norm_chars"))
+    return d.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_norm_chars",
+        F.coalesce("n_contam_positions", F.lit(0)).cast("bigint").alias("n_contam_positions"),
+        F.coalesce("n_contam_intervals", F.lit(0)).cast("bigint").alias("n_contam_intervals"),
+        F.coalesce("contam_chars", F.lit(0)).cast("bigint").alias("contam_chars"),
+    )

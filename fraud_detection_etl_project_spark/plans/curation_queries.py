@@ -1186,59 +1186,15 @@ def split_exact_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     train-distinct gram table, so a small eval suite against a 100 TB
     train corpus is test-scaled on the probe side and one distinct over
     train grams that the dedup pass already materializes."""
+    from fraud_detection_etl_project_spark.operators.dedup import exact_contamination
+
     t = _t(spark, sf_dir, "documents").select(
         "doc_id", T.normalized(F.col("text")).alias("norm")
     )
-    long_enough = t.filter(F.length("norm") >= _REP_L)
-    grams = long_enough.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, length(norm) - {_REP_L} + 1), "
-                f"p -> named_struct('p', p, 'g', md5(substring(norm, p, {_REP_L}))))"
-            )
-        ).alias("s"),
-    ).select("doc_id", F.col("s.p").alias("p"), F.col("s.g").alias("g"))
-    train_grams = grams.filter(F.col("doc_id") % 10 != 0).select("g").distinct()
-    flagged = (
-        grams.filter(F.col("doc_id") % 10 == 0)
-        .join(train_grams, "g", "semi")
-        .select("doc_id", "p")
-    )
-    w = Window.partitionBy("doc_id").orderBy("p")
-    agg = (
-        flagged.withColumn("np", F.lead("p").over(w))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_contam_positions"),
-            (
-                F.lit(1)
-                + F.sum(
-                    F.when(
-                        F.col("np").isNotNull() & (F.col("np") - F.col("p") > _REP_L), 1
-                    ).otherwise(0)
-                )
-            )
-            .cast("bigint")
-            .alias("n_contam_intervals"),
-            F.sum(
-                F.when(F.col("np").isNull(), F.lit(_REP_L)).otherwise(
-                    F.least(F.lit(_REP_L), F.col("np") - F.col("p"))
-                )
-            )
-            .cast("bigint")
-            .alias("contam_chars"),
-        )
-    )
-    d = t.filter(F.col("doc_id") % 10 == 0).select(
-        "doc_id", F.length("norm").cast("bigint").alias("n_norm_chars")
-    )
-    return d.join(agg, "doc_id", "left").select(
-        "doc_id",
-        "n_norm_chars",
-        F.coalesce("n_contam_positions", F.lit(0)).cast("bigint").alias("n_contam_positions"),
-        F.coalesce("n_contam_intervals", F.lit(0)).cast("bigint").alias("n_contam_intervals"),
-        F.coalesce("contam_chars", F.lit(0)).cast("bigint").alias("contam_chars"),
+    return exact_contamination(
+        t.filter(F.col("doc_id") % 10 == 0),
+        t.filter(F.col("doc_id") % 10 != 0),
+        gram_len=_REP_L,
     )
 
 
