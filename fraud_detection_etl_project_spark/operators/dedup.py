@@ -712,6 +712,24 @@ def jaccard_token_similarity(df: DataFrame, pairs: DataFrame, text_col: str = "t
     )
 
 
+def char_windows(t: DataFrame, gram_len: int = 40) -> DataFrame:
+    """(doc_id, p, g): every ``gram_len``-char window of the normalized
+    text column ``norm``, as (1-based position, md5 digest) — positions
+    travel as 16-byte digests, never text. Docs shorter than the window
+    contribute nothing. The shared gram primitive of the exact-overlap
+    family (decontamination both directions, exact-repeat coverage)."""
+    long_enough = t.filter(F.length("norm") >= gram_len)
+    return long_enough.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(norm) - {gram_len} + 1), "
+                f"p -> named_struct('p', p, 'g', md5(substring(norm, p, {gram_len}))))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.p").alias("p"), F.col("s.g").alias("g"))
+
+
 def exact_contamination(
     test: DataFrame, train: DataFrame, gram_len: int = 40
 ) -> DataFrame:
@@ -731,20 +749,12 @@ def exact_contamination(
     dedup pass already materializes), and the semi join's probe side is
     O(test windows) — TEST-scaled, not train-scaled; the per-doc
     interval merge is a doc-length-bounded window."""
-    def _grams(t: DataFrame) -> DataFrame:
-        long_enough = t.filter(F.length("norm") >= gram_len)
-        return long_enough.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, length(norm) - {gram_len} + 1), "
-                    f"p -> named_struct('p', p, 'g', md5(substring(norm, p, {gram_len}))))"
-                )
-            ).alias("s"),
-        ).select("doc_id", F.col("s.p").alias("p"), F.col("s.g").alias("g"))
-
-    train_grams = _grams(train).select("g").distinct()
-    flagged = _grams(test).join(train_grams, "g", "semi").select("doc_id", "p")
+    train_grams = char_windows(train, gram_len).select("g").distinct()
+    flagged = (
+        char_windows(test, gram_len)
+        .join(train_grams, "g", "semi")
+        .select("doc_id", "p")
+    )
     w = Window.partitionBy("doc_id").orderBy("p")
     agg = (
         flagged.withColumn("np", F.lead("p").over(w))
@@ -780,3 +790,34 @@ def exact_contamination(
         F.coalesce("n_contam_intervals", F.lit(0)).cast("bigint").alias("n_contam_intervals"),
         F.coalesce("contam_chars", F.lit(0)).cast("bigint").alias("contam_chars"),
     )
+
+
+def train_contamination_flags(
+    train: DataFrame, test: DataFrame, gram_len: int = 40
+) -> DataFrame:
+    """The REMOVAL direction of exact-overlap decontamination (the GPT-3
+    appendix rule — train documents sharing any exact window with an
+    eval document are excised from the training set): returns
+    (doc_id, n_hit_windows) for every contaminated TRAIN document; an
+    anti-join against it is the decontaminated corpus. Companion to
+    ``exact_contamination`` (which reads out the TEST side's coverage).
+
+    Scale posture — this direction is the one that touches the 100 TB
+    side, and its plan is the best case Spark has: the eval suite's
+    distinct gram set is TINY by definition (eval sets are MBs), so it
+    BROADCASTS, and the train side flags itself in ONE scan-local
+    semi-join pass — zero shuffle of train data; the only shuffle is
+    the per-doc hit count (map-side combined, contaminated docs only).
+    Belt-and-braces: the test gram set is counted first (one scalar off
+    the tiny side) and past 4M distinct grams the join falls back to
+    sort-merge instead of an oversized broadcast."""
+    test_grams = char_windows(test, gram_len).select("g").distinct().persist()
+    small = test_grams.count() <= _HOT_BROADCAST_MAX_KEYS
+    probe = F.broadcast(test_grams) if small else test_grams.hint("merge")
+    hits = (
+        char_windows(train, gram_len)
+        .join(probe, "g", "semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit_windows"))
+    )
+    return hits

@@ -1198,6 +1198,53 @@ def split_exact_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRAIN_DECON_ORACLE = f"""
+WITH t AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
+g AS (SELECT doc_id, s.g AS g FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(norm) - {_REP_L} + 2),
+                                     p -> {{'p': p, 'g': md5(substring(norm, p, {_REP_L}))}})) AS s
+        FROM t WHERE len(norm) >= {_REP_L})),
+testg AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hit_windows
+FROM g JOIN testg USING (g)
+WHERE g.doc_id % 10 <> 0
+GROUP BY 1
+"""
+
+
+@query("train_contaminated_docs", oracle=_TRAIN_DECON_ORACLE)
+def train_contaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL direction of exact-overlap decontamination (round 10
+    — the GPT-3 appendix rule applied to the side that actually gets
+    edited): every TRAIN document (doc_id % 10 != 0) sharing any exact
+    40-char window with a TEST document is returned with its hit-window
+    count; anti-joining the corpus against this frame IS the
+    decontaminated training set. Companion to
+    ``split_exact_contamination`` (the test-side coverage readout);
+    both ride ``operators/dedup.char_windows``.
+
+    Scale: this is the direction that touches the 100 TB side, and its
+    plan is the best case available — the eval suite's distinct gram
+    set is tiny by definition, so it BROADCASTS and train flags itself
+    in ONE scan-local semi-join pass (zero shuffle of train data; the
+    only shuffle is the map-side-combined per-doc hit count over
+    contaminated docs only). A pathologically large test side falls
+    back to sort-merge via the counted 4M-gram guard."""
+    from fraud_detection_etl_project_spark.operators.dedup import (
+        train_contamination_flags,
+    )
+
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.normalized(F.col("text")).alias("norm")
+    )
+    return train_contamination_flags(
+        t.filter(F.col("doc_id") % 10 != 0),
+        t.filter(F.col("doc_id") % 10 == 0),
+        gram_len=_REP_L,
+    )
+
+
 @query("doc_exact_repeat_coverage", oracle=_REPEAT_ORACLE)
 def doc_exact_repeat_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT cross-document repeated-substring coverage per document —

@@ -2329,12 +2329,20 @@ def merge_cdc(
     return merge(spark, table_path, upserts, on, batch_id=batch_id, delete_keys=dels)
 
 
-def foreach_batch_cdc_merger(table_path: str, on: list[str], op_col: str = "op"):
+def foreach_batch_cdc_merger(
+    table_path: str,
+    on: list[str],
+    op_col: str = "op",
+    upsert_ops: list[str] | None = None,
+):
     """``foreachBatch`` hook applying each micro-batch as one atomic,
     idempotent ``merge_cdc`` — exactly-once streaming CDC APPLY with
     deletes (the upsert-only sibling is ``foreach_batch_merger``). The
     batch must be key-compacted (one row per key, last image wins)
-    upstream, e.g. with ``sinks.apply_cdc``'s seq rule."""
+    upstream, e.g. with ``sinks.apply_cdc``'s seq rule. ``upsert_ops``
+    passes through to ``merge_cdc``'s op-domain validation — a
+    long-running stream should declare its closed tag set so a producer
+    regression fails the batch instead of silently upserting garbage."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         merge_cdc(
@@ -2344,6 +2352,7 @@ def foreach_batch_cdc_merger(table_path: str, on: list[str], op_col: str = "op")
             on,
             op_col=op_col,
             batch_id=f"stream-cdc-merge-{batch_id}",
+            upsert_ops=upsert_ops,
         )
 
     return write

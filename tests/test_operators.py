@@ -709,3 +709,38 @@ def test_allpairs_jaccard_exact_parity_brute_force(spark):
                         import math
                         want.add((a, b, o, math.floor(o / u * 1e6 + 0.5) / 1e6))
         assert got == want, f"t={t_num}/{t_den}: {got ^ want}"
+
+
+def test_train_contamination_flags_broadcast_and_fallback(spark, monkeypatch):
+    """Round-10 removal-direction decontamination: the tiny eval gram
+    set must BROADCAST into the train-side semi join (zero shuffle of
+    train grams); past the counted ceiling the join falls back to
+    sort-merge; flags and counts identical both ways."""
+    from fraud_detection_etl_project_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running far " * 3
+    test = spark.createDataFrame(
+        [(10, base), (20, "completely different evaluation prompt text here " * 4)],
+        "doc_id long, norm string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, base + " extra tail"),          # contaminated (shares windows)
+            (2, "clean training document with its own words " * 4),
+            (3, base),                          # contaminated (identical)
+        ],
+        "doc_id long, norm string",
+    )
+    flags = dedup.train_contamination_flags(train, test)
+    plan = flags._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    got = {r["doc_id"]: r["n_hit_windows"] for r in flags.collect()}
+    assert set(got) == {1, 3} and all(v > 0 for v in got.values())
+    # doc 3 is byte-identical to test doc 10: every window hits
+    assert got[3] == len(base) - 40 + 1
+    monkeypatch.setattr(dedup, "_HOT_BROADCAST_MAX_KEYS", 0)
+    fb = dedup.train_contamination_flags(train, test)
+    plan_fb = fb._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan_fb, plan_fb
+    assert {r["doc_id"]: r["n_hit_windows"] for r in fb.collect()} == got
+    spark.catalog.clearCache()

@@ -1332,6 +1332,39 @@ def test_vacuum_keep_newer_than_age_retention(spark, tmp_path):
     assert S.read(spark, t, version=3).count() == 10  # time travel survives
 
 
+def test_vacuum_age_keep_is_chain_contiguous_under_clock_skew(spark, tmp_path):
+    """ADVICE r9: commit wall-clocks can run BACKWARD between commits
+    (clock skew). If the age keep-set held only the ts>cutoff versions,
+    a mid-chain skewed-OLD manifest would be deleted, truncating _chain
+    there and orphaning the age-retained older versions. The keep set
+    must be the full chain prefix down to the oldest qualifying
+    version: skew widens it, never punctures it."""
+    import json as _json
+    import time as _time
+
+    t = str(tmp_path / "tbl")
+    S.overwrite(_nums(spark, 0, 5), t)    # v1 (recent ts)
+    S.append(_nums(spark, 10, 15), t)     # v2 — will be back-dated (skew)
+    S.append(_nums(spark, 20, 25), t)     # v3 (recent ts)
+    mdir = os.path.join(t, "_manifests")
+    mp = os.path.join(mdir, "v00002.json")
+    m = _json.load(open(mp))
+    m["ts"] = _time.time() - 10_000  # mid-chain clock skew: older than both neighbors
+    with open(mp, "w") as f:
+        _json.dump(m, f)
+    # cutoff 500s ago: v1 and v3 qualify by age, skewed v2 does not —
+    # the contiguity rule must keep v2 anyway (it sits between them)
+    deleted = S.vacuum(t, keep_versions=1, keep_newer_than=_time.time() - 500)
+    assert os.path.exists(mp), "mid-chain skewed manifest must survive"
+    # the age-retained ancestors stay REACHABLE through it
+    assert S.read(spark, t, version=1).count() == 5
+    feed = S.read_changes(spark, t, from_version=1)
+    assert feed.count() == 10  # v2 + v3 increments, chain walk intact
+    # and a second vacuum does not expire what the first retained
+    assert S.vacuum(t, keep_versions=1, keep_newer_than=_time.time() - 500) == []
+    assert S.read(spark, t, version=1).count() == 5
+
+
 def test_merge_update_set_column_wise(spark, tmp_path):
     """WHEN MATCHED UPDATE SET (round 9): matched rows update only the
     listed columns via t./s. expressions; unlisted columns survive;
