@@ -449,20 +449,41 @@ def allpairs_jaccard_join(
         pair_pred=lambda a_of, b_of: (a_of("_n") * t_num <= b_of("_n") * t_den)
         & (b_of("_n") * t_num <= a_of("_n") * t_den),
     ).select("doc_a", "doc_b")
-    ta = tok.withColumnRenamed(id_col, "doc_a").alias("ta")
-    tb = tok.withColumnRenamed(id_col, "doc_b").alias("tb")
-    inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, (F.col("tb.doc_b") == cand["doc_b"]) & (F.col("ta.tok") == F.col("tb.tok")))
-        .groupBy("doc_a", cand["doc_b"].alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # Verification by ROW-LOCAL set intersection (round 10): the previous
+    # explode-join verify pushed one (pair, token) row per shared-or-not
+    # token through a shuffle + groupBy — at the 3x probe that is ~10^9
+    # shuffle records for 5.5M candidates, and its wall swung ~2x run-to-
+    # run with executor memory pressure (SCALE.md r10). Carrying each
+    # doc's distinct-token ARRAY to the candidate row instead (the
+    # standard AllPairs verify: fetch the records, intersect locally)
+    # shuffles one record per candidate pair; array_intersect is a
+    # hash-set pass per row, bounded by document length, inside codegen.
+    toksets = tok.groupBy(id_col).agg(
+        F.collect_list("tok").alias("_toks"),  # tok is already distinct per doc
+        F.count(F.lit(1)).alias("_n"),
     )
-    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    verified = (
+        cand.join(
+            toksets.select(
+                F.col(id_col).alias("doc_a"),
+                F.col("_toks").alias("_ta"),
+                F.col("_n").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            toksets.select(
+                F.col(id_col).alias("doc_b"),
+                F.col("_toks").alias("_tb"),
+                F.col("_n").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("_ta", "_tb")))
+    )
     union_sz = F.col("na") + F.col("nb") - F.col("n_inter")
     return (
-        inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("_n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("_n", "nb"), "doc_b")
-        .filter(F.col("n_inter") * t_den >= union_sz * t_num)
+        verified.filter(F.col("n_inter") * t_den >= union_sz * t_num)
         .select(
             "doc_a",
             "doc_b",
@@ -665,50 +686,52 @@ def char_ngram_jaccard(
     finer-grained verifier (robust to word-boundary edits) after LSH
     banding proposes candidates. Same two-stage scale shape as the token
     verifier: only candidate ids join their gram sets."""
+    # row-local verify (round 10, same rewrite as allpairs_jaccard_join):
+    # each candidate row carries the two distinct-gram ARRAYS and
+    # intersects them in codegen — one shuffle record per candidate,
+    # instead of one per (pair, gram) through a join + groupBy
     normd = df.select(F.col(id_col), normalized(F.col(text_col)).alias("_norm"))
-    gs = normd.select(F.col(id_col), F.explode(char_ngrams(F.col("_norm"), n)).alias("g"))
-    ga = gs.withColumnRenamed(id_col, "doc_a").alias("ga")
-    gb = gs.withColumnRenamed(id_col, "doc_b").alias("gb")
-    inter = (
-        pairs.join(ga, "doc_a")
-        .join(gb, (F.col("gb.doc_b") == pairs["doc_b"]) & (F.col("ga.g") == F.col("gb.g")))
-        .groupBy("doc_a", pairs["doc_b"].alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    gsets = normd.select(F.col(id_col), char_ngrams(F.col("_norm"), n).alias("_gs"))
+    joined = pairs.join(
+        gsets.select(F.col(id_col).alias("doc_a"), F.col("_gs").alias("_ga")), "doc_a"
+    ).join(
+        gsets.select(F.col(id_col).alias("doc_b"), F.col("_gs").alias("_gb")), "doc_b"
     )
-    sizes = gs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_g"))
-    return (
-        inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_g", "na"), "doc_a")
-        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_g", "nb"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            fxr(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4).alias("jaccard3"),
-        )
+    n_inter = F.size(F.array_intersect("_ga", "_gb"))
+    union_sz = F.size("_ga") + F.size("_gb") - n_inter
+    # n_inter > 0 preserves the old explode-join semantics (an inner join
+    # on shared grams never produced a zero-intersection pair)
+    return joined.filter(n_inter > 0).select(
+        "doc_a",
+        "doc_b",
+        fxr(n_inter / union_sz, 4).alias("jaccard3"),
     )
 
 
 def jaccard_token_similarity(df: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact distinct-token Jaccard for candidate pairs (verification stage
     after LSH banding). Joins the token sets only for candidate ids."""
-    tok = (
-        df.select(F.col(id_col), F.explode(F.array_distinct(F.split(normalized(F.col(text_col)), " "))).alias("tok"))
+    # row-local verify (round 10): one shuffle record per candidate pair,
+    # set intersection in codegen — see allpairs_jaccard_join
+    toksets = df.select(
+        F.col(id_col),
+        F.array_distinct(F.split(normalized(F.col(text_col)), " ")).alias("_toks"),
     )
-    ta = tok.withColumnRenamed(id_col, "doc_a").alias("ta")
-    tb = tok.withColumnRenamed(id_col, "doc_b").alias("tb")
-    inter = (
-        pairs.join(ta, "doc_a").join(tb, (F.col("tb.doc_b") == pairs["doc_b"]) & (F.col("ta.tok") == F.col("tb.tok")))
-        .groupBy("doc_a", pairs["doc_b"].alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    joined = pairs.join(
+        toksets.select(F.col(id_col).alias("doc_a"), F.col("_toks").alias("_ta")),
+        "doc_a",
+    ).join(
+        toksets.select(F.col(id_col).alias("doc_b"), F.col("_toks").alias("_tb")),
+        "doc_b",
     )
-    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    return (
-        inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            fxr(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4).alias("jaccard"),
-        )
+    n_inter = F.size(F.array_intersect("_ta", "_tb"))
+    union_sz = F.size("_ta") + F.size("_tb") - n_inter
+    # n_inter > 0 preserves the old explode-join semantics (an inner join
+    # on shared tokens never produced a zero-intersection pair)
+    return joined.filter(n_inter > 0).select(
+        "doc_a",
+        "doc_b",
+        fxr(n_inter / union_sz, 4).alias("jaccard"),
     )
 
 

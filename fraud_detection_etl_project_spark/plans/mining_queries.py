@@ -2264,7 +2264,12 @@ def ppjoin_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly where a naive token join explodes (stop-word blocks never
     enter prefixes unless a doc is nearly all stop words). The global
     token order is one df aggregation broadcast back; the verify stage
-    joins candidate ids against sizes, never text."""
+    is ROW-LOCAL (r10, same rewrite as allpairs_jaccard_join): each
+    candidate row carries the two distinct-token arrays and
+    array_intersect counts the overlap in codegen — one shuffle record
+    per candidate instead of one per (pair, token) through a
+    join + groupBy, the stage whose memory footprint scaled
+    multiplicatively (SCALE.md r10)."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -2294,20 +2299,28 @@ def ppjoin_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    inter = (
-        toks.alias("ta")
-        .join(cands, F.col("ta.doc_id") == F.col("doc_a"))
-        .join(
-            toks.alias("tb"),
-            (F.col("tb.doc_id") == F.col("doc_b")) & (F.col("ta.tok") == F.col("tb.tok")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    tsets = toks.groupBy("doc_id").agg(
+        F.collect_list("tok").alias("_toks"),  # tok is distinct per doc
+        F.count(F.lit(1)).alias("sz"),
     )
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     sim = (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")), "doc_b")
+        cands.join(
+            tsets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("_toks").alias("_ta"),
+                F.col("sz").alias("sza"),
+            ),
+            "doc_a",
+        )
+        .join(
+            tsets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("_toks").alias("_tb"),
+                F.col("sz").alias("szb"),
+            ),
+            "doc_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("_ta", "_tb")))
         .filter(
             4 * F.col("n_common") >= 3 * (F.col("sza") + F.col("szb") - F.col("n_common"))
         )
@@ -2825,15 +2838,27 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    inter = (
-        cands.join(tri.select(F.col("doc_id").alias("doc_a"), "tg"), "doc_a")
-        .join(tri.select(F.col("doc_id").alias("doc_b"), "tg"), ["doc_b", "tg"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    # row-local verify (r10, same rewrite as allpairs_jaccard_join): the
+    # candidate row carries both trigram arrays; one shuffle record per
+    # candidate instead of one per (pair, trigram)
+    tsets = tri.groupBy("doc_id").agg(
+        F.collect_list("tg").alias("_tgs"),  # tri is distinct per doc
+        F.count(F.lit(1)).cast("bigint").alias("n"),
     )
-    sizes = tri.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        cands.join(
+            tsets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("_tgs").alias("_ga"),
+                F.col("n").alias("n_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            tsets.select(F.col("doc_id").alias("doc_b"), F.col("_tgs").alias("_gb")),
+            "doc_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("_ga", "_gb")).cast("bigint"))
         .filter(F.lit(_CT_DEN) * F.col("n_common") >= F.lit(_CT_NUM) * F.col("n_a"))
         .select(
             "doc_a",
