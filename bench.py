@@ -309,15 +309,15 @@ def main() -> None:
                         # the whole bench run every round.
                         entry["scope_note"] = (
                             "recurring point is 3x BY DESIGN (re-scoped from "
-                            "10x in r9): the 10x leg was measured once — "
-                            "33,791,724 pairs, 922.8/1397.9 s across two runs, "
-                            "adjudicated output-bound in SCALE.md — and would "
-                            "dominate every bench; the 3x point still records "
-                            "the rows denominator. r10: the verify stage was "
-                            "rewritten row-local (array_intersect over per-doc "
-                            "token arrays, one shuffle record per candidate "
-                            "instead of one per (pair, token)) — x3 dropped "
-                            "123-166 s -> ~33 s on identical output (SCALE.md)"
+                            "10x in r9 when the leg cost 922.8/1397.9 s); the "
+                            "3x point still records the rows denominator. "
+                            "r10: the verify stage was rewritten row-local "
+                            "(array_intersect over per-doc token arrays, one "
+                            "shuffle record per candidate instead of one per "
+                            "(pair, token)) — the 10x leg re-measured ONCE at "
+                            "240.2/199.6 s for the identical 33,791,724 pairs "
+                            "(was 922.8/1397.9), per-pair ~6 µs and flat from "
+                            "3x to 10x (SCALE.md r10)"
                         )
                         x3_dir = generate(spark, base_dir=sf_dir, shards=3)
                         for key, d in (("base", sf_dir), ("x3", x3_dir)):
