@@ -458,10 +458,14 @@ def allpairs_jaccard_join(
     # standard AllPairs verify: fetch the records, intersect locally)
     # shuffles one record per candidate pair; array_intersect is a
     # hash-set pass per row, bounded by document length, inside codegen.
-    toksets = tok.groupBy(id_col).agg(
-        F.collect_list("tok").alias("_toks"),  # tok is already distinct per doc
-        F.count(F.lit(1)).alias("_n"),
-    )
+    # Built straight from the text column — one narrow scan, ZERO extra
+    # shuffle (re-aggregating the exploded tok frame with collect_list
+    # would shuffle every token a second time just to rebuild the array
+    # the split already produces).
+    toksets = normd.select(
+        F.col(id_col),
+        F.array_distinct(F.split(F.col("_norm"), " ")).alias("_toks"),
+    ).withColumn("_n", F.size("_toks"))
     verified = (
         cand.join(
             toksets.select(

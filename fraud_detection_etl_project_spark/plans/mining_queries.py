@@ -2299,10 +2299,14 @@ def ppjoin_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    tsets = toks.groupBy("doc_id").agg(
-        F.collect_list("tok").alias("_toks"),  # tok is distinct per doc
-        F.count(F.lit(1)).alias("sz"),
-    )
+    # arrays built straight from the text column — one narrow scan, no
+    # re-shuffle of the exploded token frame
+    tsets = d.select(
+        "doc_id",
+        F.array_distinct(F.split(
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "
+        )).alias("_toks"),
+    ).withColumn("sz", F.size("_toks"))
     sim = (
         cands.join(
             tsets.select(
@@ -2840,10 +2844,22 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # row-local verify (r10, same rewrite as allpairs_jaccard_join): the
     # candidate row carries both trigram arrays; one shuffle record per
-    # candidate instead of one per (pair, trigram)
-    tsets = tri.groupBy("doc_id").agg(
-        F.collect_list("tg").alias("_tgs"),  # tri is distinct per doc
-        F.count(F.lit(1)).cast("bigint").alias("n"),
+    # candidate instead of one per (pair, trigram). Arrays come straight
+    # from the text scan (no re-shuffle of the exploded tri frame);
+    # trigram-less docs carry an empty array and can never be candidates.
+    tsets = (
+        d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "if(size(toks) < 3, array(),"
+                    " transform(sequence(1, size(toks) - 2),"
+                    " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))"
+                )
+            ).alias("_tgs"),
+        )
+        .withColumn("n", F.size("_tgs").cast("bigint"))
     )
     return (
         cands.join(
