@@ -255,6 +255,7 @@ def salted_pair_self_join(
     salt_groups: int = 8,
     carry: list[str] | None = None,
     pair_pred=None,
+    emit_carry: bool = True,
 ) -> DataFrame:
     """HOT-BUCKET CAP-AND-SALT distinct-pair self-join on arbitrary
     bucket keys: given (id, *key_cols) rows, return every distinct
@@ -305,11 +306,12 @@ def salted_pair_self_join(
         out = joined.filter(a_of(id_col) < b_of(id_col))
         if pair_pred is not None:
             out = out.filter(pair_pred(a_of, b_of))
+        emit = carry if emit_carry else []
         return out.select(
             a_of(id_col).alias("doc_a"),
             b_of(id_col).alias("doc_b"),
-            *[a_of(c).alias(f"{c}_a") for c in carry],
-            *[b_of(c).alias(f"{c}_b") for c in carry],
+            *[a_of(c).alias(f"{c}_a") for c in emit],
+            *[b_of(c).alias(f"{c}_b") for c in emit],
         )
 
     a, b = cool.alias("a"), cool.alias("b")
@@ -340,8 +342,11 @@ def salted_pair_self_join(
         lambda c: F.col(c),
         lambda c: F.col("_rid" if c == id_col else f"_r_{c}"),
     )
-    # carried columns are functionally dependent on the ids, so the
-    # distinct over (pair, payload) equals the distinct over the pair
+    # with emit_carry, carried columns must be functionally dependent on
+    # the ids so the distinct over (pair, payload) equals the distinct
+    # over the pair; emit_carry=False lets pair_pred consume per-row
+    # join-stage columns (e.g. prefix positions) without widening the
+    # distinct key
     return cool_pairs.unionAll(hot_pairs).distinct()
 
 
@@ -437,18 +442,40 @@ def allpairs_jaccard_join(
     # prefix length n - ceil(t*n) + 1; ceil(t_num*n/t_den) via int math
     ceil_tn = F.floor((F.col("_n") * t_num + (t_den - 1)) / t_den)
     prefix = sized.filter(F.col("_pos") <= F.col("_n") - ceil_tn + 1)
+    # PPJoin positional filter (Xiao et al. WWW'08, round 10): a collision
+    # on token w at 1-based prefix positions (pa, pb) bounds the overlap
+    # from w onward by 1 + min(na - pa, nb - pb) — and for the pair's
+    # FIRST common token in the global order that bound covers the WHOLE
+    # overlap (every other common token sits after pa in a and after pb
+    # in b). J >= t needs o >= t*(na+nb)/(1+t), so a collision row whose
+    # ubound falls short is dropped. Lossless: the first common token of
+    # a true pair lies in BOTH prefixes (if it sat past a's prefix, all
+    # o common tokens would fit in a's last ceil(t*na)-1 positions while
+    # J >= t forces o >= ceil(t*na) — contradiction), and that row's
+    # ubound >= o passes. Exact integer arithmetic throughout.
+    def _pair_pred(a_of, b_of):
+        # length filter: J >= t forces t*|a| <= |b| (both directions)
+        keep = (a_of("_n") * t_num <= b_of("_n") * t_den) & (
+            b_of("_n") * t_num <= a_of("_n") * t_den
+        )
+        ub = 1 + F.least(
+            a_of("_n") - a_of("_pos"), b_of("_n") - b_of("_pos")
+        )
+        return keep & (ub * (t_num + t_den) >= t_num * (a_of("_n") + b_of("_n")))
+
     cand = salted_pair_self_join(
         prefix,
         id_col,
         ["tok"],
         bucket_cap=bucket_cap,
         salt_groups=salt_groups,
-        carry=["_n"],
-        # length filter: J >= t forces t*|a| <= |b| (both directions) —
-        # a pure prune, every true pair satisfies it
-        pair_pred=lambda a_of, b_of: (a_of("_n") * t_num <= b_of("_n") * t_den)
-        & (b_of("_n") * t_num <= a_of("_n") * t_den),
-    ).select("doc_a", "doc_b")
+        carry=["_n", "_pos"],
+        pair_pred=_pair_pred,
+        # _pos varies per collision row (NOT id-functional like _n):
+        # emit only the bare pair so the helper's distinct still
+        # collapses a pair's surviving collision rows
+        emit_carry=False,
+    )
     # Verification by ROW-LOCAL set intersection (round 10): the previous
     # explode-join verify pushed one (pair, token) row per shared-or-not
     # token through a shuffle + groupBy — at the 3x probe that is ~10^9
