@@ -2291,11 +2291,25 @@ def ppjoin_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # least one token among each one's first p in global df-order.
     prefixes = sized.filter(
         F.col("pos") <= F.col("sz") - F.ceil(F.col("sz") * 3 / 4) + 1
-    ).select("doc_id", "tok")
+    ).select("doc_id", "tok", "pos", "sz")
+    # length + positional filters IN the join stage (r10, the actual
+    # PPJoin pair): J >= 3/4 forces 3*|a| <= 4*|b| both ways, and a
+    # collision at positions (pa, pb) bounds the overlap by
+    # 1 + min(sza - pa, szb - pb), which must reach o_min =
+    # t*(sza+szb)/(1+t) = 3*(sza+szb)/7. Lossless for the same
+    # first-common-token reason as allpairs_jaccard_join.
+    _ub = 1 + F.least(
+        F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+    )
     cands = (
         prefixes.alias("a")
         .join(prefixes.alias("b"), "tok")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            (F.col("a.sz") * 3 <= F.col("b.sz") * 4)
+            & (F.col("b.sz") * 3 <= F.col("a.sz") * 4)
+            & (_ub * 7 >= 3 * (F.col("a.sz") + F.col("b.sz")))
+        )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
@@ -2835,10 +2849,36 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingles, so it shares one of A's first p in rarest-first order
     prefixes = sized.filter(
         F.col("pos") <= F.col("sz") - F.ceil(F.col("sz") * _CT_NUM / _CT_DEN) + 1
-    ).select(F.col("doc_id").alias("doc_a"), "tg")
+    ).select(
+        F.col("doc_id").alias("doc_a"),
+        "tg",
+        F.col("pos").alias("_pa"),
+        F.col("sz").alias("_sza"),
+    )
+    # length + positional filters in the join stage (r10): containment
+    # o >= t*|A| forces |B| >= t*|A|, and the FIRST common shingle's
+    # collision at (pa, pb) bounds o by 1 + min(|A| - pa, |B| - pb) —
+    # A-side membership in the prefix is the pigeonhole above, B side
+    # joins its FULL position-annotated shingle list so that collision
+    # row always exists. Exact integer arithmetic.
+    _ub = 1 + F.least(
+        F.col("_sza") - F.col("_pa"), F.col("_szb") - F.col("_pb")
+    )
     cands = (
-        prefixes.join(tri.select(F.col("doc_id").alias("doc_b"), "tg"), "tg")
+        prefixes.join(
+            sized.select(
+                F.col("doc_id").alias("doc_b"),
+                "tg",
+                F.col("pos").alias("_pb"),
+                F.col("sz").alias("_szb"),
+            ),
+            "tg",
+        )
         .filter(F.col("doc_a") != F.col("doc_b"))
+        .filter(
+            (F.col("_szb") * _CT_DEN >= F.col("_sza") * _CT_NUM)
+            & (_ub * _CT_DEN >= F.col("_sza") * _CT_NUM)
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
