@@ -875,3 +875,104 @@ def train_contamination_flags(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit_windows"))
     )
     return hits
+
+
+def foreach_batch_dedup_ingester(
+    corpus_path: str,
+    registry_docs_path: str,
+    registry_bands_path: str,
+    t_num: int = 3,
+    t_den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """``foreachBatch`` hook for STREAMING dedup-on-ingest: each
+    micro-batch MinHash-bands its documents, probes the band index of
+    everything already ingested (a snapshot table appended per batch),
+    verifies band collisions with the exact row-local token Jaccard at
+    ``t_num/t_den``, and commits only the novel documents to the corpus
+    snapshot table. Three batch-id-idempotent commits per trigger
+    (corpus, doc registry, band index) — a replayed micro-batch is an
+    exact no-op on all three tables, the exactly-once contract.
+
+    Dedup rule: a doc is dropped iff some earlier-ARRIVED doc (kept or
+    dropped — the index holds the full history, so a near-dup cluster
+    keeps exactly its first member) shares an LSH band and verifies at
+    J >= t. When arrival order is monotone in the id, the rule closes
+    over ids ("dropped iff a banded+verified partner with smaller id
+    exists") and micro-batch boundaries cannot change the result —
+    what the registered query's oracle checks.
+
+    Scale: O(batch bands + collisions) per trigger; the corpus is never
+    rescanned, the verify touches candidate ids only with arrays carried
+    row-local (one shuffle record per candidate)."""
+    from pyspark.sql import functions as _F
+
+    def _toksets(df: DataFrame, out: str) -> DataFrame:
+        return df.select(
+            _F.col(id_col),
+            _F.array_distinct(_F.split(normalized(_F.col(text_col)), " ")).alias(out),
+        )
+
+    def _ingest(b: DataFrame, bid: int) -> None:
+        from fraud_detection_etl_project_spark import snapshot as snap
+
+        spark = b.sparkSession
+        bands_b = (
+            minhash_signatures(b, text_col=text_col, id_col=id_col)
+            .select(_F.col(id_col), *band_keys())
+            .select(
+                id_col,
+                _F.explode(
+                    _F.array(*[
+                        _F.struct(
+                            _F.lit(i).alias("band"), _F.col(f"band{i}").alias("key")
+                        )
+                        for i in range(BANDS)
+                    ])
+                ).alias("bk"),
+            )
+            .select(id_col, _F.col("bk.band").alias("band"), _F.col("bk.key").alias("key"))
+        )
+        have_hist = snap.current_version(registry_bands_path) is not None
+        left_bands = (
+            snap.read(spark, registry_bands_path).unionByName(bands_b)
+            if have_hist
+            else bands_b
+        )
+        cand = (
+            left_bands.alias("a")
+            .join(bands_b.alias("b"), ["band", "key"])
+            .filter(_F.col(f"a.{id_col}") < _F.col(f"b.{id_col}"))
+            .select(
+                _F.col(f"a.{id_col}").alias("doc_a"), _F.col(f"b.{id_col}").alias("doc_b")
+            )
+            .distinct()
+        )
+        texts_a = (
+            snap.read(spark, registry_docs_path)
+            .select(id_col, text_col)
+            .unionByName(b.select(id_col, text_col))
+            if have_hist
+            else b.select(id_col, text_col)
+        )
+        ver = (
+            cand.join(_toksets(texts_a, "_ta").withColumnRenamed(id_col, "doc_a"), "doc_a")
+            .join(_toksets(b, "_tb").withColumnRenamed(id_col, "doc_b"), "doc_b")
+            .withColumn("n_inter", _F.size(_F.array_intersect("_ta", "_tb")))
+        )
+        dropped = (
+            ver.filter(
+                t_den * _F.col("n_inter")
+                >= t_num * (_F.size("_ta") + _F.size("_tb") - _F.col("n_inter"))
+            )
+            .select(_F.col("doc_b").alias(id_col))
+            .distinct()
+        )
+        kept = b.join(dropped, id_col, "left_anti")
+        if not kept.isEmpty():
+            snap.append(kept, corpus_path, batch_id=f"dedup-{bid}")
+        snap.append(b, registry_docs_path, batch_id=f"reg-{bid}")
+        snap.append(bands_b, registry_bands_path, batch_id=f"bands-{bid}")
+
+    return _ingest

@@ -1,0 +1,79 @@
+"""foreach_batch_dedup_ingester: dedup-on-ingest semantics + exactly-once.
+
+Drives the operator directly with hand-built micro-batches (the
+registered query `stream_dedup_ingest_rollup` drives it through a real
+checkpointed writeStream; here the batches are explicit so the
+assertions can pin per-batch behavior):
+
+- batch 0: an exact-dup pair inside one batch -> the smaller id wins
+- batch 1: a near-dup of a DROPPED batch-0 doc is still dropped (the
+  index holds the full history, not just kept docs)
+- replay of batch 1 with the same batch id -> no table advances a
+  version (three-table exactly-once no-op)
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from fraud_detection_etl_project_spark import snapshot as snap
+from fraud_detection_etl_project_spark.operators.dedup import (
+    foreach_batch_dedup_ingester,
+)
+
+_LONG = "the quick brown fox jumps over the lazy dog again and again today"
+_LONG2 = "the quick brown fox jumps over the lazy dog again and again tonight"
+_OTHER = "completely different content about spark shuffles and parquet footers"
+
+
+@pytest.fixture()
+def paths(tmp_path):
+    base = str(tmp_path)
+    return (
+        os.path.join(base, "corpus"),
+        os.path.join(base, "reg_docs"),
+        os.path.join(base, "reg_bands"),
+    )
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ingest_dedup_and_replay_noop(spark, paths):
+    corp, rd, rb = paths
+    ingest = foreach_batch_dedup_ingester(corp, rd, rb, t_num=3, t_den=5)
+
+    # batch 0: docs 1 and 2 are EXACT duplicates (J = 1 >= 3/5), doc 3
+    # distinct -> kept = {1, 3}; registry gets all three
+    ingest(_batch(spark, [(1, _LONG), (2, _LONG), (3, _OTHER)]), 0)
+    kept0 = {r.doc_id for r in snap.read(spark, corp).collect()}
+    assert kept0 == {1, 3}
+    assert {r.doc_id for r in snap.read(spark, rd).collect()} == {1, 2, 3}
+
+    # batch 1: doc 4 is a near-dup of doc 2 (one word differs) — doc 2
+    # was DROPPED, but the index holds the full history, so 4 is still
+    # dropped; doc 5 is novel
+    ingest(_batch(spark, [(4, _LONG2), (5, "yet another unrelated document body")]), 1)
+    kept1 = {r.doc_id for r in snap.read(spark, corp).collect()}
+    assert kept1 == {1, 3, 5}
+
+    # replay batch 1 (same batch id): every table is an exact no-op
+    vers = [snap.current_version(p) for p in (corp, rd, rb)]
+    ingest(_batch(spark, [(4, _LONG2), (5, "yet another unrelated document body")]), 1)
+    assert [snap.current_version(p) for p in (corp, rd, rb)] == vers
+    assert {r.doc_id for r in snap.read(spark, corp).collect()} == {1, 3, 5}
+
+
+def test_all_dup_batch_commits_no_corpus_version(spark, paths):
+    corp, rd, rb = paths
+    ingest = foreach_batch_dedup_ingester(corp, rd, rb, t_num=3, t_den=5)
+    ingest(_batch(spark, [(1, _LONG)]), 0)
+    v = snap.current_version(corp)
+    # batch of ONLY duplicates: corpus untouched, registry still advances
+    ingest(_batch(spark, [(2, _LONG), (3, _LONG2)]), 1)
+    assert snap.current_version(corp) == v
+    assert {r.doc_id for r in snap.read(spark, corp).collect()} == {1}
+    assert {r.doc_id for r in snap.read(spark, rd).collect()} == {1, 2, 3}
