@@ -182,7 +182,7 @@ FAMILY_PREFIX = [
     "orders_cdc_applied",
     "concurrent_session_pairs_capped",
     "sql_top_revenue_customers",
-    "stream_hourly_event_rollup",
+    "stream_dedup_ingest_rollup",
     "stream_session_windows",
     "stream_user_running_profile",
     "stream_click_attribution_full",
@@ -195,6 +195,7 @@ FAMILY_PREFIX = [
     "hybrid_search_rrf",
     # beyond the driver's 50-query sample window: displaced + newer
     # families, covered by tests/test_full_registry.py on every pytest run
+    "stream_hourly_event_rollup",
     "simhash128_hamming_pairs",
     "region_customer_rollup",
     "event_value_bands",
