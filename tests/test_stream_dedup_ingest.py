@@ -77,3 +77,35 @@ def test_all_dup_batch_commits_no_corpus_version(spark, paths):
     assert snap.current_version(corp) == v
     assert {r.doc_id for r in snap.read(spark, corp).collect()} == {1}
     assert {r.doc_id for r in snap.read(spark, rd).collect()} == {1, 2, 3}
+
+
+def test_writestream_full_replay_is_noop(spark, paths, tmp_path):
+    """A REAL checkpointed writeStream run, then the same feed replayed
+    under a FRESH checkpoint (the lost-checkpoint disaster case): the
+    foreachBatch batch ids repeat (0, 1), so every re-append is a
+    batch-id no-op and no table advances a version."""
+    corp, rd, rb = paths
+    feed = os.path.join(str(tmp_path), "feed")
+    b0 = _batch(spark, [(1, _LONG), (2, _LONG), (3, _OTHER)])
+    b1 = _batch(spark, [(4, _LONG2), (5, "yet another unrelated document body")])
+    b0.coalesce(1).write.mode("append").parquet(feed)
+    b1.coalesce(1).write.mode("append").parquet(feed)
+
+    def _run(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .writeStream.foreachBatch(foreach_batch_dedup_ingester(corp, rd, rb))
+            .option("checkpointLocation", os.path.join(str(tmp_path), ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _run("ckpt_a")
+    assert {r.doc_id for r in snap.read(spark, corp).collect()} == {1, 3, 5}
+    vers = [snap.current_version(p) for p in (corp, rd, rb)]
+    _run("ckpt_b")  # fresh checkpoint: batches 0 and 1 replay end-to-end
+    assert [snap.current_version(p) for p in (corp, rd, rb)] == vers
+    assert {r.doc_id for r in snap.read(spark, corp).collect()} == {1, 3, 5}
