@@ -109,3 +109,32 @@ def test_writestream_full_replay_is_noop(spark, paths, tmp_path):
     _run("ckpt_b")  # fresh checkpoint: batches 0 and 1 replay end-to-end
     assert [snap.current_version(p) for p in (corp, rd, rb)] == vers
     assert {r.doc_id for r in snap.read(spark, corp).collect()} == {1, 3, 5}
+
+
+def test_batch_boundaries_do_not_change_kept_set(spark, tmp_path):
+    """The dedup rule closes over ids, so micro-batch sizing is
+    irrelevant: the same docs ingested as two batches vs one single
+    batch yield the IDENTICAL corpus — the invariance the registered
+    query's oracle relies on (it computes the kept set with no
+    reference to batch boundaries)."""
+    rows = [
+        (1, _LONG),
+        (2, _LONG),          # exact dup of 1
+        (3, _OTHER),
+        (4, _LONG2),         # near-dup of 1/2
+        (5, "yet another unrelated document body"),
+        (6, _OTHER + " extended"),  # near-dup of 3 (high overlap)
+    ]
+
+    def _corpus(split: int, tag: str) -> set[int]:
+        base = os.path.join(str(tmp_path), tag)
+        corp, rd, rb = (os.path.join(base, x) for x in ("c", "d", "b"))
+        ingest = foreach_batch_dedup_ingester(corp, rd, rb)
+        batches = [rows[:split], rows[split:]] if split < len(rows) else [rows]
+        for i, chunk in enumerate(batches):
+            ingest(_batch(spark, chunk), i)
+        return {r.doc_id for r in snap.read(spark, corp).collect()}
+
+    whole = _corpus(len(rows), "one")
+    for split in (2, 4):
+        assert _corpus(split, f"split{split}") == whole
