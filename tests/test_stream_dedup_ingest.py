@@ -138,3 +138,88 @@ def test_batch_boundaries_do_not_change_kept_set(spark, tmp_path):
     whole = _corpus(len(rows), "one")
     for split in (2, 4):
         assert _corpus(split, f"split{split}") == whole
+
+
+# ---------------------------------------------------------------------------
+# Differential fuzz: the WHOLE ingest stack (md5 MinHash -> banding ->
+# exact Jaccard verify -> greedy order-closed ingest) vs a pure-Python
+# oracle — engine-independent, unlike the DuckDB oracle the registered
+# query uses.
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from fraud_detection_etl_project_spark.operators import dedup as D
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+
+_texts = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _py_minhash(text: str) -> list[int]:
+    norm = " ".join(text.split()).lower()
+    toks = norm.split(" ")
+    if len(toks) >= D.SHINGLE:
+        shingles = [
+            " ".join(toks[i : i + D.SHINGLE]) for i in range(len(toks) - D.SHINGLE + 1)
+        ]
+    else:
+        shingles = [" ".join(toks)]
+    vs = [int(hashlib.md5(s.encode()).hexdigest()[:7], 16) for s in shingles]
+    return [min((a * v + b) % D.MINHASH_P for v in vs) for a, b in D.MINHASH_AB]
+
+
+def _py_bands(mh: list[int]) -> set[tuple[int, str]]:
+    rows = D.N_MINHASH // D.BANDS
+    return {
+        (b, "|".join(str(mh[b * rows + r]) for r in range(rows)))
+        for b in range(D.BANDS)
+    }
+
+
+def _py_kept(rows: list[tuple[int, str]]) -> set[int]:
+    bands = {i: _py_bands(_py_minhash(t)) for i, t in rows}
+    toks = {i: frozenset((" ".join(t.split()).lower()).split(" ")) for i, t in rows}
+    ids = sorted(bands)
+    dropped = set()
+    for bi, b in enumerate(ids):
+        for a in ids[:bi]:
+            if bands[a] & bands[b]:
+                inter = len(toks[a] & toks[b])
+                union = len(toks[a] | toks[b])
+                if 5 * inter >= 3 * union:
+                    dropped.add(b)
+                    break
+    return set(ids) - dropped
+
+
+@given(_texts, st.integers(1, 9))
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_ingest_matches_python_oracle(spark_session, texts, split):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    split = min(split, len(rows))
+    import uuid
+
+    base = os.path.join("/tmp", f"ingest_fuzz_{uuid.uuid4().hex[:10]}")
+    corp, rd, rb = (os.path.join(base, x) for x in ("c", "d", "b"))
+    ingest = foreach_batch_dedup_ingester(corp, rd, rb)
+    for i, chunk in enumerate([rows[:split], rows[split:]]):
+        if chunk:
+            ingest(_batch(spark_session, chunk), i)
+    got = {r.doc_id for r in snap.read(spark_session, corp).collect()}
+    assert got == _py_kept(rows)
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+
+
+@pytest.fixture(scope="session")
+def spark_session(spark):
+    return spark
