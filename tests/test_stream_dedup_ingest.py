@@ -223,3 +223,24 @@ def test_ingest_matches_python_oracle(spark_session, texts, split):
 @pytest.fixture(scope="session")
 def spark_session(spark):
     return spark
+
+
+def test_compaction_composes_with_ingest(spark, paths):
+    """Operational loop: per-trigger appends accumulate small files in
+    the band index; snapshot.compact (sort_by=key, so footer ranges
+    serve the probe's key column) rewrites them as a new version, and
+    subsequent triggers keep deduping against the compacted index with
+    identical results."""
+    corp, rd, rb = paths
+    ingest = foreach_batch_dedup_ingester(corp, rd, rb)
+    ingest(_batch(spark, [(1, _LONG), (2, _OTHER)]), 0)
+    ingest(_batch(spark, [(3, "some third unrelated body of text")]), 1)
+    n_files_before = len(
+        snap.read_manifest(rb, snap.current_version(rb)).get("files", [])
+    )
+    v = snap.compact(spark, rb, n_files=1, sort_by=["key"])
+    n_files_after = len(snap.read_manifest(rb, v).get("files", []))
+    assert n_files_after < n_files_before
+    # post-compaction trigger: near-dup of doc 1 still dropped, novel kept
+    ingest(_batch(spark, [(4, _LONG2), (5, "a genuinely new document")]), 2)
+    assert {r.doc_id for r in snap.read(spark, corp).collect()} == {1, 2, 3, 5}
