@@ -3213,3 +3213,79 @@ def multimodal_wav_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     media = M.to_media_table(d.withColumn("payload", payload), "doc_id", "payload", "audio")
     resampled = M.resample_wav_media(media, out_rate=4000)
     return M.extract_wav_features(resampled)
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF assignment off the table format's change feed
+# ---------------------------------------------------------------------------
+
+_INC_IVF_ORACLE = f"""
+WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+cent AS (SELECT vec_id AS cid, embedding AS c FROM corpus WHERE vec_id < {S.IVF_CELLS}),
+newv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+vc AS (SELECT n.vec_id, c.cid, {_cos_sql('n.embedding', 'c.c')} AS sim
+       FROM newv n CROSS JOIN cent c),
+asg AS (SELECT vec_id, cid, sim,
+               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        FROM vc)
+SELECT vec_id, CAST(cid AS INT) AS cell,
+       floor(sim * 10000.0 + 0.5) / 10000.0 AS sim_q
+FROM asg WHERE rn = 1
+"""
+
+
+@query("snapshot_incremental_ivf_assign", oracle=_INC_IVF_ORACLE)
+def snapshot_incremental_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL embedding-index maintenance off the table format (the
+    ANN-family twin of ``snapshot_incremental_dedup_pairs``): the
+    embedding corpus lives in a snapshot table — v1 is the existing
+    corpus (vec_id % 10 != 0), v2 APPENDS today's batch (% 10 == 0) —
+    and the daily index job discovers its input via the CHANGE FEED
+    (``read_changes(from_version=1)`` = exactly the new files' rows, a
+    manifest diff, never a table scan) while the coarse codebook is
+    pinned to the PRE-APPEND version via time travel. Each new vector
+    gets its IVF cell (max cosine, ties -> lowest cell id) plus the
+    quantized similarity — the assignment a production pipeline would
+    write back as the vector's partition key.
+
+    Scale: O(new batch x k) — the codebook is k x d driver-side
+    parameters (bounded collect), the assignment is one compiled cosine
+    kernel looping over a literal codebook (ivf_assign's single-lambda
+    form), and the change feed makes 'which vectors are new' a
+    metadata diff. Centroid drift/retraining is a separate periodic
+    job; pinning the codebook version is exactly what makes the daily
+    assignment reproducible while ingest continues."""
+    import os
+    import tempfile
+
+    from fraud_detection_etl_project_spark import snapshot as snap
+    from fraud_detection_etl_project_spark.functions.vectors import cosine
+    from fraud_detection_etl_project_spark.plans.mining_queries import _fixture_tag
+
+    tag = _fixture_tag(sf_dir, "embeddings")
+    t = os.path.join(tempfile.gettempdir(), f"snap_incivf_{tag}")
+    done = os.path.join(t, "_STAGED")
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(t, ignore_errors=True)
+        e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        snap.overwrite(e.filter(F.col("vec_id") % 10 != 0), t)  # v1: corpus
+        snap.append(e.filter(F.col("vec_id") % 10 == 0), t)     # v2: today
+        with open(done, "w") as f:
+            f.write("")
+    corpus_v1 = snap.read(spark, t, version=1)
+    cents = S.ivf_centroids(corpus_v1)  # k x d parameter collect (bounded)
+    new = snap.read_changes(spark, t, from_version=1).select("vec_id", "embedding")
+    assigned = S.ivf_assign(new, cents)
+    cent_df = spark.createDataFrame(
+        [(cid, c) for cid, c in cents], "cell int, _c array<double>"
+    )
+    return (
+        assigned.join(F.broadcast(cent_df), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            fxr(cosine(F.col("embedding"), F.col("_c")), 4).alias("sim_q"),
+        )
+    )
