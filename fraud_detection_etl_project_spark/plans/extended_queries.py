@@ -3289,3 +3289,135 @@ def snapshot_incremental_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFra
             fxr(cosine(F.col("embedding"), F.col("_c")), 4).alias("sim_q"),
         )
     )
+
+
+_MB_Q = 1_000_000  # centroid-update quantization scale (1e6, int64-exact)
+
+_INC_KMEANS_ORACLE = f"""
+WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+cent AS (SELECT vec_id AS cid,
+                list_transform(embedding, x -> CAST(floor({_MB_Q} * CAST(x AS DOUBLE) + 0.5) AS BIGINT)) AS cq,
+                embedding AS c
+         FROM corpus WHERE vec_id < {S.IVF_CELLS}),
+newv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+casg AS (SELECT vec_id, cid FROM (
+           SELECT v.vec_id, c.cid,
+                  row_number() OVER (PARTITION BY v.vec_id
+                                     ORDER BY {_cos_sql('v.embedding', 'c.c')} DESC, c.cid ASC) AS rn
+           FROM corpus v CROSS JOIN cent c) WHERE rn = 1),
+nasg AS (SELECT vec_id, cid FROM (
+           SELECT v.vec_id, c.cid,
+                  row_number() OVER (PARTITION BY v.vec_id
+                                     ORDER BY {_cos_sql('v.embedding', 'c.c')} DESC, c.cid ASC) AS rn
+           FROM newv v CROSS JOIN cent c) WHERE rn = 1),
+ncnt AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_corpus FROM casg GROUP BY 1),
+bsum AS (SELECT a.cid, d.i AS dim,
+                CAST(sum(CAST(floor({_MB_Q} * CAST(v.embedding[d.i + 1] AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS s,
+                CAST(count(*) AS BIGINT) AS m
+         FROM nasg a JOIN newv v USING (vec_id), range(64) d(i)
+         GROUP BY 1, 2),
+upd AS (SELECT b.cid, b.dim, b.m,
+               coalesce(n.n_corpus, 0) AS n_corpus,
+               CAST(floor(CAST(coalesce(n.n_corpus, 0) * c.cq[b.dim + 1] + b.s AS DOUBLE)
+                          / (coalesce(n.n_corpus, 0) + b.m)) AS BIGINT) AS ncq,
+               c.cq[b.dim + 1] AS ocq
+        FROM bsum b LEFT JOIN ncnt n ON n.cid = b.cid JOIN cent c ON c.cid = b.cid)
+SELECT cid AS cell, CAST(max(n_corpus) AS BIGINT) AS n_corpus,
+       CAST(max(m) AS BIGINT) AS n_new,
+       CAST(sum(ncq) AS BIGINT) AS centroid_checksum,
+       CAST(sum((ncq - ocq) * (ncq - ocq)) AS BIGINT) AS shift_sq
+FROM upd GROUP BY 1
+"""
+
+
+@query("snapshot_incremental_centroid_update", oracle=_INC_KMEANS_ORACLE)
+def snapshot_incremental_centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mini-batch k-means centroid UPDATE off the change feed — the
+    retraining half of the incremental index story
+    (``snapshot_incremental_ivf_assign`` is the assignment half): the
+    day's batch (read_changes) is assigned to the pinned codebook, and
+    every cell that received vectors gets the standard mini-batch
+    update c' = (n*c + sum_batch)/(n + m) with n the pinned-corpus cell
+    count — computed ENTIRELY in quantized int64 arithmetic (elements
+    floor-quantized at 1e6, order-free integer sums, one exact floor
+    division per dimension), so both engines produce bit-identical
+    updated centroids; reported per cell as an integer checksum + exact
+    squared shift rather than a float array.
+
+    Scale: the batch side is O(batch x k) assignment + one (cell, dim)
+    aggregation bounded by k*d rows; the corpus-side cell counts are
+    the one corpus-sized term — in production they're maintained as
+    running state (the same counts mini-batch k-means keeps), so the
+    recurring cost is batch-only. Time travel pins the codebook AND
+    the counts to one consistent version while ingest continues."""
+    import os
+    import tempfile
+
+    from fraud_detection_etl_project_spark import snapshot as snap
+    from fraud_detection_etl_project_spark.plans.mining_queries import _fixture_tag
+
+    tag = _fixture_tag(sf_dir, "embeddings")
+    t = os.path.join(tempfile.gettempdir(), f"snap_incivf_{tag}")
+    done = os.path.join(t, "_STAGED")
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(t, ignore_errors=True)
+        e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        snap.overwrite(e.filter(F.col("vec_id") % 10 != 0), t)  # v1: corpus
+        snap.append(e.filter(F.col("vec_id") % 10 == 0), t)     # v2: today
+        with open(done, "w") as f:
+            f.write("")
+    corpus = snap.read(spark, t, version=1)
+    cents = S.ivf_centroids(corpus)
+    new = snap.read_changes(spark, t, from_version=1).select("vec_id", "embedding")
+    qexpr = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(F.lit(_MB_Q) * x.cast("double") + F.lit(0.5)).cast("long"),
+    )
+    # corpus-side cell counts (production: maintained as running state)
+    ncnt = (
+        S.ivf_assign(corpus, cents)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
+    )
+    # batch: assign, then per-(cell, dim) quantized sums
+    basg = S.ivf_assign(new, cents).select("cell", qexpr.alias("q"))
+    bsum = (
+        basg.select("cell", F.posexplode("q").alias("dim", "x"))
+        .groupBy("cell", "dim")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    cq_rows = [
+        (cid, [int(__import__("math").floor(_MB_Q * float(x) + 0.5)) for x in c])
+        for cid, c in cents
+    ]
+    cq = spark.createDataFrame(cq_rows, "cell int, cq array<long>")
+    upd = (
+        bsum.join(F.broadcast(ncnt), "cell", "left")
+        .na.fill({"n_corpus": 0})
+        .join(F.broadcast(cq), "cell")
+        .select(
+            "cell",
+            "m",
+            "n_corpus",
+            F.floor(
+                (
+                    F.col("n_corpus") * F.element_at("cq", F.col("dim") + 1)
+                    + F.col("s")
+                ).cast("double")
+                / (F.col("n_corpus") + F.col("m"))
+            )
+            .cast("long")
+            .alias("ncq"),
+            F.element_at("cq", F.col("dim") + 1).alias("ocq"),
+        )
+    )
+    return upd.groupBy("cell").agg(
+        F.max("n_corpus").cast("bigint").alias("n_corpus"),
+        F.max("m").cast("bigint").alias("n_new"),
+        F.sum("ncq").cast("bigint").alias("centroid_checksum"),
+        F.sum((F.col("ncq") - F.col("ocq")) * (F.col("ncq") - F.col("ocq")))
+        .cast("bigint")
+        .alias("shift_sq"),
+    )
