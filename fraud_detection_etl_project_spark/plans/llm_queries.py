@@ -2990,3 +2990,128 @@ def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("score_q") / 1000000.0).alias("rake_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental inverted-index maintenance off the change feed
+# ---------------------------------------------------------------------------
+
+_PHRASES_OF = (
+    "list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))"
+)
+
+_INC_POSTINGS_ORACLE = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+bnew AS (SELECT doc_id, UNNEST({_PHRASES_OF}) AS phrase
+         FROM t WHERE len(toks) >= 2 AND doc_id % 10 = 0),
+bcorp AS (SELECT doc_id, UNNEST({_PHRASES_OF}) AS phrase
+          FROM t WHERE len(toks) >= 2 AND doc_id % 10 <> 0),
+g AS (SELECT phrase, list_sort(list(DISTINCT doc_id)) AS new_postings,
+             count(DISTINCT doc_id) AS m_new
+      FROM bnew GROUP BY phrase),
+cdf AS (SELECT phrase, count(DISTINCT doc_id) AS df_corpus
+        FROM bcorp WHERE phrase IN (SELECT phrase FROM g) GROUP BY phrase)
+SELECT g.phrase, CAST(g.m_new AS BIGINT) AS m_new,
+       CAST(coalesce(c.df_corpus, 0) + g.m_new AS BIGINT) AS df_total,
+       CAST(g.new_postings AS BIGINT[]) AS new_postings,
+       CAST(list_prepend(g.new_postings[1],
+                         list_transform(range(1, len(g.new_postings)),
+                                        i -> g.new_postings[i + 1] - g.new_postings[i])) AS BIGINT[]) AS gaps
+FROM g LEFT JOIN cdf c ON c.phrase = g.phrase
+"""
+
+
+@query("snapshot_incremental_postings_delta", oracle=_INC_POSTINGS_ORACLE)
+def snapshot_incremental_postings_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental inverted-index maintenance off the table format (the
+    retrieval-family member of the incremental set, beside the dedup and
+    IVF paths): the corpus lives in a snapshot table — v1 existing docs,
+    v2 appends today's batch — and the index job computes the POSTINGS
+    DELTA from the change feed: per phrase occurring in the batch, the
+    sorted new-doc posting list with its delta-gap encoding (the segment
+    a Lucene-style index would flush) plus the MERGED document frequency
+    (corpus df + batch df — what the index's df dictionary is updated
+    to). The corpus side is touched only for phrases the batch actually
+    contains (a semi join), never re-indexed.
+
+    Scale: posting generation is O(batch phrases); the df merge scans
+    the corpus once but aggregates only batch-phrase rows (in
+    production the df dictionary is part of the index, making the
+    recurring cost batch-only); time travel pins the corpus version so
+    delta segments compose deterministically while ingest continues."""
+    import os
+    import tempfile
+
+    from fraud_detection_etl_project_spark import snapshot as snap
+    from fraud_detection_etl_project_spark.plans.mining_queries import _fixture_tag
+
+    tag = _fixture_tag(sf_dir, "documents")
+    t = os.path.join(tempfile.gettempdir(), f"snap_incdedup_{tag}")
+    done = os.path.join(t, "_STAGED")
+    if not os.path.exists(done):
+        # crash recovery: identical staging to snapshot_incremental_dedup_pairs
+        # (shared table — whichever query runs first stages it)
+        import shutil
+
+        shutil.rmtree(t, ignore_errors=True)
+        d0 = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        snap.overwrite(d0.filter(F.col("doc_id") % 10 != 0), t)  # v1: corpus
+        snap.append(d0.filter(F.col("doc_id") % 10 == 0), t)     # v2: today
+        with open(done, "w") as f:
+            f.write("")
+
+    def _phrases(df: DataFrame) -> DataFrame:
+        toks = F.split(T.normalized(F.col("text")), " ")
+        ph = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat(
+                    F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
+                ),
+            )
+        )
+        return (
+            df.select("doc_id", toks.alias("toks"))
+            .filter(F.size("toks") >= 2)
+            .select("doc_id", F.explode(ph).alias("phrase"))
+        )
+
+    new = snap.read_changes(spark, t, from_version=1).select("doc_id", "text")
+    corpus = snap.read(spark, t, version=1)
+    g = _phrases(new).groupBy("phrase").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("new_postings"),
+        F.count_distinct("doc_id").cast("bigint").alias("m_new"),
+    )
+    # corpus touched only for batch phrases (semi join before the agg)
+    cdf = (
+        _phrases(corpus)
+        .join(g.select("phrase"), "phrase", "left_semi")
+        .groupBy("phrase")
+        .agg(F.count_distinct("doc_id").cast("bigint").alias("df_corpus"))
+    )
+    # single-entry postings need the guard the full-index build gets for
+    # free from its df >= 2 band: sequence(1, 0) DESCENDS in Spark, so
+    # the gap transform would probe index 2 of a 1-element array
+    gaps = F.when(
+        F.size("new_postings") <= 1, F.col("new_postings")
+    ).otherwise(
+        F.concat(
+            F.slice("new_postings", 1, 1),
+            F.transform(
+                F.sequence(F.lit(1), F.size("new_postings") - 1),
+                lambda i: F.element_at("new_postings", i + 1)
+                - F.element_at("new_postings", i),
+            ),
+        )
+    )
+    return (
+        g.join(cdf, "phrase", "left")
+        .na.fill({"df_corpus": 0})
+        .select(
+            "phrase",
+            "m_new",
+            (F.col("df_corpus") + F.col("m_new")).cast("bigint").alias("df_total"),
+            F.col("new_postings").cast("array<bigint>"),
+            gaps.cast("array<bigint>").alias("gaps"),
+        )
+    )
