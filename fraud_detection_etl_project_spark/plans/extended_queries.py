@@ -3388,8 +3388,10 @@ def snapshot_incremental_centroid_update(spark: SparkSession, sf_dir: str) -> Da
         .groupBy("cell", "dim")
         .agg(F.sum("x").alias("s"), F.count(F.lit(1)).cast("long").alias("m"))
     )
+    import math as _math
+
     cq_rows = [
-        (cid, [int(__import__("math").floor(_MB_Q * float(x) + 0.5)) for x in c])
+        (cid, [int(_math.floor(_MB_Q * float(x) + 0.5)) for x in c])
         for cid, c in cents
     ]
     cq = spark.createDataFrame(cq_rows, "cell int, cq array<long>")
