@@ -885,6 +885,7 @@ def foreach_batch_dedup_ingester(
     t_den: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    pre_filter=None,
 ):
     """``foreachBatch`` hook for STREAMING dedup-on-ingest: each
     micro-batch MinHash-bands its documents, probes the band index of
@@ -927,6 +928,11 @@ def foreach_batch_dedup_ingester(
         from fraud_detection_etl_project_spark import snapshot as snap
 
         spark = b.sparkSession
+        if pre_filter is not None:
+            # quality gate BEFORE dedup: rejected docs are neither kept
+            # nor indexed — they never entered the corpus, so they can't
+            # shadow a later good doc as its "earlier arrival"
+            b = b.filter(pre_filter)
         bands_b = (
             minhash_signatures(b, text_col=text_col, id_col=id_col)
             .select(_F.col(id_col), *band_keys())

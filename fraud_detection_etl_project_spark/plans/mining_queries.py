@@ -5222,3 +5222,90 @@ def stream_dedup_ingest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
         F.sum("doc_id").cast("bigint").alias("kept_idsum"),
     )
+
+
+_CURATE_MIN_TOKENS = 30
+
+
+def _stream_curated_oracle() -> str:
+    from fraud_detection_etl_project_spark.plans.llm_queries import TOKS_SQL
+
+    base = _stream_dedup_oracle()
+    qual = f"(SELECT * FROM documents WHERE len({TOKS_SQL}) >= {_CURATE_MIN_TOKENS})"
+    # order matters: the aliased occurrence first, then the bare ones
+    return base.replace("FROM documents d", f"FROM {qual} d").replace(
+        "FROM documents", f"FROM {qual} documents"
+    )
+
+
+@query("stream_curated_ingest_rollup", oracle=_stream_curated_oracle())
+def stream_curated_ingest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REALISTIC ingest pipeline: quality gate THEN dedup, in one
+    streaming pass — ``foreach_batch_dedup_ingester`` with a
+    ``pre_filter`` (token count >= 30, the length-floor heuristic every
+    curation stack starts with). Rejected docs are neither kept nor
+    indexed, so they can never shadow a later good document as its
+    "earlier arrival" — which is exactly what makes the composed rule
+    stay order-closed: kept = quality-passing docs with no
+    banded+verified quality-passing partner of smaller doc_id. The
+    oracle is the dedup oracle with the corpus restricted to the
+    quality-passing subset everywhere.
+
+    Scale: the gate is a row-local predicate evaluated before any
+    banding work — rejected docs cost one scan row, no signatures, no
+    index writes; everything downstream inherits the dedup ingester's
+    batch-scaled posture."""
+    from fraud_detection_etl_project_spark import snapshot as snap
+    from fraud_detection_etl_project_spark.functions.text import token_count
+    from fraud_detection_etl_project_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tag = _fixture_tag(sf_dir, "documents")
+    base = os.path.join(tempfile.gettempdir(), f"snap_streamcurated_{tag}")
+    corp = os.path.join(base, "corpus")
+    reg_docs = os.path.join(base, "registry_docs")
+    reg_bands = os.path.join(base, "registry_bands")
+    done = os.path.join(base, "_STAGED")
+
+    if not os.path.exists(done):
+        import shutil
+        import uuid as _uuid
+
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        mn, mx = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+        c1 = mn + (mx - mn) // 3
+        c2 = mn + 2 * (mx - mn) // 3
+        feed = os.path.join(base, "_feed")
+        for pred in (
+            F.col("doc_id") <= c1,
+            (F.col("doc_id") > c1) & (F.col("doc_id") <= c2),
+            F.col("doc_id") > c2,
+        ):
+            docs.filter(pred).coalesce(1).write.mode("append").parquet(feed)
+        _ingest = D.foreach_batch_dedup_ingester(
+            corp,
+            reg_docs,
+            reg_bands,
+            t_num=3,
+            t_den=5,
+            pre_filter=token_count(F.col("text")) >= _CURATE_MIN_TOKENS,
+        )
+        q = (
+            spark.readStream.schema("doc_id bigint, source string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .writeStream.foreachBatch(_ingest)
+            .option(
+                "checkpointLocation", os.path.join(base, f"_ckpt_{_uuid.uuid4().hex[:8]}")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        with open(done, "w") as f:
+            f.write("")
+    return snap.read(spark, corp).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("kept_idsum"),
+    )

@@ -244,3 +244,23 @@ def test_compaction_composes_with_ingest(spark, paths):
     # post-compaction trigger: near-dup of doc 1 still dropped, novel kept
     ingest(_batch(spark, [(4, _LONG2), (5, "a genuinely new document")]), 2)
     assert {r.doc_id for r in snap.read(spark, corp).collect()} == {1, 2, 3, 5}
+
+
+def test_pre_filter_rejected_doc_does_not_shadow(spark, paths):
+    """Quality gate composition: a REJECTED doc is neither kept nor
+    indexed, so a later near-dup that passes the gate is kept — the
+    rejected doc never counts as an 'earlier arrival'."""
+    from pyspark.sql import functions as F
+
+    corp, rd, rb = paths
+    ingest = foreach_batch_dedup_ingester(
+        corp, rd, rb, pre_filter=F.length("text") >= 30
+    )
+    ingest(_batch(spark, [(1, "too short"), (2, _OTHER)]), 0)
+    # doc 3 == doc 1's text padded past the gate; doc 4 is an exact dup
+    # of REJECTED doc 1 extended — neither 1 nor anything similar was
+    # indexed, so 3 is judged only against indexed history
+    ingest(_batch(spark, [(3, _LONG)]), 1)
+    ingest(_batch(spark, [(4, _LONG2)]), 2)  # near-dup of KEPT doc 3 -> dropped
+    assert {r.doc_id for r in snap.read(spark, corp).collect()} == {2, 3}
+    assert {r.doc_id for r in snap.read(spark, rd).collect()} == {2, 3, 4}
