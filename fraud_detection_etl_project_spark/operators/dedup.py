@@ -886,6 +886,7 @@ def foreach_batch_dedup_ingester(
     id_col: str = "doc_id",
     text_col: str = "text",
     pre_filter=None,
+    metrics_path: str | None = None,
 ):
     """``foreachBatch`` hook for STREAMING dedup-on-ingest: each
     micro-batch MinHash-bands its documents, probes the band index of
@@ -895,6 +896,10 @@ def foreach_batch_dedup_ingester(
     snapshot table. Three batch-id-idempotent commits per trigger
     (corpus, doc registry, band index) — a replayed micro-batch is an
     exact no-op on all three tables, the exactly-once contract.
+    ``pre_filter`` is a quality gate applied BEFORE dedup (rejected
+    docs are neither kept nor indexed — they never shadow a later good
+    doc); ``metrics_path`` adds one idempotent audit row per trigger
+    (arrived/rejected/dup/kept) to a metrics snapshot table.
 
     Dedup rule: a doc is dropped iff some earlier-ARRIVED doc (kept or
     dropped — the index holds the full history, so a near-dup cluster
@@ -928,6 +933,7 @@ def foreach_batch_dedup_ingester(
         from fraud_detection_etl_project_spark import snapshot as snap
 
         spark = b.sparkSession
+        raw = b
         if pre_filter is not None:
             # quality gate BEFORE dedup: rejected docs are neither kept
             # nor indexed — they never entered the corpus, so they can't
@@ -991,9 +997,22 @@ def foreach_batch_dedup_ingester(
             .distinct()
         )
         kept = b.join(dropped, id_col, "left_anti")
+        n_kept = 0
         if not kept.isEmpty():
             snap.append(kept, corpus_path, batch_id=f"dedup-{bid}")
+            n_kept = kept.count()
         snap.append(b, registry_docs_path, batch_id=f"reg-{bid}")
         snap.append(bands_b, registry_bands_path, batch_id=f"bands-{bid}")
+        if metrics_path is not None:
+            # per-trigger audit row (bounded: one row per micro-batch);
+            # same batch-id idempotency as the data commits, so a replay
+            # doesn't double-log
+            n_in = b.count()
+            n_arrived = raw.count() if pre_filter is not None else n_in
+            m = spark.createDataFrame(
+                [(int(bid), n_arrived, n_arrived - n_in, n_in - n_kept, n_kept)],
+                "batch_id long, n_arrived long, n_rejected long, n_dup long, n_kept long",
+            )
+            snap.append(m, metrics_path, batch_id=f"metrics-{bid}")
 
     return _ingest

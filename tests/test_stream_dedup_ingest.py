@@ -264,3 +264,44 @@ def test_pre_filter_rejected_doc_does_not_shadow(spark, paths):
     ingest(_batch(spark, [(4, _LONG2)]), 2)  # near-dup of KEPT doc 3 -> dropped
     assert {r.doc_id for r in snap.read(spark, corp).collect()} == {2, 3}
     assert {r.doc_id for r in snap.read(spark, rd).collect()} == {2, 3, 4}
+
+
+def test_metrics_table_audit_trail(spark, paths, tmp_path):
+    """metrics_path: one idempotent audit row per micro-batch
+    (arrived/rejected/dup/kept), replay-safe like the data commits."""
+    from pyspark.sql import functions as F
+
+    corp, rd, rb = paths
+    mp = os.path.join(str(tmp_path), "metrics")
+    ingest = foreach_batch_dedup_ingester(
+        corp, rd, rb, pre_filter=F.length("text") >= 30, metrics_path=mp
+    )
+    ingest(_batch(spark, [(1, "short"), (2, _LONG), (3, _LONG)]), 0)
+    ingest(_batch(spark, [(4, _LONG2)]), 1)
+    rows = {r.batch_id: r for r in snap.read(spark, mp).collect()}
+    assert rows[0].n_arrived == 3 and rows[0].n_rejected == 1
+    assert rows[0].n_dup == 1 and rows[0].n_kept == 1  # 2 kept, 3 dup of 2
+    assert rows[1].n_arrived == 1 and rows[1].n_kept == 0  # near-dup of 2
+    v = snap.current_version(mp)
+    ingest(_batch(spark, [(4, _LONG2)]), 1)  # replay: no new metrics row
+    assert snap.current_version(mp) == v
+
+
+def test_mid_stream_schema_evolution(spark, paths):
+    """A later batch carrying an extra column rides snapshot append's
+    additive schema evolution: the registry schema widens, earlier rows
+    read NULL for the new column, and dedup semantics are unchanged."""
+    corp, rd, rb = paths
+    ingest = foreach_batch_dedup_ingester(corp, rd, rb)
+    ingest(_batch(spark, [(1, _LONG)]), 0)
+    b2 = spark.createDataFrame(
+        [(2, _LONG2, "en"), (3, _OTHER, "de")],
+        "doc_id long, text string, lang string",
+    )
+    ingest(b2, 1)
+    reg = snap.read(spark, rd)
+    assert set(reg.columns) == {"doc_id", "text", "lang"}
+    got = {r.doc_id: r.lang for r in reg.collect()}
+    assert got == {1: None, 2: "en", 3: "de"}
+    # doc 2 (near-dup of 1) dropped, doc 3 kept — semantics unchanged
+    assert {r.doc_id for r in snap.read(spark, corp).collect()} == {1, 3}
