@@ -764,13 +764,55 @@ def _parse_pvalue(raw: str, s: dict):
     return raw  # month: 'yyyy-MM' string
 
 
+def _in_value_ok(s: dict, v, pv) -> bool | None:
+    """One IN-list value vs one partition value, under spec entry ``s``:
+    True = could match rows here, False = provably cannot, None = not
+    provable (engine-cast semantics unknown — treat as could-match)."""
+    t = s["transform"]
+    if t == "identity":
+        if isinstance(v, str) != isinstance(pv, str):
+            return None
+        if s.get("vtype") in ("d", "t") and not _isoish(v):
+            return None
+        return v == pv
+    if t == "bucket":
+        canon = _bucket_canon(v, s.get("vtype"))
+        if canon is None:
+            return None
+        return _bucket_of_cached(canon, s["n"]) == pv
+    if t == "truncate":
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            return None
+        return pv <= v <= pv + s["n"] - 1
+    # month: value bounds ['<m>-01', '<m>-99'] in ISO order
+    if not _isoish(v):
+        return None
+    return pv + "-01" <= v <= pv + "-99"
+
+
 def _partition_matches(spec: list[dict], pt: dict, predicates) -> bool:
     """Keep/prune rule for ONE partition tuple — same conservative
     contract as _keep_by_stats: prune only when some predicate is
     provably unsatisfiable for every row the partition can hold.
     A None partition value means every row's source column is NULL
-    there, which no comparison predicate matches (SQL 3VL) — prunable."""
+    there, which no comparison predicate matches (SQL 3VL) — prunable.
+    ``("col", "in", values)`` prunes when every value provably misses
+    (and unconditionally when the list is empty)."""
     for col, op, val in predicates:
+        if op == "in":
+            vals = list(val)
+            if not vals:
+                return False  # empty IN-list matches nothing
+            for s in spec:
+                if s["column"] != col or s["name"] not in pt:
+                    continue
+                pv = pt[s["name"]]
+                if pv is None:
+                    return False  # all-NULL source column: IN never matches
+                # keep unless every value PROVABLY misses this partition
+                if all(_in_value_ok(s, v, pv) is False for v in vals):
+                    return False
+            continue
         if op not in _OPS:
             continue
         for s in spec:
@@ -1445,13 +1487,47 @@ def _keep_by_stats(file_stats: dict | None, predicates) -> bool:
     """The single keep/prune rule: a file is kept unless some predicate
     is provably unsatisfiable on its recorded stats (missing stats ->
     kept; pruning is an optimization, never a filter). Used verbatim by
-    the driver path and as the oracle the Spark shard path must match."""
+    the driver path and as the oracle the Spark shard path must match.
+
+    Ops: the scalar comparisons in _OPS plus ``("col", "in", values)``
+    — a multi-point lookup (the DataSource V2 ``In`` filter shape): the
+    file is kept iff SOME value survives its bloom AND its min/max
+    range; an empty value list is unsatisfiable by definition (SQL
+    ``x IN ()``), so it prunes everything."""
+    for col, op, val in predicates:
+        if op == "in" and not list(val):
+            return False  # empty IN-list: no row anywhere can match
     if not file_stats:
         return True
     cols = file_stats.get("columns") or {}
     blooms = file_stats.get("bloom") or {}
     rows = file_stats.get("rows")
     for col, op, val in predicates:
+        if op == "in":
+            s = cols.get(col)
+            all_null = (
+                s is not None
+                and s["nulls"] is not None
+                and rows is not None
+                and s["nulls"] == rows
+            )
+            if all_null:
+                return False  # IN is an equality: never matches NULL
+            bl = blooms.get(col)
+
+            def _v_ok(v):
+                if bl is not None and not _bloom_maybe_contains(bl, v):
+                    return False  # provably absent from this file
+                if s is None:
+                    return True
+                mn, mx = s["min"], s["max"]
+                if isinstance(v, str) != isinstance(mn, str):
+                    return True  # type mismatch: don't risk a wrong prune
+                return mn <= v <= mx
+
+            if not any(_v_ok(v) for v in val):
+                return False
+            continue
         # bloom check first: for point lookups on high-cardinality keys
         # the min/max range almost never prunes (every file's range
         # covers the probe) but the bloom usually does
@@ -1504,6 +1580,7 @@ def plan_files(
     spec, pindex = m.get("partition_spec"), m.get("partition_index") or {}
     specs_map = m.get("partition_specs")
     candidates: set[str] | None = None
+    restricted: dict[str, list] = {}  # file -> bucket-restricted predicates
     if spec and predicates and (pindex or specs_map):
         indexed: set[str] = set()
         cand: set[str] = set()
@@ -1521,10 +1598,47 @@ def plan_files(
                     ):
                         cand.update(flist)
         else:
+            # bucket-aware IN restriction: for an IN predicate over a
+            # bucket-partitioned column, a file in bucket j can only
+            # match the values hashing to j — so its per-file stats
+            # (bloom, min/max) are probed with THAT slice of the value
+            # list, not all of it. Without this, a wide IN probe defeats
+            # the blooms by accumulated false positives (800 probes at
+            # ~1% FPR keep ~every file); with it, per-file probe counts
+            # shrink by the bucket fan-out and point-lookup skipping
+            # scales to multi-key probes (the streaming-ingest band-index
+            # shape). Pure optimization: values are only REMOVED when
+            # their bucket provably differs (_in_value_ok False).
+            bucket_maps: list[tuple[int, dict, dict[object, list]]] = []
+            for pi, (col, op, val) in enumerate(predicates):
+                for s in spec:
+                    if s["column"] == col and op == "in" and s["transform"] == "bucket":
+                        by_bucket: dict[object, list] = {}
+                        for v in val:
+                            canon = _bucket_canon(v, s.get("vtype"))
+                            if canon is None:
+                                by_bucket = None  # unprovable value: no restriction
+                                break
+                            by_bucket.setdefault(
+                                _bucket_of_cached(canon, s["n"]), []
+                            ).append(v)
+                        if by_bucket is not None:
+                            bucket_maps.append((pi, s, by_bucket))
             for key, flist in pindex.items():
                 indexed.update(flist)
-                if _partition_matches(spec, json.loads(key), predicates):
+                pt = json.loads(key)
+                if _partition_matches(spec, pt, predicates):
                     cand.update(flist)
+                    rp = None
+                    for pi, s, by_bucket in bucket_maps:
+                        if s["name"] in pt and pt[s["name"]] is not None:
+                            if rp is None:
+                                rp = list(predicates)
+                            col, op, _ = predicates[pi]
+                            rp[pi] = (col, op, by_bucket.get(pt[s["name"]], []))
+                    if rp is not None:
+                        for f in flist:
+                            restricted[f] = rp
         cand.update(f for f in files if f not in indexed)
         candidates = cand
     if shards and predicates:
@@ -1535,7 +1649,7 @@ def plan_files(
     for f in files:
         if candidates is not None and f not in candidates:
             continue  # partition-pruned: its stats are never evaluated
-        if f not in pruned and _keep_by_stats(stats.get(f), predicates):
+        if f not in pruned and _keep_by_stats(stats.get(f), restricted.get(f, predicates)):
             kept.append(f)
     return kept, len(files)
 
@@ -1598,6 +1712,32 @@ def _pruned_by_shards(
     rows_c = F.col("rows") if "rows" in fields else F.lit(None).cast("long")
     miss = F.lit(False)
     for col, op, val in predicates:
+        if op == "in":
+            # multi-point lookup: evaluate the DRIVER RULE ITSELF per
+            # metadata row (Arrow-batched — _keep_by_stats rebuilt from
+            # the shard columns), so the shard path and the driver path
+            # agree by construction on the bloom-AND-range per-value
+            # composition that a JVM-side expression can't express
+            # without one bloom UDF call per value
+            b_ok = isinstance(bloom_t, StructType) and col in bloom_t.names
+            s_ok = (
+                isinstance(cols_t, StructType)
+                and col in cols_t.names
+                and isinstance(cols_t[col].dataType, StructType)
+                and "min" in cols_t[col].dataType.names
+            )
+            b = F.col("bloom").getField(col) if b_ok else None
+            s = F.col("columns").getField(col) if s_ok else None
+            miss = miss | _in_miss_udf(col, list(val))(
+                b.getField("b64") if b is not None else F.lit(None).cast("string"),
+                b.getField("m") if b is not None else F.lit(None).cast("long"),
+                b.getField("t") if b is not None else F.lit(None).cast("string"),
+                s.getField("min") if s is not None else F.lit(None).cast("string"),
+                s.getField("max") if s is not None else F.lit(None).cast("string"),
+                s.getField("nulls") if s is not None else F.lit(None).cast("long"),
+                rows_c,
+            )
+            continue
         if op in ("=", "==") and isinstance(bloom_t, StructType) and col in bloom_t.names:
             probe_kind = (
                 "i" if isinstance(val, int) and not isinstance(val, bool)
@@ -1648,6 +1788,64 @@ def _pruned_by_shards(
                 resolve_io(table_path).remove(tmp_cand)
             except Exception:
                 pass  # a leaked temp list is harmless; vacuum sweeps it
+
+
+def _in_miss_udf(col: str, vals: list):
+    """Arrow-batched evaluation of the driver keep/prune rule for one
+    ``(col, "in", vals)`` predicate over shard metadata rows: True when
+    the file's recorded bloom + min/max stats PROVE every value absent.
+    Rebuilds the per-file stats dict from the shard columns and calls
+    ``_keep_by_stats`` itself, so this path cannot drift from the
+    driver rule."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    pred = [(col, "in", vals)]
+
+    def fn(b64, m, t, mn, mx, nulls, rows):
+        out = []
+        for i in range(len(b64)):
+            st: dict = {}
+            if not pd.isna(mn.iloc[i]) and not pd.isna(mx.iloc[i]):
+                import numpy as np
+
+                def _nat(x):
+                    # numpy scalar -> native, preserving int exactness
+                    # (float() on an int64 > 2^53 would corrupt the range)
+                    if isinstance(x, np.integer):
+                        return int(x)
+                    if isinstance(x, np.floating):
+                        return float(x)
+                    return x
+
+                mn_v, mx_v = _nat(mn.iloc[i]), _nat(mx.iloc[i])
+                st["columns"] = {
+                    col: {
+                        "min": mn_v,
+                        "max": mx_v,
+                        "nulls": None if pd.isna(nulls.iloc[i]) else int(nulls.iloc[i]),
+                    }
+                }
+            if b64.iloc[i] is not None and not pd.isna(m.iloc[i]) and t.iloc[i] is not None:
+                st["bloom"] = {
+                    col: {
+                        "m": int(m.iloc[i]),
+                        "k": _BLOOM_K,
+                        "t": t.iloc[i],
+                        "b64": b64.iloc[i],
+                    }
+                }
+            if not pd.isna(rows.iloc[i]):
+                st["rows"] = int(rows.iloc[i])
+            out.append(bool(st) and not _keep_by_stats(st, pred))
+        return pd.Series(out)
+
+    fn.__annotations__ = {
+        "b64": pd.Series, "m": pd.Series, "t": pd.Series, "mn": pd.Series,
+        "mx": pd.Series, "nulls": pd.Series, "rows": pd.Series,
+        "return": pd.Series,
+    }
+    return pandas_udf(fn, "boolean")
 
 
 def _bloom_miss_udf(val, probe_kind: str):
@@ -1703,12 +1901,18 @@ def scan(
 
 def _pred_expr(predicates: list[tuple[str, str, object]]):
     """AND of simple comparisons as a Column (never-null: NULL operands
-    compare to False, matching DELETE/scan keep-vs-drop semantics)."""
+    compare to False, matching DELETE/scan keep-vs-drop semantics).
+    ``("col", "in", values)`` becomes Column.isin (empty list -> False,
+    the SQL ``x IN ()`` degenerate)."""
     expr = F.lit(True)
     for col, op, val in predicates:
         c = F.col(col)
-        p = {"<": c < val, "<=": c <= val, ">": c > val, ">=": c >= val,
-             "=": c == val, "==": c == val}[op]
+        if op == "in":
+            vals = list(val)
+            p = c.isin(vals) if vals else F.lit(False)
+        else:
+            p = {"<": c < val, "<=": c <= val, ">": c > val, ">=": c >= val,
+                 "=": c == val, "==": c == val}[op]
         expr = expr & F.coalesce(p, F.lit(False))
     return expr
 
