@@ -110,10 +110,11 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     """
     rows = shingle_rows(df, text_col, id_col)
     digested = rows.select(F.col(id_col), F.md5(F.col("shingle").cast("binary")).alias("h"))
-    v = None
-    for k in range(7):
-        term = (F.instr(F.lit(HEX), F.substring(F.col("h"), k + 1, 1)) - 1).cast("long") * F.lit(POW16[k])
-        v = term if v is None else v + term
+    # radix-parse the 7 leading hex digits in ONE conv call (r11) — value-
+    # identical to the per-digit instr/substring sum it replaces (md5 hex
+    # is lowercase, conv base 16 accepts it), 1 string parse per shingle
+    # instead of 7 substrings + 7 instrs
+    v = F.conv(F.substring(F.col("h"), 1, 7), 16, 10).cast("long")
     vals = digested.select(F.col(id_col), v.alias("v"))
     return vals.groupBy(id_col).agg(
         *[

@@ -162,10 +162,18 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document. tf = term count / doc length;
     idf = ln((N+1)/(df+1)), smoothed.
 
-    Scale shape: two hash aggregations — (doc_id, tok) term counts and
-    (tok) document frequencies — both with map-side partial aggregation,
-    then joins back on those same keys (tok-keyed df table is tiny relative
-    to the corpus; Catalyst broadcasts it under AQE). The corpus size N
+    Scale shape (r11): doc length is ``size(toks)`` — computed INSIDE
+    the row before the explode and carried through the term-count
+    aggregation as a functionally-dependent ``first(n)``, so the r10
+    plan's separate per-doc length aggregation AND its doc_id-keyed
+    join-back are gone outright. Document frequency aggregates the
+    per-doc DISTINCT token stream (``array_distinct`` row-side, then a
+    plain count per token) — value-identical to the old
+    ``countDistinct(doc_id)`` over the raw stream, but the distinct
+    work happens in the row and the shuffle carries one row per (doc,
+    distinct tok) instead of per token occurrence. Three full
+    tokenize + explode + shuffle passes in r10 → two scans, two
+    shuffles, no join on doc_id, no persist barrier. The corpus size N
     rides in as a broadcast 1-row cross join — no driver-side collect in
     the plan. The idf is quantized (1e-6) *before* the multiply so the
     transcendental ln never decides a rounding boundary across engines;
@@ -174,15 +182,20 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split(T.normalized(F.col("text")), " ")).alias("tok"))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    dfq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("dfc"))
+    ta = d.select("doc_id", F.split(T.normalized(F.col("text")), " ").alias("toks"))
+    toks = ta.select("doc_id", F.size("toks").alias("n"), F.explode("toks").alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("c"), F.first("n").alias("n")
+    )
+    dfq = (
+        ta.select(F.explode(F.array_distinct("toks")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("dfc"))
+    )
     nn = d.agg(F.count(F.lit(1)).alias("nd"))
     idf = fxr(F.log((F.col("nd") + F.lit(1.0)) / (F.col("dfc") + F.lit(1.0))), 6)
     scored = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(dfq), "tok")
+        tf.join(F.broadcast(dfq), "tok")
         .crossJoin(F.broadcast(nn))
         .select(
             "doc_id",
@@ -2245,7 +2258,10 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")).filter(
         F.col("tok") != ""
     )
-    tf = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # tf persisted (r11): it feeds BOTH the df aggregation and the posting
+    # join input — unpersisted, the explode + (doc, tok) aggregation ran
+    # twice inside the one materialization of w
+    tf = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("c")).persist()
     dfq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     nn = d.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
     w = (
@@ -2789,61 +2805,71 @@ def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     with every other text operator, and the fractions quantize through
     the repo-wide half-up 1e-4 formula, so the oracle is value-exact.
 
-    Scale: n-gram counting is explode -> groupBy(doc_id, gram) with
-    map-side partial aggregation (shuffle keyed on doc+gram, bounded by
-    per-doc distinct grams, never corpus-global state); the adjacent-
-    repeat scan is a row-local zip_with inside codegen. No Python, no
-    window over the corpus, join-back keyed on doc_id only."""
+    Scale (r11 rewrite): every signal is PER-DOCUMENT, so nothing needs
+    to leave the row — gram frequencies come from sorting the row's gram
+    array (equal grams become adjacent) and run-length folding it with
+    array ``aggregate``, all inside whole-stage codegen. The r10 plan
+    exploded the gram stream and shuffled it twice per signal (groupBy
+    (doc_id, gram), then groupBy(doc_id)) and joined three signal frames
+    back — ~2n shuffled gram rows per doc and 4 exchanges + 3 joins;
+    this plan is ONE scan -> project with ZERO exchanges. Per-row cost
+    is the O(L log L) sort the grouped count also paid (its sort was
+    inside the shuffle); no Python, no window, no join."""
     d = _t(spark, sf_dir, "documents")
     t = d.select(
         "doc_id", T.tokens(F.col("text")).alias("toks")
     ).withColumn("n", F.size("toks"))
-    t.persist()
-    bi = (
-        t.filter(F.col("n") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(2, n), i ->"
-                    " concat(element_at(toks, i - 1), ' ', element_at(toks, i)))"
-                )
-            ).alias("g"),
-        )
-        .groupBy("doc_id", "g")
-        .count()
-        .groupBy("doc_id")
-        .agg(F.max("count").alias("top_bi"))
-    )
-    fv = (
-        t.filter(F.col("n") >= 5)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(5, n), i -> concat_ws(' ',"
-                    " element_at(toks, i - 4), element_at(toks, i - 3),"
-                    " element_at(toks, i - 2), element_at(toks, i - 1),"
-                    " element_at(toks, i)))"
-                )
-            ).alias("g"),
-        )
-        .groupBy("doc_id", "g")
-        .count()
-        .groupBy("doc_id")
-        .agg(F.sum(F.when(F.col("count") >= 2, F.col("count")).otherwise(0)).alias("dup5"))
-    )
-    adj = t.filter(F.col("n") >= 2).select(
-        "doc_id",
+    # sorted gram arrays: equal grams are adjacent, so per-doc gram
+    # counts are run lengths — computed as attributes first so the
+    # aggregate lambdas fold plain array references (an inlined
+    # expression would be recomputed per element)
+    t = t.withColumn(
+        "sbg",
         F.expr(
-            "aggregate(zip_with(slice(toks, 1, n - 1), slice(toks, 2, n - 1),"
-            " (a, b) -> IF(a = b, 1, 0)), 0, (acc, x) -> acc + x)"
-        ).alias("rep"),
+            "IF(n >= 2, array_sort(transform(sequence(2, n), i ->"
+            " concat(element_at(toks, i - 1), ' ', element_at(toks, i)))),"
+            " CAST(array() AS ARRAY<STRING>))"
+        ),
+    ).withColumn(
+        "sfg",
+        F.expr(
+            "IF(n >= 5, array_sort(transform(sequence(5, n), i -> concat_ws(' ',"
+            " element_at(toks, i - 4), element_at(toks, i - 3),"
+            " element_at(toks, i - 2), element_at(toks, i - 1),"
+            " element_at(toks, i)))),"
+            " CAST(array() AS ARRAY<STRING>))"
+        ),
+    )
+    # max run length over the sorted bigrams == the top bigram's count
+    top_bi = F.expr(
+        "aggregate(sbg,"
+        " named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),"
+        " (acc, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', IF(x <=> acc.prev, acc.run + 1, 1L),"
+        "   'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1, 1L))),"
+        " acc -> acc.best)"
+    )
+    # total mass of 5-gram runs of length >= 2: extending a run to 2 adds
+    # both members, extending further adds 1
+    dup5 = F.expr(
+        "aggregate(sfg,"
+        " named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'dup', 0L),"
+        " (acc, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', IF(x <=> acc.prev, acc.run + 1, 1L),"
+        "   'dup', acc.dup + IF(x <=> acc.prev,"
+        "                       IF(acc.run = 1, 2L, 1L), 0L)),"
+        " acc -> acc.dup)"
+    )
+    rep = F.expr(
+        "aggregate(zip_with(slice(toks, 1, n - 1), slice(toks, 2, n - 1),"
+        " (a, b) -> IF(a = b, 1, 0)), 0, (acc, x) -> acc + x)"
     )
     out = (
-        t.join(bi, "doc_id", "left")
-        .join(fv, "doc_id", "left")
-        .join(adj, "doc_id", "left")
+        t.withColumn("top_bi", F.when(F.col("n") >= 2, top_bi))
+        .withColumn("dup5", F.when(F.col("n") >= 5, dup5))
+        .withColumn("rep", F.when(F.col("n") >= 2, rep))
         .select(
             "doc_id",
             F.col("n").cast("int").alias("n_tokens"),

@@ -94,7 +94,13 @@ def _nb_score_frames(spark: SparkSession, sf_dir: str):
     tr = train.select("lang", F.explode(F.split(normalized(F.col("text")), " ")).alias("tok"))
     cnt = tr.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n"))
     totc = cnt.groupBy("lang").agg(F.sum("n").alias("tot"))
-    v = tr.agg(F.countDistinct("tok").alias("vsz"))
+    # vocabulary size over the per-doc DISTINCT token stream (r11):
+    # array_distinct inside the row, then a global distinct count — the
+    # same value as countDistinct over the raw occurrence stream, with
+    # the distinct's shuffle input cut to one row per (doc, distinct tok)
+    v = train.select(
+        F.explode(F.array_distinct(F.split(normalized(F.col("text")), " "))).alias("tok")
+    ).agg(F.countDistinct("tok").alias("vsz"))
     prior = (
         train.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("nd"))
@@ -543,48 +549,51 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     partials = e.select("embedding").mapInArrow(_gram_batches, "pos long, val long")
-    # persist the d^2-cell moment frame: it feeds v1, v2 AND the diagonal —
-    # without the cache each consumer would re-run the n x d^2 reduction
-    s = (
-        partials.groupBy("pos")
-        .agg(F.sum("val").alias("sij"))
-        .select(
-            (F.col("pos") / _PCA_D).cast("long").alias("i"),
-            (F.col("pos") % _PCA_D).cast("long").alias("j"),
-            "sij",
+    # d^2-cell second-moment frame: the only distributed reduction
+    s = partials.groupBy("pos").agg(F.sum("val").alias("sij"))
+
+    # Post-Gram power iteration over the PARAMETER-SIZED (d^2 = 4096-row)
+    # moment frame, collapsed into ONE single-task Arrow stage (r11). The
+    # r10 formulation expressed v1 -> m1 -> v1q -> v2 -> m2 -> diag/pc1
+    # as six joins/aggregations over the persisted cell frame — correct,
+    # but ~12 scheduler-visible jobs (broadcast builds, AQE re-plans,
+    # tiny exchanges) of pure fixed overhead per run, and at cluster
+    # scale ~12 driver round-trips for math on 32 KB of state. The
+    # arithmetic below is IDENTICAL expression-for-expression (numpy
+    # int64 sums are order-free exact; float64 ops are the same IEEE
+    # doubles both engines use; division/floor order matches the oracle
+    # text: (1e6 * v) / mx, not 1e6 * (v / mx)). coalesce(1) rides the
+    # groupBy's shuffle output into a single task with no extra exchange.
+    def _power_iter(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        mat = np.zeros(_PCA_D * _PCA_D, dtype=np.int64)
+        for batch in batches:
+            pos = batch.column(0).to_numpy(zero_copy_only=False)
+            val = batch.column(1).to_numpy(zero_copy_only=False)
+            # np.add.at: exact accumulation even if a batch ever carried
+            # duplicate cell ids (groupBy guarantees unique, belt+braces)
+            np.add.at(mat, pos, val.astype(np.int64))
+        S = mat.reshape(_PCA_D, _PCA_D)
+        v1 = S.sum(axis=1, dtype=np.int64)
+        m1 = np.abs(v1).max()
+        vq = np.floor((1e6 * v1.astype(np.float64)) / m1 + 0.5).astype(np.int64)
+        v2 = (np.floor(S / _PCA_DOWN).astype(np.int64) @ vq).astype(np.int64)
+        m2 = np.abs(v2).max()
+        pc1 = np.floor((1e6 * v2.astype(np.float64)) / m2 + 0.5) / 1e6
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.arange(_PCA_D, dtype=np.int64)),
+                pa.array(np.diag(S)),
+                pa.array(pc1),
+            ],
+            names=["dim", "second_moment", "pc1"],
         )
-        .persist()
+
+    return s.coalesce(1).mapInArrow(
+        _power_iter, "dim long, second_moment long, pc1 double"
     )
-    v1 = s.groupBy("i").agg(F.sum("sij").alias("v"))
-    m1 = v1.agg(F.max(F.abs(F.col("v"))).alias("mx"))
-    v1q = v1.crossJoin(F.broadcast(m1)).select(
-        "i",
-        F.floor(F.lit(1e6) * F.col("v").cast("double") / F.col("mx") + F.lit(0.5))
-        .cast("long")
-        .alias("vq"),
-    )
-    w = v1q.select(F.col("i").alias("wi"), "vq")
-    v2 = (
-        s.join(F.broadcast(w), F.col("j") == F.col("wi"))
-        .groupBy("i")
-        .agg(
-            F.sum(
-                F.floor(F.col("sij") / F.lit(_PCA_DOWN)).cast("long") * F.col("vq")
-            ).alias("v")
-        )
-    )
-    m2 = v2.agg(F.max(F.abs(F.col("v"))).alias("mx"))
-    diag = s.filter(F.col("i") == F.col("j")).select(
-        F.col("i").alias("dim"), F.col("sij").alias("second_moment")
-    )
-    pc1 = v2.crossJoin(F.broadcast(m2)).select(
-        F.col("i").alias("dim"),
-        (
-            F.floor(F.lit(1e6) * F.col("v").cast("double") / F.col("mx") + F.lit(0.5))
-            / F.lit(1e6)
-        ).alias("pc1"),
-    )
-    return diag.join(pc1, "dim")
 
 
 # ---------------------------------------------------------------------------
@@ -2947,33 +2956,53 @@ def basket_brand_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     per surviving rule, fractions quantized through the repo-wide
     half-up 1e-4 formula so the oracle is value-exact.
 
-    Scale: the pair join is keyed on the ORDER (fan-out bounded by
-    basket-size², TPC-H ≤ 7 lines — never all-pairs over the catalog);
-    support counting is map-side-combined aggregation; the min-support
-    HAVING is the A-priori prune — at 100 TB it is what keeps the rule
-    lattice finite, and size-k candidates would extend the same way
-    (join frequent (k-1)-sets sharing a prefix, prune by subset
-    support) without changing the partitioning story. Brand-level
-    baskets bound the item vocabulary (the dimension join is a
-    broadcast); partkey-level affinity lives in
+    Scale (r11 rewrite): ONE order-keyed aggregation replaces the
+    distinct + ok-keyed pair self-join — ``collect_set`` dedups the
+    (order, brand) membership with map-side partial aggregation,
+    ``array_sort`` fixes the ante < cons total order, and the pair
+    fan-out happens INSIDE each basket row through array higher-order
+    functions (whole-stage codegen, basket-size² ≤ 7² bounded — never
+    all-pairs over the catalog). The r10 plan shuffled the membership
+    table once to dedup it and AGAIN through the self-join before the
+    pair count; this plan shuffles it once (to the basket) and then
+    only pair keys. Support counting stays map-side-combined; the
+    min-support HAVING is the A-priori prune — at 100 TB it is what
+    keeps the rule lattice finite, and size-k candidates extend the
+    same way (expand size-k combinations within the basket array,
+    prune by subset support) without changing the partitioning story.
+    Brand-level baskets bound the item vocabulary (the dimension join
+    is a broadcast); partkey-level affinity lives in
     copurchase_recommendations."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    b = (
+    # basket = sorted distinct brand set per order; persisted because it
+    # feeds three legs (N, item supports, pair counts) of one action
+    baskets = (
         li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
-        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("item"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.array_sort(F.collect_set(F.col("p_brand"))).alias("items"))
+        .persist()
     )
-    b.persist()
     # the rule N rides along as a 1-row broadcast aggregate (r9 fusion:
     # the old driver-side distinct().count() was a separate job that
     # re-ran the basket build before the main query even started)
-    nb = b.agg(F.count_distinct("ok").cast("bigint").alias("n_baskets"))
-    supp1 = b.groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("s"))
-    a, c = b.alias("a"), b.alias("c")
+    nb = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n_baskets"))
+    supp1 = (
+        baskets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+    )
+    # ordered pairs (ante < cons) generated row-locally: for each item at
+    # 0-based position i, pair it with every later item (slice is 1-based,
+    # so the strictly-after suffix starts at i + 2)
+    pair_structs = F.expr(
+        "flatten(transform(items, (x, i) -> "
+        "transform(slice(items, i + 2, size(items)), y -> struct(x AS ante, y AS cons))))"
+    )
     pairs = (
-        a.join(c, (F.col("a.ok") == F.col("c.ok")) & (F.col("a.item") < F.col("c.item")))
-        .groupBy(F.col("a.item").alias("ante"), F.col("c.item").alias("cons"))
+        baskets.select(F.explode(pair_structs).alias("pr"))
+        .select("pr.ante", "pr.cons")
+        .groupBy("ante", "cons")
         .agg(F.count(F.lit(1)).cast("bigint").alias("s2"))
         .filter(F.col("s2") >= _AR_MIN_SUPP)
     )
