@@ -42,12 +42,29 @@ HAVING count(*) >= {_EDGE_SUPPORT}
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    items = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
-    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    """Co-purchase edges (support >= _EDGE_SUPPORT) from order baskets.
+
+    r11: one order-keyed collect_set aggregation with row-local ordered-
+    pair fan-out replaces the r10 distinct + order-keyed pair self-join —
+    the same rewrite as basket_brand_rules (the distinct's (order, part)
+    shuffle AND the self-join's re-shuffle of the membership table
+    collapse into one aggregation; pair generation is basket-size^2
+    bounded inside the row). Output identical: array_sort fixes src <
+    dst, collect_set supplies the distinct."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS src, y AS dst))))"
+            )
+        ).alias("pr")
+    ).select("pr.src", "pr.dst")
     return (
-        a.join(b, (a["k"] == b["k"]) & (F.col("src") < F.col("dst")))
-        .groupBy("src", "dst")
+        pairs.groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= _EDGE_SUPPORT)
         .select("src", "dst")
