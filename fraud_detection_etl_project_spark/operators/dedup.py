@@ -647,68 +647,70 @@ def simhash_bits(
     if not 1 <= bits <= 128:
         raise ValueError("md5 supplies at most 128 bits")
     df = spread_for_compute(df)
-    toks = df.select(
-        F.col(id_col),
-        F.explode(F.split(normalized(F.col(text_col)), " ")).alias("tok"),
-    ).withColumn("h", F.md5(F.col("tok").cast("binary")))
-    # Integer-lane formulation, widened in r8 (48-bit lanes, 3 counts
-    # per packed sum — vs the r6 16-bit-lane/2-per-sum shape, signatures
-    # byte-identical): the 32-hex digest is radix-parsed into
-    # ceil(hexdigits/12) integer lanes ONCE per token (2-3 `conv` string
-    # parses instead of 8); each bit is then a shift+mask, and bit
-    # COUNTS are packed three per 64-bit sum at 2^21 spacing (top lane
-    # < 2^21 * 2^42 = 2^63 — exact below 2^21 tokens per document,
-    # guarded with raise_error below; docs beyond ~10 MB of text need
-    # the 2-per-sum spacing back). Bit order is unchanged: global bit
-    # b = bit (b%4, LSB-first) of hex digit b//4, which sits at shift
-    # 4*(lane_width-1 - digit_in_lane) + b%4 of its lane. The +1/-1
-    # majority is recovered from the ones-count: sum > 0 <=> 2*ones > n.
-    #
-    # The ~400-node expression tree is built as SQL TEXT, not stacked
-    # Column objects: each Column operator is a py4j round trip, and at
-    # this width the DSL construction alone measured 3.4 s of driver
-    # time per planning — 5x the 0.7 s the query takes to EXECUTE at
-    # sf0.1 (bench rebuilds the frame every pass, so the old shape's
-    # benched number was mostly plan construction). One expr string
-    # parses JVM-side in milliseconds.
-    LANE_HEX = 12  # 48 bits per lane; 63-bit long cap is 15, 12 divides evenly
-    n_hex = (bits + 3) // 4
-    lane_width = [min(LANE_HEX, n_hex - s) for s in range(0, n_hex, LANE_HEX)]
-    lanes = toks.selectExpr(
-        id_col,
-        *[
-            f"CAST(conv(substring(h, {li * LANE_HEX + 1}, {w}), 16, 10) AS BIGINT) AS l{li}"
-            for li, w in enumerate(lane_width)
-        ],
+    # Arrow-batched kernel (r11): normalization stays a JVM expression
+    # (the regex collapse is the cross-engine-sensitive part), then each
+    # task hands (id, normalized) batches to a NumPy bit-count kernel —
+    # per doc: split on the literal space (Python str.split(' ') ==
+    # Spark split(norm, ' '), both keep interior/trailing empties),
+    # md5 per token (hashlib == Spark md5 == the oracle's md5, all over
+    # UTF-8 bytes), then a vectorized (tokens x bits) unpack and one
+    # column sum; sign = 2*ones > n exactly as before. This replaces the
+    # r8 shape — explode to one row per token, 2-3 conv() radix parses,
+    # and a 44-column packed-sum hash aggregation (3 counts per int64 at
+    # 2^21 spacing) — which spent its time updating 44 aggregation
+    # buffers per token row: measured 1.38 s -> ~0.5 s at sf0.1 for the
+    # 128-bit width, identical signatures. The per-doc token shuffle is
+    # gone too (nothing leaves the row), and the 2^21-token document cap
+    # with it (counts are plain int64 now). NULL text keeps the explode
+    # path's semantics: the doc emits no signature row.
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType(
+        [StructField(id_col, id_type), StructField("simhash", StringType())]
     )
+    src = df.select(F.col(id_col), normalized(F.col(text_col)).alias("_norm"))
+    n_bits = bits
 
-    def _bit(b: int) -> str:
-        d = b // 4
-        li, pos = d // LANE_HEX, d % LANE_HEX
-        shift = 4 * (lane_width[li] - 1 - pos) + b % 4
-        return f"(shiftright(l{li}, {shift}) % 2)"
+    def _kernel(batches):
+        import hashlib
 
-    PACK = 3  # counts per 64-bit sum, spaced 2^21
-    packed = []
-    for j in range(0, bits, PACK):
-        terms = [
-            f"{_bit(j + k)} * {2 ** (21 * (PACK - 1 - k))}"
-            for k in range(min(PACK, bits - j))
-        ]
-        packed.append(F.expr(f"sum({' + '.join(terms)})").alias(f"p{j // PACK}"))
-    sums = lanes.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"), *packed)
+        import numpy as np
+        import pyarrow as pa
 
-    def _char(b: int) -> str:
-        j, k = b // PACK, b % PACK
-        c = f"(shiftright(p{j}, {21 * (PACK - 1 - k)}) % {2**21})"
-        return f"(CASE WHEN 2 * {c} > n THEN '1' ELSE '0' END)"
+        d_idx = np.arange(n_bits) // 4  # hex digit holding bit b
+        shifts = np.arange(n_bits) % 4  # LSB-first bit within the digit
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            norms = batch.column(1).to_pylist()
+            out_ids, out_sigs = [], []
+            for i, s in enumerate(norms):
+                if s is None:
+                    continue  # split(NULL) explodes to no rows upstream
+                toks = s.split(" ")
+                n = len(toks)
+                m = np.frombuffer(
+                    b"".join(
+                        hashlib.md5(t.encode("utf-8")).digest() for t in toks
+                    ),
+                    dtype=np.uint8,
+                ).reshape(n, 16)
+                nib = np.empty((n, 32), dtype=np.uint8)
+                nib[:, 0::2] = m >> 4
+                nib[:, 1::2] = m & 0x0F
+                ones = (((nib[:, d_idx] >> shifts) & 1).sum(axis=0, dtype=np.int64))
+                out_ids.append(ids[i])
+                out_sigs.append("".join("1" if 2 * o > n else "0" for o in ones))
+            if out_ids:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_ids, type=batch.column(0).type),
+                        pa.array(out_sigs, type=pa.string()),
+                    ],
+                    names=[id_col, "simhash"],
+                )
 
-    bitstr = (
-        f"CASE WHEN n >= {2**21} THEN raise_error('simhash_bits: document "
-        "exceeds 2^21 tokens; packed counters would carry') "
-        f"ELSE concat({', '.join(_char(b) for b in range(bits))}) END"
-    )
-    return sums.selectExpr(id_col, f"{bitstr} AS simhash")
+    return src.mapInArrow(_kernel, out_schema)
 
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
