@@ -459,6 +459,12 @@ def main() -> None:
                     )
 
                 def _seed(reps: int, tag: str):
+                    # r11: seed the registry in the ingester's own
+                    # DEFAULT layout — plain appends with per-file
+                    # blooms on the probe columns (index_buckets=0; the
+                    # bucketed layout was measured to lose at every
+                    # sandbox-reachable history, see the operator
+                    # docstring and OPTIMIZATION_r11.md).
                     broot = os.path.join(_tf.gettempdir(), f"bench_ingest_{tag}")
                     _sh.rmtree(broot, ignore_errors=True)
                     paths = tuple(
@@ -478,23 +484,26 @@ def main() -> None:
                             "text",
                         )
                     )
-                    _snap.append(hist, paths[1])
-                    _snap.append(_bands_of(hist), paths[2])
+                    _snap.append(hist, paths[1], bloom_columns=["doc_id"])
+                    _snap.append(_bands_of(hist), paths[2], bloom_columns=["key"])
                     return paths
 
                 ientry: dict = {
                     "scope_note": (
-                        "batch FIXED at 100 docs; only the ingested history "
-                        "grows 1x -> 10x — proves the per-trigger cost is "
-                        "batch-scaled (broadcast band probe + candidate-"
-                        "bounded verify; the history contributes one "
-                        "streamed narrow scan)"
+                        "batch FIXED at 100 docs; the ingested history "
+                        "grows 1x -> 10x -> 100x (new third point, r11). "
+                        "Per-trigger cost = IN-filtered streamed band "
+                        "scan (never a full read) + candidate-bounded "
+                        "verify; the seeded history is 100%-duplicate "
+                        "copies of the base corpus, so the batch's "
+                        "COLLISION count — the verify denominator — "
+                        "itself grows with reps by construction"
                     ),
                     "batch_docs": 100,
                 }
                 warm = _seed(1, "warm")
                 _D.foreach_batch_dedup_ingester(*warm)(batch, 0)
-                for key, reps in (("base", 1), ("x10", 10)):
+                for key, reps in (("base", 1), ("x10", 10), ("x100", 100)):
                     paths = _seed(reps, key)
                     ing = _D.foreach_batch_dedup_ingester(*paths)
                     t0 = time.perf_counter()
@@ -503,6 +512,9 @@ def main() -> None:
                     isolate()
                 ientry["factor_10x_history"] = round(
                     ientry["x10_sec"] / ientry["base_sec"], 2
+                )
+                ientry["factor_100x_history"] = round(
+                    ientry["x100_sec"] / ientry["base_sec"], 2
                 )
                 probes["stream_ingest_fixed_batch"] = ientry
             except Exception as e:

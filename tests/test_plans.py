@@ -557,14 +557,17 @@ def test_label_propagation_persists_undirected_edges(spark):
 
 
 def test_pca_moment_frame_cached_once(spark):
-    """The d^2 second-moment reduction is the only data-sized stage; the
-    diagonal, iteration-1 and iteration-2 consumers must all read the
-    persisted cell frame (the Gram reduction must not replay). The
-    reduction itself must be the Arrow-batched Gram partial (one matmul
-    per batch — MapInArrow), never row-at-a-time Python."""
+    """The d^2 second-moment reduction is the only data-sized stage and
+    must run exactly once. r11 shape: the embeddings scan feeds ONE
+    Arrow-batched Gram stage (one matmul per batch), the grouped cell
+    sum is the only distributed reduction, and the post-Gram power
+    iteration is a second, single-task Arrow stage over the
+    parameter-sized cell frame — so the plan has exactly one scan (no
+    replayed Gram lineage, which also means no cache is needed), two
+    MapInArrow nodes, and no row-at-a-time Python."""
     plan = plan_of(spark, "embedding_pca_power")
-    assert "InMemoryTableScan" in plan, plan
-    assert "MapInArrow" in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("MapInArrow") == 2, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 

@@ -325,7 +325,11 @@ def test_band_index_probe_prunes_files(spark, paths):
     from fraud_detection_etl_project_spark.operators import dedup as D
 
     corp, rd, rb = paths
-    ingest = foreach_batch_dedup_ingester(corp, rd, rb)
+    # the bucketed layout is the opt-in LARGE-HISTORY configuration
+    # (r11: default 0 after measuring the per-trigger small-file append
+    # tax — see the operator docstring); this test pins the opt-in
+    # path's pruning guarantee
+    ingest = foreach_batch_dedup_ingester(corp, rd, rb, index_buckets=64)
     # 6 triggers x 20 distinct docs = a 120-doc history, 480 band rows
     for t in range(6):
         rows = [
