@@ -12,8 +12,11 @@ LLM-data-pipeline primitives (north star, BASELINE.json). Design notes:
   self-join, which touches candidate pairs only (never the O(n²) cross
   join). Hashes are md5-based and therefore engine-portable: the DuckDB
   oracles in plans/queries.py reproduce signatures bit-for-bit.
-- **SimHash** uses the same portable md5 bit extraction; one explode +
-  grouped conditional sums (a single shuffle on doc_id).
+- **SimHash** uses the same portable md5 bit extraction, computed per
+  document inside an Arrow-batched NumPy kernel (``mapInArrow`` — the one
+  deliberate Python-worker path in this module, r11): tokens never leave
+  the row, so the signature build has zero shuffles; only the banded
+  candidate join shuffles (band, key) rows.
 - **n-gram Jaccard** verifies candidate pairs exactly; it is meant to run
   *after* LSH banding has cut the pair space.
 """
@@ -195,28 +198,33 @@ def skewfree_bucket_split(
        receives only partial counts — one row per key-shard per map
        task, never the raw copies); the second level sums <= S one-row
        partials per key. No reducer ever materializes a key's row set.
-    2. Over-cap keys are BROADCAST when few (the common case — the cap
-       exists to catch the skewed boilerplate tail, and there can be at
-       most total_rows/cap of them): hot rows split off via a broadcast
-       semi join, cool candidates via a broadcast anti join — the hot
-       key's 10^9 copies never shuffle on the bucket key at all. The
-       rarity bound is NOT driver-safe adversarially (a corpus that is
-       mostly duplicate clusters permits ~10^10 over-cap keys), so the
-       over-cap keys are COUNTED first from the already-computed
-       ``counts`` frame (one scalar off a persisted aggregate); past
-       ``_HOT_BROADCAST_MAX_KEYS`` the routing falls back to a
-       sort-merge semi/anti join against the DEDUPED key list — one row
-       per key on the build side, and the probe side's oversized
-       partitions are AQE-skew-split (LeftSemi/LeftAnti stream-side
-       splitting), so the fallback is skew-safe without any broadcast.
-    3. The singleton drop on the cool side is a semi join against the
-       (2..cap)-sized key list; every surviving key has <= cap rows, so
-       that shuffle is bounded at cap rows per reducer key — skew-free
-       by construction, and its hash(keys) output partitioning is reused
-       by the caller's self-join with no further exchange.
+    2. SINGLE-PASS routing (r12): ONE inner join of the rows against the
+       (size >= 2) key list — singletons drop out of the inner join, and
+       the carried per-key size column routes each surviving row to cool
+       (<= cap) or hot (> cap) with plain filters. The r11 shape made
+       the routing decision with an EAGER over-cap key count (a whole
+       scheduler job + persist barrier on every invocation, paid even
+       when no bucket is hot) to choose between an explicit broadcast
+       and a hinted sort-merge fallback; the single join defers that
+       choice to AQE, which decides from the EXACT runtime size of the
+       shuffled key list (not a stats estimate, so the driver/executor
+       OOM the old knob guarded against cannot happen: past
+       ``autoBroadcastJoinThreshold`` bytes it simply stays sort-merge).
+       Build side is one row per pair-capable key; a viral key's 10^9
+       probe-side copies are AQE-skew-split across tasks (inner-join
+       stream-side splitting) — the same mechanism the r11 fallback
+       regime already relied on — and in the common broadcast-converted
+       case the probe never crosses the network at all (local shuffle
+       read).
+    3. Every cool key has <= cap rows by construction, so the pair
+       join's per-reducer fan-out downstream stays bounded; the inner
+       join's hash(keys) output partitioning (sort-merge regime) is
+       reused by the caller's self-join with no further exchange.
 
     Output rows are exactly the window-count formulation's — the split
-    is a physical re-routing, oracle-invariant.
+    is a physical re-routing, oracle-invariant. The routed frame is
+    persisted: the caller's self-join references each side twice, so
+    without the cache the sizing join would re-run per reference.
     """
     keys = list(key_cols)
     e = exploded.persist()
@@ -226,25 +234,10 @@ def skewfree_bucket_split(
         .agg(F.count(F.lit(1)).alias("__c"))
         .groupBy(*keys)
         .agg(F.sum("__c").alias("__sz"))
-        .persist()
     )
-    hot_keys = counts.filter(F.col("__sz") > bucket_cap).select(*keys)
-    pair_keys = counts.filter(
-        (F.col("__sz") >= 2) & (F.col("__sz") <= bucket_cap)
-    ).select(*keys)
-    # one distributed scalar off the persisted counts frame — bounded
-    n_hot = hot_keys.count()
-    if n_hot <= _HOT_BROADCAST_MAX_KEYS:
-        hot = e.join(F.broadcast(hot_keys), keys, "semi")
-        cool = e.join(F.broadcast(hot_keys), keys, "anti").join(pair_keys, keys, "semi")
-    else:
-        # adversarial regime: too many over-cap keys to broadcast. The
-        # merge hint pins a sort-merge plan (a stats-estimated broadcast
-        # would re-introduce the driver/executor OOM this guards), and
-        # AQE's stream-side skew split keeps the probe balanced.
-        hk = hot_keys.hint("merge")
-        hot = e.join(hk, keys, "semi")
-        cool = e.join(hk, keys, "anti").join(pair_keys.hint("merge"), keys, "semi")
+    routed = e.join(counts.filter(F.col("__sz") >= 2), keys).persist()
+    cool = routed.filter(F.col("__sz") <= bucket_cap).select(*exploded.columns)
+    hot = routed.filter(F.col("__sz") > bucket_cap).select(*exploded.columns)
     return cool, hot
 
 

@@ -50,7 +50,18 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle AND the self-join's re-shuffle of the membership table
     collapse into one aggregation; pair generation is basket-size^2
     bounded inside the row). Output identical: array_sort fixes src <
-    dst, collect_set supplies the distinct."""
+    dst, collect_set supplies the distinct.
+
+    Basket-size bound (ADVICE r11): the row-local flatten materializes
+    all s^2/2 ordered pairs of one basket inside one row, so a
+    degenerate giant basket becomes a single-task memory hotspot where
+    the old self-join streamed its pairs. Fine by construction on the
+    order-basket schema (TPC-H orders hold <= 7 lines; the fixture
+    max is 7) — a deployment over unbounded baskets should pre-filter
+    or split baskets above a threshold (the salting posture used by
+    salted_pair_self_join) BEFORE this aggregation; an in-query cap is
+    deliberately not applied because it would change the declared
+    result."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")
@@ -1355,9 +1366,10 @@ def concurrent_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     session explodes into the hour buckets it spans (bounded fan-out:
     gap-based sessions are short relative to buckets) and the self-join
     runs as an EQUI-join on the bucket, with the true overlap predicate
-    re-checked and multi-bucket duplicates removed by DISTINCT on the
-    output tuple (exact: a user's sessions are disjoint, so distinct
-    session pairs always produce distinct overlap windows). The DuckDB
+    re-checked and multi-bucket duplicates removed by a row-local filter
+    (r12): a pair is emitted only from the hour bucket containing its
+    overlap_start, which both sessions span — exactly one copy per
+    session pair, no output-sized distinct shuffle. The DuckDB
     oracle runs the naive inequality join (its IEJoin handles fixture
     scale), so the bucketed rewrite is value-checked pair-for-pair.
     Overlap seconds are integer epoch arithmetic — exact cross-engine.
@@ -1393,18 +1405,31 @@ def concurrent_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket"),
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
+    # r12: multi-bucket duplicate removal is a row-local FILTER, not a
+    # DISTINCT — an overlapping pair meets in every hour bucket its
+    # overlap window spans, so emitting it only from the bucket holding
+    # overlap_start (both sessions span that hour by construction) keeps
+    # exactly one copy per session pair. This deletes the output-sized
+    # distinct exchange — the only shuffle proportional to the (output-
+    # quadratic) pair volume. The capped variant below CANNOT use this:
+    # its per-bucket top-32 cap may keep a pair in a later shared bucket
+    # but not in the overlap-start one, so its dedup stays a distinct.
     pairs = a.join(
         b,
         (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.user_id") < F.col("b.user_id"))
         & (F.col("a.s_start") <= F.col("b.s_end"))
-        & (F.col("b.s_start") <= F.col("a.s_end")),
+        & (F.col("b.s_start") <= F.col("a.s_end"))
+        & (
+            F.date_trunc("hour", F.greatest("a.s_start", "b.s_start"))
+            == F.col("a.bucket")
+        ),
     ).select(
         F.col("a.user_id").alias("user_a"),
         F.col("b.user_id").alias("user_b"),
         F.greatest("a.s_start", "b.s_start").alias("overlap_start"),
         F.least("a.s_end", "b.s_end").alias("overlap_end"),
-    ).distinct()
+    )
     return pairs.select(
         "user_a",
         "user_b",

@@ -1311,59 +1311,128 @@ def _bpe_oracle() -> str:
     return "WITH " + _bpe_ctes() + "\n" + "\nUNION ALL ".join(selects)
 
 
-def _bpe_learn(spark: SparkSession, sf_dir: str):
-    """Run the R greedy merge rounds on Spark. Returns (merge_rows list of
-    1-row frames, final per-word symbol frame (word, freq, syms)). The
-    vocab and each round's merged frame persist because every round plus
-    both consumers re-reference them (harnesses clear caches between
-    queries)."""
+def _bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq) vocabulary — the ONE corpus-sized pass of BPE
+    training (map-side-combined word count); every merge round after it
+    is vocabulary-sized."""
     d = _t(spark, sf_dir, "documents")
-    words = (
+    return (
         d.select(F.explode(T.tokens(F.col("text"))).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
-    syms = words.select("word", "freq", F.split("word", "").alias("syms")).persist()
-    merge_rows = []
+
+
+def _bpe_train_py(words: list, freqs: list):
+    """Greedy BPE merge rounds over the (word, freq) vocabulary, pure
+    Python — runs inside the single-task Arrow kernels below. Returns
+    (merge rows [(round, a, b, count)], per-word final symbol lists,
+    aligned with ``words``).
+
+    Semantics are the oracle CTE chain verbatim: per round, adjacent
+    symbol pairs weighted by word freq (exact int sums), winner by count
+    desc then (a, b) asc — Python tuple/str comparison is code-point
+    order, identical to UTF8String binary order and DuckDB collation —
+    and the greedy left-to-right merge scan (the merged symbol is
+    ineligible to re-match as a bare left symbol, exactly the fold in
+    ``_bpe_merge_case``). A round with NO pairs emits no merge row and
+    EMPTIES the vocabulary (the oracle's s_r cross join against an empty
+    t_r), stopping the loop."""
+    syms = [list(w) for w in words]
+    merges = []
     for r in range(1, _BPE_ROUNDS + 1):
-        pairs = (
-            syms.filter(F.size("syms") >= 2)
-            .select(
-                "freq",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(syms) - 1),"
-                        " i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"
-                    )
-                ).alias("p"),
-            )
-            .select("freq", "p.a", "p.b")
+        cnt: dict = {}
+        for s, f in zip(syms, freqs):
+            for i in range(len(s) - 1):
+                k = (s[i], s[i + 1])
+                cnt[k] = cnt.get(k, 0) + f
+        if not cnt:
+            syms = []
+            break
+        (a, b), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r, a, b, c))
+        nxt = []
+        for s in syms:
+            out = [s[0]]
+            for x in s[1:]:
+                if out[-1] == a and x == b:
+                    out[-1] += x
+                else:
+                    out.append(x)
+            nxt.append(out)
+        syms = nxt
+    return merges, syms
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str):
+    """BPE training as ONE corpus pass + ONE single-task Arrow stage.
+
+    r12 (guide §5 driver round-trips, the embedding_pca_power pattern):
+    the r11 shape expressed each of the 3 merge rounds as a
+    vocabulary-sized aggregation + TakeOrdered(1) + broadcast cross join
+    + persist — ~6 scheduler-visible jobs of fixed overhead for math on
+    a vocabulary-sized frame (the 8-vs-32-core bench ratio was 0.55:
+    pure per-job constants, not data). Here the (word, freq) vocabulary
+    — already the output of the one corpus-sized map-side-combined
+    aggregation — rides ``coalesce(1)`` into a single ``mapInArrow``
+    task that runs all merge rounds in-process (``_bpe_train_py``) and
+    emits the learned merge table directly; the word-level fold result
+    for the apply side comes from the same trainer via its own kernel.
+    At web scale the single task folds the VOCABULARY (the standard
+    distributed-BPE shape: map-reduce word counting + a single trainer
+    over millions of (word, freq) rows), never the corpus.
+
+    Returns (merges frame (merge_round, left_sym, right_sym,
+    pair_count), per-word frame (word, freq, nsym) after all merges).
+    Each consumer executes only its own kernel."""
+    words = _bpe_words(spark, sf_dir)
+
+    def _merges_kernel(batches):
+        import pyarrow as pa
+
+        ws, fs = [], []
+        for batch in batches:
+            ws.extend(batch.column(0).to_pylist())
+            fs.extend(batch.column(1).to_pylist())
+        merges, _ = _bpe_train_py(ws, fs)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([m[0] for m in merges], type=pa.int64()),
+                pa.array([m[1] for m in merges], type=pa.string()),
+                pa.array([m[2] for m in merges], type=pa.string()),
+                pa.array([m[3] for m in merges], type=pa.int64()),
+            ],
+            names=["merge_round", "left_sym", "right_sym", "pair_count"],
         )
-        top = (
-            pairs.groupBy("a", "b")
-            .agg(F.sum("freq").cast("bigint").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(1)
+
+    def _vocab_kernel(batches):
+        import pyarrow as pa
+
+        ws, fs = [], []
+        for batch in batches:
+            ws.extend(batch.column(0).to_pylist())
+            fs.extend(batch.column(1).to_pylist())
+        _, syms = _bpe_train_py(ws, fs)
+        keep = ws if syms else []
+        keep_f = fs if syms else []
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(keep, type=pa.string()),
+                pa.array(keep_f, type=pa.int64()),
+                pa.array([len(s) for s in syms], type=pa.int64()),
+            ],
+            names=["word", "freq", "nsym"],
         )
-        merge_rows.append(
-            top.select(
-                F.lit(r).cast("bigint").alias("merge_round"),
-                F.col("a").alias("left_sym"),
-                F.col("b").alias("right_sym"),
-                F.col("cnt").alias("pair_count"),
-            )
-        )
-        merged = F.expr(
-            "aggregate(slice(syms, 2, size(syms)), get(syms, 0),"
-            f" (acc, x) -> {_bpe_merge_case('a', 'b')})"
-        )
-        syms = (
-            syms.crossJoin(F.broadcast(top.select("a", "b")))
-            .select("word", "freq", F.split(merged, _BPE_SEP).alias("syms"))
-            .persist()
-        )
-    return merge_rows, syms
+
+    merges_df = words.coalesce(1).mapInArrow(
+        _merges_kernel,
+        "merge_round long, left_sym string, right_sym string, pair_count long",
+    )
+    vocab_df = words.coalesce(1).mapInArrow(
+        _vocab_kernel, "word string, freq long, nsym long"
+    )
+    return merges_df, vocab_df
 
 
 @query("bpe_merge_training", oracle=_bpe_oracle(), bench=True)
@@ -1372,22 +1441,18 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first 3 merge rules over the corpus. Each round counts adjacent
     symbol pairs weighted by word frequency, picks the most frequent pair
     (count desc, then lexicographic — fully deterministic), and applies it
-    with the greedy left-to-right scan every BPE implementation uses
-    (expressed as a JVM-side ``aggregate`` fold over the symbol array; see
-    ``_bpe_merge_case``). Emits the learned merge table.
+    with the greedy left-to-right scan every BPE implementation uses.
+    Emits the learned merge table.
 
     Scale: the corpus collapses to the (word, freq) VOCABULARY in one
-    pass — every subsequent round scans only the vocab (millions of rows
-    at web scale, not the corpus), pair counts are map-side combined, and
-    the winning pair reaches the merge step as a one-row broadcast. This
-    is exactly how distributed BPE trainers (e.g. the Hugging Face
-    tokenizers map-reduce recipe) shard the problem.
+    map-side-combined pass; all merge rounds then run in ONE single-task
+    Arrow stage over that vocabulary (r12, see ``_bpe_learn``) — the
+    standard distributed-BPE split (map-reduce word counting + a single
+    trainer over the vocab, e.g. the Hugging Face tokenizers recipe),
+    with zero per-round scheduler round-trips.
     """
-    merge_rows, _ = _bpe_learn(spark, sf_dir)
-    out = merge_rows[0]
-    for m in merge_rows[1:]:
-        out = out.unionByName(m)
-    return out
+    merges_df, _ = _bpe_learn(spark, sf_dir)
+    return merges_df
 
 
 _BPE_APPLY_ORACLE = f"""
@@ -1418,7 +1483,7 @@ def bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence; each distinct word was folded exactly once at train time.
     """
     _, vocab = _bpe_learn(spark, sf_dir)
-    sizes = vocab.select("word", F.size("syms").cast("bigint").alias("nsym"))
+    sizes = vocab.select("word", F.col("nsym").cast("bigint").alias("nsym"))
     d = _t(spark, sf_dir, "documents")
     dtoks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("word")).filter(
         F.col("word") != ""
@@ -1921,22 +1986,37 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     the moment sums (the zipf/dsir pattern); the closed-form slope is
     one deterministic division.
 
-    Scale: two map-side-combined aggregations over one token scan
-    (per-token first-doc, per-doc length) + a 10-row broadcast
-    inequality join against the cuts — O(vocab + docs), never
+    Scale: ONE token scan (r12): per-doc length is a row-local
+    size(toks) projection and first-doc is one map-side-combined
+    aggregation over the per-doc distinct token stream, + a 10-row
+    broadcast inequality join against the cuts — O(vocab + docs), never
     O(corpus x cuts)."""
     d = _t(spark, sf_dir, "documents")
-    toks = (
-        d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
-        .filter(F.col("tok") != "")
+    # r12: ONE tokenize — the r11 shape tokenized + exploded the corpus
+    # twice (once per aggregation leg). Doc length is row-local
+    # (size(toks), no explode, no shuffle at all for that leg — the
+    # tfidf_top_terms pattern), and first-doc aggregates the per-doc
+    # DISTINCT token stream (array_distinct row-side shrinks the shuffle
+    # by the per-doc repetition factor; min over per-doc distinct ==
+    # min over occurrences). Zero-token docs are filtered (n > 0) so the
+    # cut join sees exactly the oracle's doclen rows.
+    ta = d.select(
+        "doc_id",
+        F.filter(T.tokens(F.col("text")), lambda t: t != "").alias("toks"),
     )
     cuts = d.agg(F.max("doc_id").cast("bigint").alias("mid")).select(
         F.explode(F.sequence(F.lit(1), F.lit(_HEAPS_CUTS))).alias("k"), "mid"
     ).select(
         "k", F.floor(F.col("mid") * F.col("k") / float(_HEAPS_CUTS)).cast("bigint").alias("thr")
     )
-    firstdoc = toks.groupBy("tok").agg(F.min("doc_id").cast("bigint").alias("fd"))
-    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    firstdoc = (
+        ta.select("doc_id", F.explode(F.array_distinct("toks")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").cast("bigint").alias("fd"))
+    )
+    doclen = ta.select(
+        "doc_id", F.size("toks").cast("bigint").alias("n")
+    ).filter(F.col("n") > 0)
     vocab = (
         firstdoc.join(F.broadcast(cuts), F.col("fd") <= F.col("thr"))
         .groupBy("k")
@@ -2260,7 +2340,11 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # tf persisted (r11): it feeds BOTH the df aggregation and the posting
     # join input — unpersisted, the explode + (doc, tok) aggregation ran
-    # twice inside the one materialization of w
+    # twice inside the one materialization of w. Not unpersisted here: the
+    # returned frame is lazy, so the blocks must outlive this function
+    # (repo-wide convention for persisted query legs; bench.py and the
+    # oracle harness clearCache() between queries — a long-lived library
+    # session should unpersist after consuming the result, ADVICE r11)
     tf = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("c")).persist()
     dfq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     nn = d.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))

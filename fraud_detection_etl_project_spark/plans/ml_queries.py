@@ -575,6 +575,19 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             # np.add.at: exact accumulation even if a batch ever carried
             # duplicate cell ids (groupBy guarantees unique, belt+braces)
             np.add.at(mat, pos, val.astype(np.int64))
+        if not mat.any():
+            # empty or all-zero embeddings table: the r10 join-based plan
+            # returned an EMPTY frame here (no cells survive); emit the
+            # same instead of dividing by m1=0 (ADVICE r11)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([], type=pa.int64()),
+                    pa.array([], type=pa.int64()),
+                    pa.array([], type=pa.float64()),
+                ],
+                names=["dim", "second_moment", "pc1"],
+            )
+            return
         S = mat.reshape(_PCA_D, _PCA_D)
         v1 = S.sum(axis=1, dtype=np.int64)
         m1 = np.abs(v1).max()
@@ -2972,7 +2985,11 @@ def basket_brand_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     prune by subset support) without changing the partitioning story.
     Brand-level baskets bound the item vocabulary (the dimension join
     is a broadcast); partkey-level affinity lives in
-    copurchase_recommendations."""
+    copurchase_recommendations. Basket-size bound (ADVICE r11): the
+    row-local pair fan-out assumes bounded baskets (TPC-H orders ≤ 7
+    lines; brand baskets are no larger) — over unbounded baskets,
+    pre-split or filter giant baskets before this aggregation (see
+    _copurchase_edges)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     # basket = sorted distinct brand set per order; persisted because it

@@ -99,6 +99,7 @@ def _global_windows(df) -> int:
     return len(hits)
 
 
+@pytest.mark.full_registry
 def test_full_registry_plan_invariants(spark):
     """One pass over every registered query's physical plan. Collected
     failures report together so one bad plan doesn't hide the rest."""
