@@ -94,13 +94,14 @@ def _nb_score_frames(spark: SparkSession, sf_dir: str):
     tr = train.select("lang", F.explode(F.split(normalized(F.col("text")), " ")).alias("tok"))
     cnt = tr.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n"))
     totc = cnt.groupBy("lang").agg(F.sum("n").alias("tot"))
-    # vocabulary size over the per-doc DISTINCT token stream (r11):
-    # array_distinct inside the row, then a global distinct count — the
-    # same value as countDistinct over the raw occurrence stream, with
-    # the distinct's shuffle input cut to one row per (doc, distinct tok)
-    v = train.select(
-        F.explode(F.array_distinct(F.split(normalized(F.col("text")), " "))).alias("tok")
-    ).agg(F.countDistinct("tok").alias("vsz"))
+    # vocabulary size: countDistinct over the raw occurrence stream (r12
+    # REVERT of the r11 per-doc-distinct reshape, adjudicated per VERDICT
+    # r11 #1): countDistinct plans two-phase with a map-side partial
+    # DISTINCT on tok, so its shuffle is already ~vocab-sized per map
+    # task — the r11 shape bought no shuffle volume and paid a second
+    # normalize+tokenize pass of the train split (interleaved min-of-5
+    # A/B: r10 shape 0.84 s vs r11 shape 0.91 s)
+    v = tr.agg(F.countDistinct("tok").alias("vsz"))
     prior = (
         train.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("nd"))
@@ -2992,13 +2993,17 @@ def basket_brand_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     _copurchase_edges)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    # basket = sorted distinct brand set per order; persisted because it
-    # feeds three legs (N, item supports, pair counts) of one action
+    # basket = sorted distinct brand set per order. NOT persisted (r12):
+    # the three legs (N, item supports, pair counts) reference identical
+    # subplans whose shuffle stages AQE reuses at runtime, while the
+    # r11 persist was a materialization barrier that serialized the
+    # broadcast builds against the cache fill — interleaved min-of-5
+    # A/B: persist 2.49 s vs no-persist 2.10 s (same lesson as the
+    # rejected tf/cnt persists in OPTIMIZATION_r11)
     baskets = (
         li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
         .groupBy(F.col("l_orderkey").alias("ok"))
         .agg(F.array_sort(F.collect_set(F.col("p_brand"))).alias("items"))
-        .persist()
     )
     # the rule N rides along as a 1-row broadcast aggregate (r9 fusion:
     # the old driver-side distinct().count() was a separate job that
