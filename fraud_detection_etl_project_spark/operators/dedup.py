@@ -673,6 +673,25 @@ def simhash_bits(
 
         d_idx = np.arange(n_bits) // 4  # hex digit holding bit b
         shifts = np.arange(n_bits) % 4  # LSB-first bit within the digit
+        # task-level digest memo (r12): md5 is per DISTINCT token, not
+        # per occurrence — token frequencies are Zipfian, so the hot
+        # tokens dominate occurrence counts and the cache hit rate is
+        # high on any natural corpus. Value-identical (same md5 per
+        # token); bounded so an adversarial vocabulary cannot grow the
+        # worker heap without limit.
+        memo: dict = {}
+        _MEMO_CAP = 1 << 20
+        md5 = hashlib.md5
+
+        def dig(t):
+            d = memo.get(t)
+            if d is None:
+                if len(memo) >= _MEMO_CAP:
+                    memo.clear()
+                d = md5(t.encode("utf-8")).digest()
+                memo[t] = d
+            return d
+
         for batch in batches:
             ids = batch.column(0).to_pylist()
             norms = batch.column(1).to_pylist()
@@ -683,9 +702,7 @@ def simhash_bits(
                 toks = s.split(" ")
                 n = len(toks)
                 m = np.frombuffer(
-                    b"".join(
-                        hashlib.md5(t.encode("utf-8")).digest() for t in toks
-                    ),
+                    b"".join(dig(t) for t in toks),
                     dtype=np.uint8,
                 ).reshape(n, 16)
                 nib = np.empty((n, 32), dtype=np.uint8)
