@@ -571,6 +571,20 @@ def test_pca_moment_frame_cached_once(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 
+def test_bpe_training_single_task_arrow_stage(spark):
+    """r12 shape: one corpus-sized word-count aggregation feeding ONE
+    single-task Arrow trainer — exactly one scan, one Exchange (the word
+    count), one MapInArrow, zero joins, no row-at-a-time Python, and a
+    Coalesce riding the aggregation output (no extra exchange for the
+    single-task stage)."""
+    plan = plan_of(spark, "bpe_merge_training")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("MapInArrow") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Coalesce" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
 def test_full_outer_stream_join_state_bounds(spark):
     """The full-outer stream-stream join must carry watermarks on BOTH
     sides (state eviction) — assert on the analyzed streaming plan via

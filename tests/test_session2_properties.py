@@ -58,6 +58,73 @@ def test_bpe_fold_matches_reference_greedy(spark, word, a, b):
     assert merged == _py_bpe_merge(word, a, b)
 
 
+# --- r12 single-task BPE trainer ≡ brute-force oracle semantics -------------
+
+
+def _brute_bpe(words: list[str], freqs: list[int], rounds: int):
+    """Independent reference for the oracle CTE chain: count adjacent
+    pairs over current symbolizations (freq-weighted), pick count desc /
+    (a, b) asc, apply via the reference greedy walk; a pairless round
+    empties the vocabulary (the oracle's cross join against an empty
+    winner) and stops."""
+    syms = [list(w) for w in words]
+    merges = []
+    for r in range(1, rounds + 1):
+        cnt: dict = {}
+        for s, f in zip(syms, freqs):
+            for i in range(len(s) - 1):
+                cnt[(s[i], s[i + 1])] = cnt.get((s[i], s[i + 1]), 0) + f
+        if not cnt:
+            return merges, []
+        best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        (a, b), c = best
+        merges.append((r, a, b, c))
+        syms = [_apply_merge(s, a, b) for s in syms]
+    return merges, syms
+
+
+def _apply_merge(s: list[str], a: str, b: str) -> list[str]:
+    out = [s[0]]
+    for x in s[1:]:
+        if out[-1] == a and x == b:
+            out[-1] += x
+        else:
+            out.append(x)
+    return out
+
+
+@settings(deadline=None, max_examples=30, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.text(alphabet="abc", min_size=1, max_size=6), st.integers(1, 9)),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_bpe_train_py_matches_brute_force(vocab):
+    from fraud_detection_etl_project_spark.plans.llm_queries import (
+        _BPE_ROUNDS,
+        _bpe_train_py,
+    )
+
+    words = [w for w, _ in vocab]
+    freqs = [f for _, f in vocab]
+    got_m, got_s = _bpe_train_py(words, freqs)
+    exp_m, exp_s = _brute_bpe(words, freqs, _BPE_ROUNDS)
+    assert got_m == exp_m
+    assert got_s == exp_s
+
+
+def test_bpe_train_py_pairless_round_empties_vocab():
+    """All single-char words: round 1 finds no pairs -> no merge rows and
+    an EMPTY final vocabulary (oracle cross-join semantics)."""
+    from fraud_detection_etl_project_spark.plans.llm_queries import _bpe_train_py
+
+    merges, syms = _bpe_train_py(["a", "b", "c"], [3, 2, 1])
+    assert merges == [] and syms == []
+
+
 # --- Kaplan-Meier: survival is non-increasing -------------------------------
 
 
